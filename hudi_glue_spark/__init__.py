@@ -1,0 +1,26 @@
+"""hudi_glue_spark — a PySpark-native keyed-lakehouse analytics engine.
+
+Re-expresses the capabilities of the reference repo (mq-tran/hudi-glue:
+an AWS Glue + Apache Hudi copy-on-write replication pipeline) as an
+idiomatic, standalone PySpark library, and extends it with
+LLM-data-pipeline operators (dedup, similarity search, multimodal
+columns, text analysis) designed for 100 TB scale.
+
+Layout
+------
+- ``session``     : SparkSession builder (AQE, dynamic partition overwrite).
+- ``sources``     : readers (CSV / recursive Parquet / snapshot) and writers.
+- ``operators``   : relational ops + LLM-pipeline ops (dedup, similarity, text).
+- ``functions``   : scalar & vector column-expression helpers.
+- ``table``       : ``KeyedTable`` — manifest commits, bulk_insert / upsert /
+                    delete / clean / snapshot read (the reference's Hudi-CoW
+                    semantics, re-built natively on Parquet + DataFrames).
+- ``plans``       : plan-inspection utilities (pushdown / broadcast asserts).
+- ``streaming``   : foreachBatch-compatible incremental-ingest wrappers.
+"""
+
+from hudi_glue_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

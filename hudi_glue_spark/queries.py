@@ -1,0 +1,388 @@
+"""The engine's declared query inventory (driver contract).
+
+Each query is registered with BOTH a PySpark implementation and an
+equivalent ANSI-SQL oracle string (run by DuckDB on the same parquet)
+via :func:`query`. ``__spark_entry__.queries()`` / ``oracle_sql()``
+expose these to the driver; ``bench.py`` times the headline subset.
+
+Determinism rules (the driver hash-compares values, order-insensitive,
+columns sorted by name):
+
+- Every computed column is aliased identically on both sides.
+- SUM/AVG over doubles is order-dependent in IEEE754, so both sides cast
+  to DECIMAL first (exact, order-independent), then cast the result back
+  to DOUBLE. Products cast factors to decimal (exact multiply) rather
+  than rounding a double product.
+- Window ranks always carry a total tie-break key.
+- COUNT → BIGINT on both engines; ranks are cast to INTEGER on both.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_glue_spark.operators.relational import conditional_rewrite, filter_eq
+from hudi_glue_spark.functions.scalar import ts_from_string
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_QUERIES: dict[str, str] = {}
+
+#: Queries with no ANSI-SQL oracle (driver falls back to rows-only check).
+NON_SQL_QUERIES: set[str] = set()
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), read as long and converted.
+_NS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from hudi_glue_spark.sources.readers import normalize_ns_timestamps
+
+    if name in _NS_TS_COLS:
+        # The driver's session may not carry our defaults — this conf is
+        # runtime-settable and required to read TIMESTAMP(NANOS) parquet.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _NS_TS_COLS:
+        df = normalize_ns_timestamps(df, _NS_TS_COLS[name])
+    return df
+
+
+def query(name: str, oracle: str | None):
+    """Register a (spark_fn, oracle_sql) pair under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        SPARK_QUERIES[name] = fn
+        if oracle is None:
+            NON_SQL_QUERIES.add(name)
+        else:
+            ORACLE_QUERIES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec_sum(col: str, alias: str, prec: str = "decimal(18,2)"):
+    """Order-independent double sum: cast→decimal, sum, cast→double."""
+    return F.sum(F.col(col).cast(prec)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filter / projection / scalar expressions (SURVEY §2a #1,2,12-21)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "count_rows",
+    "SELECT COUNT(*) AS n FROM lineitem",
+)
+def q_count_rows(spark, sf_dir):
+    """Row-count action (§2a #22, glue/HudiJarGlueJob.py:96)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "filter_project_rewrite",
+    """
+    SELECT l_orderkey, l_partkey,
+           CASE WHEN l_linenumber = 1 THEN 0 END AS ln_rewritten,
+           TIMESTAMP '2026-01-01 00:00:00' AS update_ts
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_filter_project_rewrite(spark, sf_dir):
+    """The NYTaxiDataPrep batch shape (§2a #14,15,16,19): equality filter,
+    CASE WHEN **without** ELSE (NULL fallthrough — reference semantics,
+    glue/NYTaxiDataPrep.py:37), derived timestamp stamp."""
+    li = table(spark, sf_dir, "lineitem")
+    li = filter_eq(li, "l_returnflag", "R")
+    li = li.withColumn("ln_rewritten", F.col("l_linenumber"))
+    li = conditional_rewrite(li, "ln_rewritten", F.col("l_linenumber") == 1, F.lit(0))
+    li = li.withColumn("update_ts", ts_from_string("2026-01-01 00:00:00"))
+    return li.select("l_orderkey", "l_partkey", "ln_rewritten", "update_ts")
+
+
+@query(
+    "scan_limit_sorted",
+    "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey LIMIT 10",
+)
+def q_scan_limit_sorted(spark, sf_dir):
+    """Deterministic LIMIT (§2a #24, Redshift/spectrum_setup.sql:11) —
+    the reference's bare LIMIT is made deterministic with a sort."""
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+        .limit(10)
+    )
+
+
+@query(
+    "hive_partition_paths",
+    "SELECT DISTINCT 'event_type=' || event_type AS partition_path FROM events",
+)
+def q_hive_partition_paths(spark, sf_dir):
+    """concat/lit partition-value construction (§2a #18,
+    glue/HudiJarGlueJob.py:102) + DISTINCT."""
+    from hudi_glue_spark.functions.scalar import hive_partition_value
+
+    return (
+        table(spark, sf_dir, "events")
+        .select(hive_partition_value("event_type").alias("partition_path"))
+        .distinct()
+    )
+
+
+@query(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct_pairs(spark, sf_dir):
+    """dropDuplicates / DISTINCT (dedup primitive, §2b exact dedup)."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (flagship) — SURVEY §2a #22/#30
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+
+    Scale notes: filter pushed to parquet scan; partial (map-side)
+    aggregation on a low-cardinality key → tiny shuffle; decimal sums
+    for cross-engine determinism.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "events_value_stats",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_value_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("value")).alias(
+            "avg_value"
+        ),
+    )
+
+
+@query(
+    "rollup_returnflag",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_returnflag(spark, sf_dir):
+    """ROLLUP grouping sets (§2a #30 — absent in reference, built-in)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("l_quantity", "sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins — §2a #28 (and the upsert's key-matching semantics, #23b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_broadcast_join",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_dim_broadcast_join(spark, sf_dir):
+    """Small-dim join; region is broadcast explicitly — no shuffle."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "fact_join_agg",
+    """
+    SELECT c_mktsegment, COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_fact_join_agg(spark, sf_dir):
+    """Fact⋈dim then aggregate. customer is broadcast (small side) so the
+    only shuffle is the final low-cardinality aggregation."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dec_sum("o_totalprice", "sum_totalprice"),
+        )
+    )
+
+
+@query(
+    "anti_join_new_keys",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_join_new_keys(spark, sf_dir):
+    """LEFT ANTI join — the insert-side primitive of the keyed upsert
+    (§2a #23b): rows whose key has no match in the other side. The right
+    side is filtered so the result is non-empty at every SF."""
+    customer = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_touched_keys",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_semi_join_touched_keys(spark, sf_dir):
+    """LEFT SEMI join — the touched-partition/key discovery primitive of
+    the partition-scoped CoW rewrite (§2a #23c)."""
+    customer = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / union — the upsert internals (§2a #23a, #26, #29)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_latest_event",
+    """
+    SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM (
+      SELECT e.*, row_number() OVER (PARTITION BY CAST(user_id AS BIGINT)
+                                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events e
+    ) WHERE rn = 1
+    """,
+)
+def q_window_latest_event(spark, sf_dir):
+    """Precombine dedup (§2a #23a): keep the max-precombine row per key,
+    tie-broken deterministically by event_id."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+
+
+@query(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_orders_per_segment(spark, sf_dir):
+    """Top-k per group: broadcast join + ranked window."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "union_tagged_batches",
+    """
+    SELECT event_id, user_id, value, 0 AS batch FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, value, 1 AS batch FROM events WHERE event_type = 'view'
+    """,
+)
+def q_union_tagged_batches(spark, sf_dir):
+    """unionByName of tagged incremental batches (§2a #26/#31 shape)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    b0 = filter_eq(ev, "event_type", "click").withColumn("batch", F.lit(0))
+    b1 = filter_eq(ev, "event_type", "view").withColumn("batch", F.lit(1))
+    return b0.unionByName(b1).drop("event_type")
