@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hudi_glue_spark import queries as Q  # noqa: E402
 
+# Importing these modules registers their queries into Q's registry.
+import hudi_glue_spark.scenario_queries  # noqa: E402,F401
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""

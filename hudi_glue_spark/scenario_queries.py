@@ -1,0 +1,131 @@
+"""Keyed-upsert scenario queries (driver-gate coverage for the table layer).
+
+Re-creates the reference's day=0/1/2 incremental scenario
+(FIXTURES.md F2, glue/NYTaxiDataPrep.py:36-49) on the ``events`` table:
+
+- batch0: all events                      (initial load, day=0)
+- batch1: event_type='click' subset, value+100, ts **+1 day**  (update)
+- batch2: same subset, value+200, ts **−5 days**     (late-arriving)
+
+The engine ingests the three batches through a real on-disk
+:class:`KeyedTable` (bulk_insert → upsert → upsert); the oracle expresses
+the FINAL STATE as window-dedup over the union of batches — upsert isn't
+single-statement ANSI SQL, but its result is (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.queries import query, table
+from hudi_glue_spark.table import KeyedTable, ingest
+from hudi_glue_spark.table.keyed_table import ARRIVAL_WINS, EVENT_TIME_WINS
+
+_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+#: CTE prefix shared by both policy oracles: the three batches + union.
+_BATCHES_CTE = """
+WITH b0 AS (
+  SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+         CAST(ts AS TIMESTAMP) AS ts, 0 AS src FROM events
+), b1 AS (
+  SELECT event_id, user_id, event_type, value + 100.0 AS value,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts, 1 AS src
+  FROM events WHERE event_type = 'click'
+), b2 AS (
+  SELECT event_id, user_id, event_type, value + 200.0 AS value,
+         CAST(ts AS TIMESTAMP) - INTERVAL 5 DAY AS ts, 2 AS src
+  FROM events WHERE event_type = 'click'
+), u AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+)
+"""
+
+
+def _batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    b0 = ev
+    clicks = ev.filter(F.col("event_type") == "click")
+    b1 = clicks.withColumn("value", F.col("value") + F.lit(100.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    )
+    b2 = clicks.withColumn("value", F.col("value") + F.lit(200.0)).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 5 DAY")
+    )
+    return [b0, b1, b2]
+
+
+def _run_scenario(spark: SparkSession, sf_dir: str, policy: str, tag: str) -> KeyedTable:
+    # Timestamp arithmetic must agree with the (naive-timestamp) oracle —
+    # pin the session to UTC at runtime; driver sessions may differ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type", policy=policy
+    )
+    for b in _batches(spark, sf_dir):
+        ingest(tbl, b)
+    return tbl
+
+
+@query(
+    "upsert_event_time_wins",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_event_time_wins(spark, sf_dir):
+    """day=0/1/2 ingest, event-time policy: the late batch2 (older ts)
+    must lose to batch1; final state = newest event time per key."""
+    tbl = _run_scenario(spark, sf_dir, EVENT_TIME_WINS, "etw")
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "upsert_arrival_wins",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY src DESC, ts DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_arrival_wins(spark, sf_dir):
+    """Same ingest under arrival-wins (Hudi-0.5-era payload parity,
+    FIXTURES.md F2): the last-written batch2 wins for clicked keys."""
+    tbl = _run_scenario(spark, sf_dir, ARRIVAL_WINS, "aw")
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "upsert_then_delete",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE user_id % 10 <> 0
+    """,
+)
+def q_upsert_then_delete(spark, sf_dir):
+    """bulk_insert then keyed delete (§2a #9): keys of users 0 mod 10
+    are removed; final state is oracle-expressible as a filter."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_del_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts", partition_by="event_type")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    doomed = ev.filter(F.col("user_id") % 10 == 0).select("event_id")
+    tbl.delete(doomed)
+    return tbl.read(spark).select(_COLS)

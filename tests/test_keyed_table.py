@@ -1,0 +1,200 @@
+"""KeyedTable: bulk_insert / upsert / delete / clean / snapshot reads.
+
+Ports the reference's day=0/1/2 incremental scenario (FIXTURES.md F2,
+glue/NYTaxiDataPrep.py:36-49) onto tiny inline frames: an initial load,
+an update batch with a newer precombine, and a late-arriving batch with
+an older precombine — asserting the per-key winners under both late-data
+policies.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from hudi_glue_spark.table import KeyedTable, ingest
+from hudi_glue_spark.table.keyed_table import ARRIVAL_WINS, EVENT_TIME_WINS
+
+
+def ts(day: int) -> datetime.datetime:
+    return datetime.datetime(2026, 1, day, 12, 0, 0)
+
+
+def day0(spark):
+    # initial load: keys 1-4 across two partitions
+    return spark.createDataFrame(
+        [
+            Row(pk=1, part="a", val="init1", update_ts=ts(10)),
+            Row(pk=2, part="a", val="init2", update_ts=ts(10)),
+            Row(pk=3, part="b", val="init3", update_ts=ts(10)),
+            Row(pk=4, part="b", val="init4", update_ts=ts(10)),
+        ]
+    )
+
+
+def day1(spark):
+    # update batch: newer precombine; key 2 also MOVES partition a→b
+    # (the reference mutates its partition column the same way,
+    # glue/NYTaxiDataPrep.py:47)
+    return spark.createDataFrame(
+        [
+            Row(pk=1, part="a", val="upd1", update_ts=ts(11)),
+            Row(pk=2, part="b", val="upd2", update_ts=ts(11)),
+            Row(pk=5, part="c", val="new5", update_ts=ts(11)),
+        ]
+    )
+
+
+def day2(spark):
+    # late-arriving batch: update_ts five days OLDER than day0
+    return spark.createDataFrame(
+        [
+            Row(pk=1, part="a", val="late1", update_ts=ts(5)),
+            Row(pk=3, part="b", val="late3", update_ts=ts(5)),
+        ]
+    )
+
+
+def snapshot(tbl, spark) -> dict:
+    return {r.pk: (r.part, r.val) for r in tbl.read(spark).collect()}
+
+
+@pytest.fixture
+def tmppath(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def run_scenario(spark, tmppath, policy):
+    tbl = KeyedTable(tmppath, key="pk", precombine="update_ts", partition_by="part", policy=policy)
+    ingest(tbl, day0(spark))
+    ingest(tbl, day1(spark))
+    ingest(tbl, day2(spark))
+    return tbl
+
+
+def test_scenario_event_time_wins(spark, tmppath):
+    tbl = run_scenario(spark, tmppath, EVENT_TIME_WINS)
+    got = snapshot(tbl, spark)
+    # day1 (newest event time) wins over late day2; day0 only for key 4
+    assert got == {
+        1: ("a", "upd1"),
+        2: ("b", "upd2"),
+        3: ("b", "init3"),  # late3 is older than init3 → rejected
+        4: ("b", "init4"),
+        5: ("c", "new5"),
+    }
+
+
+def test_scenario_arrival_wins(spark, tmppath):
+    tbl = run_scenario(spark, tmppath, ARRIVAL_WINS)
+    got = snapshot(tbl, spark)
+    # last-written batch wins regardless of event time (Hudi-0.5 payload)
+    assert got == {
+        1: ("a", "late1"),
+        2: ("b", "upd2"),
+        3: ("b", "late3"),
+        4: ("b", "init4"),
+        5: ("c", "new5"),
+    }
+
+
+def test_key_uniqueness_and_counts(spark, tmppath):
+    tbl = run_scenario(spark, tmppath, EVENT_TIME_WINS)
+    df = tbl.read(spark)
+    assert df.count() == 5
+    assert df.select("pk").distinct().count() == 5
+
+
+def test_partition_move_leaves_no_ghost(spark, tmppath):
+    """Key 2 moved a→b on day1; partition a must not retain the old row."""
+    tbl = run_scenario(spark, tmppath, EVENT_TIME_WINS)
+    rows = tbl.read(spark).filter("part = 'a'").collect()
+    assert {r.pk for r in rows} == {1}
+
+
+def test_untouched_partition_files_carried(spark, tmppath):
+    """CoW must NOT rewrite partitions an upsert doesn't touch."""
+    tbl = KeyedTable(tmppath, key="pk", precombine="update_ts", partition_by="part")
+    tbl.bulk_insert(day0(spark))
+    import json as _json
+    from hudi_glue_spark.table import manifest as M
+
+    man0 = M.read_manifest(tmppath)
+    only_a = day1(spark).filter("part = 'a'")
+    tbl.upsert(only_a)
+    man1 = M.read_manifest(tmppath)
+    b_files_before = {f for f in man0.files if f.startswith("part=b/")}
+    b_files_after = {f for f in man1.files if f.startswith("part=b/")}
+    assert b_files_before == b_files_after  # carried, not rewritten
+    assert _json.loads(man1.to_json())["stats"]["partitions_rewritten"] == ["part=a"]
+
+
+def test_precombine_dedup_within_batch(spark, tmppath):
+    tbl = KeyedTable(tmppath, key="pk", precombine="update_ts", partition_by="part")
+    dup = spark.createDataFrame(
+        [
+            Row(pk=1, part="a", val="older", update_ts=ts(1)),
+            Row(pk=1, part="a", val="newer", update_ts=ts(2)),
+        ]
+    )
+    ingest(tbl, dup)
+    assert snapshot(tbl, spark) == {1: ("a", "newer")}
+
+
+def test_delete(spark, tmppath):
+    tbl = run_scenario(spark, tmppath, EVENT_TIME_WINS)
+    keys = spark.createDataFrame([Row(pk=1), Row(pk=4)])
+    tbl.delete(keys)
+    got = snapshot(tbl, spark)
+    assert set(got) == {2, 3, 5}
+
+
+def test_time_travel_and_incremental(spark, tmppath):
+    tbl = KeyedTable(tmppath, key="pk", precombine="update_ts", partition_by="part")
+    c0 = tbl.bulk_insert(day0(spark))
+    c1 = tbl.upsert(day1(spark))
+    assert tbl.read(spark, at=c0).count() == 4
+    assert tbl.read(spark, at=c1).count() == 5
+    inc = tbl.read_incremental(spark, since=c0)
+    # files added by the upsert: rewritten partitions a,b,c content
+    assert {r.pk for r in inc.collect()} >= {5}
+
+
+def test_clean_retention(spark, tmppath):
+    tbl = run_scenario(spark, tmppath, EVENT_TIME_WINS)
+    assert len(tbl.commits()) == 3
+    removed = tbl.clean(retain_commits=1)
+    assert len(tbl.commits()) == 1
+    # table still readable after cleaning
+    assert tbl.read(spark).count() == 5
+    # at least day0's superseded files got physically removed
+    assert removed
+
+
+def test_non_partitioned_table(spark, tmppath):
+    tbl = KeyedTable(tmppath, key="pk", precombine="update_ts")
+    ingest(tbl, day0(spark).drop("part"))
+    ingest(tbl, day1(spark).drop("part"))
+    df = tbl.read(spark)
+    assert df.count() == 5
+    assert {r.val for r in df.collect()} == {"upd1", "upd2", "init3", "init4", "new5"}
+
+
+def test_register_catalog(spark, tmppath):
+    tbl = run_scenario(spark, tmppath, EVENT_TIME_WINS)
+    tbl.register(spark, "scenario_tbl")
+    assert spark.sql("SELECT count(*) AS n FROM scenario_tbl").first().n == 5
+
+
+def test_missing_key_refused():
+    with pytest.raises(ValueError):
+        KeyedTable("/tmp/x", key=[], precombine="ts")
+
+
+def test_empty_batch_upsert_noop(spark, tmppath):
+    tbl = KeyedTable(tmppath, key="pk", precombine="update_ts", partition_by="part")
+    tbl.bulk_insert(day0(spark))
+    tbl.upsert(day0(spark).filter("pk < 0"))
+    assert tbl.read(spark).count() == 4
