@@ -1,0 +1,363 @@
+"""LLM-data-pipeline queries (§2b) with DuckDB oracles.
+
+The dedup/similarity oracles replicate the ENGINE'S algorithm (same md5
+hash family, same shingles, same LSH bands) rather than an idealized
+spec — so probabilistic recall is not a comparison hazard: both engines
+compute the identical deterministic pipeline. Cross-engine float parity
+of the ordered-fold cosine was verified bit-for-bit (see tests).
+
+Planted duplicates: the fixtures have no native dups, so dedup queries
+run on ``documents ∪ mutated-copy-of-src0`` built identically on both
+sides (exact copies for exact dedup; " qq1 qq2"-suffixed for near-dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_glue_spark.operators import dedup as D
+from hudi_glue_spark.operators import multimodal as MM
+from hudi_glue_spark.operators import similarity as S
+from hudi_glue_spark.operators import text as T
+from hudi_glue_spark.queries import query, table
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+# -- shared fixture builders (Spark side + SQL side, kept adjacent) ---------
+
+
+def _docs_with_exact_copies(spark, sf_dir) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(DOC_COLS)
+    copies = docs.filter(F.col("source") == "src0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return docs.unionByName(copies)
+
+
+_SQL_EXACT_COPIES = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE source = 'src0'
+"""
+
+
+def _docs_with_near_dups(spark, sf_dir) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(DOC_COLS)
+    near = (
+        docs.filter(F.col("source") == "src0")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" qq1 qq2")))
+    )
+    return docs.unionByName(near)
+
+
+_SQL_NEAR_DUPS = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' qq1 qq2', lang, source, n_chars
+  FROM documents WHERE source = 'src0'
+"""
+
+# DuckDB building blocks mirroring operators.text/dedup primitives.
+_SQL_WORDS = T.words_sql("text")
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_WORDS}) - 2, 0) + 1), "
+    f"i -> ({_SQL_WORDS})[i] || ' ' || ({_SQL_WORDS})[i+1] || ' ' || ({_SQL_WORDS})[i+2]))"
+)
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+@query(
+    "text_stats_per_doc",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_WORDS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(text, '([0-9]+|[^A-Za-z0-9\\s])', ' \\1 ', 'g'),
+                '\\s+'), x -> x <> '')) AS INTEGER) AS n_pieces,
+           {T.quality_score_sql("text")} AS quality,
+           {T.lang_id_sql("text")} AS lang_pred,
+           {T.doc_fingerprint_sql("text")} AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_stats_per_doc(spark, sf_dir):
+    """Token/piece counts, composite quality score, heuristic language
+    ID, and content fingerprint — the full text-analysis surface, one
+    narrow JVM-side projection (no shuffle, no Python)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_piece_count("text").alias("n_pieces"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+        T.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "docs_quality_by_source",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           MIN({T.quality_score_sql("text")}) AS min_quality,
+           MAX({T.quality_score_sql("text")}) AS max_quality,
+           CAST(SUM(CAST(len({_SQL_WORDS}) AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_docs_quality_by_source(spark, sf_dir):
+    """Corpus curation roll-up: per-source doc counts, quality range,
+    token totals (min/max/int-sum only — elementwise-exact across
+    engines)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(T.quality_score("text")).alias("min_quality"),
+        F.max(T.quality_score("text")).alias("max_quality"),
+        F.sum(T.token_count("text").cast("long")).alias("total_tokens"),
+    )
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    f"""
+    WITH u AS ({_SQL_EXACT_COPIES}),
+    fp AS (SELECT doc_id, {T.doc_fingerprint_sql("text")} AS fingerprint FROM u)
+    SELECT doc_id, fingerprint FROM (
+      SELECT doc_id, fingerprint,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+      FROM fp
+    ) WHERE doc_id = keep_id
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup on normalized-content fingerprint over a corpus with
+    planted exact copies; min doc_id survives. Hash-groupBy shape: one
+    shuffle on a high-entropy key."""
+    u = _docs_with_exact_copies(spark, sf_dir)
+    return D.exact_dedup(u, "doc_id", "text").select(
+        "doc_id", T.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+@query(
+    "word_jaccard_pairs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, list_distinct({_SQL_WORDS}) AS ws FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+    """,
+)
+def q_word_jaccard_pairs(spark, sf_dir):
+    """n-gram (word-set) Jaccard near-dup pairs, blocked by source —
+    the self-join is per-block, never global."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(T.words("text")).alias("ws")
+    )
+    return D.jaccard_pairs(docs, "doc_id", "ws", "source", threshold=0.8)
+
+
+def _minhash_oracle(num_hashes: int, bands: int, rows: int, threshold: float) -> str:
+    """DuckDB SQL replicating minhash_lsh_pairs exactly (same md5
+    family, same banding, same bucket cap, same verify)."""
+    return f"""
+    WITH u AS ({_SQL_NEAR_DUPS}),
+    base AS (
+      SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM u
+    ),
+    nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+    sig AS (
+      -- same two-base-hash linear family as minhash_signature:
+      -- hash_i(x) = (h1 + i*h2) mod P, h1/h2 = md5 halves
+      SELECT id, sh, list_transform(range(0, {num_hashes}),
+        i -> list_min(list_transform(sh,
+               x -> (CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                     + i * CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT))
+                    % 4294967311))) AS sg
+      FROM nonempty
+    ),
+    banded AS (
+      SELECT id, sh, b.band, md5(array_to_string(
+               list_transform(range(0, {rows}), j -> sg[b.band * {rows} + 1 + j]), ',')) AS bh
+      FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+    ),
+    ok_buckets AS (
+      SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) <= 1000
+    ),
+    capped AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bh)),
+    cand AS (
+      SELECT DISTINCT l.id AS a_id, r.id AS b_id
+      FROM capped l JOIN capped r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+    ),
+    verified AS (
+      SELECT a_id, b_id,
+             CAST(len(list_intersect(la.sh, lb.sh)) AS DOUBLE)
+               / (len(la.sh) + len(lb.sh) - len(list_intersect(la.sh, lb.sh))) AS jaccard
+      FROM cand
+      JOIN nonempty la ON la.id = a_id
+      JOIN nonempty lb ON lb.id = b_id
+    )
+    SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query("minhash_near_dup", _minhash_oracle(16, 4, 4, 0.8))
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup detection over planted near-duplicates:
+    shingle → 16 minhashes → 4 bands → bucket-join → exact-Jaccard
+    verify ≥ 0.8. The oracle replays the identical deterministic
+    pipeline in SQL, so LSH's probabilistic recall cannot diverge."""
+    u = _docs_with_near_dups(spark, sf_dir)
+    return D.minhash_lsh_pairs(
+        u, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.8
+    )
+
+
+def _simhash_sql(col: str) -> str:
+    """DuckDB mirror of dedup.simhash(hash_fn='md5_60')."""
+    w = T.words_sql(col)
+    whash = "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)"
+    return f"""list_sum(list_transform(range(0, 60), b ->
+      CASE WHEN list_sum(list_transform({w},
+             w -> (({whash} >> b) & 1) * 2 - 1)) > 0
+           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))"""
+
+
+@query(
+    "simhash_near_dup",
+    f"""
+    WITH u AS ({_SQL_NEAR_DUPS}),
+    sh AS (SELECT doc_id AS id, {_simhash_sql("text")} AS s FROM u),
+    blocked AS (SELECT id, s, s >> 48 AS blk FROM sh)
+    SELECT l.id AS a_id, r.id AS b_id,
+           CAST(bit_count(xor(l.s, r.s)) AS INTEGER) AS hamming
+    FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.id < r.id
+    WHERE bit_count(xor(l.s, r.s)) <= 6
+    """,
+)
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs (60-bit md5-portable variant): block on
+    the top 12 bits, keep Hamming ≤ 6. Codegen-friendly bit arithmetic,
+    sub-quadratic via prefix blocking."""
+    u = _docs_with_near_dups(spark, sf_dir)
+    pairs = D.simhash_pairs(
+        u, "doc_id", "text", max_hamming=6, prefix_bits=12, hash_fn="md5_60"
+    )
+    return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by the label column
+    (IVF-style coarse bucket). Ordered-fold double cosine — verified
+    bit-identical to DuckDB's list_dot_product."""
+    emb = table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.4)
+
+
+# -- similarity search ------------------------------------------------------
+
+
+@query(
+    "knn_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             list_dot_product(qv, e.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+      FROM q, e WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for 5 query vectors: broadcast
+    queries × corpus scan, per-query window top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.knn_bruteforce(queries, emb, "vec_id", "embedding", k=5)
+    # re-attach the cosine for value-level oracle comparison
+    e2 = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    q2 = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    from hudi_glue_spark.functions.vector import cosine_similarity
+
+    return (
+        out.join(e2, "neighbor_id")
+        .join(F.broadcast(q2), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__nv")).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+@query("knn_lsh", None)
+def q_knn_lsh(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH bucketing (scale
+    path: per-query candidates shrink by ~2^planes). Driver records a
+    rows-only check; recall vs brute force is asserted in unit tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.knn_lsh(queries, emb, "vec_id", "embedding", k=5, n_planes=4, n_tables=8)
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+@query(
+    "media_meta_extract",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+           md5(text) AS checksum,
+           CAST(1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 512 AS INTEGER) AS fake_width,
+           CAST(1 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 512 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def q_media_meta_extract(spark, sf_dir):
+    """Multimodal plumbing: text bytes as a stand-in blob payload →
+    Arrow-batched mapInPandas metadata extraction (length, checksum,
+    deterministic fake dimensions). The oracle recomputes the same
+    metadata in SQL — a true differential test of the pandas-UDF path."""
+    docs = table(spark, sf_dir, "documents")
+    payload = MM.text_as_payload(docs, "doc_id", "text")
+    return MM.extract_media_meta(payload)

@@ -1,0 +1,311 @@
+"""Deduplication operators (§2b): exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy on a normalized fingerprint — one
+  shuffle on a high-entropy key, map-side combinable.
+- Brute-force pairwise comparison is never global: candidate pairs come
+  from a *blocking* key (LSH band buckets, simhash prefixes, or an
+  explicit block column), so the self-join shuffles only within small
+  buckets. Skewed buckets are AQE-handled; pathological ones should be
+  capped upstream (``max_bucket`` guard here).
+- All hashing is deterministic (md5 / xxhash64 of content), so results
+  are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_glue_spark.functions.vector import cosine_similarity
+from hudi_glue_spark.operators.text import doc_fingerprint, words
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on the normalized content fingerprint, keeping the
+    min (or max) id per duplicate group. One window over one shuffle."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    w = Window.partitionBy(doc_fingerprint(text_col))
+    return (
+        df.withColumn("__keep", agg.over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+# -- shingles & Jaccard -----------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    ws = words(text)
+    c = F.size(ws) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(c, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two DISTINCT-element arrays: |∩| / (|a|+|b|-|∩|)."""
+    i = F.size(F.array_intersect(a, b)).cast("double")
+    return i / (F.size(a) + F.size(b) - i)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs within a block whose set-Jaccard ≥ threshold.
+
+    Output: (a_id, b_id, jaccard), a_id < b_id. The block column is the
+    scalability contract: the self-join is per-block, never global.
+    """
+    left = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("a_id"),
+        F.col(set_col).alias("__sa"),
+    )
+    right = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("b_id"),
+        F.col(set_col).alias("__sb"),
+    )
+    pairs = left.join(right, "__blk").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+#: Prime > 2^32 for the linear minhash family (h1 + i·h2) mod P.
+_MINHASH_P = 4294967311
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature via the standard two-base-hash linear family:
+    each shingle is md5-hashed ONCE into (h1, h2) = two 32-bit halves,
+    and hash_i = (h1 + i·h2) mod P.
+
+    Implemented as a single fold over the shingle array (the md5 pairs
+    are the aggregate INPUT, so they're evaluated once per row — putting
+    them inside a per-i lambda would recompute every md5 ``num_hashes``
+    times), maintaining ``num_hashes`` running minima via zip_with.
+    Entirely JVM-side and bit-reproducible in DuckDB for the oracle."""
+    pairs = F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    return F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda m, i: F.least(m, (p["h1"] + i * p["h2"]) % F.lit(_MINHASH_P)),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    shingle → minhash(k=``num_hashes``) → split into ``bands`` bands,
+    hash each band → bucket-join on (band, band_hash) → candidate pairs
+    → verify with exact shingle Jaccard ≥ ``threshold``.
+
+    Buckets larger than ``max_bucket`` are dropped (degenerate content —
+    e.g. empty docs all hashing identically — would otherwise produce a
+    quadratic blowup at scale).
+    """
+    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+
+    rows_per_band = num_hashes // bands
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        shingles(text_col, shingle_n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # banded rows carry ONLY (id, band, band_hash): the bucket self-join
+    # shuffles 3 narrow columns, never the shingle arrays
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("__band", "__bh"),
+    )
+    # cap pathological buckets before the self-join
+    bucket_sizes = banded.groupBy("__band", "__bh").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["__band", "__bh"],
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["__band", "__bh"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    # shingle sets re-attached only for the (much smaller) candidate set
+    verified = (
+        cand.join(base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")), "a_id")
+        .join(base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")), "b_id")
+    )
+    return (
+        verified.withColumn("jaccard", jaccard(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def dedup_keep_list(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
+    """Collapse duplicate pairs to survivors: every id maps to the min
+    id among itself and its direct neighbors (connected-components-lite,
+    one aggregation instead of an iterative CC — documents chained A-B-C
+    collapse transitively enough for dedup purposes)."""
+    edges = pairs.select(
+        F.col("a_id").alias("__rid"), F.col("b_id").alias("__nb")
+    ).unionByName(pairs.select(F.col("b_id").alias("__rid"), F.col("a_id").alias("__nb")))
+    rep = edges.groupBy("__rid").agg(F.min("__nb").alias("__min_nb"))
+    return (
+        df.join(rep, df[id_col] == rep["__rid"], "left")
+        .filter(F.col("__min_nb").isNull() | (F.col("__min_nb") > df[id_col]))
+        .drop("__rid", "__min_nb")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+#: Single pass over the word list: each word is hashed ONCE (the
+#: transform input), then votes into an array of {bits} counters via
+#: zip_with (cheap long ops); the finish lambda packs signs into bits.
+_SIMHASH_EXPR = """
+aggregate(
+  transform({words}, w -> {whash}),
+  array_repeat(0L, {bits}),
+  (acc, h) -> zip_with(acc, sequence(0, {maxbit}),
+                       (c, b) -> c + (CAST(shiftright(h, b) & 1 AS LONG) * 2 - 1)),
+  acc -> aggregate(zip_with(acc, sequence(0, {maxbit}),
+                            (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)),
+                   0L, (s, x) -> s + x))
+"""
+
+#: md5-based 60-bit word hash (engine-portable: DuckDB computes the
+#: identical value, enabling SQL oracles); xxhash64 is the faster
+#: JVM-native default.
+_WORD_HASH = {
+    "xxhash64": ("xxhash64(w)", 64),
+    "md5_60": ("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS LONG)", 60),
+}
+
+
+def simhash(text_col: str = "text", hash_fn: str = "xxhash64") -> Column:
+    """SimHash over whitespace tokens: each word's hash votes ±1 per
+    bit position; the sign forms the output bit. Pure SQL expression —
+    runs in whole-stage codegen. ``hash_fn='md5_60'`` gives a 60-bit
+    engine-portable variant (same value computable in DuckDB)."""
+    whash, bits = _WORD_HASH[hash_fn]
+    w = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    return F.expr(_SIMHASH_EXPR.format(words=w, whash=whash, bits=bits, maxbit=bits - 1))
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of
+    the simhash (near-dups almost always share the prefix), then filter
+    pairs by Hamming distance ≤ ``max_hamming``. The prefix blocking is
+    what keeps the self-join sub-quadratic at scale."""
+    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+
+    bits = _WORD_HASH[hash_fn][1]
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), simhash(text_col, hash_fn).alias("__sh")
+    ).withColumn("__blk", F.shiftright(F.col("__sh"), bits - prefix_bits))
+    pairs = (
+        base.alias("l")
+        .join(base.alias("r"), "__blk")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("a_id"),
+            F.col("r.__id").alias("b_id"),
+            hamming64(F.col("l.__sh"), F.col("r.__sh")).alias("hamming"),
+        )
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within a block (the
+    block column is the IVF-style coarse bucket — at scale, a cluster
+    assignment; never a global cross join)."""
+    left = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("__va"),
+    )
+    right = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        left.join(right, "__blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("a_id", "b_id", "cosine")
+    )

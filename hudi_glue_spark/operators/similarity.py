@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (§2b).
+
+Baseline: brute-force cosine top-k — a broadcast cross join + ordered
+window, exactly the plan you want at scale when the QUERY side is small
+(queries broadcast; the corpus scan stays partition-parallel and never
+shuffles). Scale path: random-hyperplane LSH bucketing cuts the scanned
+candidates per query; recall is tested against the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_glue_spark.functions.vector import cosine_similarity, dot_product
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rnk) with rnk 1..k, deterministic
+    tie-break on neighbor_id. The queries side is broadcast — the corpus
+    is scanned once, in place, with no shuffle before the per-query
+    top-k (which AQE keeps as a partial top-k under the window)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for LSH (fixed seed → stable
+    buckets across runs and executors)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id (0..2^n_planes-1):
+    bit i = sign(vec · plane_i). JVM-side dot products against literal
+    plane arrays — no Python, no shuffle."""
+    first = df.select(F.first(vec_col)).first()
+    dim = len(first[0]) if first else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn("__bucket", bucket)
+
+
+def _multi_table_buckets(
+    df: DataFrame, vec_col: str, n_planes: int, n_tables: int, dim: int, seed: int = 42
+) -> DataFrame:
+    """Explode each vector into (table_id, bucket_id) rows — one row per
+    LSH table, so ALL tables join in a single shuffle-join on
+    (table, bucket) instead of n_tables separate joins."""
+    entries = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = F.lit(0)
+        for i, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
+            bucket = bucket + F.shiftleft(bit, i)
+        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    return df.withColumn("__tb", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket")
+    )
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Candidates = corpus vectors sharing the query's bucket in ANY of the
+    ``n_tables`` tables (single join on (table, bucket), distinct), then
+    exact cosine ranking within candidates. At 100 TB each query scans
+    ~n_tables × corpus / 2^n_planes candidates instead of the full
+    corpus; recall improves geometrically with n_tables."""
+    first = corpus.select(F.first(vec_col)).first()
+    dim = len(first[0]) if first else 0
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qb = _multi_table_buckets(q, "__qv", n_planes, n_tables, dim)
+    cb = _multi_table_buckets(c, "__cv", n_planes, n_tables, dim)
+    pairs = (
+        F.broadcast(qb)
+        .join(cb, ["__table", "__bucket"])
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )

@@ -1,0 +1,199 @@
+"""Text-analysis operators (§2b): tokenization, quality scoring,
+language ID, document fingerprinting.
+
+Everything is built from JVM-side expressions (split / higher-order
+array functions / regexp) — no Python UDFs in these paths. Shared
+constants (stopword and language-marker lists) are defined once here and
+used to *generate* both the Spark expressions and the DuckDB oracle SQL,
+so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopwords for the quality score's stopword-ratio component.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+#: Language-marker words for the n-gram-free heuristic language ID.
+#: Scored by the number of marker words PRESENT (presence, not frequency);
+#: argmax with deterministic preference order en > de > fr > es > zh.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "y", "los", "es"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+# -- tokenization -----------------------------------------------------------
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped (so the empty
+    string yields 0 tokens, not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def words_sql(col: str = "text") -> str:
+    """DuckDB equivalent of :func:`words` (oracle generation)."""
+    return f"list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count — the baseline tokenizer. A BPE-style
+    subword count is :func:`bpe_piece_count`."""
+    return F.size(words(text))
+
+
+def bpe_piece_count(text: Column | str) -> Column:
+    """BPE-ish piece count without a trained merges table: splits on
+    whitespace AND on letter/digit/punctuation boundaries, counting
+    sub-word pieces (a cheap, deterministic proxy for tokenizer cost
+    estimation over 100 TB — one regexp, fully JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(
+        F.regexp_replace(c, r"([0-9]+|[^A-Za-z0-9\s])", r" $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda x: x != ""))
+
+
+# -- quality scoring --------------------------------------------------------
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Non-alphanumeric-non-space chars / total chars (0 for empty)."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, "[A-Za-z0-9 ]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(c)
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    ws = words(text)
+    hits = F.size(F.filter(ws, lambda x: F.lower(x).isin(*STOPWORDS)))
+    n = F.size(ws)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def distinct_word_ratio(text: Column | str) -> Column:
+    ws = words(text)
+    n = F.size(ws)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(ws)).cast("double") / n
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length saturation (40 tokens ≈ full
+    marks), lexical diversity, low punctuation noise. The exact formula
+    is mirrored in :func:`quality_score_sql` for the oracle."""
+    n = token_count(text).cast("double")
+    length_part = F.least(n / F.lit(40.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_part
+        + F.lit(0.4) * distinct_word_ratio(text)
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio(text))
+    )
+
+
+def quality_score_sql(col: str = "text") -> str:
+    w = words_sql(col)
+    n = f"CAST(len({w}) AS DOUBLE)"
+    nd = f"CAST(len(list_distinct({w})) AS DOUBLE)"
+    stripped = f"regexp_replace({col}, '[A-Za-z0-9 ]', '', 'g')"
+    punct = (
+        f"(CASE WHEN length({col}) = 0 THEN 0.0 "
+        f"ELSE CAST(length({stripped}) AS DOUBLE) / length({col}) END)"
+    )
+    diversity = f"(CASE WHEN {n} = 0 THEN 0.0 ELSE {nd} / {n} END)"
+    return (
+        f"0.4 * least({n} / 40.0, 1.0) + 0.4 * {diversity} + 0.2 * (1.0 - {punct})"
+    )
+
+
+# -- language ID ------------------------------------------------------------
+
+
+def _padded(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-presence counts (0..len(markers))."""
+    p = _padded(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            hit = F.when(p.contains(f" {m} "), 1).otherwise(0)
+            score = hit if score is None else score + hit
+        out[lang] = score
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker presence; 'und'
+    (undetermined) when nothing matches; ties resolved by LANG_ORDER."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in REVERSE preference order so earlier langs win ties (>=)
+    for lang in reversed(LANG_ORDER):
+        s = scores[lang]
+        cond = (s > 0) & (s >= best_score)
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(s, best_score)
+    return best_lang
+
+
+def lang_id_sql(col: str = "text") -> str:
+    """DuckDB oracle generated from the same LANG_MARKERS constant."""
+    padded = f"(' ' || lower({col}) || ' ')"
+    score_exprs = {
+        lang: " + ".join(
+            f"(CASE WHEN contains({padded}, ' {m} ') THEN 1 ELSE 0 END)"
+            for m in markers
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_lang, best_score = "'und'", "0"
+    for lang in reversed(LANG_ORDER):
+        s = f"({score_exprs[lang]})"
+        best_lang = f"(CASE WHEN {s} > 0 AND {s} >= {best_score} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = f"greatest({s}, {best_score})"
+    return best_lang
+
+
+# -- fingerprinting ---------------------------------------------------------
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the
+    lowercased / trimmed / whitespace-collapsed text. The normalization
+    makes it robust to formatting-only edits — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def doc_fingerprint_sql(col: str = "text") -> str:
+    return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full stat surface to a documents frame."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_pieces", bpe_piece_count(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", doc_fingerprint(text_col))
+    )

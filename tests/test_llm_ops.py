@@ -1,0 +1,138 @@
+"""Unit tests for the §2b LLM-pipeline operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.operators import dedup as D
+from hudi_glue_spark.operators import multimodal as MM
+from hudi_glue_spark.operators import similarity as S
+from hudi_glue_spark.operators import text as T
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [Row(t="one two  three"), Row(t=""), Row(t="   "), Row(t="x")]
+    )
+    got = [r[0] for r in df.select(T.token_count("t")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(T.quality_score("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog is here"),
+            Row(t="der hund und die katze ist"),
+            Row(t="le chien et la maison est"),
+            Row(t="zzz yyy xxx"),
+        ]
+    )
+    got = [r[0] for r in df.select(T.lang_id("t")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(t="Hello   World"), Row(t="  hello world "), Row(t="other")]
+    )
+    fps = [r[0] for r in df.select(T.doc_fingerprint("t")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_dedup_keeps_min(spark):
+    df = spark.createDataFrame(
+        [Row(id=3, text="same doc"), Row(id=1, text="same  DOC"), Row(id=2, text="diff")]
+    )
+    kept = {r.id for r in D.exact_dedup(df, "id", "text").collect()}
+    assert kept == {1, 2}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    got = df.select(D.shingles("t", 3).alias("s")).first().s
+    assert sorted(got) == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("source = 'src0'")
+    near = docs.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" qq1 qq2"))
+    )
+    u = docs.unionByName(near)
+    pairs = D.minhash_lsh_pairs(u, "doc_id", "text", num_hashes=16, bands=4, threshold=0.7)
+    found = {(r.a_id, r.b_id) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 1000000) for r in docs.select("doc_id").collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"LSH recall {recall} on planted near-dups"
+
+
+def test_dedup_keep_list_transitive(spark):
+    df = spark.createDataFrame([Row(id=i, v="x") for i in [1, 2, 3, 9]])
+    pairs = spark.createDataFrame(
+        [Row(a_id=1, b_id=2, jaccard=0.9), Row(a_id=2, b_id=3, jaccard=0.9)]
+    )
+    kept = {r.id for r in D.dedup_keep_list(pairs, df, "id").collect()}
+    assert kept == {1, 9}
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(id=2, t="alpha beta gamma delta epsilon zeta eta iota"),
+            Row(id=3, t="totally different words entirely unrelated content here now"),
+        ]
+    )
+    sh = df.select("id", D.simhash("t").alias("s")).collect()
+    by_id = {r.id: r.s for r in sh}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(by_id[1], by_id[2]) < ham(by_id[1], by_id[3])
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    exact = S.knn_bruteforce(queries, emb, "vec_id", "embedding", k=5)
+    approx = S.knn_lsh(queries, emb, "vec_id", "embedding", k=5, n_planes=4, n_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # near-uniform random embeddings are LSH's worst case; multi-table
+    # (8 tables × 4 planes) still must beat random candidate sampling
+    # (≈50% of the corpus → would give ~0.5 expected recall) clearly.
+    assert recall >= 0.6, f"LSH knn recall {recall}"
+
+
+def test_knn_excludes_self(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = S.knn_bruteforce(emb.filter("vec_id < 3"), emb, "vec_id", "embedding", k=3)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_media_meta_extract_schema_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    payload = MM.text_as_payload(docs, "doc_id", "text")
+    out = MM.extract_media_meta(payload)
+    rows = out.collect()
+    assert out.columns == ["doc_id", "byte_len", "checksum", "fake_width", "fake_height"]
+    assert all(1 <= r.fake_width <= 512 and 1 <= r.fake_height <= 512 for r in rows)
+    # deterministic across runs
+    rows2 = MM.extract_media_meta(payload).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_decode_image_stub_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    payload = MM.text_as_payload(docs, "doc_id", "text")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        MM.decode_image(payload).collect()
