@@ -1,0 +1,70 @@
+"""Streaming sinks: foreachBatch upsert into a KeyedTable, and a
+memory-sink runner for finite (availableNow) streams.
+
+``stream_ingest`` is the streaming twin of the reference's incremental
+batch pipeline (glue/HudiJarGlueJob.py:89-134): each micro-batch goes
+through the same ``ingest`` dispatch (bulk_insert first, upsert after) —
+SURVEY.md §7's "keep upsert() foreachBatch-compatible" requirement,
+fulfilled. Checkpointing makes the pipeline restartable; the KeyedTable
+commit-per-batch gives exactly-once table state for idempotent keys.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from hudi_glue_spark.table import KeyedTable, ingest
+
+_MEM_COUNTER = itertools.count()
+
+
+def stream_ingest(
+    table: KeyedTable, stream: DataFrame, checkpoint: str
+) -> StreamingQuery:
+    """Continuously merge a stream into a keyed table, one commit per
+    micro-batch. ``availableNow`` drains what exists then stops — the
+    streaming equivalent of the reference's day=N batch re-runs.
+    """
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.isEmpty():
+            ingest(table, batch)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_to_memory(
+    spark: SparkSession,
+    result: DataFrame,
+    checkpoint: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a finite streaming aggregation to completion into a memory
+    sink and return the result as a batch DataFrame.
+
+    Used by the driver-facing queries: the stream drains under
+    ``availableNow`` (plus Spark's no-data final batch, which advances
+    the watermark so append-mode windows flush), then the memory table
+    holds the complete answer.
+    """
+    name = f"hgs_stream_{next(_MEM_COUNTER)}"
+    q = (
+        result.writeStream.queryName(name)
+        .format("memory")
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return spark.table(name)

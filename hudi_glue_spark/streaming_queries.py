@@ -1,0 +1,177 @@
+"""Driver-facing Structured Streaming queries (SURVEY.md §2a #31).
+
+Each runs a real streaming query (file source → stateful operator →
+sink) to completion under ``Trigger.AvailableNow`` and returns the final
+answer as a batch DataFrame, so the driver's DuckDB oracle can check a
+genuinely streaming execution against single-statement SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_glue_spark.queries import query, table
+from hudi_glue_spark.scenario_queries import _BATCHES_CTE, _batches
+from hudi_glue_spark.streaming.ingest import run_to_memory, stream_ingest
+from hudi_glue_spark.streaming.sources import stream_parquet, stream_table
+from hudi_glue_spark.streaming.stateful import running_user_totals
+from hudi_glue_spark.streaming.windowed import session_windows, tumbling_agg
+from hudi_glue_spark.table import KeyedTable
+from hudi_glue_spark.table.keyed_table import EVENT_TIME_WINS
+
+_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+def _workdir(tag: str, sf_dir: str) -> str:
+    root = f"/tmp/hudi_glue_spark_stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    return root
+
+
+@query(
+    "stream_tumbling_counts",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type over a *streamed* events
+    table, complete-mode memory sink. Decimal-cast sum keeps the result
+    independent of micro-batch boundaries (IEEE754 sums are not)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("tumble", sf_dir)
+    ev = stream_table(spark, sf_dir, "events")
+    agg = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        keys=["event_type"],
+    )
+    return run_to_memory(spark, agg, f"{wd}/ckpt")
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessions (30 min) via the built-in
+    ``session_window`` stateful operator; the oracle re-derives the same
+    sessions with lag + running-sum SQL (a session starts when the gap
+    to the previous event is >= 30 min; end = last event + gap)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("session", sf_dir)
+    ev = stream_table(spark, sf_dir, "events")
+    agg = session_windows(
+        ev, "ts", "30 minutes", F.count("*").alias("n_events"), keys=["user_id"]
+    )
+    return run_to_memory(spark, agg, f"{wd}/ckpt")
+
+
+@query(
+    "stream_keyed_ingest",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_keyed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's day=0/1/2 incremental scenario as a STREAM: the
+    three batches land as files, a file-source stream drains them with
+    ``maxFilesPerTrigger=1``, and ``foreachBatch`` merges each into a
+    KeyedTable (event-time policy). Final table must equal the batch
+    upsert oracle — streaming and batch ingestion agree."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("ingest", sf_dir)
+    staging = f"{wd}/staging"
+    os.makedirs(staging)
+    # Land the three scenario batches as single files, mtime-ordered so
+    # the file source replays them in scenario order.
+    for i, b in enumerate(_batches(spark, sf_dir)):
+        tmp = f"{wd}/b{i}_tmp"
+        b.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{staging}/batch_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        shutil.rmtree(tmp)
+    tbl = KeyedTable(
+        f"{wd}/table",
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+    )
+    stream = stream_parquet(spark, staging, max_files_per_trigger=1)
+    q = stream_ingest(tbl, stream, f"{wd}/ckpt")
+    q.awaitTermination(300)
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "stream_running_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           max(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running counters in integer cents, emitted every micro-batch in
+    update mode; the last emission per user must equal the global batch
+    aggregate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("totals", sf_dir)
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    out = run_to_memory(
+        spark, running_user_totals(ev), f"{wd}/ckpt", output_mode="update"
+    )
+    # Update mode appends one row per (user, batch); keep the final
+    # emission (n_events strictly increases within a user).
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,143 @@
+"""Structured Streaming layer tests: incrementality across micro-batches,
+session merging, and streaming-vs-batch agreement."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.streaming import (
+    running_user_totals,
+    run_to_memory,
+    session_windows,
+    stream_ingest,
+    stream_parquet,
+    tumbling_agg,
+)
+from hudi_glue_spark.table import KeyedTable
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _stage_event_files(spark, workdir: str, n_files: int = 3) -> str:
+    """Split the events fixture into n single-file parquets, mtime-ordered."""
+    from hudi_glue_spark.queries import table
+
+    staging = f"{workdir}/staging"
+    os.makedirs(staging)
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    for i in range(n_files):
+        part = ev.filter(F.col("event_id") % n_files == i)
+        tmp = f"{workdir}/tmp_{i}"
+        part.coalesce(1).write.parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        dst = f"{staging}/b{i}.parquet"
+        shutil.move(f"{tmp}/{f}", dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+    return staging
+
+
+def test_stateful_totals_multi_batch(spark, workdir):
+    """With maxFilesPerTrigger=1 the stateful operator must fold state
+    across 3 micro-batches; final emission per user == global batch agg."""
+    staging = _stage_event_files(spark, workdir)
+    stream = stream_parquet(spark, staging, max_files_per_trigger=1).select(
+        "user_id", "value", "ts"
+    )
+    out = run_to_memory(
+        spark, running_user_totals(stream), f"{workdir}/ckpt", output_mode="update"
+    ).cache()
+    emissions_per_user = out.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert emissions_per_user > 1, "expected multiple micro-batch emissions"
+
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value_cents"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value_cents").alias("total_value_cents"),
+        )
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in spark.read.parquet(staging)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == expected
+
+
+def test_stream_ingest_commits_per_batch(spark, workdir):
+    """foreachBatch ingest makes one commit per micro-batch (incremental,
+    not one big swallow) and the final table equals the exact union."""
+    staging = _stage_event_files(spark, workdir)
+    tbl = KeyedTable(f"{workdir}/table", key="event_id", precombine="ts")
+    stream = stream_parquet(spark, staging, max_files_per_trigger=1)
+    q = stream_ingest(tbl, stream, f"{workdir}/ckpt")
+    q.awaitTermination(120)
+    assert len(tbl.commits()) == 3
+    assert tbl.read(spark).count() == spark.read.parquet(staging).count()
+
+
+def test_tumbling_agg_streaming_matches_batch(spark, workdir):
+    staging = _stage_event_files(spark, workdir)
+    stream = stream_parquet(spark, staging, max_files_per_trigger=1)
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", F.count("*").alias("n"), keys=["event_type"]
+    )
+    got = run_to_memory(spark, agg, f"{workdir}/ckpt")
+    expected = (
+        spark.read.parquet(staging)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+
+def test_session_window_merges_within_gap(spark, workdir):
+    """Two events 10 min apart (gap 30) = one session; a third 2 h later
+    opens a new one. Session end = last event + gap."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 02:10:00"),
+    ]
+    src = f"{workdir}/src"
+    spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    ).coalesce(1).write.parquet(src)
+    stream = stream_parquet(spark, src)
+    got = run_to_memory(
+        spark,
+        session_windows(
+            stream, "ts", "30 minutes", F.count("*").alias("n"), keys=["user_id"]
+        ),
+        f"{workdir}/ckpt",
+    ).collect()
+    sessions = {
+        (str(r["session_start"]), str(r["session_end"]), r["n"]) for r in got
+    }
+    assert sessions == {
+        ("2024-01-01 00:00:00", "2024-01-01 00:40:00", 2),
+        ("2024-01-01 02:10:00", "2024-01-01 02:40:00", 1),
+    }
