@@ -26,6 +26,7 @@ from hudi_glue_spark import queries as Q  # noqa: E402
 import hudi_glue_spark.scenario_queries  # noqa: E402,F401
 import hudi_glue_spark.llm_queries  # noqa: E402,F401
 import hudi_glue_spark.streaming_queries  # noqa: E402,F401
+import hudi_glue_spark.temporal_queries  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

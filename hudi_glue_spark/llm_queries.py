@@ -329,6 +329,19 @@ def q_knn_bruteforce(spark, sf_dir):
     )
 
 
+@query("knn_ivf", None)
+def q_knn_ivf(spark, sf_dir):
+    """Approximate top-5 via IVF: k-means coarse quantizer (trained
+    driver-side on a deterministic sample), corpus bucketed by nearest
+    centroid, queries probe their 4 nearest buckets. Rows-only check;
+    recall vs brute force asserted in unit tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.knn_ivf(
+        queries, emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4
+    )
+
+
 @query("knn_lsh", None)
 def q_knn_lsh(spark, sf_dir):
     """Approximate top-5 via random-hyperplane LSH bucketing (scale

@@ -93,6 +93,107 @@ def _multi_table_buckets(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    sample_n: int = 2048,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: fixed-iteration Lloyd k-means on a
+    deterministic sample (first ``sample_n`` rows by id; init = first
+    ``n_centroids`` of the sample). Runs driver-side on numpy — training
+    touches only the sample; the 100 TB corpus is never collected. Fully
+    deterministic: same data → same centroids, no RNG."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cents = x[:n_centroids].copy()
+    for _ in range(n_iter):
+        # cosine assignment on normalized vectors
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
+
+
+def _centroid_sims(vec_col: str, centroids: list[list[float]]):
+    """One cosine expression per centroid, against literal arrays —
+    JVM-side, no shuffle, no Python."""
+    sims = []
+    for i, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in cent])
+        sims.append(F.struct(
+            cosine_similarity(F.col(vec_col), lit_c).alias("s"),
+            F.lit(i).alias("i"),
+        ))
+    return sims
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Attach the nearest-centroid id (``__cid``) — argmax cosine, ties
+    to the higher centroid id (struct max), deterministic."""
+    sims = _centroid_sims(vec_col, centroids)
+    return df.withColumn("__cid", F.array_max(F.array(*sims)).getField("i"))
+
+
+def ivf_probes(df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int) -> DataFrame:
+    """Explode each row into its ``nprobe`` nearest centroid ids
+    (``__cid``) — the query-side fan-out of IVF search."""
+    sims = _centroid_sims(vec_col, centroids)
+    ordered = F.array_sort(F.array(*sims))  # ascending by (s, i)
+    top = F.slice(F.reverse(ordered), 1, nprobe)
+    return df.withColumn(
+        "__cid", F.explode(F.transform(top, lambda s: s.getField("i")))
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: corpus vectors
+    are bucketed by nearest centroid; each query probes its ``nprobe``
+    nearest centroid buckets and ranks exactly within them.
+
+    vs LSH: IVF adapts to the data distribution (centroids follow
+    density), giving better candidate quality at the same fan-out. At
+    100 TB the corpus side is written partitioned by ``__cid`` so a
+    probe prunes partitions instead of scanning."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qp = ivf_probes(q, "__qv", cents, nprobe)
+    cb = ivf_assign(c, "__cv", cents)
+    pairs = F.broadcast(qp).join(cb, "__cid").select(
+        "query_id", "__qv", "neighbor_id", "__cv"
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,
