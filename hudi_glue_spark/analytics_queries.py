@@ -1,0 +1,213 @@
+"""Wider SQL-analytics coverage: multi-dim grouping (CUBE), pivot, set
+operations, subquery shapes, and TPC-H-style multi-join aggregations.
+
+SURVEY.md §2a rows 25-30 record these operators as absent from the
+reference but built into Spark; a user replacing the reference gets them
+here as first-class, oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.queries import dec_sum, query, table
+
+#: Pinned pivot values — explicit list on both engines (Spark would
+#: otherwise launch a distinct-scan job and column order would float).
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+             AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass — Spark expands to a single Expand + hash-agg, one shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("grp"),
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity", "sum_qty"),
+    )
+
+
+@query(
+    "pivot_user_event_matrix",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix. The value list is
+    pinned, so Spark skips the implicit distinct-scan job and the output
+    schema is stable (one shuffle, map-side partial aggregation)."""
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    # pivot leaves NULL where a (user, type) pair never occurred
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "intersect_customer_supplier_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_intersect_customer_supplier_nations(spark, sf_dir):
+    """INTERSECT (set semantics, dedup both sides)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "except_nations_without_suppliers",
+    """
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_except_nations_without_suppliers(spark, sf_dir):
+    """EXCEPT (set difference): nations with no supplier."""
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return n.exceptAll(s).distinct()
+
+
+@query(
+    "orders_above_avg_price",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+      SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+    )
+    """,
+)
+def q_orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the average price. The
+    average is computed in exact decimal on both engines, so the
+    boundary rows can't flip on IEEE summation order."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM __orders_v
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+          SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM __orders_v
+        )
+        """
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-10.
+    customer is broadcast after its filter; the orderkey agg rides the
+    join shuffle. Total tie-break (orderkey) pins the LIMIT."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-relation join with a same-nation constraint.
+    Declared as one SQL statement — Catalyst reorders the joins and
+    broadcasts every dimension; the only large shuffle left is
+    lineitem⋈orders."""
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(f"__{t}_v")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM __customer_v, __orders_v, __lineitem_v, __supplier_v,
+             __nation_v, __region_v
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+        """
+    )
