@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -30,8 +32,18 @@ def main() -> int:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + parquet footer caches with one trivial action.
+    # Warm up the JVM + parquet footer caches with one trivial action,
+    # and the Python/Arrow UDF worker pool (first pandas_udf otherwise
+    # pays worker spawn inside whichever query happens to run it first).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000, numPartitions=int(cpus)).select(_warm(F.col("id"))).count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

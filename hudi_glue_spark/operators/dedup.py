@@ -66,23 +66,43 @@ def jaccard_pairs(
     set_col: str,
     block_col: str,
     threshold: float,
+    n_salts: int = 8,
 ) -> DataFrame:
     """All pairs within a block whose set-Jaccard ≥ threshold.
 
     Output: (a_id, b_id, jaccard), a_id < b_id. The block column is the
     scalability contract: the self-join is per-block, never global.
+
+    Parallelism within a block comes from salting: the left side hashes
+    each id into one of ``n_salts`` sub-keys and the right side is
+    replicated across all of them, so a block's quadratic intersect work
+    spreads over ``n_salts`` tasks instead of one — the standard
+    skew-salt, needed whenever blocks are few or uneven (here: 20
+    sources would otherwise cap the join at 20 tasks).
     """
-    left = df.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("a_id"),
-        F.col(set_col).alias("__sa"),
-    )
+    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+
+    # The probe side must be WIDE before the join: with the replicated
+    # side broadcast, the join inherits the probe side's partitioning,
+    # and a single-file scan would run the whole quadratic stage on one
+    # core regardless of salting.
+    left = ensure_parallelism(
+        df.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("a_id"),
+            F.col(set_col).alias("__sa"),
+        )
+    ).withColumn("__salt", F.pmod(F.hash("a_id"), F.lit(n_salts)))
     right = df.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("b_id"),
         F.col(set_col).alias("__sb"),
+    ).withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    pairs = left.join(right, "__blk").filter(F.col("a_id") < F.col("b_id"))
+    pairs = left.join(right, ["__blk", "__salt"]).filter(
+        F.col("a_id") < F.col("b_id")
+    )
     return (
         pairs.withColumn("jaccard", jaccard(F.col("__sa"), F.col("__sb")))
         .filter(F.col("jaccard") >= F.lit(threshold))
@@ -148,10 +168,14 @@ def minhash_lsh_pairs(
     from hudi_glue_spark.plans.parallelism import ensure_parallelism
 
     rows_per_band = num_hashes // bands
+    # base is referenced three times downstream (signature + both sides
+    # of the verify join) and banded twice (bucket sizing + self-join);
+    # persist both so shingling/md5-minhashing runs ONCE per row instead
+    # of being recomputed along every lineage branch.
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         shingles(text_col, shingle_n).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    ).filter(F.size("__sh") > 0).persist()
     sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
     # banded rows carry ONLY (id, band, band_hash): the bucket self-join
     # shuffles 3 narrow columns, never the shingle arrays
@@ -165,7 +189,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("__band", "__bh"),
-    )
+    ).persist()
     # cap pathological buckets before the self-join
     bucket_sizes = banded.groupBy("__band", "__bh").count()
     banded = banded.join(
@@ -292,10 +316,15 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs by embedding cosine within a block (the
     block column is the IVF-style coarse bucket — at scale, a cluster
     assignment; never a global cross join)."""
-    left = df.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("__va"),
+    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+
+    # Wide probe side — see jaccard_pairs.
+    left = ensure_parallelism(
+        df.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("__va"),
+        )
     )
     right = df.select(
         F.col(block_col).alias("__blk"),

@@ -10,11 +10,18 @@ candidates per query; recall is tested against the brute-force oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from hudi_glue_spark.functions.vector import cosine_similarity, dot_product
+from hudi_glue_spark.plans.parallelism import ensure_parallelism
+
+
+def _rows_to_matrix(vecs: pd.Series) -> np.ndarray:
+    return np.array([list(v) for v in vecs], dtype=np.float64)
 
 
 def knn_bruteforce(
@@ -34,8 +41,10 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
     )
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
@@ -78,18 +87,29 @@ def _multi_table_buckets(
 ) -> DataFrame:
     """Explode each vector into (table_id, bucket_id) rows — one row per
     LSH table, so ALL tables join in a single shuffle-join on
-    (table, bucket) instead of n_tables separate joins."""
-    entries = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        bucket = F.lit(0)
-        for i, plane in enumerate(planes):
-            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-            bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
-            bucket = bucket + F.shiftleft(bit, i)
-        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
-    return df.withColumn("__tb", F.explode(F.array(*entries))).select(
-        *df.columns, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket")
+    (table, bucket) instead of n_tables separate joins.
+
+    Buckets for all tables are computed in ONE Arrow-batched pandas UDF
+    (a (batch × dim) @ (dim × tables·planes) matmul): the equivalent
+    pure-expression form is tables × planes × dim literal terms, whose
+    codegen compile time alone dwarfs the arithmetic."""
+    # (T, P, D) stacked plane tensor, deterministic per (seed, table)
+    planes = np.stack(
+        [np.array(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    )
+    bit_weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        x = _rows_to_matrix(vecs)  # (N, D)
+        # (T, N, P) sign bits → (N, T) bucket ids
+        bits = np.einsum("nd,tpd->tnp", x, planes) > 0
+        ids = (bits @ bit_weights).T.astype("int32")
+        return pd.Series(list(ids))
+
+    return df.withColumn("__tb", _buckets(F.col(vec_col))).select(
+        *df.columns,
+        F.posexplode("__tb").alias("__table", "__bucket"),
     )
 
 
@@ -126,34 +146,49 @@ def ivf_centroids(
     return cents.tolist()
 
 
-def _centroid_sims(vec_col: str, centroids: list[list[float]]):
-    """One cosine expression per centroid, against literal arrays —
-    JVM-side, no shuffle, no Python."""
-    sims = []
-    for i, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in cent])
-        sims.append(F.struct(
-            cosine_similarity(F.col(vec_col), lit_c).alias("s"),
-            F.lit(i).alias("i"),
-        ))
-    return sims
+def _centroid_cosines(vecs: pd.Series, centroids: np.ndarray) -> np.ndarray:
+    """(N, C) cosine matrix, one Arrow batch at a time."""
+    x = _rows_to_matrix(vecs)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    return xn @ cn.T
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Attach the nearest-centroid id (``__cid``) — argmax cosine, ties
-    to the higher centroid id (struct max), deterministic."""
-    sims = _centroid_sims(vec_col, centroids)
-    return df.withColumn("__cid", F.array_max(F.array(*sims)).getField("i"))
+    to the higher centroid id, deterministic. One vectorized matmul per
+    Arrow batch (see ``_multi_table_buckets`` for why not literal
+    expressions)."""
+    cents = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        sims = _centroid_cosines(vecs, cents)
+        # argmax returns the FIRST max; reverse columns so ties resolve
+        # to the HIGHER cid (matches struct-max semantics).
+        cid = cents.shape[0] - 1 - np.argmax(sims[:, ::-1], axis=1)
+        return pd.Series(cid.astype("int32"))
+
+    return df.withColumn("__cid", _assign(F.col(vec_col)))
 
 
 def ivf_probes(df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int) -> DataFrame:
     """Explode each row into its ``nprobe`` nearest centroid ids
     (``__cid``) — the query-side fan-out of IVF search."""
-    sims = _centroid_sims(vec_col, centroids)
-    ordered = F.array_sort(F.array(*sims))  # ascending by (s, i)
-    top = F.slice(F.reverse(ordered), 1, nprobe)
+    cents = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        sims = _centroid_cosines(vecs, cents)
+        n, c = sims.shape
+        # order by cosine desc, then cid desc (lexsort: last key primary)
+        order = np.lexsort((-np.arange(c)[None, :].repeat(n, 0), -sims), axis=1)
+        return pd.Series(list(order[:, :nprobe].astype("int32")))
+
     return df.withColumn(
-        "__cid", F.explode(F.transform(top, lambda s: s.getField("i")))
+        "__cid", F.explode(_probes(F.col(vec_col)))
     )
 
 
@@ -177,7 +212,9 @@ def knn_ivf(
     probe prunes partitions instead of scanning."""
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    )
     qp = ivf_probes(q, "__qv", cents, nprobe)
     cb = ivf_assign(c, "__cv", cents)
     pairs = F.broadcast(qp).join(cb, "__cid").select(
@@ -214,7 +251,9 @@ def knn_lsh(
     first = corpus.select(F.first(vec_col)).first()
     dim = len(first[0]) if first else 0
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    )
     qb = _multi_table_buckets(q, "__qv", n_planes, n_tables, dim)
     cb = _multi_table_buckets(c, "__cv", n_planes, n_tables, dim)
     pairs = (
