@@ -36,6 +36,7 @@ Scale posture (100 TB):
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from dataclasses import dataclass
@@ -284,6 +285,66 @@ class KeyedTable:
                 os.rmdir(dirpath)
         return removed
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_file_mb: float = 128,
+        small_file_mb: float | None = None,
+    ) -> str | None:
+        """Small-file compaction (↦ ``hoodie.parquet.small.file.limit``,
+        which the reference carries but disables —
+        glue/HudiJarGlueJob.py:77; SURVEY.md §4 "small-file control").
+
+        Partitions whose live files average under ``small_file_mb``
+        (default: half the target) are rewritten into
+        ceil(bytes/target) files. Rows are binned by key hash and the
+        write is pre-partitioned by (partition cols, bin), so one
+        oversized partition compacts across MANY tasks — the property
+        that matters when a 100 TB table has a handful of hot
+        partitions. Data is unchanged; prior commits stay time-travelable
+        until :meth:`clean`. Returns the new commit id, or None if
+        nothing qualified."""
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        small = small_file_mb if small_file_mb is not None else target_file_mb / 2
+        ddir = M.data_dir(self.path)
+
+        by_part: dict[str | None, list[str]] = {}
+        for f in man.files:
+            by_part.setdefault(M.partition_of(f), []).append(f)
+        todo: dict[str | None, int] = {}
+        for part, fs in by_part.items():
+            total = sum(os.path.getsize(os.path.join(ddir, f)) for f in fs)
+            if len(fs) > 1 and total / len(fs) < small * 1024 * 1024:
+                todo[part] = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        if not todo:
+            return None
+
+        full = self.read(spark)
+        n_bins = max(todo.values())
+        bin_col = F.pmod(F.xxhash64(*[F.col(k) for k in self.key]), F.lit(n_bins))
+        if self.partition_by:
+            sub = self._rows_in_partitions(full, set(todo))  # type: ignore[arg-type]
+            binned = sub.withColumn("__bin", bin_col).repartition(
+                *self.partition_by, "__bin"
+            ).drop("__bin")
+        else:
+            binned = full.withColumn("__bin", bin_col).repartition("__bin").drop(
+                "__bin"
+            )
+        cid = M.next_commit_id(self.path)
+        new_files, nrows = self._write_files(binned, cid, repartition=False)
+        carried = [f for f in man.files if M.partition_of(f) not in todo]
+        self._commit(
+            "optimize",
+            carried + new_files,
+            full.schema,
+            rows=nrows,
+            rewritten=sorted(str(p) for p in todo),
+        )
+        return self.commits()[-1]
+
     # -- internals ---------------------------------------------------------
 
     def _precombine(self, df: DataFrame) -> DataFrame:
@@ -353,14 +414,19 @@ class KeyedTable:
             expr = cond if expr is None else (expr | cond)
         return df.filter(expr)
 
-    def _write_files(self, df: DataFrame, commit_id: str) -> tuple[list[str], int]:
+    def _write_files(
+        self, df: DataFrame, commit_id: str, repartition: bool = True
+    ) -> tuple[list[str], int]:
         """Stage a Spark parquet write, then move files into ``data/``
         with commit-prefixed names (write-data-first; the manifest rename
-        in :meth:`_commit` is the publish point)."""
+        in :meth:`_commit` is the publish point).
+
+        ``repartition=False`` trusts the caller's partitioning (used by
+        :meth:`optimize`, which bins rows by target file size first)."""
         stage = os.path.join(self.path, ".tmp", commit_id)
         shutil.rmtree(stage, ignore_errors=True)
         writer = df
-        if self.partition_by:
+        if self.partition_by and repartition:
             # co-locate rows of one partition into few tasks → few,
             # chunky files instead of tasks×partitions small files
             writer = df.repartition(*[F.col(c) for c in self.partition_by])
