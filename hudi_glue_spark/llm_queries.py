@@ -374,3 +374,26 @@ def q_media_meta_extract(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     payload = MM.text_as_payload(docs, "doc_id", "text")
     return MM.extract_media_meta(payload)
+
+
+@query(
+    "video_frame_sample",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST((i * length(text)) // 4 AS INTEGER) AS frame_off,
+           CAST(length(substring(text, (i * length(text)) // 4 + 1, 256))
+                AS INTEGER) AS frame_len,
+           md5(substring(text, (i * length(text)) // 4 + 1, 256))
+             AS frame_checksum
+    FROM documents, range(4) t(i)
+    """,
+)
+def q_video_frame_sample(spark, sf_dir):
+    """Frame sampling over fake video payloads: 1 payload row → 4 frame
+    rows (evenly spaced byte ranges, checksummed) through the Arrow
+    mapInPandas explode path. The oracle re-derives the frames with
+    substring arithmetic (documents are ASCII, so char = byte offsets) —
+    a value-level differential test of binary row explosion."""
+    docs = table(spark, sf_dir, "documents")
+    payload = MM.text_as_payload(docs, "doc_id", "text")
+    return MM.sample_frames(payload, n_frames=4, frame_bytes=256)

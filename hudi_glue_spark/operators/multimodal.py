@@ -82,6 +82,50 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_extract_batch, MEDIA_META_SCHEMA)
 
 
+#: Output schema of the frame sampler (one row per sampled frame).
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_off int, frame_len int, frame_checksum string"
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> DataFrame:
+    """Video-style frame sampling over binary payloads: ``n_frames``
+    evenly spaced byte ranges per payload, checksummed — the row-explode
+    shape of real frame extraction (1 payload row → k frame rows)
+    through ``mapInPandas``, with a deterministic stand-in for the codec
+    (the container ships no video libs; a real implementation replaces
+    only the slice-and-hash with decode-and-sample).
+
+    Offsets are ``(i·len)//n_frames`` — deterministic, length-adaptive,
+    and SQL-reproducible, so the whole Arrow explode path is
+    oracle-checkable."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(n_frames):
+                    off = (i * len(raw)) // n_frames
+                    chunk = raw[off : off + frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(chunk))
+                    sums.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def decode_image(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
     """STUB: real image decode (PIL/opencv are not in this container).
 
