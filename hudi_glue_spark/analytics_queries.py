@@ -211,3 +211,104 @@ def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "orders_price_quantiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per priority class. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    definition and agree bit-for-bit (verified); at 100 TB the same
+    query swaps to ``approx_percentile`` with a documented error bound."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+
+
+@query(
+    "customer_name_features",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+           substring(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CAST(length(c_name) AS INTEGER) AS name_len
+    FROM customer
+    """,
+)
+def q_customer_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper / regexp_extract / substring /
+    lpad / concat_ws / length — all JVM expressions in one projection."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("name_num"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "customer_orders_full_outer",
+    """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY coalesce(c.c_custkey, o.o_custkey)
+    """,
+)
+def q_customer_orders_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join + aggregate: keeps customers with no orders
+    (NULL-spend rows) and would keep orphan orders symmetrically."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey")
+    ).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
+@query(
+    "salted_distinct_users_per_type",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count via the two-phase salted pattern
+    (operators.skew): a hot key's value set spreads over 16 tasks, the
+    partial distinct counts sum to the true answer — checked against the
+    single-statement COUNT(DISTINCT)."""
+    from hudi_glue_spark.operators.skew import salted_count_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return salted_count_distinct(
+        ev, ["event_type"], "user_id", alias="n_users", n_salts=16
+    )

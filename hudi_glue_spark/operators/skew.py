@@ -1,0 +1,35 @@
+"""Skew-mitigation aggregation patterns.
+
+AQE's skew-join splitting handles skewed JOINS (enabled in
+session.DEFAULT_CONF); these helpers cover the aggregation-side cases
+AQE does not: a distinct-count whose per-key value sets are too large
+for one task. The two-phase split is exact, not approximate — the same
+value always lands in the same salt bucket, so partial distinct counts
+add up to the true distinct count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    alias: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key, in two shuffles of bounded
+    task size: phase 1 distinct-counts within (key, hash(value) mod
+    n_salts) — a hot key's values spread over ``n_salts`` tasks — and
+    phase 2 sums the partials. Correct because salting by the VALUE
+    hash partitions each key's value set (no double counting)."""
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    partial = df.groupBy(*keys, salt.alias("__salt")).agg(
+        F.countDistinct(value_col).alias("__partial")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__partial").cast("long").alias(alias)
+    )

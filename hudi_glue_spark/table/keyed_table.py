@@ -131,10 +131,15 @@ class KeyedTable:
             return spark.createDataFrame([], schema)
         ddir = M.data_dir(self.path)
         paths = [os.path.join(ddir, f) for f in man.files]
-        df = spark.read.option("basePath", ddir).parquet(*paths)
-        # Partition columns come back via directory inference — cast all
-        # columns to the committed schema (types + order) for stability.
-        return df.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+        # mergeSchema: after add-column evolution, files written before
+        # the new column lack it physically; the union schema + the
+        # NULL-fill below give every snapshot the committed schema.
+        df = (
+            spark.read.option("basePath", ddir)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+        return df.select(self._conform(df, schema))
 
     def read_incremental(self, spark: SparkSession, since: str) -> DataFrame:
         """Rows written after commit ``since`` (Hudi incremental-query
@@ -147,10 +152,25 @@ class KeyedTable:
         if not new_files:
             return spark.createDataFrame([], schema)
         ddir = M.data_dir(self.path)
-        df = spark.read.option("basePath", ddir).parquet(
-            *[os.path.join(ddir, f) for f in new_files]
+        df = (
+            spark.read.option("basePath", ddir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(ddir, f) for f in new_files])
         )
-        return df.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+        return df.select(self._conform(df, schema))
+
+    @staticmethod
+    def _conform(df: DataFrame, schema: StructType):
+        """Project ``df`` onto the committed schema: cast present
+        columns, NULL-fill columns a pre-evolution file lacks."""
+        return [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
 
     def register(self, spark: SparkSession, name: str) -> None:
         """Catalog registration (↦ hive_sync, glue/HudiJarGlueJob.py:80-82):
@@ -187,7 +207,29 @@ class KeyedTable:
         spark = batch.sparkSession
         batch = self._precombine(batch)
         existing = self.read(spark)
-        batch = batch.select([F.col(f.name).cast(f.dataType) for f in existing.schema.fields])
+        # Schema evolution (add-column, Hudi parity): batch columns not
+        # in the table are appended as nullable fields (existing rows
+        # read NULL); table columns missing from the batch are
+        # NULL-filled; shared columns are cast to the table's types.
+        existing_names = {f.name for f in existing.schema.fields}
+        batch_names = set(batch.columns)
+        new_fields = [f for f in batch.schema.fields if f.name not in existing_names]
+        batch = batch.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in batch_names
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in existing.schema.fields
+            ],
+            *[F.col(f.name) for f in new_fields],
+        )
+        if new_fields:
+            existing = existing.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in new_fields],
+            )
 
         man = M.read_manifest(self.path)
         assert man is not None

@@ -94,17 +94,31 @@ def read_manifest(root: str, commit_id: str | None = None) -> Manifest | None:
 
 
 def write_manifest(root: str, manifest: Manifest) -> None:
-    """Atomic publish: write to a temp file, then ``os.replace``."""
+    """Atomic publish with optimistic concurrency: write to a temp file,
+    then ``os.link`` to the final name — link fails with EEXIST if a
+    concurrent writer claimed the same commit id, so two writers can
+    never both believe they published commit N (the loser retries with
+    the next id)."""
     cdir = commits_dir(root)
     os.makedirs(cdir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             f.write(manifest.to_json())
-        os.replace(tmp, os.path.join(cdir, manifest.commit_id + ".json"))
+        dest = os.path.join(cdir, manifest.commit_id + ".json")
+        try:
+            os.link(tmp, dest)
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"commit {manifest.commit_id} already published at {root}"
+            ) from e
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published the same commit id first."""
 
 
 def utc_now_iso() -> str:

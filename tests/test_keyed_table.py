@@ -198,3 +198,36 @@ def test_empty_batch_upsert_noop(spark, tmppath):
     tbl.bulk_insert(day0(spark))
     tbl.upsert(day0(spark).filter("pk < 0"))
     assert tbl.read(spark).count() == 4
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """A batch carrying a NEW column widens the table schema; existing
+    rows read NULL for it, pre-evolution commits stay readable."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark))
+    evolved = spark.createDataFrame(
+        [Row(pk=2, part="a", val="upd2", update_ts=ts(11), score=0.9)]
+    )
+    ingest(t, evolved)
+    snap = t.read(spark)
+    assert "score" in snap.columns
+    got = {r["pk"]: r["score"] for r in snap.collect()}
+    assert got[2] == pytest.approx(0.9)
+    assert all(got[k] is None for k in (1, 3, 4))
+    # a later batch WITHOUT the column NULL-fills it
+    ingest(t, day1(spark))
+    assert {r["pk"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 5}
+    # time travel to the pre-evolution commit: original schema
+    first = t.read(spark, at=t.commits()[0])
+    assert "score" not in first.columns
+
+
+def test_concurrent_commit_refused(spark, tmp_path):
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    ingest(t, day0(spark))
+    man = M.read_manifest(t.path)
+    with pytest.raises(M.ConcurrentCommitError):
+        M.write_manifest(t.path, man)  # same commit id again
