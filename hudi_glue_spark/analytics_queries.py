@@ -312,3 +312,113 @@ def q_salted_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFr
     return salted_count_distinct(
         ev, ["event_type"], "user_id", alias="n_users", n_salts=16
     )
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_val,
+           CAST(CAST(json_extract_string(props, 'k') AS BIGINT) % 10 AS BIGINT)
+             AS k_mod
+    FROM events
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: parse the JSON props column with
+    ``get_json_object`` — string-typed JSON stays queryable without a
+    schema migration (the training-data-pipeline norm for ragged
+    metadata)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id", k.alias("k_val"), (k % 10).alias("k_mod")
+    )
+
+
+@query(
+    "window_functions_suite",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                      o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one pass: ranking, tiling,
+    lag/lead, first_value, and a running decimal sum — all sharing ONE
+    window spec, so Spark sorts each partition once."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("max_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wr)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "orders_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY AS due_ts,
+           CAST(datediff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch
+    FROM orders
+    """,
+)
+def q_orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (§2a #19-21): extraction, truncation, interval
+    arithmetic, date difference. DuckDB dayofweek is 0-6 Sunday-first;
+    Spark's is 1-7 — normalized to DuckDB's on the Spark side."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch"),
+    )
+
+
+@query("approx_distinct_users", None)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality per event_type (rows-only check: HLL
+    sketches are engine-specific; the ≤2% relative error vs the exact
+    count is asserted in unit tests). The 100 TB path: one pass, O(1)
+    state per group, mergeable across partitions."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )

@@ -141,3 +141,67 @@ def test_session_window_merges_within_gap(spark, workdir):
         ("2024-01-01 00:00:00", "2024-01-01 00:40:00", 2),
         ("2024-01-01 02:10:00", "2024-01-01 02:40:00", 1),
     }
+
+
+def test_watermark_finalizes_windows_no_resurrection(spark, workdir):
+    """Append-mode windowed agg with a 10-minute watermark. Spark's
+    guarantee is one-directional: a window whose end passed the
+    watermark is finalized, emitted ONCE, its state evicted — and a
+    straggler arriving after eviction is dropped rather than
+    resurrecting the window as a duplicate append row. (Late data for a
+    still-live window MAY merge — that direction is not asserted.)"""
+    import pyspark.sql.functions as F
+
+    src = f"{workdir}/src"
+    os.makedirs(src)
+
+    def write_batch(i, rows):
+        tmp = f"{workdir}/t{i}"
+        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.to_timestamp("ts_s").alias("ts")
+        ).coalesce(1).write.parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.move(f"{tmp}/{f}", f"{src}/b{i}.parquet")
+        os.utime(f"{src}/b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp)
+
+    # b0 advances the watermark to 11:50 (12:00 - 10 min)
+    write_batch(0, [(1, "2024-01-01 10:05:00"), (1, "2024-01-01 12:00:00")])
+    # b1: on-time row; at its end the 10:00 window (< watermark) is
+    # emitted and evicted
+    write_batch(1, [(1, "2024-01-01 12:05:00")])
+    # b2: straggler for the already-evicted 10:00 window → dropped
+    write_batch(2, [(1, "2024-01-01 10:07:00")])
+
+    stream = stream_parquet(spark, src, max_files_per_trigger=1)
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", F.count("*").alias("n"),
+        keys=["user_id"], watermark="10 minutes",
+    )
+    got = run_to_memory(
+        spark, agg, f"{workdir}/ckpt", output_mode="append"
+    ).collect()
+    rows_1000 = [r for r in got if str(r["window_start"]) == "2024-01-01 10:00:00"]
+    assert len(rows_1000) == 1, got  # emitted once, never resurrected
+    assert rows_1000[0]["n"] == 1  # the b2 straggler was dropped
+
+
+def test_approx_distinct_within_error(spark):
+    import pyspark.sql.functions as F
+    from hudi_glue_spark.queries import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
