@@ -67,6 +67,15 @@ class KeyedTable:
     precombine: str
     partition_by: list[str] | None = None
     policy: str = EVENT_TIME_WINS
+    #: "global" (Hudi GLOBAL index parity): a key is unique across the
+    #: whole table — an upsert probes every partition for prior versions
+    #: of its keys (one semi-join over the table). "partition" (Hudi
+    #: non-global index parity): keys are unique only within their
+    #: partition — upsert touches exactly the batch's partitions, no
+    #: global probe; a key that changes partition value becomes a new
+    #: row there and the old row stays. The 100 TB trade: partition
+    #: scope keeps upsert cost proportional to the batch's partitions.
+    key_scope: str = "global"
 
     def __post_init__(self):
         if isinstance(self.key, str):
@@ -79,6 +88,8 @@ class KeyedTable:
             raise ValueError("KeyedTable requires a record key")
         if self.policy not in (ARRIVAL_WINS, EVENT_TIME_WINS):
             raise ValueError(f"unknown policy {self.policy!r}")
+        if self.key_scope not in ("global", "partition"):
+            raise ValueError(f"unknown key_scope {self.key_scope!r}")
 
     # -- metadata ----------------------------------------------------------
 
@@ -100,6 +111,7 @@ class KeyedTable:
                     "precombine": self.precombine,
                     "partition_by": self.partition_by,
                     "policy": self.policy,
+                    "key_scope": self.key_scope,
                 },
                 f,
                 indent=1,
@@ -402,15 +414,22 @@ class KeyedTable:
         )
 
     def _merge(self, existing: DataFrame, batch: DataFrame) -> DataFrame:
+        # Under partition key scope, row identity is (partition, key):
+        # the same key may live in two partitions as two rows.
+        merge_keys = (
+            self.key + self.partition_by
+            if self.key_scope == "partition" and self.partition_by
+            else self.key
+        )
         if self.policy == ARRIVAL_WINS:
             # Incoming batch replaces matched keys unconditionally.
-            return existing.join(batch, on=self.key, how="left_anti").unionByName(batch)
+            return existing.join(batch, on=merge_keys, how="left_anti").unionByName(batch)
         # EVENT_TIME_WINS: newest precombine wins; ties go to the batch.
         cols = existing.columns
         union = existing.withColumn("__src", F.lit(0)).unionByName(
             batch.withColumn("__src", F.lit(1))
         )
-        w = Window.partitionBy(*self.key).orderBy(
+        w = Window.partitionBy(*merge_keys).orderBy(
             F.desc(self.precombine), F.desc("__src")
         )
         return (
@@ -428,6 +447,10 @@ class KeyedTable:
         batch_parts = {
             self._dirname(r) for r in batch.select(self.partition_by).distinct().collect()
         }
+        if self.key_scope == "partition":
+            # Keys are partition-local: only the batch's own partitions
+            # can hold prior versions — no global probe.
+            return batch_parts
         # Global key scope: an update may move a key across partitions
         # (the reference's day=1 batch rewrites the partition column
         # itself, glue/NYTaxiDataPrep.py:47) — old hosts must be rewritten.

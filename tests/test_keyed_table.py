@@ -231,3 +231,29 @@ def test_concurrent_commit_refused(spark, tmp_path):
     man = M.read_manifest(t.path)
     with pytest.raises(M.ConcurrentCommitError):
         M.write_manifest(t.path, man)  # same commit id again
+
+
+def test_partition_key_scope_skips_global_probe(spark, tmp_path):
+    """key_scope='partition' (Hudi non-global index parity): an upsert
+    touches only the batch's partitions; a key that changes its
+    partition value inserts THERE and the old row survives — two rows,
+    one key, two partitions."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part", key_scope="partition")
+    ingest(t, day0(spark))
+    moved = spark.createDataFrame(
+        [Row(pk=2, part="b", val="moved2", update_ts=ts(11))]
+    )
+    ingest(t, moved)
+    rows = {(r["pk"], r["part"]): r["val"] for r in t.read(spark).collect()}
+    # pk=2 now exists in BOTH partitions (non-global semantics)
+    assert rows[(2, "a")] == "init2" and rows[(2, "b")] == "moved2"
+    # within-partition update still merges
+    upd = spark.createDataFrame(
+        [Row(pk=1, part="a", val="upd1", update_ts=ts(12))]
+    )
+    ingest(t, upd)
+    rows = {(r["pk"], r["part"]): r["val"] for r in t.read(spark).collect()}
+    assert rows[(1, "a")] == "upd1" and len(rows) == 5
+    # round-trips through table metadata
+    assert KeyedTable.load(t.path).key_scope == "partition"
