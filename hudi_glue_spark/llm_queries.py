@@ -397,3 +397,35 @@ def q_video_frame_sample(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     payload = MM.text_as_payload(docs, "doc_id", "text")
     return MM.sample_frames(payload, n_frames=4, frame_bytes=256)
+
+
+@query(
+    "jaccard_dedup_survivors",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, list_distinct({_SQL_WORDS}) AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+    ),
+    nb AS (
+      SELECT a_id AS id, b_id AS nb FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    rep AS (SELECT id, min(nb) AS mn FROM nb GROUP BY id)
+    SELECT d.doc_id, d.source FROM w d LEFT JOIN rep ON d.doc_id = rep.id
+    WHERE rep.mn IS NULL OR rep.mn > d.doc_id
+    """,
+)
+def q_jaccard_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dup REMOVAL (not just pair detection): jaccard
+    pairs → keep-list collapse (min-id-among-neighbors, one aggregation
+    — connected-components-lite) → surviving documents."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(T.words("text")).alias("ws")
+    )
+    pairs = D.jaccard_pairs(docs, "doc_id", "ws", "source", threshold=0.8)
+    return D.dedup_keep_list(pairs, docs, "doc_id").select("doc_id", "source")
