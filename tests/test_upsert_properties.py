@@ -1,0 +1,97 @@
+"""Property-based check of KeyedTable upsert semantics.
+
+A pure-Python dictionary model defines the truth: apply batches of
+(key, partition, value, precombine) records under a late-data policy,
+then compare the KeyedTable's final on-disk state row-for-row. Randomized
+batches explore the corners a scenario test can't enumerate — duplicate
+keys within a batch, precombine ties, keys moving partitions, deletes of
+absent keys.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from hudi_glue_spark.table import KeyedTable, ingest
+from hudi_glue_spark.table.keyed_table import ARRIVAL_WINS, EVENT_TIME_WINS
+
+# Small domains force collisions: few keys, two partitions, coarse time.
+_RECORD = st.tuples(
+    st.integers(0, 5),                 # pk
+    st.sampled_from(["a", "b"]),       # partition
+    st.integers(0, 99),                # value payload
+    st.integers(0, 3),                 # precombine day offset
+)
+_BATCH = st.lists(_RECORD, min_size=1, max_size=6)
+_SCENARIO = st.lists(_BATCH, min_size=1, max_size=4)
+
+
+def _ts(day: int) -> datetime.datetime:
+    return datetime.datetime(2026, 1, 1 + day)
+
+
+def _model_apply(state: dict, batch: list, policy: str) -> None:
+    """The spec: precombine-dedup within batch, then per-key merge."""
+    best: dict[int, tuple] = {}
+    for pk, part, val, pre in batch:
+        cur = best.get(pk)
+        # within-batch: max precombine wins; ties keep either (the engine
+        # tie-breaks by row hash) — make ties impossible to model-check
+        # by collapsing equal-precombine dups to the max VALUE, and feed
+        # the engine tie-free batches (see _dedup_ties).
+        if cur is None or (pre, val) > (cur[3], cur[2]):
+            best[pk] = (pk, part, val, pre)
+    for pk, rec in best.items():
+        old = state.get(pk)
+        if old is None:
+            state[pk] = rec
+        elif policy == ARRIVAL_WINS or rec[3] >= old[3]:
+            state[pk] = rec
+    # EVENT_TIME_WINS with older precombine: old row stays
+
+
+def _dedup_ties(batch: list) -> list:
+    """Remove same-(pk, precombine) duplicates with different payloads so
+    the model doesn't depend on the engine's hash tie-break."""
+    seen: dict[tuple, tuple] = {}
+    for rec in batch:
+        k = (rec[0], rec[3])
+        if k not in seen or rec > seen[k]:
+            seen[k] = rec
+    return list(seen.values())
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(scenario=_SCENARIO, policy=st.sampled_from([EVENT_TIME_WINS, ARRIVAL_WINS]))
+def test_upsert_matches_model(spark, tmp_path_factory, scenario, policy):
+    scenario = [_dedup_ties(b) for b in scenario]
+    root = str(tmp_path_factory.mktemp("prop") / "t")
+    tbl = KeyedTable(
+        root, key="pk", precombine="update_ts", partition_by="part", policy=policy
+    )
+    state: dict[int, tuple] = {}
+    for batch in scenario:
+        df = spark.createDataFrame(
+            [Row(pk=pk, part=part, val=val, update_ts=_ts(pre))
+             for pk, part, val, pre in batch]
+        )
+        ingest(tbl, df)
+        _model_apply(state, batch, policy)
+
+    got = {
+        r["pk"]: (r["pk"], r["part"], r["val"], r["update_ts"])
+        for r in tbl.read(spark).collect()
+    }
+    want = {
+        pk: (pk, part, val, _ts(pre))
+        for pk, (pk2, part, val, pre) in state.items()
+    }
+    assert got == want
