@@ -429,3 +429,21 @@ def q_jaccard_dedup_survivors(spark, sf_dir):
     )
     pairs = D.jaccard_pairs(docs, "doc_id", "ws", "source", threshold=0.8)
     return D.dedup_keep_list(pairs, docs, "doc_id").select("doc_id", "source")
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    f"""
+    WITH g AS (SELECT doc_id, {D.winnowing_grams_sql("text")} AS g FROM documents)
+    SELECT doc_id, unnest({D.winnowing_from_grams_sql("g")}) AS fp FROM g
+    """,
+)
+def q_doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash k-gram selection, MOSS): per-document
+    fingerprint set from windowed minima over word-3-gram hashes —
+    alignment-robust overlap detection, one JVM projection + explode."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(D.winnowing_fingerprints("text", n=3, window=4)).alias("fp"),
+    )

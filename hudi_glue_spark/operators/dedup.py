@@ -231,6 +231,90 @@ def dedup_keep_list(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    text: Column | str, n: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    word ``n``-gram, slide a ``window`` over the hash sequence, keep
+    each window's minimum — a deterministic, alignment-robust subset of
+    the k-gram hashes (local edits perturb only nearby fingerprints).
+    Selection over k-gram hashes is exactly what a Rabin-Karp rolling
+    hash computes incrementally; expression-wise the gram hashes are
+    materialized once and the mins are windowed reads.
+
+    Returns the DISTINCT fingerprint array (sorted) — join/explode it
+    for overlap detection. md5-based hash so DuckDB reproduces values.
+    """
+    ws = words(text)
+    c = F.size(ws) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(c, F.lit(0))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, n))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    # One pass over the gram array (it is the aggregate INPUT, so the
+    # md5s evaluate once per row): the accumulator keeps a ring buffer
+    # of the last window-1 hashes and appends each full window's min.
+    # A naive transform(j -> array_min(slice(grams, j, w))) re-evaluates
+    # the grams expression per window — O(len²) md5s (measured 100s+ at
+    # sf0.01 on the oracle side before this shape).
+    empty = F.array().cast("array<long>")
+    picked = F.aggregate(
+        grams,
+        F.struct(empty.alias("buf"), empty.alias("mins")),
+        lambda acc, x: F.struct(
+            F.when(
+                F.size(acc["buf"]) == window - 1,
+                F.slice(F.concat(acc["buf"], F.array(x)), 2, window - 1),
+            )
+            .otherwise(F.concat(acc["buf"], F.array(x)))
+            .alias("buf"),
+            F.when(
+                F.size(acc["buf"]) == window - 1,
+                F.concat(
+                    acc["mins"],
+                    F.array(F.array_min(F.concat(acc["buf"], F.array(x)))),
+                ),
+            )
+            .otherwise(acc["mins"])
+            .alias("mins"),
+        ),
+        # short docs (fewer grams than one window): keep all gram hashes
+        # (they all sit in the ring buffer)
+        lambda acc: F.when(F.size(acc["mins"]) > 0, acc["mins"]).otherwise(
+            acc["buf"]
+        ),
+    )
+    return F.array_sort(F.array_distinct(picked))
+
+
+def winnowing_grams_sql(col: str = "text", n: int = 3) -> str:
+    """DuckDB k-gram hash array (n=3 only). Materialize this as a CTE
+    column BEFORE windowing: referencing the expression inside the
+    window lambda re-evaluates every md5 per window (O(len²))."""
+    from hudi_glue_spark.operators.text import words_sql
+
+    assert n == 3, "SQL twin is generated for 3-grams"
+    ws = words_sql(col)
+    return (
+        f"list_transform(range(1, greatest(len({ws}) - {n - 1}, 0) + 1), "
+        f"i -> CAST(('0x' || substr(md5(({ws})[i] || ' ' || ({ws})[i+1] || ' ' || ({ws})[i+2]), 1, 15)) AS BIGINT))"
+    )
+
+
+def winnowing_from_grams_sql(g: str = "g", window: int = 4) -> str:
+    """DuckDB windowed-min selection over a materialized gram column."""
+    mins = (
+        f"list_transform(range(1, greatest(len({g}) - {window - 1}, 0) + 1), "
+        f"j -> list_min({g}[j:j+{window - 1}]))"
+    )
+    return (
+        f"list_sort(list_distinct(CASE WHEN len({g}) >= {window} "
+        f"THEN {mins} ELSE {g} END))"
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 
 #: Single pass over the word list: each word is hashed ONCE (the
