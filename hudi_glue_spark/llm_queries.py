@@ -447,3 +447,45 @@ def q_doc_winnowing_fingerprints(spark, sf_dir):
         "doc_id",
         F.explode(D.winnowing_fingerprints("text", n=3, window=4)).alias("fp"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / 127.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT e.vec_id, s.scale,
+             CASE WHEN s.scale > 0
+                  THEN list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INTEGER))
+                  ELSE list_transform(e.embedding, x -> 0) END AS qv
+      FROM embeddings e JOIN s USING (vec_id)
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x storage at 100 TB):
+    per-vector scale + integer checksums of the quantized vector,
+    value-checked against a SQL re-derivation (integer sums — exact)."""
+    from hudi_glue_spark.functions.vector import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.select("vec_id", quantize_int8("embedding").alias("qs"))
+    return qs.select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.aggregate(F.col("qs.q"), F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("q_sum"),
+        F.aggregate(
+            F.col("qs.q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+    )

@@ -444,23 +444,26 @@ class KeyedTable:
 
     def _touched_partitions(self, existing: DataFrame, batch: DataFrame) -> set[str]:
         assert self.partition_by
-        batch_parts = {
-            self._dirname(r) for r in batch.select(self.partition_by).distinct().collect()
-        }
+        batch_parts = batch.select(self.partition_by).distinct()
         if self.key_scope == "partition":
             # Keys are partition-local: only the batch's own partitions
             # can hold prior versions — no global probe.
-            return batch_parts
+            return {self._dirname(r) for r in batch_parts.collect()}
         # Global key scope: an update may move a key across partitions
         # (the reference's day=1 batch rewrites the partition column
-        # itself, glue/NYTaxiDataPrep.py:47) — old hosts must be rewritten.
-        matched = existing.join(
-            batch.select(self.key).dropDuplicates(), on=self.key, how="left_semi"
+        # itself, glue/NYTaxiDataPrep.py:47) — old hosts must be
+        # rewritten. The probe ships only distinct keys (broadcast-sized
+        # for incremental batches; AQE picks broadcast for the semi-join).
+        # Both partition sets come back in ONE job/collect.
+        old_parts = (
+            existing.join(
+                batch.select(self.key).dropDuplicates(), on=self.key, how="left_semi"
+            )
+            .select(self.partition_by)
+            .distinct()
         )
-        old_parts = {
-            self._dirname(r) for r in matched.select(self.partition_by).distinct().collect()
-        }
-        return batch_parts | old_parts
+        probe = batch_parts.unionByName(old_parts).distinct()
+        return {self._dirname(r) for r in probe.collect()}
 
     def _rows_in_partitions(self, df: DataFrame, dirnames: set[str]) -> DataFrame:
         assert self.partition_by

@@ -136,3 +136,31 @@ def test_decode_image_stub_raises(spark, sf_dir):
     payload = MM.text_as_payload(docs, "doc_id", "text")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         MM.decode_image(payload).collect()
+
+
+def test_quantize_int8_roundtrip_error(spark, sf_dir):
+    """Dequantized vectors stay within half-step (scale/2) of the
+    original elementwise, and cosine vs the original stays ~1."""
+    import pyspark.sql.functions as F
+    from hudi_glue_spark.functions.vector import (
+        cosine_similarity, dequantize_int8, quantize_int8,
+    )
+    from hudi_glue_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(50)
+    qs = emb.select("vec_id", "embedding", quantize_int8("embedding").alias("qs"))
+    checked = qs.select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), dequantize_int8("qs"),
+                lambda a, b: F.abs(a.cast("double") - b),
+            ),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        cosine_similarity(F.col("embedding"), dequantize_int8("qs")).alias("cos"),
+    ).collect()
+    for r in checked:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-9
+        assert r["cos"] > 0.999
