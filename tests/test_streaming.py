@@ -205,3 +205,21 @@ def test_approx_distinct_within_error(spark):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
+
+
+def test_stream_ingest_checkpoint_idempotent(spark, workdir):
+    """Restarting a drained availableNow ingest with the SAME checkpoint
+    must process nothing and create no new commits (exactly-once at the
+    table level across restarts)."""
+    staging = _stage_event_files(spark, workdir)
+    tbl = KeyedTable(f"{workdir}/table", key="event_id", precombine="ts")
+    q1 = stream_ingest(tbl, stream_parquet(spark, staging, max_files_per_trigger=1),
+                       f"{workdir}/ckpt")
+    q1.awaitTermination(120)
+    n_commits = len(tbl.commits())
+    n_rows = tbl.read(spark).count()
+    q2 = stream_ingest(tbl, stream_parquet(spark, staging, max_files_per_trigger=1),
+                       f"{workdir}/ckpt")
+    q2.awaitTermination(120)
+    assert len(tbl.commits()) == n_commits
+    assert tbl.read(spark).count() == n_rows
