@@ -189,6 +189,42 @@ class KeyedTable:
         the snapshot becomes queryable via ``spark.sql``/``spark.table``."""
         self.read(spark).createOrReplaceTempView(name)
 
+    def register_external(self, spark: SparkSession, name: str) -> None:
+        """Persistent catalog registration (the closer hive_sync parity):
+        an EXTERNAL parquet table over ``data/`` with partition recovery
+        — visible to ANY catalog-reading engine, surviving the session.
+
+        Caveat vs :meth:`register`: an external table sees ALL files
+        under data/, including pre-clean() historical versions; run
+        ``clean(retain_commits=1)`` first (or use :meth:`register`,
+        which is manifest-exact) when older commits are still retained.
+        """
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # column defs from the committed schema, minus partition cols
+        # (they're declared in PARTITIONED BY)
+        man = M.read_manifest(self.path)
+        assert man is not None
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        pcols = set(self.partition_by or [])
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.name not in pcols
+        )
+        pcol_defs = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.name in pcols
+        )
+        part = f"PARTITIONED BY ({pcol_defs})" if pcols else ""
+        spark.sql(
+            f"CREATE EXTERNAL TABLE {name} ({cols}) USING PARQUET {part} "
+            f"LOCATION '{M.data_dir(self.path)}'"
+        )
+        if pcols:
+            # ↦ MSCK REPAIR / hive_sync partition registration
+            spark.sql(f"MSCK REPAIR TABLE {name}")
+
     # -- write side --------------------------------------------------------
 
     def bulk_insert(self, df: DataFrame, dedupe: bool = False) -> str:
@@ -308,6 +344,14 @@ class KeyedTable:
             rewritten=sorted(touched) if touched is not None else ["<all>"],
         )
         return self.commits()[-1]
+
+    def delete_where(self, spark: SparkSession, condition) -> str:
+        """Predicate delete: remove every live row matching ``condition``
+        (a Column or SQL string) — sugar over keyed delete, computing the
+        doomed key set from a snapshot scan."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keys = self.read(spark).filter(cond).select(self.key)
+        return self.delete(keys)
 
     def clean(self, retain_commits: int = 10) -> list[str]:
         """Cleaner (↦ KEEP_LATEST_COMMITS, commits.retained=10,

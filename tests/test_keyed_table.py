@@ -257,3 +257,46 @@ def test_partition_key_scope_skips_global_probe(spark, tmp_path):
     assert rows[(1, "a")] == "upd1" and len(rows) == 5
     # round-trips through table metadata
     assert KeyedTable.load(t.path).key_scope == "partition"
+
+
+def test_delete_where_predicate(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark))
+    t.delete_where(spark, "part = 'a'")
+    assert {r["pk"] for r in t.read(spark).collect()} == {3, 4}
+
+
+def test_register_external_catalog(spark, tmp_path):
+    """Persistent external-table registration with partition recovery;
+    after clean(retain_commits=1) the files on disk equal the snapshot."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark))
+    ingest(t, day1(spark))
+    t.clean(retain_commits=1)
+    t.register_external(spark, "kt_ext")
+    try:
+        got = {r["pk"]: r["val"] for r in spark.sql(
+            "SELECT pk, val FROM kt_ext").collect()}
+        want = {r["pk"]: r["val"] for r in t.read(spark).collect()}
+        assert got == want
+        # partition pruning works through the catalog
+        assert spark.sql(
+            "SELECT count(*) FROM kt_ext WHERE part = 'c'").first()[0] == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kt_ext")
+
+
+def test_optimize_unpartitioned(spark, tmp_path):
+    import hudi_glue_spark.table.manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    t.save_meta()
+    df = day0(spark)
+    files, nrows = t._write_files(df.repartition(8), "x", repartition=False)
+    t._commit("bulk_insert", files, df.schema, rows=nrows)
+    assert len(M.read_manifest(t.path).files) > 1
+    assert t.optimize(spark, target_file_mb=64) is not None
+    assert len(M.read_manifest(t.path).files) == 1
+    assert t.read(spark).count() == 4
