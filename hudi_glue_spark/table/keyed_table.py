@@ -58,6 +58,47 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _stat_value(v):
+    """Normalize a parquet statistics value for JSON storage such that
+    ordering survives: timestamps → fixed-width ISO strings (lexical
+    order == time order), numbers pass through, bytes decode."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _parquet_footer_stats(path: str, cols: list[str]) -> tuple[int, dict]:
+    """(num_rows, {col: [min, max]}) from the footer — no data read.
+    Columns without usable statistics are omitted (→ never skipped)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        i = names.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[col] = [_stat_value(lo), _stat_value(hi)]
+    return md.num_rows, out
+
+
 @dataclass
 class KeyedTable:
     """A keyed, partitioned, versioned table at a filesystem path."""
@@ -76,6 +117,10 @@ class KeyedTable:
     #: row there and the old row stays. The 100 TB trade: partition
     #: scope keeps upsert cost proportional to the batch's partitions.
     key_scope: str = "global"
+    #: columns whose per-file min/max land in the manifest for read-side
+    #: file skipping (None → the precombine column). At 100 TB this is
+    #: the difference between scanning a time slice and the whole table.
+    stats_cols: list[str] | None = None
 
     def __post_init__(self):
         if isinstance(self.key, str):
@@ -90,6 +135,14 @@ class KeyedTable:
             raise ValueError(f"unknown policy {self.policy!r}")
         if self.key_scope not in ("global", "partition"):
             raise ValueError(f"unknown key_scope {self.key_scope!r}")
+        if self.stats_cols is None:
+            self.stats_cols = [self.precombine]
+        elif isinstance(self.stats_cols, str):
+            self.stats_cols = [self.stats_cols]
+        # staging area for footer stats gathered by _write_files until
+        # _commit publishes them (not a dataclass field: per-instance
+        # transient)
+        self._pending_stats: dict = {}
 
     # -- metadata ----------------------------------------------------------
 
@@ -112,6 +165,7 @@ class KeyedTable:
                     "partition_by": self.partition_by,
                     "policy": self.policy,
                     "key_scope": self.key_scope,
+                    "stats_cols": self.stats_cols,
                 },
                 f,
                 indent=1,
@@ -182,6 +236,50 @@ class KeyedTable:
                 else F.lit(None).cast(f.dataType)
             ).alias(f.name)
             for f in schema.fields
+        ]
+
+    def read_range(
+        self, spark: SparkSession, col: str, lo, hi
+    ) -> DataFrame:
+        """Snapshot read of rows with ``lo <= col <= hi``, SKIPPING every
+        file whose manifest min/max proves it holds no such rows — the
+        manifest-level data-skipping that makes a time-slice query on a
+        100 TB table scan only the matching files. Files without stats
+        for ``col`` are read (never silently skipped); the exact filter
+        is re-applied after the scan, so skipping is purely a pruning
+        optimization."""
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        nlo, nhi = _stat_value(lo), _stat_value(hi)
+        keep = []
+        for f in man.files:
+            st = man.file_stats.get(f, {}).get(col)
+            if st is None or not (st[1] < nlo or st[0] > nhi):
+                keep.append(f)
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not keep:
+            return spark.createDataFrame([], schema).filter(cond)
+        ddir = M.data_dir(self.path)
+        df = (
+            spark.read.option("basePath", ddir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(ddir, f) for f in keep])
+        )
+        return df.select(self._conform(df, schema)).filter(cond)
+
+    def files_in_range(self, col: str, lo, hi) -> list[str]:
+        """The file subset :meth:`read_range` would scan (introspection
+        for tests and planning)."""
+        man = M.read_manifest(self.path)
+        assert man is not None
+        nlo, nhi = _stat_value(lo), _stat_value(hi)
+        return [
+            f
+            for f in man.files
+            if (st := man.file_stats.get(f, {}).get(col)) is None
+            or not (st[1] < nlo or st[0] > nhi)
         ]
 
     def register(self, spark: SparkSession, name: str) -> None:
@@ -537,6 +635,12 @@ class KeyedTable:
         :meth:`optimize`, which bins rows by target file size first)."""
         stage = os.path.join(self.path, ".tmp", commit_id)
         shutil.rmtree(stage, ignore_errors=True)
+        # INT96 (Spark's default parquet timestamp encoding) carries no
+        # min/max statistics — write MICROS so timestamp stats_cols can
+        # drive file skipping (and for cross-engine parquet compat).
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         writer = df
         if self.partition_by and repartition:
             # co-locate rows of one partition into few tasks → few,
@@ -562,9 +666,13 @@ class KeyedTable:
                 new_name = f"{commit_id}-{i:05d}.parquet"
                 dest = os.path.join(dest_dir, new_name)
                 os.replace(os.path.join(dirpath, fn), dest)
-                # row stats from the parquet footer — no extra Spark scan
-                nrows += _parquet_num_rows(dest)
-                moved.append(os.path.join(rel_dir, new_name) if rel_dir else new_name)
+                rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
+                # rows + min/max from the parquet footer — no extra scan
+                n, st = _parquet_footer_stats(dest, self.stats_cols or [])
+                nrows += n
+                if st:
+                    self._pending_stats[rel] = st
+                moved.append(rel)
                 i += 1
         shutil.rmtree(os.path.join(self.path, ".tmp"), ignore_errors=True)
         return moved, nrows
@@ -572,6 +680,12 @@ class KeyedTable:
     def _commit(
         self, op: str, files: list[str], schema: StructType, rows: int, rewritten=None
     ) -> None:
+        # carry forward per-file stats of surviving files, merge in the
+        # stats of files this commit just wrote
+        prev = M.read_manifest(self.path)
+        known = dict(prev.file_stats) if prev else {}
+        known.update(self._pending_stats)
+        self._pending_stats = {}
         man = M.Manifest(
             commit_id=M.next_commit_id(self.path),
             op=op,
@@ -579,6 +693,7 @@ class KeyedTable:
             files=sorted(files),
             schema_json=schema.json(),
             stats={"rows_written": rows, "partitions_rewritten": rewritten or []},
+            file_stats={f: known[f] for f in files if f in known},
         )
         M.write_manifest(self.path, man)
 

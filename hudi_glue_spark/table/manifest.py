@@ -33,6 +33,11 @@ class Manifest:
     files: list[str]  # live data files, relative to <root>/data/
     schema_json: str  # Spark schema of the table at this commit
     stats: dict = field(default_factory=dict)
+    #: per-file column statistics for read-side file skipping:
+    #: {rel_file: {col: [min, max]}} (values JSON-normalized — see
+    #: keyed_table._stat_value; timestamps as ISO strings, which
+    #: compare correctly lexicographically)
+    file_stats: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -43,6 +48,7 @@ class Manifest:
                 "files": self.files,
                 "schema_json": self.schema_json,
                 "stats": self.stats,
+                "file_stats": self.file_stats,
             },
             indent=1,
         )
@@ -57,6 +63,7 @@ class Manifest:
             files=d["files"],
             schema_json=d["schema_json"],
             stats=d.get("stats", {}),
+            file_stats=d.get("file_stats", {}),
         )
 
 

@@ -13,9 +13,14 @@ import datetime
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql.functions import col as F_col
 
 from hudi_glue_spark.table import KeyedTable, ingest
 from hudi_glue_spark.table.keyed_table import ARRIVAL_WINS, EVENT_TIME_WINS
+
+
+def ts_d(day: int) -> datetime.datetime:
+    return datetime.datetime(2026, 1, 1) + datetime.timedelta(days=day - 1)
 
 
 def ts(day: int) -> datetime.datetime:
@@ -300,3 +305,34 @@ def test_optimize_unpartitioned(spark, tmp_path):
     assert t.optimize(spark, target_file_mb=64) is not None
     assert len(M.read_manifest(t.path).files) == 1
     assert t.read(spark).count() == 4
+
+
+def test_read_range_skips_files(spark, tmp_path):
+    """Manifest min/max stats prune files: three commits with disjoint
+    precombine ranges → a range read over the middle slice scans only
+    that commit's files, and the rows match a full-scan filter."""
+    # partitioned by an opaque group so each commit keeps its own file;
+    # pruning below uses the update_ts STATS, not the partition value
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="grp")
+    for day0_, n in [(1, 0), (11, 100), (21, 200)]:
+        batch = spark.createDataFrame(
+            [Row(pk=n + i, grp=f"g{n}", val=f"v{n + i}", update_ts=ts_d(day0_ + i))
+             for i in range(3)]
+        )
+        ingest(t, batch)
+    import hudi_glue_spark.table.manifest as M
+
+    man = M.read_manifest(t.path)
+    assert all("update_ts" in st for st in man.file_stats.values())
+    lo, hi = ts_d(11), ts_d(13)
+    pruned = t.files_in_range("update_ts", lo, hi)
+    assert len(pruned) < len(man.files)
+    got = {r["pk"] for r in t.read_range(spark, "update_ts", lo, hi).collect()}
+    want = {
+        r["pk"]
+        for r in t.read(spark).filter(
+            (F_col("update_ts") >= lo) & (F_col("update_ts") <= hi)
+        ).collect()
+    }
+    assert got == want == {100, 101, 102}
