@@ -175,3 +175,46 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "stream_dim_join_windowed",
+    """
+    WITH bands AS (
+      SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+      FROM range(8) t(i)
+    )
+    SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+           b.band_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_dim_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-static join: the event stream joins a broadcast value-
+    band dimension (range predicate) BEFORE a tumbling-window count —
+    the enrich-then-aggregate streaming shape. The static side never
+    enters state; only (window, band) counters persist."""
+    from hudi_glue_spark.operators.temporal import point_in_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("dimjoin", sf_dir)
+    ev = stream_table(spark, sf_dir, "events")
+    bands = spark.range(8).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 50.0).cast("double").alias("hi"),
+    )
+    joined = point_in_interval_join(ev, bands, "value", "lo", "hi")
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "band_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "band_id",
+            "n_events",
+        )
+    )
+    return run_to_memory(spark, agg, f"{wd}/ckpt")
