@@ -422,3 +422,23 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
     )
+
+
+@query(
+    "user_event_type_sets",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect_set → sorted, joined to a
+    deterministic string (collect order is engine-dependent; the sort
+    makes it comparable)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+    )
