@@ -185,3 +185,55 @@ def q_incremental_read_since_first(spark, sf_dir):
     content is the b1 update batch (newer event time wins every key)."""
     tbl = _two_batch_table(spark, sf_dir)
     return tbl.read_incremental(spark, since=tbl.commits()[0]).select(_COLS)
+
+
+@query(
+    "merge_into_scenario",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    src AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN event_id + 1000000
+                  ELSE event_id END AS event_id,
+             user_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT t.event_id, t.user_id, t.event_type, t.value, t.ts
+    FROM t LEFT JOIN src ON t.event_id = src.event_id
+    WHERE src.event_id IS NULL
+    UNION ALL
+    SELECT src.event_id, src.user_id, src.event_type, src.value, src.ts
+    FROM t JOIN src ON t.event_id = src.event_id
+    WHERE NOT (t.value > 300)
+    UNION ALL
+    SELECT src.event_id, src.user_id, src.event_type, src.value, src.ts
+    FROM src LEFT JOIN t ON src.event_id = t.event_id
+    WHERE t.event_id IS NULL
+    """,
+)
+def q_merge_into_scenario(spark, sf_dir):
+    """SQL-style MERGE: a click batch where even-user rows become NEW
+    keys (inserts) and the rest update in place — except targets worth
+    over 300, which the delete branch removes. The oracle re-states the
+    same MERGE as three set operations."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_merge_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts", partition_by="event_type")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    clicks = ev.filter(F.col("event_type") == "click")
+    src = clicks.withColumn(
+        "event_id",
+        F.when(F.col("user_id") % 2 == 0, F.col("event_id") + 1000000).otherwise(
+            F.col("event_id")
+        ),
+    ).withColumn("value", F.col("value") + F.lit(100.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    )
+    tbl.merge_into(src, delete_condition="target.value > 300")
+    return tbl.read(spark).select(_COLS)

@@ -443,6 +443,96 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        update_condition=None,
+        delete_condition=None,
+        when_not_matched_insert: bool = True,
+        insert_condition=None,
+    ) -> str:
+        """SQL-style MERGE (Delta/Hudi ``MERGE INTO`` parity), keyed on
+        the table's record key:
+
+        - matched + ``delete_condition``            → row removed
+        - matched + ``update_condition`` (def. all) → replaced by source row
+        - matched otherwise                         → target row kept
+        - not matched + ``when_not_matched_insert``
+          (+ optional ``insert_condition``)         → source row inserted
+
+        Conditions are Columns or SQL strings over the ``source.`` /
+        ``target.`` aliases (e.g. ``"source.value > target.value"``).
+        Delete wins over update when both conditions hold. The source is
+        precombine-deduped first so one key carries one action. Executes
+        as ONE full-outer join over the touched partitions only — the
+        same CoW scoping as :meth:`upsert`.
+        """
+
+        def _cond(c, default):
+            if c is None:
+                return default
+            return F.expr(c) if isinstance(c, str) else c
+
+        spark = source.sparkSession
+        existing = self.read(spark)
+        cols = existing.columns
+        source = self._precombine(source).select(
+            [F.col(f.name).cast(f.dataType) for f in existing.schema.fields]
+        )
+        man = M.read_manifest(self.path)
+        assert man is not None
+        if self.partition_by:
+            touched = self._touched_partitions(existing, source)
+            target = self._rows_in_partitions(existing, touched)
+        else:
+            touched = None
+            target = existing
+
+        t = target.withColumn("__t", F.lit(1)).alias("target")
+        s = source.withColumn("__s", F.lit(1)).alias("source")
+        joined = t.join(
+            s,
+            on=[t[k].eqNullSafe(s[k]) for k in self.key],
+            how="full_outer",
+        )
+        matched = F.col("target.__t").isNotNull() & F.col("source.__s").isNotNull()
+        target_only = F.col("source.__s").isNull()
+        source_only = F.col("target.__t").isNull()
+
+        del_c = matched & _cond(delete_condition, F.lit(False))
+        upd_c = matched & _cond(update_condition, F.lit(True)) & ~del_c
+        ins_c = (
+            source_only
+            & F.lit(when_not_matched_insert)
+            & _cond(insert_condition, F.lit(True))
+        )
+        use_source = upd_c | ins_c
+        keep = target_only | upd_c | ins_c | (matched & ~del_c)
+        merged = joined.filter(keep).select(
+            [
+                F.when(use_source, F.col(f"source.{c}"))
+                .otherwise(F.col(f"target.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        cid = M.next_commit_id(self.path)
+        new_files, nrows = self._write_files(merged, cid)
+        carried = (
+            [f for f in man.files if M.partition_of(f) not in touched]
+            if touched is not None
+            else []
+        )
+        self._commit(
+            "merge_into",
+            carried + new_files,
+            existing.schema,
+            rows=nrows,
+            rewritten=sorted(touched) if touched is not None else ["<all>"],
+        )
+        return self.commits()[-1]
+
     def delete_where(self, spark: SparkSession, condition) -> str:
         """Predicate delete: remove every live row matching ``condition``
         (a Column or SQL string) — sugar over keyed delete, computing the

@@ -336,3 +336,41 @@ def test_read_range_skips_files(spark, tmp_path):
         ).collect()
     }
     assert got == want == {100, 101, 102}
+
+
+def test_merge_into_update_delete_insert(spark, tmp_path):
+    """One MERGE exercising all three branches: matched+delete-condition
+    removes, matched otherwise updates, not-matched inserts."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark))  # pks 1-4
+    src = spark.createDataFrame([
+        Row(pk=1, part="a", val="upd1", update_ts=ts(11)),   # matched → update
+        Row(pk=3, part="b", val="doom", update_ts=ts(11)),   # matched → delete
+        Row(pk=9, part="c", val="new9", update_ts=ts(11)),   # not matched → insert
+    ])
+    t.merge_into(src, delete_condition="source.val = 'doom'")
+    rows = {r["pk"]: (r["part"], r["val"]) for r in t.read(spark).collect()}
+    assert rows == {
+        1: ("a", "upd1"),
+        2: ("a", "init2"),
+        4: ("b", "init4"),
+        9: ("c", "new9"),
+    }
+
+
+def test_merge_into_conditional_update_no_insert(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    ingest(t, day0(spark))
+    src = spark.createDataFrame([
+        Row(pk=1, part="a", val="upd1", update_ts=ts(9)),   # older → no update
+        Row(pk=2, part="a", val="upd2", update_ts=ts(12)),  # newer → update
+        Row(pk=9, part="c", val="new9", update_ts=ts(12)),  # insert suppressed
+    ])
+    t.merge_into(
+        src,
+        update_condition="source.update_ts > target.update_ts",
+        when_not_matched_insert=False,
+    )
+    rows = {r["pk"]: r["val"] for r in t.read(spark).collect()}
+    assert rows == {1: "init1", 2: "upd2", 3: "init3", 4: "init4"}
