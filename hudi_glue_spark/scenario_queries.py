@@ -237,3 +237,23 @@ def q_merge_into_scenario(spark, sf_dir):
     )
     tbl.merge_into(src, delete_condition="target.value > 300")
     return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "change_feed_clicks",
+    """
+    SELECT event_id, user_id, event_type, value + 100.0 AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts,
+           'update' AS _change_type
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_change_feed_clicks(spark, sf_dir):
+    """CDC change feed between the first and latest commit of the
+    two-batch scenario: every click updated (post-image = the b1 batch),
+    nothing inserted or deleted — the oracle states the expected feed
+    directly."""
+    tbl = _two_batch_table(spark, sf_dir)
+    return tbl.diff_commits(spark, tbl.commits()[0]).select(
+        *_COLS, "_change_type"
+    )

@@ -443,6 +443,65 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def diff_commits(
+        self, spark: SparkSession, from_commit: str, to_commit: str | None = None
+    ) -> DataFrame:
+        """Change feed between two commits (Delta CDF-style): one row per
+        changed key with ``_change_type`` ∈ insert | update | delete,
+        carrying the post-image for inserts/updates and the pre-image for
+        deletes. Computed as a key-wise full-outer diff of the two
+        snapshots — O(changed partitions) at scale when combined with
+        :meth:`read_incremental` file pruning; exact as written here."""
+        before = self.read(spark, at=from_commit).withColumn("__b", F.lit(1))
+        after = self.read(spark, at=to_commit).withColumn("__a", F.lit(1))
+        cols = [c for c in after.columns if c != "__a"]
+        b = before.alias("b")
+        a = after.alias("a")
+        j = b.join(a, on=[b[k].eqNullSafe(a[k]) for k in self.key], how="full_outer")
+        in_b = F.col("b.__b").isNotNull()
+        in_a = F.col("a.__a").isNotNull()
+        # update = key present in both with any non-key column changed
+        changed = F.lit(False)
+        for c in cols:
+            if c not in self.key:
+                changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
+        ctype = (
+            F.when(in_a & ~in_b, F.lit("insert"))
+            .when(in_b & ~in_a, F.lit("delete"))
+            .when(in_b & in_a & changed, F.lit("update"))
+        )
+        return (
+            j.withColumn("_change_type", ctype)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *[
+                    F.when(in_a, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+                    for c in cols
+                ],
+                "_change_type",
+            )
+        )
+
+    def rollback(self, to_commit: str) -> str:
+        """Restore the table to an earlier commit's state by publishing a
+        NEW commit that references that commit's files — metadata-only,
+        no data movement, and the rolled-back history stays
+        time-travelable until :meth:`clean`."""
+        man = M.read_manifest(self.path, to_commit)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        new = M.Manifest(
+            commit_id=M.next_commit_id(self.path),
+            op="rollback",
+            ts=M.utc_now_iso(),
+            files=man.files,
+            schema_json=man.schema_json,
+            stats={"rows_written": 0, "rolled_back_to": to_commit},
+            file_stats=man.file_stats,
+        )
+        M.write_manifest(self.path, new)
+        return new.commit_id
+
     def merge_into(
         self,
         source: DataFrame,

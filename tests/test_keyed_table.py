@@ -374,3 +374,34 @@ def test_merge_into_conditional_update_no_insert(spark, tmp_path):
     )
     rows = {r["pk"]: r["val"] for r in t.read(spark).collect()}
     assert rows == {1: "init1", 2: "upd2", 3: "init3", 4: "init4"}
+
+
+def test_diff_commits_change_feed(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    c0 = t.bulk_insert(day0(spark))     # pks 1-4
+    t.upsert(day1(spark))               # upd 1, move 2, new 5
+    t.delete(spark.createDataFrame([Row(pk=4)]))
+    changes = {
+        r["pk"]: r["_change_type"]
+        for r in t.diff_commits(spark, c0).collect()
+    }
+    assert changes == {1: "update", 2: "update", 4: "delete", 5: "insert"}
+    # post-image for updates, pre-image for deletes
+    vals = {r["pk"]: r["val"] for r in t.diff_commits(spark, c0).collect()}
+    assert vals[1] == "upd1" and vals[4] == "init4"
+
+
+def test_rollback_metadata_only(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    c0 = t.bulk_insert(day0(spark))
+    t.upsert(day1(spark))
+    assert t.read(spark).count() == 5
+    rb = t.rollback(c0)
+    assert t.read(spark).count() == 4
+    assert snapshot(t, spark)[1] == ("a", "init1")
+    # the undone state is still reachable by time travel
+    assert t.read(spark, at=t.commits()[1]).count() == 5
+    # and rollback itself is a commit (audit trail)
+    assert rb == t.commits()[-1]
