@@ -257,3 +257,31 @@ def q_change_feed_clicks(spark, sf_dir):
     return tbl.diff_commits(spark, tbl.commits()[0]).select(
         *_COLS, "_change_type"
     )
+
+
+@query(
+    "range_read_time_slice",
+    _BATCHES_CTE.replace("b2 AS", "b2_unused AS").replace(
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2",
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1",
+    )
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def q_range_read_time_slice(spark, sf_dir):
+    """File-skipping range read: a ten-day ts slice of the two-batch
+    table via read_range (manifest min/max pruning + exact re-filter);
+    the oracle filters the merged state directly."""
+    import datetime
+
+    tbl = _two_batch_table(spark, sf_dir)
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 20)
+    return tbl.read_range(spark, "ts", lo, hi).select(_COLS)

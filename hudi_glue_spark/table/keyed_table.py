@@ -635,6 +635,7 @@ class KeyedTable:
         spark: SparkSession,
         target_file_mb: float = 128,
         small_file_mb: float | None = None,
+        sort_by: list[str] | None = None,
     ) -> str | None:
         """Small-file compaction (↦ ``hoodie.parquet.small.file.limit``,
         which the reference carries but disables —
@@ -668,15 +669,27 @@ class KeyedTable:
 
         full = self.read(spark)
         n_bins = max(todo.values())
-        bin_col = F.pmod(F.xxhash64(*[F.col(k) for k in self.key]), F.lit(n_bins))
-        if self.partition_by:
-            sub = self._rows_in_partitions(full, set(todo))  # type: ignore[arg-type]
-            binned = sub.withColumn("__bin", bin_col).repartition(
-                *self.partition_by, "__bin"
-            ).drop("__bin")
+        sub = (
+            self._rows_in_partitions(full, set(todo))  # type: ignore[arg-type]
+            if self.partition_by
+            else full
+        )
+        if sort_by:
+            # Clustering (Z-order-lite): RANGE-partition on the sort
+            # keys so each output file covers a contiguous value range —
+            # min/max stats become tight and read_range() skips hard.
+            cols = [*(self.partition_by or []), *sort_by]
+            binned = sub.repartitionByRange(
+                max(n_bins * max(1, len(todo)), 1), *[F.col(c) for c in cols]
+            ).sortWithinPartitions(*cols)
         else:
-            binned = full.withColumn("__bin", bin_col).repartition("__bin").drop(
-                "__bin"
+            bin_col = F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.key]), F.lit(n_bins)
+            )
+            binned = (
+                sub.withColumn("__bin", bin_col)
+                .repartition(*(self.partition_by or []), "__bin")
+                .drop("__bin")
             )
         cid = M.next_commit_id(self.path)
         new_files, nrows = self._write_files(binned, cid, repartition=False)

@@ -92,3 +92,37 @@ def test_optimize_compacts_small_files(spark, tmp_path):
     assert old.count() == ev.count()
     # idempotent: nothing left to compact
     assert tbl.optimize(spark, target_file_mb=128) is None
+
+
+def test_optimize_sort_by_tightens_file_ranges(spark, tmp_path):
+    """Clustered compaction: after optimize(sort_by=[ts]) each file
+    covers a contiguous ts range, so a narrow read_range scans fewer
+    files than before clustering."""
+    import datetime
+
+    from pyspark.sql import Row
+    from hudi_glue_spark.table import KeyedTable
+    import hudi_glue_spark.table.manifest as M
+
+    rows = [
+        Row(pk=i, val=f"v{i}",
+            update_ts=datetime.datetime(2026, 1, 1) + datetime.timedelta(hours=i))
+        for i in range(200)
+    ]
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    t.save_meta()
+    # interleave timestamps across many small files (hash layout)
+    df = spark.createDataFrame(rows).repartition(8)
+    files, n = t._write_files(df, "x", repartition=False)
+    t._commit("bulk_insert", files, df.schema, rows=n)
+    lo = datetime.datetime(2026, 1, 1, 0)
+    hi = datetime.datetime(2026, 1, 1, 23)
+    assert len(t.files_in_range("update_ts", lo, hi)) == 8  # no pruning
+    assert t.optimize(
+        spark, target_file_mb=0.001, small_file_mb=10, sort_by=["update_ts"]
+    ) is not None
+    man = M.read_manifest(t.path)
+    pruned = t.files_in_range("update_ts", lo, hi)
+    assert len(pruned) < len(man.files), (len(pruned), len(man.files))
+    got = {r["pk"] for r in t.read_range(spark, "update_ts", lo, hi).collect()}
+    assert got == set(range(24))
