@@ -95,3 +95,65 @@ def test_upsert_matches_model(spark, tmp_path_factory, scenario, policy):
         for pk, (pk2, part, val, pre) in state.items()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    initial=_BATCH,
+    src=_BATCH,
+    del_threshold=st.integers(0, 99),
+    insert=st.booleans(),
+)
+def test_merge_into_matches_model(
+    spark, tmp_path_factory, initial, src, del_threshold, insert
+):
+    """merge_into vs a dictionary model: matched rows with target value
+    >= threshold delete, others update; unmatched insert iff enabled."""
+    initial = _dedup_ties(initial)
+    src = _dedup_ties(src)
+    root = str(tmp_path_factory.mktemp("mprop") / "t")
+    tbl = KeyedTable(root, key="pk", precombine="update_ts", partition_by="part")
+    tbl.bulk_insert(
+        spark.createDataFrame(
+            [Row(pk=pk, part=part, val=val, update_ts=_ts(pre))
+             for pk, part, val, pre in initial]
+        ),
+        dedupe=True,
+    )
+    state: dict[int, tuple] = {}
+    _model_apply(state, initial, EVENT_TIME_WINS)
+
+    # model the merge: source deduped per key (max precombine)
+    best: dict[int, tuple] = {}
+    for rec in src:
+        cur = best.get(rec[0])
+        if cur is None or (rec[3], rec[2]) > (cur[3], cur[2]):
+            best[rec[0]] = rec
+    for pk, rec in best.items():
+        if pk in state:
+            if state[pk][2] >= del_threshold:
+                del state[pk]
+            else:
+                state[pk] = rec
+        elif insert:
+            state[pk] = rec
+
+    tbl.merge_into(
+        spark.createDataFrame(
+            [Row(pk=pk, part=part, val=val, update_ts=_ts(pre))
+             for pk, part, val, pre in src]
+        ),
+        delete_condition=f"target.val >= {del_threshold}",
+        when_not_matched_insert=insert,
+    )
+    got = {
+        r["pk"]: (r["pk"], r["part"], r["val"], r["update_ts"])
+        for r in tbl.read(spark).collect()
+    }
+    want = {pk: (pk, part, val, _ts(pre))
+            for pk, (_pk, part, val, pre) in state.items()}
+    assert got == want
