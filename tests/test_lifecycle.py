@@ -1,0 +1,86 @@
+"""End-to-end table lifecycle: every KeyedTable operation in one story,
+with state checked after each step — the integration counterpart to the
+per-operation unit tests."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.table import KeyedTable, ingest
+
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2026, 3, day, hour)
+
+
+def test_full_lifecycle(spark, tmp_path):
+    t = KeyedTable(
+        str(tmp_path / "t"), key="id", precombine="ts", partition_by="grp"
+    )
+
+    # 1. initial load
+    load = spark.createDataFrame(
+        [Row(id=i, grp=f"g{i % 2}", amount=float(i), ts=_ts(1, i % 24))
+         for i in range(100)]
+    )
+    ingest(t, load)
+    assert t.read(spark).count() == 100
+
+    # 2. incremental upsert: update half, insert 10 new
+    upd = spark.createDataFrame(
+        [Row(id=i, grp=f"g{i % 2}", amount=float(i) + 1000, ts=_ts(2))
+         for i in range(0, 100, 2)]
+        + [Row(id=100 + i, grp="g0", amount=0.0, ts=_ts(2)) for i in range(10)]
+    )
+    ingest(t, upd)
+    snap = t.read(spark)
+    assert snap.count() == 110
+    assert snap.filter("amount >= 1000").count() == 50
+
+    # 3. MERGE: delete big amounts, update the rest of the touched keys
+    src = spark.createDataFrame(
+        [Row(id=i, grp=f"g{i % 2}", amount=-1.0, ts=_ts(3)) for i in range(20)]
+    )
+    t.merge_into(src, delete_condition="target.amount >= 1000")
+    snap = t.read(spark)
+    assert snap.count() == 100  # 10 deleted (even ids < 20 had amount>=1000)
+    assert snap.filter("amount = -1.0").count() == 10  # odd ids < 20 updated
+
+    # 4. predicate delete
+    t.delete_where(spark, "id >= 100")
+    assert t.read(spark).count() == 90
+
+    # 5. CDC across the whole story so far
+    changes = t.diff_commits(spark, t.commits()[0])
+    kinds = {r["_change_type"] for r in changes.collect()}
+    assert kinds == {"update", "delete"}
+
+    # 6. clustered compaction + clean, then external registration
+    t.optimize(spark, target_file_mb=64, small_file_mb=10, sort_by=["ts"])
+    assert t.read(spark).count() == 90
+    t.clean(retain_commits=1)
+    t.register_external(spark, "lifecycle_ext")
+    try:
+        assert spark.table("lifecycle_ext").count() == 90
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lifecycle_ext")
+
+    # 7. content sanity at the end of the story
+    final = {r["id"]: r["amount"] for r in t.read(spark).collect()}
+    assert final[1] == -1.0          # merged update
+    assert final[21] == 21.0         # untouched original
+    assert 0 not in final            # merge-deleted
+    assert 100 not in final          # predicate-deleted
+    # range read agrees with a plain filter
+    lo, hi = _ts(2), _ts(3)
+    a = {r["id"] for r in t.read_range(spark, "ts", lo, hi).collect()}
+    b = {
+        r["id"]
+        for r in t.read(spark)
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .collect()
+    }
+    assert a == b
