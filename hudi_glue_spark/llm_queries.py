@@ -489,3 +489,58 @@ def q_embedding_quantize_int8(spark, sf_dir):
             F.col("qs.q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
         ).alias("q_l1"),
     )
+
+
+@query(
+    "knn_l2_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             sqrt(list_sum(list_transform(
+               list_zip(q.qv, e.embedding),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS l2
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY l2 ASC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_knn_l2_bruteforce(spark, sf_dir):
+    """Exact Euclidean (L2) top-5 — the second metric of the similarity
+    surface; ordered-fold zip_with keeps the distance bit-identical to
+    the DuckDB oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.col("__cv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__l2"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__l2", l2)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk")
+    )

@@ -218,3 +218,35 @@ def q_stream_dim_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, agg, f"{wd}/ckpt")
+
+
+@query(
+    "stream_dedup_exact",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    """,
+)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the events table lands TWICE (two files,
+    two micro-batches) and a stateful ``dropDuplicates`` on the key
+    emits each event exactly once — the training-pipeline guard against
+    re-delivered input. State is O(distinct keys) within the watermark
+    horizon."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("dedup", sf_dir)
+    staging = f"{wd}/staging"
+    os.makedirs(staging)
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    for i in range(2):  # same data twice = duplicated delivery
+        tmp = f"{wd}/b{i}_tmp"
+        ev.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{staging}/copy_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        shutil.rmtree(tmp)
+    stream = stream_parquet(spark, staging, max_files_per_trigger=1)
+    deduped = stream.withWatermark("ts", "90 days").dropDuplicates(["event_id"])
+    return run_to_memory(spark, deduped, f"{wd}/ckpt", output_mode="append")
