@@ -250,3 +250,52 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet(spark, staging, max_files_per_trigger=1)
     deduped = stream.withWatermark("ts", "90 days").dropDuplicates(["event_id"])
     return run_to_memory(spark, deduped, f"{wd}/ckpt", output_mode="append")
+
+
+@query(
+    "stream_stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           p.ts AS purchase_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    """,
+)
+def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join: purchases joined to views of the same user
+    within the preceding hour, both sides watermarked so join state is
+    bounded by the time-range condition (Spark drops buffered rows once
+    the watermark passes their joinable horizon). The oracle is the
+    equivalent batch interval join."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("ssjoin", sf_dir)
+    ev1 = stream_table(spark, sf_dir, "events")
+    ev2 = stream_table(spark, sf_dir, "events")
+    p = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    v = (
+        ev2.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+    return run_to_memory(spark, joined, f"{wd}/ckpt", output_mode="append")
