@@ -476,3 +476,38 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING over an aggregate —
+    Catalyst rewrites the IN to a left-semi join against the grouped
+    subquery; decimal sums keep the >300 boundary exact."""
+    for t in ["customer", "orders", "lineitem"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(f"__{t}_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM __customer_v, __orders_v, __lineitem_v
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM __lineitem_v GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+          )
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_custkey, o_orderkey, o_orderdate
+        """
+    )

@@ -544,3 +544,25 @@ def q_knn_l2_bruteforce(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
     )
+
+
+@query(
+    "lang_id_accuracy",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE {T.lang_id_sql("text")} = lang) AS BIGINT)
+             AS n_correct
+    FROM documents GROUP BY lang
+    """,
+)
+def q_lang_id_accuracy(spark, sf_dir):
+    """Heuristic language-ID measured against the fixture's ground-truth
+    lang column: per-language doc count and correct predictions — the
+    corpus-curation quality report, and a value-level check that both
+    engines agree on every single prediction."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(T.lang_id("text") == F.col("lang"), 1)).alias("n_correct"),
+    )
