@@ -341,6 +341,9 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_custkey, o_totalprice,
            CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(dense_rank() OVER wv AS INTEGER) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            lag(o_totalprice) OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
@@ -351,7 +354,8 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey)
+                 ORDER BY o_totalprice DESC, o_orderkey),
+           wv AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
     """,
 )
 def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,10 +368,14 @@ def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    wv = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_orderkey", "o_custkey", "o_totalprice",
         F.row_number().over(w).cast("int").alias("rn"),
+        F.dense_rank().over(wv).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
@@ -510,4 +518,35 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         GROUP BY c_custkey, o_orderkey, o_orderdate
         """
+    )
+
+
+@query(
+    "null_handling_suite",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'WAS-URGENT') AS prio,
+           CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END
+             AS price_nvl,
+           CAST(o_orderstatus IS NULL AS BOOLEAN) AS status_missing,
+           CAST(ifnull(CAST(NULL AS BIGINT), o_custkey) AS BIGINT) AS cust_filled
+    FROM orders
+    """,
+)
+def q_null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: nullif/coalesce, NULL-replacing CASE,
+    IS NULL predicate, ifnull — identical three-valued-logic behavior on
+    both engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+            F.lit("WAS-URGENT"),
+        ).alias("prio"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_nvl"),
+        F.col("o_orderstatus").isNull().alias("status_missing"),
+        F.ifnull(F.lit(None).cast("long"), F.col("o_custkey")).alias("cust_filled"),
     )
