@@ -566,3 +566,29 @@ def q_lang_id_accuracy(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(T.lang_id("text") == F.col("lang"), 1)).alias("n_correct"),
     )
+
+
+from hudi_glue_spark.operators.sampling import split_column_sql as _split_sql
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    SELECT source,
+           {_split_sql("doc_id", _SPLITS)} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_train_val_test_split(spark, sf_dir):
+    """Reproducible 80/10/10 dataset split: membership by content hash
+    of the key (never Spark's partition-dependent RNG), identical on any
+    engine — the oracle re-derives every assignment bit-for-bit."""
+    from hudi_glue_spark.operators.sampling import split_column
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "split", split_column("doc_id", _SPLITS)
+    ).groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1,0 +1,73 @@
+"""Reproducible sampling and dataset splitting.
+
+Training pipelines need samples and train/val/test splits that are
+DETERMINISTIC (same row → same split, forever, on any engine and any
+partitioning), not ``df.sample()``'s partition-dependent RNG. The
+primitive here is a content hash of the row key mapped to [0, 10000):
+md5-based so the DuckDB oracle reproduces every assignment bit-for-bit,
+salt-able so different experiments draw independent samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000): md5 of (salt + key), first 15
+    hex digits as an integer, mod 10000. Engine-portable (md5 + string
+    ops only) and independent of partitioning/row order."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def hash_bucket_sql(key: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {_BUCKETS}"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible
+    across runs, engines, and repartitioning, and consistent across
+    tables sharing the key (joinable samples)."""
+    return df.filter(hash_bucket(key, salt) < int(fraction * _BUCKETS))
+
+
+def split_column(
+    key: Column | str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """Assign each row a split label by hash range, e.g.
+    ``{"train": 0.8, "val": 0.1, "test": 0.1}`` — stable membership:
+    growing one split never reshuffles rows between the others."""
+    b = hash_bucket(key, salt)
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = b < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(F.lit(None))
+
+
+def split_column_sql(key: str, fractions: dict[str, float], salt: str = "") -> str:
+    """DuckDB twin of :func:`split_column`."""
+    b = hash_bucket_sql(key, salt)
+    acc = 0.0
+    cases = []
+    for name, frac in fractions.items():
+        acc += frac
+        cases.append(f"WHEN ({b}) < {int(round(acc * _BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(cases) + " ELSE NULL END"

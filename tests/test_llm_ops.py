@@ -164,3 +164,25 @@ def test_quantize_int8_roundtrip_error(spark, sf_dir):
     for r in checked:
         assert r["max_err"] <= r["scale"] / 2 + 1e-9
         assert r["cos"] > 0.999
+
+
+def test_deterministic_sample_stable_and_joinable(spark, sf_dir):
+    """Same key → same sample membership regardless of partitioning or
+    salt-free rerun; different salts draw (near-)independent samples."""
+    import pyspark.sql.functions as F
+    from hudi_glue_spark.operators.sampling import deterministic_sample
+    from hudi_glue_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert 0.2 < len(a) / docs.count() < 0.4
+    c = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 0.3, salt="exp2").collect()
+    }
+    assert c != a  # a different salt draws a different sample
