@@ -331,6 +331,7 @@ class KeyedTable:
         called out at glue/HudiConnectorGlueJob.py:85-87)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}; use upsert()")
+        self._require_columns(df, "bulk_insert batch")
         if dedupe:
             df = self._precombine(df)
         self.save_meta()
@@ -350,6 +351,7 @@ class KeyedTable:
         """
         if not self.exists():
             return self.bulk_insert(batch, dedupe=True)
+        self._require_columns(batch, "upsert batch")
         spark = batch.sparkSession
         batch = self._precombine(batch)
         existing = self.read(spark)
@@ -442,6 +444,48 @@ class KeyedTable:
             rewritten=sorted(touched) if touched is not None else ["<all>"],
         )
         return self.commits()[-1]
+
+    def validate(self) -> list[str]:
+        """Manifest/file integrity audit (operational tooling): returns a
+        list of problems — referenced files missing on disk, footer row
+        counts that disagree with commit stats, orphaned data files no
+        retained manifest references (safe to clean). Empty list = sound.
+        Driver-side footer reads only; no Spark jobs."""
+        problems: list[str] = []
+        ddir = M.data_dir(self.path)
+        referenced: set[str] = set()
+        for cid in self.commits():
+            man = M.read_manifest(self.path, cid)
+            assert man is not None
+            total = 0
+            for f in man.files:
+                referenced.add(f)
+                p = os.path.join(ddir, f)
+                if not os.path.isfile(p):
+                    problems.append(f"commit {cid}: missing file {f}")
+                else:
+                    total += _parquet_num_rows(p)
+            expected = man.stats.get("rows_written")
+            if man.op in ("bulk_insert",) and expected not in (None, total):
+                problems.append(
+                    f"commit {cid}: rows_written={expected} but files hold {total}"
+                )
+        for dirpath, _dirs, files in os.walk(ddir):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(dirpath, fn), ddir)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    problems.append(f"orphan file (cleanable): {rel}")
+        return problems
+
+    def _require_columns(self, df: DataFrame, what: str) -> None:
+        needed = [*self.key, self.precombine, *(self.partition_by or [])]
+        missing = [c for c in needed if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{what} is missing required column(s) {missing}; "
+                f"table needs key={self.key}, precombine={self.precombine!r}"
+                + (f", partition_by={self.partition_by}" if self.partition_by else "")
+            )
 
     def diff_commits(
         self, spark: SparkSession, from_commit: str, to_commit: str | None = None

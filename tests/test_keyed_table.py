@@ -405,3 +405,25 @@ def test_rollback_metadata_only(spark, tmp_path):
     assert t.read(spark, at=t.commits()[1]).count() == 5
     # and rollback itself is a commit (audit trail)
     assert rb == t.commits()[-1]
+
+
+def test_missing_columns_clear_error(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    bad = spark.createDataFrame([Row(pk=1, val="x")])  # no update_ts/part
+    with pytest.raises(ValueError, match="missing required column"):
+        ingest(t, bad)
+
+
+def test_validate_integrity(spark, tmp_path):
+    import os
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark))
+    ingest(t, day1(spark))
+    assert t.validate() == []
+    # break it: remove a referenced file
+    from hudi_glue_spark.table import manifest as M
+    victim = M.read_manifest(t.path).files[0]
+    os.unlink(os.path.join(M.data_dir(t.path), victim))
+    assert any("missing file" in p for p in t.validate())
