@@ -550,3 +550,42 @@ def q_null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").isNull().alias("status_missing"),
         F.ifnull(F.lit(None).cast("long"), F.col("o_custkey")).alias("cust_filled"),
     )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT CAST(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END)
+           / sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dimension with a conditional aggregate
+    ratio (decimal arithmetic end-to-end, one double division at the
+    very top so engines can't diverge mid-sum). Covers the part table —
+    every fixture table now appears in the inventory."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
