@@ -42,6 +42,10 @@ _NS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from hudi_glue_spark.sources.readers import normalize_ns_timestamps
 
+    # Timestamp literals parse in the session timezone; the driver's
+    # session carries no engine defaults, so pin UTC at runtime here —
+    # the one choke-point every query passes through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NS_TS_COLS:
         # The driver's session may not carry our defaults — this conf is
         # runtime-settable and required to read TIMESTAMP(NANOS) parquet.
