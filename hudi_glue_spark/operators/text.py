@@ -117,6 +117,69 @@ def quality_score_sql(col: str = "text") -> str:
     )
 
 
+# -- repetition signals (Gopher-style quality filters) ----------------------
+
+
+def max_word_freq_ratio(text: Column | str) -> Column:
+    """Frequency of the single most repeated word / total words — the
+    word-level repetition signal from Gopher-style quality filtering
+    (a page of "buy buy buy …" scores near 1.0; clean prose near 1/n).
+
+    O(words · distinct words) per document via nested higher-order array
+    functions — still fully JVM-side, no shuffle, no Python."""
+    ws = words(text)
+    n = F.size(ws)
+    top = F.array_max(
+        F.transform(F.array_distinct(ws), lambda d: F.size(F.filter(ws, lambda w: w == d)))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(top.cast("double") / n)
+
+
+def max_word_freq_ratio_sql(col: str = "text") -> str:
+    w = words_sql(col)
+    top = f"list_max(list_transform(list_distinct({w}), d -> len(list_filter({w}, x -> x = d))))"
+    return (
+        f"(CASE WHEN len({w}) = 0 THEN 0.0 "
+        f"ELSE CAST({top} AS DOUBLE) / len({w}) END)"
+    )
+
+
+# -- PII redaction -----------------------------------------------------------
+
+#: Common-subset regexes (valid in both Java regex and RE2): email, then
+#: phone-ish digit runs. '-' sits last in the class so it's literal.
+EMAIL_RE = r"[A-Za-z0-9._%+]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\s-]{6,}[0-9]"
+
+
+def pii_count(text: Column | str) -> Column:
+    """Number of email + phone matches in the text (pre-redaction audit
+    metric). JVM-side ``regexp_count``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.regexp_count(c, F.lit(EMAIL_RE)) + F.regexp_count(c, F.lit(PHONE_RE))).cast("int")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails then phone-like digit runs with typed placeholder
+    tokens. Spark's ``regexp_replace`` is global by default; the oracle
+    SQL passes the 'g' flag to match."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_count_sql(col: str = "text") -> str:
+    return (
+        f"CAST(len(regexp_extract_all({col}, '{EMAIL_RE}')) "
+        f"+ len(regexp_extract_all({col}, '{PHONE_RE}')) AS INTEGER)"
+    )
+
+
+def redact_pii_sql(col: str = "text") -> str:
+    inner = f"regexp_replace({col}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    return f"regexp_replace({inner}, '{PHONE_RE}', '<PHONE>', 'g')"
+
+
 # -- language ID ------------------------------------------------------------
 
 

@@ -1,0 +1,199 @@
+"""Training-data-pipeline queries (§2b, second wave): repetition-based
+quality signals, PII redaction, benchmark decontamination, deterministic
+global shuffle, and sequence packing.
+
+Fixture notes: the documents table carries no native PII, so the PII
+queries plant synthetic emails/phones on the ``src0`` slice — built by
+the IDENTICAL expression on both engines (the llm_queries pattern).
+Decontamination treats ``src19`` as the held-out benchmark and the rest
+as the training corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_glue_spark.operators import decontam as DC
+from hudi_glue_spark.operators import packing as P
+from hudi_glue_spark.operators import text as T
+from hudi_glue_spark.queries import query, table
+
+
+@query(
+    "docs_repetition_signals",
+    f"""
+    SELECT doc_id,
+           {T.max_word_freq_ratio_sql("text")} AS top_word_ratio,
+           CAST({T.quality_score_sql("text")} >= 0.5
+                AND {T.max_word_freq_ratio_sql("text")} <= 0.2
+                AS BOOLEAN) AS keep
+    FROM documents
+    """,
+)
+def q_docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: most-repeated-word ratio plus a
+    combined keep/drop verdict with the composite quality score. One
+    narrow projection — the filter decision for 100 TB costs one scan."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.max_word_freq_ratio("text").alias("top_word_ratio"),
+        ((T.quality_score("text") >= 0.5) & (T.max_word_freq_ratio("text") <= 0.2)).alias(
+            "keep"
+        ),
+    )
+
+
+_PII_DOCS_SQL = """
+  SELECT doc_id,
+         text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-123-4567' AS text
+  FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("source") == "src0").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567"),
+        ).alias("text"),
+    )
+    rest = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    return planted.unionByName(rest)
+
+
+@query(
+    "pii_redaction",
+    f"""
+    SELECT doc_id,
+           {T.pii_count_sql("text")} AS n_pii,
+           {T.redact_pii_sql("text")} AS redacted
+    FROM ({_PII_DOCS_SQL})
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: audit count + typed-placeholder
+    redaction (emails, phone-like digit runs), planted on the src0
+    slice. Pure JVM regexp — no Python in the 100 TB path."""
+    docs = _pii_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.pii_count("text").alias("n_pii"),
+        T.redact_pii("text").alias("redacted"),
+    )
+
+
+# Real pipelines use 8-13-gram collision; the synthetic fixture draws
+# from a ~30-word vocabulary, so 8-grams never collide across docs and
+# 4-grams give a meaningful non-empty contamination report. The operator
+# itself takes any n.
+_DECONTAM_N = 4
+
+
+@query(
+    "benchmark_decontamination",
+    f"""
+    WITH bench_grams AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+            FROM documents WHERE source = 'src19')
+    ),
+    train_grams AS (
+      SELECT doc_id, unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+      FROM documents WHERE source <> 'src19'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM train_grams JOIN bench_grams USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report: training docs (sources ≠ src19) sharing
+    any word n-gram with the benchmark slice (src19), with the distinct
+    hit count. Benchmark gram set is broadcast — no shuffle of the
+    corpus side except the final per-doc count."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    return DC.ngram_overlap(train, bench, "text", "doc_id", n=_DECONTAM_N)
+
+
+@query(
+    "global_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: sort by a seeded
+    hash of the key. Materializing an explicit rank is the oracle-
+    checkable form; at 100 TB the engine instead range-partitions on the
+    hash itself at write time (same order, no global window) — the sort
+    here IS Spark's distributed range-partition sort, the single-point
+    window only ranks within already-sorted partitions."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(h, "doc_id")
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    )
+
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "sequence_pack_chunks",
+    f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(CAST(cum_before AS DOUBLE) / {_PACK_BUDGET}) AS INTEGER)
+             AS chunk_id
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM (SELECT doc_id, source,
+                   CAST(len({T.words_sql("text")}) AS BIGINT) AS n_tokens
+            FROM documents)
+    )
+    """,
+)
+def q_sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the pretraining norm): which
+    256-token context window each document starts in, packed per source
+    shard in doc_id order. Window running-sum per shard — one hash
+    shuffle on the shard key, no global funnel."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = P.chunk_pack(
+        docs, "n_tokens", "source", "doc_id", _PACK_BUDGET
+    )
+    return packed.select("doc_id", "source", "n_tokens", "chunk_id")
+
+
+@query("sequence_pack_greedy", None)
+def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit greedy whole-document packing (the SFT norm) per source
+    shard — sequential bin state, so applyInPandas per shard (rows-only
+    driver check; bin-capacity and greedy-tightness invariants are
+    asserted in tests/test_pipeline_ops.py)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = P.greedy_pack(docs, "n_tokens", "source", "doc_id", _PACK_BUDGET)
+    return packed.select("doc_id", "source", "n_tokens", "bin_id")

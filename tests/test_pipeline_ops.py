@@ -1,0 +1,127 @@
+"""Unit tests for the second-wave training-pipeline operators:
+sequence packing (greedy + chunk), decontamination, PII redaction,
+repetition signals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.operators import decontam as DC
+from hudi_glue_spark.operators import packing as P
+from hudi_glue_spark.operators import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+class TestGreedyPack:
+    def test_bins_respect_budget_and_are_greedy(self, spark):
+        df = _docs(
+            spark,
+            [(1, "a", 100), (2, "a", 100), (3, "a", 100), (4, "a", 50), (5, "a", 10)],
+        )
+        out = P.greedy_pack(df, "n_tokens", "source", "doc_id", 256).collect()
+        by_id = {r.doc_id: r.bin_id for r in out}
+        # greedy: 100+100 fits, +100 would overflow → docs 1,2 in bin 0;
+        # 100+50+10 fits → docs 3,4,5 in bin 1
+        assert by_id == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        df = _docs(spark, [(1, "a", 50), (2, "a", 9999), (3, "a", 50)])
+        out = {r.doc_id: r.bin_id for r in P.greedy_pack(df, "n_tokens", "source", "doc_id", 256).collect()}
+        assert out[1] == 0 and out[2] == 1 and out[3] == 2
+
+    def test_groups_pack_independently(self, spark):
+        df = _docs(spark, [(1, "a", 200), (2, "b", 200), (3, "a", 200), (4, "b", 200)])
+        out = P.greedy_pack(df, "n_tokens", "source", "doc_id", 256)
+        sums = (
+            out.groupBy("source", "bin_id").agg(F.sum("n_tokens").alias("s")).collect()
+        )
+        assert all(r.s <= 256 for r in sums)
+        assert {(r.source, r.bin_id) for r in sums} == {
+            ("a", 0), ("a", 1), ("b", 0), ("b", 1),
+        }
+
+    def test_invariants_on_fixture(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", T.token_count("text").cast("long").alias("n_tokens")
+        )
+        out = P.greedy_pack(docs, "n_tokens", "source", "doc_id", 256)
+        # capacity invariant: every bin ≤ budget unless it is a single
+        # oversized doc
+        bad = (
+            out.groupBy("source", "bin_id")
+            .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n"))
+            .filter((F.col("s") > 256) & (F.col("n") > 1))
+            .count()
+        )
+        assert bad == 0
+
+
+class TestChunkPack:
+    def test_chunk_boundaries(self, spark):
+        df = _docs(spark, [(1, "a", 100), (2, "a", 100), (3, "a", 100), (4, "a", 100)])
+        out = {r.doc_id: r.chunk_id for r in P.chunk_pack(df, "n_tokens", "source", "doc_id", 256).collect()}
+        # cum_before: 0, 100, 200, 300 → chunks 0,0,0,1
+        assert out == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+class TestDecontam:
+    def test_overlap_and_filter(self, spark):
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(10, "zz alpha beta gamma delta yy")], "doc_id long, text string"
+        )
+        hits = DC.ngram_overlap(train, bench, n=4).collect()
+        assert len(hits) == 1 and hits[0].doc_id == 1 and hits[0].n_hit_grams == 1
+        clean = DC.decontaminate(train, bench, n=4)
+        assert [r.doc_id for r in clean.collect()] == [2]
+
+    def test_no_false_positives_when_disjoint(self, spark):
+        train = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        bench = spark.createDataFrame([(2, "v w x y z")], "doc_id long, text string")
+        assert DC.ngram_overlap(train, bench, n=3).count() == 0
+
+
+class TestPii:
+    def test_redaction_and_count(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@test.org or call +61 2 9999-0000 now"),
+                (2, "no pii here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.n, r.red)
+            for r in df.select(
+                "doc_id",
+                T.pii_count("text").alias("n"),
+                T.redact_pii("text").alias("red"),
+            ).collect()
+        }
+        assert out[1][0] == 2
+        assert "<EMAIL>" in out[1][1] and "<PHONE>" in out[1][1]
+        assert "@" not in out[1][1]
+        assert out[2] == (0, "no pii here")
+
+
+class TestRepetition:
+    def test_max_word_freq_ratio(self, spark):
+        df = spark.createDataFrame(
+            [(1, "buy buy buy now"), (2, "all words differ here"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.v
+            for r in df.select(
+                "doc_id", T.max_word_freq_ratio("text").alias("v")
+            ).collect()
+        }
+        assert abs(out[1] - 0.75) < 1e-12
+        assert abs(out[2] - 0.25) < 1e-12
+        assert out[3] == 0.0
