@@ -30,6 +30,7 @@ import hudi_glue_spark.temporal_queries  # noqa: E402,F401
 import hudi_glue_spark.analytics_queries  # noqa: E402,F401
 import hudi_glue_spark.tpch_queries  # noqa: E402,F401
 import hudi_glue_spark.pipeline_queries  # noqa: E402,F401
+import hudi_glue_spark.io_queries  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -85,6 +85,8 @@ def main() -> int:
                 "metric": "suite_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
+                "n_queries": len(timings),
+                "sec_per_query": round(total / max(len(timings), 1), 3),
                 "queries": timings,
                 "sf": sf_val,
             }

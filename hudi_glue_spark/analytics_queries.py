@@ -552,6 +552,74 @@ def q_null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared formula text for the deterministic-moments query: both engines
+#: compute IDENTICAL exact decimal/bigint sums, cast to double, then run
+#: the IDENTICAL IEEE expression tree — so stddev/corr hash-match
+#: bit-for-bit, which naive distributed stddev()/corr() (order-dependent
+#: one-pass accumulators) cannot guarantee.
+_MOMENTS_INNER = """
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(user_id) AS DOUBLE) AS sy,
+         CAST(sum(user_id * user_id) AS DOUBLE) AS syy,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * user_id) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+"""
+
+_MOMENTS_OUTER = """
+    SELECT event_type, n,
+           sx / n AS mean_value,
+           sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_value,
+           (sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))) AS corr_value_user
+"""
+
+
+@query(
+    "events_moment_stats",
+    f"{_MOMENTS_OUTER} FROM ({_MOMENTS_INNER})",
+)
+def q_events_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stddev and Pearson correlation per event_type from
+    exact decimal moment sums (see _MOMENTS_INNER note). One map-side
+    partial agg + one tiny shuffle — same cost as any groupBy; at 100 TB
+    the moments stay mergeable across partitions (unlike a sort-based
+    exact median)."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(f"{_MOMENTS_OUTER} FROM ({_MOMENTS_INNER})")
+
+
+@query(
+    "events_value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (floor-bucket + count + bucket
+    min/max). floor of one double division is a single deterministic
+    IEEE op — safe to group on; the whole query is one narrow partial
+    agg, no matter the table size."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
 @query(
     "tpch_q14_promo_revenue",
     """

@@ -126,3 +126,36 @@ def test_optimize_sort_by_tightens_file_ranges(spark, tmp_path):
     assert len(pruned) < len(man.files), (len(pruned), len(man.files))
     got = {r["pk"] for r in t.read_range(spark, "update_ts", lo, hi).collect()}
     assert got == set(range(24))
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing = the co-located-join path for repeated fact⋈fact joins
+    at 100 TB: two tables bucketed on the join key by the same bucket
+    count join WITHOUT any Exchange in the plan (zero shuffle), while the
+    same join on plain parquet shuffles both sides."""
+    from hudi_glue_spark.queries import table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    ev.write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable("b_left")
+    ev.groupBy("user_id").count().write.bucketBy(8, "user_id").saveAsTable(
+        "b_right"
+    )
+    try:
+        # MERGE hint forces the sort-merge path (a tiny right side would
+        # otherwise broadcast) — with matching bucketing there must be
+        # NO shuffle exchange on either side.
+        j = spark.table("b_left").join(
+            spark.table("b_right").hint("merge"), "user_id"
+        )
+        txt = explain_str(j)
+        assert "Exchange hashpartitioning" not in txt, txt[:2000]
+        assert j.count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
+    assert wh is not None
