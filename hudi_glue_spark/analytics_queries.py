@@ -315,6 +315,44 @@ def q_salted_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "salted_join_user_activity",
+    """
+    SELECT e.event_id, e.user_id, d.user_events
+    FROM events e JOIN (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+      FROM events GROUP BY user_id
+    ) d ON e.user_id = d.user_id
+    """,
+)
+def q_salted_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (operators.skew.salted_join): the
+    fact side salted 16 ways, the dimension exploded per salt — a hot
+    user's rows fan over 16 tasks instead of one straggler. The oracle
+    is the PLAIN join: salting must not change the result."""
+    from hudi_glue_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    return salted_join(ev, dim, on="user_id").select(
+        "event_id", "user_id", "user_events"
+    )
+
+
+@query("orders_price_quantiles_approx", None)
+def q_orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for orders_price_quantiles: one-pass mergeable
+    approx_percentile sketch (accuracy 10000 ≈ 0.01% rank error) instead
+    of the exact sort-based percentile. Rows-only driver check; the
+    error bound vs the exact quantiles is asserted in tests."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "quantiles"
+        )
+    )
+
+
+@query(
     "json_props_extract",
     """
     SELECT event_id,

@@ -14,6 +14,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to a hot key WITHOUT relying on AQE: the
+    skewed side gets a random-in-[0,n) salt, the small side is exploded
+    ``n_salts``× (one copy per salt value), and the join key becomes
+    (key, salt) — a single hot key's rows spread over ``n_salts`` tasks.
+
+    Exact for inner/left joins keyed on ``on``: every skewed row meets
+    each matching small row exactly once (the small row copy with its
+    salt). Cost: the small side is replicated n_salts× — use only when
+    ``small`` is dimension-sized but too big (or too skew-prone) to
+    broadcast outright. The salt is derived from the SKEWED side's full
+    row hash, so the result is deterministic for deterministic input."""
+    if isinstance(on, str):
+        on = [on]
+    salt_s = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    s = skewed.withColumn("__salt", salt_s)
+    m = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = s.join(m, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def salted_count_distinct(
     df: DataFrame,
     keys: list[str],

@@ -125,3 +125,46 @@ class TestRepetition:
         assert abs(out[1] - 0.75) < 1e-12
         assert abs(out[2] - 0.25) < 1e-12
         assert out[3] == 0.0
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_inner_and_left(self, spark):
+        from hudi_glue_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, v string"
+        )
+        dim = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, w double")
+        for how in ("inner", "left"):
+            got = salted_join(fact, dim, on="k", how=how).select("k", "v", "w")
+            want = fact.join(dim, on="k", how=how).select("k", "v", "w")
+            assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty(), how
+
+    def test_hot_key_fanout(self, spark):
+        from hudi_glue_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame([(1, i) for i in range(1000)], "k long, i long")
+        dim = spark.createDataFrame([(1, "hot")], "k long, tag string")
+        out = salted_join(fact, dim, on="k", n_salts=8)
+        assert out.count() == 1000
+
+
+class TestApproxQuantiles:
+    def test_error_bound_vs_exact(self, spark, sf_dir):
+        from hudi_glue_spark.analytics_queries import (
+            q_orders_price_quantiles,
+            q_orders_price_quantiles_approx,
+        )
+
+        exact = {
+            r.o_orderpriority: [r.p25, r.p50, r.p75, r.p95]
+            for r in q_orders_price_quantiles(spark, sf_dir).collect()
+        }
+        approx = {
+            r.o_orderpriority: r.quantiles
+            for r in q_orders_price_quantiles_approx(spark, sf_dir).collect()
+        }
+        assert set(exact) == set(approx)
+        for k, ex in exact.items():
+            for e, a in zip(ex, approx[k]):
+                assert abs(e - a) / max(abs(e), 1) < 0.02, (k, e, a)
