@@ -58,6 +58,8 @@ def main() -> int:
         "word_jaccard_pairs",
         "knn_bruteforce",
         "knn_l2_bruteforce",
+        "benchmark_decontamination",
+        "docs_repetition_signals",
     ):
         if warm_name in qs_all:
             qs_all[warm_name](spark, "/root/testdata/sf0.001").count()

@@ -1,0 +1,71 @@
+"""Distributed Lloyd k-means over an embedding column (§2b).
+
+Unlike :func:`similarity.ivf_centroids` (which trains a coarse
+quantizer driver-side on a bounded sample), this is the full iterative
+algorithm with the UPDATE STEP distributed: every iteration assigns the
+whole corpus to its nearest centroid (Arrow-batched matmul), then
+computes per-cluster mean vectors with a Spark aggregation
+(posexplode → groupBy(cluster, dim) → avg). Only the k×dim centroid
+matrix ever reaches the driver — the corpus never does, which is what
+makes the loop valid at 100 TB. The shuffle per iteration is keyed on
+(cluster, dimension): k×dim groups, far finer than k, so one giant
+cluster cannot straggler the update.
+
+Deterministic: init = the k lowest-id vectors, assignment ties resolve
+to the higher centroid id, and the per-dimension mean is a decimal-cast
+sum (order-independent) divided once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.operators.similarity import ivf_assign
+
+
+def _update_centroids(
+    assigned: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> list[list[float]]:
+    """Distributed mean per (cluster, dimension); empty clusters keep
+    their previous centroid."""
+    means = (
+        assigned.select("__cid", F.posexplode(F.col(vec_col)).alias("__pos", "__v"))
+        .groupBy("__cid", "__pos")
+        .agg(
+            (
+                F.sum(F.col("__v").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+        .collect()
+    )
+    new = [list(c) for c in centroids]
+    for r in means:
+        new[r["__cid"]][r["__pos"]] = r["__m"]
+    return new
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Full-corpus Lloyd k-means: returns (assignments, centroids) where
+    assignments carries ``id_col`` and ``cluster`` (the final nearest-
+    centroid id under cosine). ``n_iter`` fixed iterations — the classic
+    bounded-cost form for pipeline use."""
+    init = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    )
+    centroids: list[list[float]] = [list(r[1]) for r in init]
+    base = df.select(F.col(id_col), F.col(vec_col))
+    for _ in range(n_iter):
+        assigned = ivf_assign(base, vec_col, centroids)
+        centroids = _update_centroids(assigned, vec_col, centroids)
+    out = ivf_assign(base, vec_col, centroids).select(
+        F.col(id_col), F.col("__cid").alias("cluster")
+    )
+    return out, centroids

@@ -186,6 +186,22 @@ def q_sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "source", "n_tokens", "chunk_id")
 
 
+@query("kmeans_embedding_clusters", None)
+def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table: per-cluster
+    sizes after 3 full-corpus iterations (iterative algorithm — no SQL
+    oracle; convergence and self-consistency are unit-tested). The
+    update step shuffles on (cluster, dimension), never collects the
+    corpus."""
+    from hudi_glue_spark.operators.clustering import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_lloyd(emb, "vec_id", "embedding", k=8, n_iter=3)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
 @query("sequence_pack_greedy", None)
 def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit greedy whole-document packing (the SFT norm) per source

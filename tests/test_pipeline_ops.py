@@ -168,3 +168,70 @@ class TestApproxQuantiles:
         for k, ex in exact.items():
             for e, a in zip(ex, approx[k]):
                 assert abs(e - a) / max(abs(e), 1) < 0.02, (k, e, a)
+
+
+class TestGreedyPackProperties:
+    def test_matches_python_model(self, spark):
+        """Property: greedy_pack equals a pure-Python first-fit-in-order
+        model for arbitrary token sequences (hypothesis-driven)."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            tokens=st.lists(st.integers(1, 400), min_size=1, max_size=30),
+            budget=st.integers(50, 300),
+        )
+        def check(tokens, budget):
+            rows = [(i, "g", t) for i, t in enumerate(tokens)]
+            df = _docs(spark, rows)
+            got = {
+                r.doc_id: r.bin_id
+                for r in P.greedy_pack(df, "n_tokens", "source", "doc_id", budget).collect()
+            }
+            want, cur_bin, cur = {}, 0, 0
+            for i, t in enumerate(tokens):
+                if cur > 0 and cur + t > budget:
+                    cur_bin, cur = cur_bin + 1, 0
+                want[i] = cur_bin
+                cur += t
+            assert got == want
+
+        check()
+
+
+class TestKmeans:
+    def test_self_consistency_and_improvement(self, spark, sf_dir):
+        """Final assignment must be argmax-cosine against the returned
+        centroids, and iterating must not worsen the cosine objective."""
+        import numpy as np
+
+        from hudi_glue_spark.operators.clustering import kmeans_lloyd
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+
+        def objective(cents):
+            from hudi_glue_spark.operators.similarity import ivf_assign
+            rows = ivf_assign(emb, "embedding", cents).collect()
+            c = np.array(cents)
+            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            tot = 0.0
+            for r in rows:
+                v = np.array(list(r["embedding"]))
+                vn = v / max(np.linalg.norm(v), 1e-12)
+                tot += float(vn @ cn[r["__cid"]])
+            return tot
+
+        _a1, c1 = kmeans_lloyd(emb, "vec_id", "embedding", k=4, n_iter=1)
+        a3, c3 = kmeans_lloyd(emb, "vec_id", "embedding", k=4, n_iter=3)
+        assert objective(c3) >= objective(c1) - 1e-9
+        # self-consistency: every point sits in its argmax-cosine cluster
+        from hudi_glue_spark.operators.similarity import ivf_assign
+        re_assigned = ivf_assign(emb, "embedding", c3).select(
+            F.col("vec_id"), F.col("__cid").alias("cluster")
+        )
+        assert a3.exceptAll(re_assigned).isEmpty()
