@@ -186,6 +186,42 @@ def q_sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "source", "n_tokens", "chunk_id")
 
 
+@query(
+    "stream_text_pipeline",
+    f"""
+    SELECT doc_id,
+           {T.pii_count_sql("text")} AS n_pii,
+           {T.quality_score_sql("text")} AS quality,
+           {T.lang_id_sql("text")} AS lang_pred
+    FROM documents
+    """,
+)
+def q_stream_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ingest text pipeline run as a STREAM: documents arrive
+    through a file stream (availableNow), the stateless JVM projection
+    (PII audit, quality score, language ID) rides each micro-batch in
+    append mode — the continuous-ingest form of the batch text queries,
+    checked against the identical batch oracle."""
+    import os as _os
+    import shutil as _shutil
+
+    from hudi_glue_spark.streaming.ingest import run_to_memory
+    from hudi_glue_spark.streaming.sources import stream_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = f"/tmp/hudi_glue_spark_stream_textpipe_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(wd, ignore_errors=True)
+    _os.makedirs(wd)
+    docs = stream_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        T.pii_count("text").alias("n_pii"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+    return run_to_memory(spark, out, f"{wd}/ckpt", output_mode="append")
+
+
 @query("kmeans_embedding_clusters", None)
 def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table: per-cluster
