@@ -680,6 +680,7 @@ class KeyedTable:
         target_file_mb: float = 128,
         small_file_mb: float | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> str | None:
         """Small-file compaction (↦ ``hoodie.parquet.small.file.limit``,
         which the reference carries but disables —
@@ -718,8 +719,26 @@ class KeyedTable:
             if self.partition_by
             else full
         )
-        if sort_by:
-            # Clustering (Z-order-lite): RANGE-partition on the sort
+        if zorder_by:
+            # Multi-dimensional clustering (Delta OPTIMIZE ZORDER
+            # parity): range-partition + sort on a Morton-interleaved
+            # key so every output file is locally contiguous in EVERY
+            # zorder column — min/max stay tight per dimension and
+            # read_range() prunes whichever one a query filters on.
+            # List zorder columns in stats_cols to get the skipping.
+            from hudi_glue_spark.functions.zorder import zorder_key
+
+            sub, zcol = zorder_key(sub, zorder_by)
+            cols = [*(self.partition_by or []), zcol]
+            binned = (
+                sub.repartitionByRange(
+                    max(n_bins * max(1, len(todo)), 1), *[F.col(c) for c in cols]
+                )
+                .sortWithinPartitions(*cols)
+                .drop(zcol)
+            )
+        elif sort_by:
+            # Clustering (1-D): RANGE-partition on the sort
             # keys so each output file covers a contiguous value range —
             # min/max stats become tight and read_range() skips hard.
             cols = [*(self.partition_by or []), *sort_by]

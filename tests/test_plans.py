@@ -159,3 +159,40 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
     assert wh is not None
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after optimize(zorder_by=[x, y]) a narrow
+    range read on EITHER column scans a strict subset of the files —
+    1-D sorting can only deliver that for its own sort column."""
+    from pyspark.sql import Row
+    from hudi_glue_spark.table import KeyedTable
+    import hudi_glue_spark.table.manifest as M
+
+    # 32x32 grid, hash-scattered over 16 files: every file spans the
+    # full range of both x and y before clustering
+    rows = [Row(pk=i, x=float(i % 32), y=float(i // 32)) for i in range(1024)]
+    t = KeyedTable(
+        str(tmp_path / "t"), key="pk", precombine="x", stats_cols=["x", "y"]
+    )
+    t.save_meta()
+    df = spark.createDataFrame(rows).repartition(16)
+    files, n = t._write_files(df, "x0", repartition=False)
+    t._commit("bulk_insert", files, df.schema, rows=n)
+    assert len(t.files_in_range("x", 0.0, 3.0)) == 16  # no pruning yet
+    assert len(t.files_in_range("y", 0.0, 3.0)) == 16
+
+    assert t.optimize(
+        spark, target_file_mb=0.002, small_file_mb=10, zorder_by=["x", "y"]
+    ) is not None
+    man = M.read_manifest(t.path)
+    nx = len(t.files_in_range("x", 0.0, 3.0))
+    ny = len(t.files_in_range("y", 0.0, 3.0))
+    assert nx < len(man.files), (nx, len(man.files))
+    assert ny < len(man.files), (ny, len(man.files))
+    # content unchanged
+    got = {(r.pk, r.x, r.y) for r in t.read(spark).collect()}
+    assert got == {(r.pk, r.x, r.y) for r in rows}
+    # exact results on a 2-D slice
+    sl = t.read_range(spark, "x", 0.0, 3.0).filter(F.col("y") <= 3.0)
+    assert sl.count() == 16
