@@ -222,6 +222,65 @@ def q_stream_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, out, f"{wd}/ckpt", output_mode="append")
 
 
+@query(
+    "source_median_tokens_udaf",
+    f"""
+    SELECT source,
+           quantile_cont(n_tokens, 0.5) AS median_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT source, CAST(len({T.words_sql("text")}) AS BIGINT) AS n_tokens
+          FROM documents)
+    GROUP BY source
+    """,
+)
+def q_source_median_tokens_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface, §2a #32): exact
+    median token count per source via an Arrow-batched Series→scalar
+    aggregate. Median is an order statistic — no float summation order
+    to diverge — so the UDAF is EXACT against the SQL oracle. One hash
+    shuffle on the group key, Arrow both ways."""
+    from hudi_glue_spark.functions.udaf import count_udaf, median_udaf
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    return docs.groupBy("source").agg(
+        median_udaf("n_tokens").alias("median_tokens"),
+        count_udaf("n_tokens").alias("n_docs"),
+    )
+
+
+_WIN_SIZE, _WIN_STRIDE = 32, 16
+
+
+@query(
+    "sliding_token_windows",
+    f"""
+    SELECT doc_id, CAST(s - 1 AS INTEGER) AS win_start,
+           array_to_string(w[s : s + {_WIN_SIZE - 1}], ' ') AS win_text
+    FROM (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w) - {_WIN_SIZE - 1}, 1) + 1,
+                          {_WIN_STRIDE})) AS s
+      FROM (SELECT doc_id, {T.words_sql("text")} AS w FROM documents)
+    )
+    """,
+)
+def q_sliding_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows over each document (size 32, stride 16)
+    — the long-document chunker for embedding/training pipelines. Pure
+    JVM: sequence → slice → explode, no shuffle, no Python; an
+    equivalent Python arrow-UDTF lives in operators/windows.py for the
+    row-generating-UDF surface and is equality-tested against this
+    plan."""
+    from hudi_glue_spark.operators.windows import sliding_token_windows
+
+    docs = table(spark, sf_dir, "documents")
+    return sliding_token_windows(
+        docs, "doc_id", "text", size=_WIN_SIZE, stride=_WIN_STRIDE
+    )
+
+
 @query("kmeans_embedding_clusters", None)
 def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table: per-cluster

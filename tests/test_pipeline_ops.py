@@ -235,3 +235,34 @@ class TestKmeans:
             F.col("vec_id"), F.col("__cid").alias("cluster")
         )
         assert a3.exceptAll(re_assigned).isEmpty()
+
+
+class TestSlidingWindows:
+    def test_udtf_matches_jvm_path(self, spark, sf_dir):
+        from hudi_glue_spark.operators.windows import (
+            sliding_token_windows,
+            sliding_token_windows_udtf,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        jvm = sliding_token_windows(docs, "doc_id", "text", 32, 16)
+        py = sliding_token_windows_udtf(docs, "doc_id", "text", 32, 16)
+        assert jvm.exceptAll(py).isEmpty() and py.exceptAll(jvm).isEmpty()
+
+    def test_window_geometry(self, spark):
+        from hudi_glue_spark.operators.windows import sliding_token_windows
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(50))), (2, "a b"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = sliding_token_windows(df, "doc_id", "text", 32, 16).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.win_start, r.win_text))
+        assert [s for s, _ in sorted(by_doc[1])] == [0, 16]
+        assert len(sorted(by_doc[1])[0][1].split()) == 32
+        # the final window holds tokens 16..47 — full size, not past end
+        assert len(sorted(by_doc[1])[1][1].split()) == 32
+        assert by_doc[2] == [(0, "a b")]
+        assert by_doc[3] == [(0, "")]
