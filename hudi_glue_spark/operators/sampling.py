@@ -44,6 +44,40 @@ def deterministic_sample(
     return df.filter(hash_bucket(key, salt) < int(fraction * _BUCKETS))
 
 
+def resample_by_weights(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Domain mixing: keep each row with its domain's probability
+    (``weights[domain]``, else ``default``) — the down-sample side of
+    pretraining mixture tuning ("web 30%, code 100%, …"). Membership is
+    the key hash, so re-running (or re-weighting upward) only ever ADDS
+    rows for a domain, never reshuffles which rows survive. Pure
+    projection + filter: no shuffle at any corpus size."""
+    b = hash_bucket(key, salt)
+    thr = F.lit(int(default * _BUCKETS))
+    for dom, w in weights.items():
+        thr = F.when(F.col(domain_col) == dom, int(w * _BUCKETS)).otherwise(thr)
+    return df.filter(b < thr)
+
+
+def resample_by_weights_sql(
+    key: str, domain_col: str, weights: dict[str, float], default: float = 1.0,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`resample_by_weights` (a WHERE clause)."""
+    b = hash_bucket_sql(key, salt)
+    cases = " ".join(
+        f"WHEN {domain_col} = '{d}' THEN {int(w * _BUCKETS)}"
+        for d, w in weights.items()
+    )
+    return f"({b}) < (CASE {cases} ELSE {int(default * _BUCKETS)} END)"
+
+
 def split_column(
     key: Column | str,
     fractions: dict[str, float],

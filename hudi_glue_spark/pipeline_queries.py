@@ -281,6 +281,39 @@ def q_sliding_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _mix_where() -> str:
+    from hudi_glue_spark.operators.sampling import resample_by_weights_sql
+
+    return resample_by_weights_sql(
+        "doc_id", "source", _MIX_WEIGHTS, default=0.75, salt="mix1"
+    )
+
+
+@query(
+    "domain_mix_resample",
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents WHERE {_mix_where()}
+    GROUP BY source
+    """,
+)
+def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining domain mixing: per-source keep probabilities applied
+    via the deterministic key hash (re-weighting a domain upward only
+    adds rows — membership is stable). The check counts survivors per
+    source; the filter itself is shuffle-free at any corpus size."""
+    from hudi_glue_spark.operators.sampling import resample_by_weights
+
+    docs = table(spark, sf_dir, "documents")
+    kept = resample_by_weights(
+        docs, "doc_id", "source", _MIX_WEIGHTS, default=0.75, salt="mix1"
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 @query("kmeans_embedding_clusters", None)
 def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table: per-cluster
