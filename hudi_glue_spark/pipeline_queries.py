@@ -281,6 +281,64 @@ def q_sliding_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_top_terms",
+    f"""
+    SELECT term, n_occurrences, n_docs FROM (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
+      FROM (SELECT doc_id, unnest({T.words_sql("text")}) AS term FROM documents)
+      GROUP BY term
+    ) WHERE rnk <= 50
+    """,
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-50 terms by collection frequency
+    with document frequency — the tokenizer/BPE-prep pass. Pure integer
+    counts (no tf-idf logs, which are not bit-portable across engines);
+    explode is map-side, the term agg is the only shuffle, and the
+    top-50 is a tiny sorted tail."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(T.words("text")).alias("term")
+    )
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("term", "n_occurrences", "n_docs")
+    )
+
+
+@query(
+    "fixed_size_eval_sample",
+    """
+    SELECT doc_id, source FROM documents
+    ORDER BY md5('eval1:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def q_fixed_size_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-N deterministic sample (eval-set drawing): global order by
+    seeded key hash, take N — same 100 docs on every engine, every run,
+    any partitioning. The sort is Spark's distributed range sort with an
+    early LIMIT pushdown (TakeOrderedAndProject), so only N rows ever
+    reach the driver side of the plan."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("eval1:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source")
+        .orderBy(h, "doc_id")
+        .limit(100)
+    )
+
+
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
