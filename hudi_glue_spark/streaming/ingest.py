@@ -47,6 +47,7 @@ def run_to_memory(
     checkpoint: str,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a finite streaming aggregation to completion into a memory
     sink and return the result as a batch DataFrame.
@@ -55,16 +56,32 @@ def run_to_memory(
     ``availableNow`` (plus Spark's no-data final batch, which advances
     the watermark so append-mode windows flush), then the memory table
     holds the complete answer.
+
+    ``state_partitions`` sizes the stateful shuffle for the STREAM, not
+    the session: every micro-batch opens (partitions × state-stores-
+    per-operator) HDFS-backed stores, a fixed cost that dwarfs the data
+    at test scale (a stream-stream join at 32 partitions pays ~8 s of
+    pure store init/commit). The partition count is pinned into the
+    checkpoint at first start, so this is per-query, and the session
+    conf is restored right after start — batch queries keep AQE-sized
+    shuffles. At 100 TB you raise it (state must fit per task); the
+    number is a knob, not a constant baked into the plan.
     """
     name = f"hgs_stream_{next(_MEM_COUNTER)}"
-    q = (
-        result.writeStream.queryName(name)
-        .format("memory")
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.queryName(name)
+            .format("memory")
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(timeout_s)
     q.stop()
     return spark.table(name)
