@@ -128,6 +128,34 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminated_corpus",
+    f"""
+    WITH bench_grams AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+            FROM documents WHERE source = 'src19')
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+            FROM documents WHERE source <> 'src19') tg
+      JOIN bench_grams USING (gram)
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source <> 'src19' AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER decontamination (decontaminate() = left-anti
+    join against the overlap report) — the companion to
+    benchmark_decontamination, which returns the report itself."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    return DC.decontaminate(train, bench, n=_DECONTAM_N).select("doc_id", "source")
+
+
+@query(
     "global_shuffle_order",
     """
     SELECT doc_id,
