@@ -592,3 +592,45 @@ def q_train_val_test_split(spark, sf_dir):
     return docs.withColumn(
         "split", split_column("doc_id", _SPLITS)
     ).groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, source, list_distinct({_SQL_WORDS}) AS ws FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+"""
+
+
+@query(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.s, r.comp FROM edges e JOIN reach r ON r.node = e.d
+    )
+    SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+    """,
+)
+def q_near_dup_components(spark, sf_dir):
+    """Transitive near-dup clusters: Jaccard pair list → iterative
+    min-label propagation (dedup.connected_components). The full-chain
+    completion of dedup_keep_list's one-hop collapse; the oracle
+    computes the same components with a recursive CTE."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(T.words("text")).alias("ws")
+    )
+    pairs = D.jaccard_pairs(docs, "doc_id", "ws", "source", threshold=0.8)
+    return D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )

@@ -422,3 +422,70 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("a_id", "b_id", "cosine")
     )
+
+
+# -- connected components ----------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive duplicate clusters from a near-dup pair list:
+    ``(node, component)`` where component = min node id reachable
+    through any chain of pairs (A~B, B~C → one cluster {A,B,C}).
+
+    The full version of :func:`dedup_keep_list`'s one-hop collapse —
+    needed when duplicate chains are longer than one hop (crawl dumps
+    where A~B~C~D all share boilerplate).
+
+    Scale design: iterative min-label propagation. Each round is one
+    shuffle (edges ⋈ labels on node id, then min-agg); rounds needed =
+    graph diameter, which for near-dup clusters is small (pairs within
+    a cluster are dense). State between rounds is ``localCheckpoint``ed
+    so the lineage (and scheduler DAG) stays O(1) per round instead of
+    growing geometrically — the standard Spark-iterative pattern. Edges
+    live only on near-dup nodes (a tiny fraction of the corpus), so the
+    working set is orders of magnitude below the input table.
+    """
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = (
+        edges.unionByName(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Initial label: min of self and direct neighbors.
+    labels = edges.groupBy("s").agg(
+        F.least(F.min("d"), F.col("s")).alias("comp")
+    ).select(F.col("s").alias("node"), "comp").localCheckpoint()
+
+    for _ in range(max_iter):
+        # comp'(v) = min(comp(v), min over neighbors u of comp(u))
+        nbr = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -186,3 +186,15 @@ def test_deterministic_sample_stable_and_joinable(spark, sf_dir):
         for r in deterministic_sample(docs, "doc_id", 0.3, salt="exp2").collect()
     }
     assert c != a  # a different salt draws a different sample
+
+
+def test_connected_components_long_chain(spark):
+    # chain 1-2-3-4-5 plus isolated pair 10-11: two components,
+    # labels must propagate the full 4-hop chain (beyond one hop).
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5), (3, 4), (10, 11)], ["a_id", "b_id"]
+    )
+    got = {
+        (r["node"], r["comp"]) for r in D.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
