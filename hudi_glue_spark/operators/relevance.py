@@ -1,0 +1,138 @@
+"""Relevance scoring over the document corpus: TF-IDF and BM25.
+
+Extension operators (SURVEY §2b, text-analysis family) — corpus
+statistics a training-data pipeline needs for quality weighting,
+query-based subset selection, and retrieval-style eval sets.
+
+Design for 100 TB:
+- The term-doc table is one explode + groupBy (map-side combinable,
+  shuffle keyed on high-entropy (doc, term)).
+- Document frequencies aggregate to ~vocabulary size — tiny next to
+  the corpus — and broadcast back, so scoring is shuffle-free after
+  the tf aggregation.
+- BM25 scores only the query's terms: the term-doc table is first
+  semi-filtered on the (broadcast) query term list, so a 3-term query
+  touches 3 posting lists, never the whole matrix.
+- Score sums are decimal-cast before aggregation: IEEE double addition
+  is order-dependent, and at cluster scale partial-sum order is
+  nondeterministic; fixed-scale decimals make the result bit-stable
+  (the engine-wide determinism rule, see queries.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_glue_spark.operators.text import words
+
+
+def term_doc_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — one row per distinct term per document."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn-style idf = ln((1+N)/(1+df)) + 1).
+
+    Output: (doc_id, term, tf, score, rank), rank 1..k per doc, ties
+    broken by term so the result is a total order.
+    """
+    n_docs = docs.count()
+    terms = term_doc_counts(docs, id_col, text_col)
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = terms.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.col("tf")
+        * (F.log((F.lit(1 + n_docs)) / (F.col("df") + F.lit(1))) + F.lit(1.0)),
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias("doc_id"), "term", "tf", "score", "rank")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score of every matching document against a bag of query
+    terms (Robertson idf, the Okapi/Lucene formula).
+
+    Output: (doc_id, score), one row per document containing ≥1 query
+    term. Per-term contributions are decimal-cast before the per-doc
+    sum so the score is independent of partial-aggregation order.
+    """
+    n_docs = docs.count()
+    terms = term_doc_counts(docs, id_col, text_col)
+    qlist = [str(t) for t in query_terms]
+    qterms = terms.filter(F.col("term").isin(qlist))
+    dfreq = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = (
+        docs.select(
+            F.col(id_col).alias("doc"), F.size(words(text_col)).alias("dl")
+        )
+    )
+    avgdl = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("a")).first()["a"]
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    contrib = (
+        qterms.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .withColumn("s", idf * tf_part)
+    )
+    return (
+        contrib.groupBy("doc")
+        .agg(
+            F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("score")
+        )
+        .select(F.col("doc").alias("doc_id"), "score")
+    )
+
+
+def tf_idf_sql(col: str, id_col: str, table: str, words_sql: str, k: int = 3) -> str:
+    """DuckDB oracle for :func:`tf_idf_top_terms` (same formula)."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col} AS doc, unnest({words_sql}) AS term FROM {table}
+    ),
+    tf AS (SELECT doc, term, count(*) AS tf FROM t GROUP BY doc, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM {table}),
+    scored AS (
+      SELECT doc, term, tf,
+             tf * (ln((1 + n_docs) / (df + 1)) + 1.0) AS score
+      FROM tf JOIN dfq USING (term), n
+    ),
+    ranked AS (
+      SELECT doc AS doc_id, term, tf, score,
+             CAST(row_number() OVER (
+               PARTITION BY doc ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= {k}
+    """
