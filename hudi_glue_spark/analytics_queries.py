@@ -607,13 +607,16 @@ _MOMENTS_INNER = """
   FROM events GROUP BY event_type
 """
 
+#: nullif on the corr denominator: a zero-variance group (single-row or
+#: all-equal values) is 0/0, where Spark (ANSI off) returns NULL but
+#: DuckDB returns NaN — nullif(...,0) makes BOTH engines return NULL.
 _MOMENTS_OUTER = """
     SELECT event_type, n,
            sx / n AS mean_value,
            sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_value,
            (sxy / n - (sx / n) * (sy / n))
-             / (sqrt(sxx / n - (sx / n) * (sx / n))
-                * sqrt(syy / n - (sy / n) * (sy / n))) AS corr_value_user
+             / nullif(sqrt(sxx / n - (sx / n) * (sx / n))
+                      * sqrt(syy / n - (sy / n) * (sy / n)), 0) AS corr_value_user
 """
 
 

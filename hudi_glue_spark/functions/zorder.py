@@ -49,7 +49,14 @@ def zorder_key(
 
     Column ranges come from ONE metadata-scale aggregate (2×len(cols)
     scalars to the driver); timestamps/dates are quantized via their
-    epoch value. Returns (df_with_key, key_col_name)."""
+    epoch value. Returns (df_with_key, key_col_name).
+
+    ``bits`` is clamped so the interleaved key never reaches bit 63 —
+    the sign bit of a long. Without the clamp, ≥4 columns at bits=16
+    would place high values of the last column at position 63, making
+    their Morton keys negative and sorting them FIRST (silently ruining
+    min/max tightness for pruning)."""
+    bits = min(bits, 63 // len(cols))
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")

@@ -43,12 +43,21 @@ def exact_dedup(
 # -- shingles & Jaccard -----------------------------------------------------
 
 
+def _gram_starts(count: Column) -> Column:
+    """1..count start indices, or [] when count < 1. The guard matters:
+    sequence(1, 0) infers step -1 and yields [1, 0], and slice(ws, 0, n)
+    then raises — so an unguarded sequence aborts the whole job on any
+    doc shorter than n words, where the SQL oracle yields []."""
+    return F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM-side)."""
     ws = words(text)
-    c = F.size(ws) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(c, F.lit(0))),
+        _gram_starts(F.size(ws) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
     )
     return F.array_distinct(grams)
@@ -246,9 +255,8 @@ def winnowing_fingerprints(
     for overlap detection. md5-based hash so DuckDB reproduces values.
     """
     ws = words(text)
-    c = F.size(ws) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(c, F.lit(0))),
+        _gram_starts(F.size(ws) - (n - 1)),
         lambda i: F.conv(
             F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, n))), 1, 15), 16, 10
         ).cast("long"),

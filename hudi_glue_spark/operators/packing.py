@@ -33,8 +33,17 @@ def chunk_pack(
 ) -> DataFrame:
     """Concat-then-chunk assignment: adds ``chunk_id`` = which
     ``budget``-token window this document STARTS in, per ``group_col``,
-    ordered by ``order_col`` (must be a total order within the group)."""
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    ordered by ``order_col`` (must be a total order within the group).
+
+    The explicit ROWS frame matters: Spark's default frame for an
+    ordered window is RANGE, which sums across all peer rows on tied
+    ``order_col`` values — silently diverging from the concat-then-chunk
+    semantics (and the ROWS UNBOUNDED PRECEDING oracle) on ties."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_before = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn(
         "chunk_id", F.floor(cum_before / F.lit(budget)).cast("int")

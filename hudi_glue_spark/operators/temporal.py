@@ -106,18 +106,20 @@ def point_in_interval_join(
     pb = points.withColumn(
         "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width))
     )
+    lo_b = F.floor(F.col(lo_col) / F.lit(bucket_width))
+    hi_b_raw = F.floor(F.col(hi_col) / F.lit(bucket_width))
+    # hi is exclusive: a hi landing exactly on a bucket edge contributes
+    # nothing to that bucket. Decided by arithmetic on the bucket index
+    # (is hi exactly the edge?) rather than a float epsilon, so integer
+    # and decimal domains bucket correctly too. greatest() keeps
+    # degenerate (hi <= lo) intervals to one bucket — the range
+    # predicate in the join removes them.
+    hi_b = F.when(
+        F.col(hi_col) == hi_b_raw * F.lit(bucket_width), hi_b_raw - 1
+    ).otherwise(hi_b_raw)
     ib = intervals.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bucket_width)),
-                # hi is exclusive: a hi landing exactly on a bucket edge
-                # contributes nothing to that bucket.
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)
-                ),
-            )
-        ),
+        F.explode(F.sequence(lo_b, F.greatest(lo_b, hi_b))),
     )
     return pb.join(ib, (pb["_bucket"] == ib["_bucket"]) & on).drop("_bucket")
 

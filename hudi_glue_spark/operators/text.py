@@ -147,8 +147,9 @@ def max_word_freq_ratio_sql(col: str = "text") -> str:
 # -- PII redaction -----------------------------------------------------------
 
 #: Common-subset regexes (valid in both Java regex and RE2): email, then
-#: phone-ish digit runs. '-' sits last in the class so it's literal.
-EMAIL_RE = r"[A-Za-z0-9._%+]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+#: phone-ish digit runs. '-' sits last in every class so it's literal —
+#: it must be INSIDE the email classes (user@my-domain.com is common).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\s-]{6,}[0-9]"
 
 

@@ -13,8 +13,21 @@ from pyspark.sql import DataFrame
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow file scan before compute-heavy expressions.
+
+    The width probe is ``df.inputFiles()`` — pure plan metadata. The
+    previous ``df.rdd.getNumPartitions()`` probe forced a separate
+    physical-planning pass (DataFrame→RDD conversion) and bypassed AQE
+    plan reuse on every dedup/similarity hot path. A non-file plan
+    (inputFiles() == []) is left untouched: anything downstream of a
+    shuffle already has ``spark.sql.shuffle.partitions`` partitions.
+    """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

@@ -198,3 +198,22 @@ def test_connected_components_long_chain(spark):
         (r["node"], r["comp"]) for r in D.connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_shingles_short_docs_yield_empty(spark):
+    """Docs shorter than n words must yield [] (like the SQL oracle),
+    not abort the job via sequence(1, 0) → [1, 0] → slice(ws, 0, n)."""
+    df = spark.createDataFrame(
+        [Row(id=1, t=""), Row(id=2, t="one two"), Row(id=3, t="a b c d")]
+    )
+    out = {
+        r.id: (r.s, r.w)
+        for r in df.select(
+            "id",
+            D.shingles("t", 4).alias("s"),
+            D.winnowing_fingerprints("t", n=4, window=4).alias("w"),
+        ).collect()
+    }
+    assert out[1] == ([], [])
+    assert out[2] == ([], [])
+    assert len(out[3][0]) == 1 and len(out[3][1]) == 1

@@ -266,3 +266,33 @@ class TestSlidingWindows:
         assert len(sorted(by_doc[1])[1][1].split()) == 32
         assert by_doc[2] == [(0, "a b")]
         assert by_doc[3] == [(0, "")]
+
+
+class TestAdviceRegressions:
+    def test_chunk_pack_tied_order_uses_rows_frame(self, spark):
+        # Tied order_col: the RANGE default frame would sum ALL peers
+        # (cum_before 0,0,300,300 → chunks 0,0,1,1 is the ROWS answer;
+        # RANGE puts rows 1-2 both at cum 200 → chunk 0, rows 3-4 at
+        # cum 600-400=... wrong). With ROWS the totals per chunk hold.
+        df = _docs(spark, [(1, "a", 200), (2, "a", 200), (3, "a", 200), (4, "a", 200)])
+        df = df.withColumn("ord", F.lit(0))  # everything tied
+        out = P.chunk_pack(df, "n_tokens", "source", "ord", 256)
+        per_chunk = {
+            r.chunk_id: r.s
+            for r in out.groupBy("chunk_id").agg(F.sum("n_tokens").alias("s")).collect()
+        }
+        # ROWS frame: cum_before 0,200,400,600 → chunks 0,0,1,2 — every
+        # doc STARTS in the right window; RANGE would put all four in
+        # chunk 2 (cum_before = 800-200 = 600 for every peer).
+        assert sorted(per_chunk) == [0, 1, 2]
+        assert per_chunk[0] == 400
+
+    def test_email_regex_hyphenated_domains(self, spark):
+        df = spark.createDataFrame(
+            [(1, "write first-last@my-domain.com today")], "doc_id long, text string"
+        )
+        r = df.select(
+            T.pii_count("text").alias("n"), T.redact_pii("text").alias("red")
+        ).first()
+        assert r.n == 1
+        assert r.red == "write <EMAIL> today"

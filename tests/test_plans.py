@@ -196,3 +196,40 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
     # exact results on a 2-D slice
     sl = t.read_range(spark, "x", 0.0, 3.0).filter(F.col("y") <= 3.0)
     assert sl.count() == 16
+
+
+def test_zorder_key_never_negative_with_many_columns(spark):
+    """bits must clamp so the interleaved key stays below bit 63 (the
+    sign bit): 4 columns at the default bits=16 would otherwise push
+    the last column's high bit to position 63 and sort those rows
+    FIRST."""
+    from pyspark.sql import Row
+    from hudi_glue_spark.functions.zorder import zorder_key
+
+    rows = [
+        Row(a=float(i), b=float(i * 7 % 100), c=float(i * 13 % 100), d=float(i * 29 % 100))
+        for i in range(100)
+    ]
+    df, key = zorder_key(spark.createDataFrame(rows), ["a", "b", "c", "d"])
+    assert df.filter(F.col(key) < 0).count() == 0
+    # high-d rows must sort AFTER low-d rows on average, not first
+    hi_d = df.orderBy(key).tail(10)
+    assert sum(r.d for r in hi_d) / 10 > 50
+
+
+def test_ensure_parallelism_no_rdd_probe(spark, tmp_path):
+    """ensure_parallelism must widen a narrow file scan and leave
+    non-file (post-shuffle) plans untouched — using only inputFiles()
+    metadata, never a DataFrame→RDD conversion."""
+    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+
+    p = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    widened = ensure_parallelism(narrow, min_partitions=8)
+    assert "Exchange RoundRobinPartitioning(8)" in widened._jdf.queryExecution().toString() or \
+        widened.rdd.getNumPartitions() == 8
+
+    derived = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    same = ensure_parallelism(derived, min_partitions=8)
+    assert same is derived  # no-op object identity: no repartition added

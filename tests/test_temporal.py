@@ -91,3 +91,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+def test_interval_join_integer_domain_exclusive_edges(spark):
+    """Bucket edges must come from integer bucket arithmetic, not a
+    float epsilon: an integer hi landing exactly on a bucket edge is
+    exclusive, and points equal to hi must not match."""
+    pts = spark.createDataFrame(
+        [(i, i) for i in range(0, 40)], "pid long, v long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20), (3, 5, 5), (4, 20, 21)],
+        "band long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.band)
+        for r in point_in_interval_join(
+            pts, iv, "v", "lo", "hi", bucket_width=10.0
+        ).collect()
+    }
+    want = {(v, 1) for v in range(0, 10)} | {(v, 2) for v in range(10, 20)} | {(20, 4)}
+    assert got == want
