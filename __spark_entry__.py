@@ -39,10 +39,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.SPARK_QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, yielded in
+    driver-window priority order (one representative per §2a operator
+    first — see ``queries.DRIVER_WINDOW_PRIORITY``)."""
+    return {n: Q.SPARK_QUERIES[n] for n in Q.ordered_query_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each SQL-expressible query."""
-    return dict(Q.ORACLE_QUERIES)
+    return {
+        n: Q.ORACLE_QUERIES[n]
+        for n in Q.ordered_query_names()
+        if n in Q.ORACLE_QUERIES
+    }

@@ -634,3 +634,36 @@ def q_near_dup_components(spark, sf_dir):
     return D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+# -- relevance scoring (TF-IDF / BM25) --------------------------------------
+
+from hudi_glue_spark.operators import relevance as R  # noqa: E402
+
+_BM25_TERMS = ["vector", "stream", "merge"]
+
+
+@query(
+    "tf_idf_top_terms",
+    R.tf_idf_sql("text", "doc_id", "documents", T.words_sql("text"), k=3),
+)
+def q_tf_idf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (sklearn-style idf). Corpus stats for quality weighting / subset
+    selection: one explode+groupBy for tf, a vocabulary-sized df table
+    broadcast back — scoring itself is shuffle-free."""
+    docs = table(spark, sf_dir, "documents")
+    return R.tf_idf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "bm25_scores",
+    R.bm25_sql("doc_id", "documents", T.words_sql("text"), _BM25_TERMS),
+)
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 of every document against a 3-term query. The
+    term-doc table is filtered to the (broadcast) query terms before
+    any join, so only 3 posting lists move — retrieval-style scoring
+    that stays cheap at corpus scale."""
+    docs = table(spark, sf_dir, "documents")
+    return R.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)

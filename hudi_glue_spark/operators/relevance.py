@@ -114,6 +114,46 @@ def bm25_scores(
     )
 
 
+def bm25_sql(
+    id_col: str,
+    table: str,
+    words_sql: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle for :func:`bm25_scores` — the same Okapi formula
+    over the same term-doc counts, with the identical decimal-cast
+    per-doc sum so scores are bit-stable on both engines."""
+    inlist = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH t AS (
+      SELECT {id_col} AS doc, unnest({words_sql}) AS term FROM {table}
+    ),
+    tf AS (SELECT doc, term, count(*) AS tf FROM t GROUP BY doc, term),
+    qtf AS (SELECT * FROM tf WHERE term IN ({inlist})),
+    dfq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM {table}),
+    dl AS (SELECT {id_col} AS doc, len({words_sql}) AS dl FROM {table}),
+    avgdl AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    contrib AS (
+      -- parenthesized exactly as the Spark expression tree associates,
+      -- idf * (num / denom), so IEEE rounding matches bit-for-bit
+      SELECT doc,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * ((tf * {k1 + 1.0}) / (tf + {k1} * ({1.0 - b} + {b} * dl / avgdl)))
+               AS s
+      FROM qtf JOIN dfq USING (term) JOIN dl USING (doc), n, avgdl
+    )
+    SELECT doc AS doc_id,
+           CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS score
+    FROM contrib GROUP BY doc
+    """
+
+
 def tf_idf_sql(col: str, id_col: str, table: str, words_sql: str, k: int = 3) -> str:
     """DuckDB oracle for :func:`tf_idf_top_terms` (same formula)."""
     return f"""

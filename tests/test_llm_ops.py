@@ -217,3 +217,29 @@ def test_shingles_short_docs_yield_empty(spark):
     assert out[1] == ([], [])
     assert out[2] == ([], [])
     assert len(out[3][0]) == 1 and len(out[3][1]) == 1
+
+
+def test_tf_idf_and_bm25_semantics(spark):
+    from hudi_glue_spark.operators import relevance as R
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana common common common"),
+            Row(doc_id=2, text="banana cherry common common"),
+            Row(doc_id=3, text="cherry cherry cherry common"),
+        ]
+    )
+    top = {
+        (r.doc_id, r.rank): r.term
+        for r in R.tf_idf_top_terms(df, "doc_id", "text", k=1).collect()
+    }
+    # the rare repeated term wins over the everywhere-term
+    assert top[(1, 1)] == "apple"
+    assert top[(3, 1)] == "cherry"
+
+    scores = {
+        r.doc_id: r.score
+        for r in R.bm25_scores(df, "doc_id", "text", ["cherry"]).collect()
+    }
+    assert set(scores) == {2, 3}  # only docs containing a query term
+    assert scores[3] > scores[2]  # higher tf, shorter doc → higher score
