@@ -113,6 +113,97 @@ def _multi_table_buckets(
     )
 
 
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """One LSH table's bucket id as a pure JVM expression: bit i =
+    sign(vec · plane_i) via the ordered-fold :func:`dot_product` — the
+    fold DuckDB's ``list_dot_product`` reproduces bit-for-bit, so an
+    oracle can recompute identical buckets from plane literals."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def multi_table_buckets_expr(
+    df: DataFrame, vec_col: str, n_planes: int, n_tables: int, dim: int, seed: int = 42
+) -> DataFrame:
+    """Expression twin of :func:`_multi_table_buckets`: same plane
+    family, same (table, bucket) fan-out, but each dot product is the
+    ordered JVM fold instead of a numpy matmul — bit-reproducible by
+    the DuckDB oracle (numpy's BLAS/FMA association is not). Use for
+    correctness gates; the pandas variant is the throughput path."""
+    arr = F.array(
+        *[
+            _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("__tb", arr).select(
+        *df.columns, F.posexplode("__tb").alias("__table", "__bucket")
+    )
+
+
+def _centroid_structs(vec_col: str, centroids: list[list[float]]):
+    """array<struct<c: cosine, i: cid>> over literal centroids, ordered
+    folds throughout — struct comparison then gives (cos, cid) ordering
+    with ties to the HIGHER cid, matching the pandas variants."""
+    return F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("c"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_assign_expr(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Expression twin of :func:`ivf_assign`: nearest-centroid id via
+    array_max over (cosine, cid) structs — bit-reproducible in SQL."""
+    return df.withColumn(
+        "__cid", F.array_max(_centroid_structs(vec_col, centroids))["i"]
+    )
+
+
+def ivf_probes_expr(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """Expression twin of :func:`ivf_probes`: explode the ``nprobe``
+    nearest centroid ids (cosine desc, cid desc)."""
+    ranked = F.reverse(F.array_sort(_centroid_structs(vec_col, centroids)))
+    return df.withColumn(
+        "__cid",
+        F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])),
+    )
+
+
+def ivf_centroids_from_matrix(
+    x: np.ndarray, n_centroids: int = 16, n_iter: int = 5
+) -> list[list[float]]:
+    """The numpy core of IVF training (fixed-iteration Lloyd k-means,
+    init = first ``n_centroids`` rows). Deterministic: same matrix →
+    same centroids, no RNG — which lets the DuckDB oracle reproduce the
+    exact centroid literals from the same sample rows."""
+    cents = x[:n_centroids].copy()
+    for _ in range(n_iter):
+        # cosine assignment on normalized vectors
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -133,17 +224,7 @@ def ivf_centroids(
         .collect()
     )
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    cents = x[:n_centroids].copy()
-    for _ in range(n_iter):
-        # cosine assignment on normalized vectors
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-        assign = np.argmax(xn @ cn.T, axis=1)
-        for c in range(n_centroids):
-            members = x[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-    return cents.tolist()
+    return ivf_centroids_from_matrix(x, n_centroids, n_iter)
 
 
 def _centroid_cosines(vecs: pd.Series, centroids: np.ndarray) -> np.ndarray:
@@ -201,6 +282,8 @@ def knn_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     exclude_self: bool = True,
+    assigner: str = "pandas",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) search: corpus vectors
     are bucketed by nearest centroid; each query probes its ``nprobe``
@@ -209,14 +292,22 @@ def knn_ivf(
     vs LSH: IVF adapts to the data distribution (centroids follow
     density), giving better candidate quality at the same fan-out. At
     100 TB the corpus side is written partitioned by ``__cid`` so a
-    probe prunes partitions instead of scanning."""
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    probe prunes partitions instead of scanning.
+
+    ``assigner='expr'`` computes assignments/probes with ordered JVM
+    folds over centroid literals (bit-reproducible by the SQL oracle);
+    the default ``'pandas'`` is the vectorized throughput path."""
+    cents = centroids or ivf_centroids(corpus, id_col, vec_col, n_centroids)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     )
-    qp = ivf_probes(q, "__qv", cents, nprobe)
-    cb = ivf_assign(c, "__cv", cents)
+    if assigner == "expr":
+        qp = ivf_probes_expr(q, "__qv", cents, nprobe)
+        cb = ivf_assign_expr(c, "__cv", cents)
+    else:
+        qp = ivf_probes(q, "__qv", cents, nprobe)
+        cb = ivf_assign(c, "__cv", cents)
     pairs = F.broadcast(qp).join(cb, "__cid").select(
         "query_id", "__qv", "neighbor_id", "__cv"
     )
@@ -240,6 +331,8 @@ def knn_lsh(
     n_planes: int = 8,
     n_tables: int = 8,
     exclude_self: bool = True,
+    bucketer: str = "pandas",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -247,15 +340,21 @@ def knn_lsh(
     ``n_tables`` tables (single join on (table, bucket), distinct), then
     exact cosine ranking within candidates. At 100 TB each query scans
     ~n_tables × corpus / 2^n_planes candidates instead of the full
-    corpus; recall improves geometrically with n_tables."""
-    first = corpus.select(F.first(vec_col)).first()
-    dim = len(first[0]) if first else 0
+    corpus; recall improves geometrically with n_tables.
+
+    ``bucketer='expr'`` hashes with ordered JVM folds over plane
+    literals (bit-reproducible by the SQL oracle); the default
+    ``'pandas'`` batches all tables into one numpy matmul."""
+    if dim is None:
+        first = corpus.select(F.first(vec_col)).first()
+        dim = len(first[0]) if first else 0
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     )
-    qb = _multi_table_buckets(q, "__qv", n_planes, n_tables, dim)
-    cb = _multi_table_buckets(c, "__cv", n_planes, n_tables, dim)
+    bucket_fn = multi_table_buckets_expr if bucketer == "expr" else _multi_table_buckets
+    qb = bucket_fn(q, "__qv", n_planes, n_tables, dim)
+    cb = bucket_fn(c, "__cv", n_planes, n_tables, dim)
     pairs = (
         F.broadcast(qb)
         .join(cb, ["__table", "__bucket"])

@@ -243,3 +243,38 @@ def test_tf_idf_and_bm25_semantics(spark):
     }
     assert set(scores) == {2, 3}  # only docs containing a query term
     assert scores[3] > scores[2]  # higher tf, shorter doc → higher score
+
+
+def test_expr_bucketers_recall_and_determinism(spark, sf_dir):
+    """The ordered-fold (oracle-reproducible) LSH/IVF variants must
+    behave like ANN: decent recall vs brute force, and identical output
+    across invocations."""
+    from hudi_glue_spark.operators.similarity import (
+        ivf_centroids,
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+    )
+    from hudi_glue_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(queries, emb, "vec_id", "embedding", k=5).collect()
+    }
+    lsh = knn_lsh(
+        queries, emb, "vec_id", "embedding", k=5,
+        n_planes=4, n_tables=8, bucketer="expr", dim=64,
+    )
+    got1 = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    assert len(got1 & exact) / len(exact) >= 0.5
+    assert got1 == {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    ivf = knn_ivf(
+        queries, emb, "vec_id", "embedding", k=5,
+        nprobe=4, assigner="expr", centroids=cents,
+    )
+    got2 = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(got2 & exact) / len(exact) >= 0.5
