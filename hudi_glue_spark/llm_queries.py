@@ -562,6 +562,30 @@ def q_video_frame_sample(spark, sf_dir):
 
 
 @query(
+    "image_decode_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(1 + doc_id % 64 AS INTEGER) AS width,
+           CAST(1 + (doc_id * 7) % 64 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER)
+             AS channels
+    FROM documents
+    """,
+)
+def q_image_decode_meta(spark, sf_dir):
+    """Image decode round-trip: synthesize REAL container bytes per doc
+    (even ids → spec-complete PNG with zlib IDAT + CRCs, odd → JFIF
+    marker stream; dims derived from the id), then parse them back with
+    the pure-Python header decoder through Arrow mapInPandas. The
+    oracle predicts the decoded metadata arithmetically — so any
+    encode/parse/batching defect breaks the hash."""
+    docs = table(spark, sf_dir, "documents")
+    payload = MM.encode_test_images(docs, "doc_id")
+    return MM.decode_image(payload)
+
+
+@query(
     "jaccard_dedup_survivors",
     f"""
     WITH w AS (

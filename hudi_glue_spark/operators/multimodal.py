@@ -126,20 +126,138 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> D
     return df.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
 
 
-def decode_image(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB: real image decode (PIL/opencv are not in this container).
+# -- image decode (pure-Python container formats) ---------------------------
 
-    The Spark plumbing (schema contract, Arrow batching) is identical to
-    :func:`extract_media_meta`; only the per-batch body differs."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → sample channels (spec table 11.1).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG markers that are NOT frame headers inside the 0xC0-0xCF range.
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, format string, width int, height int, channels int"
+)
+
+
+def parse_image_header(raw: bytes) -> tuple:
+    """(format, width, height, channels) from PNG/JPEG/GIF container
+    bytes — a dependency-free decoder for the dimensions/type metadata
+    a curation pipeline filters on (full pixel decode still needs an
+    imaging lib; this parses the real container headers, not a fake).
+    Unknown/corrupt payloads yield (None, None, None, None)."""
+    import struct
+
+    if raw[:8] == _PNG_SIG and raw[12:16] == b"IHDR" and len(raw) >= 26:
+        w, h = struct.unpack(">II", raw[16:24])
+        return ("png", w, h, _PNG_CHANNELS.get(raw[25]))
+    if raw[:2] == b"\xff\xd8":  # SOI
+        i = 2
+        while i + 9 < len(raw):
+            if raw[i] != 0xFF:
+                break
+            marker = raw[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # bare markers
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                h = int.from_bytes(raw[i + 5 : i + 7], "big")
+                w = int.from_bytes(raw[i + 7 : i + 9], "big")
+                return ("jpeg", w, h, raw[i + 9])
+            i += 2 + int.from_bytes(raw[i + 2 : i + 4], "big")
+    if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+        w = int.from_bytes(raw[6:8], "little")
+        h = int.from_bytes(raw[8:10], "little")
+        return ("gif", w, h, 3)
+    return (None, None, None, None)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Decode image container headers (PNG / JPEG SOF / GIF) from the
+    ``payload`` binary column into typed metadata — Arrow-batched
+    ``mapInPandas``, same plumbing as :func:`extract_media_meta`.
+
+    A full pixel decode would swap :func:`parse_image_header` for a
+    PIL/opencv call inside the same batch loop; the header path is the
+    one curation filters (size/aspect/format) actually need, and it
+    runs with zero native dependencies."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "image decode requires Pillow, not available in this environment; "
-                "use extract_media_meta for the tested plumbing path"
-            ) from e
-        raise NotImplementedError("wire PIL decode here")
+        for pdf in batches:
+            metas = [parse_image_header(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pd.Series([m[0] for m in metas], dtype="object"),
+                    "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "channels": pd.array([m[3] for m in metas], dtype="Int32"),
+                }
+            )
 
-    return df.mapInPandas(_decode, "doc_id long, width int, height int, mode string")
+    return df.select("doc_id", "payload").mapInPandas(_decode, IMAGE_META_SCHEMA)
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    """A real, minimal 8-bit grayscale PNG (IHDR + zlib IDAT + IEND) —
+    stdlib-only synthetic fixture for exercising the decode path."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal JFIF byte stream (SOI + APP0 + SOF0 + EOI) with real
+    marker structure — enough for any header parser; no entropy data."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 72, 72)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def encode_test_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic image payloads: even ids → real PNG,
+    odd ids → JFIF header stream, dims derived from the id (width
+    1+id%64, height 1+(id·7)%64) so an oracle can predict the decoded
+    metadata arithmetically."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 64, 1 + (i * 7) % 64
+                payloads.append(png_bytes(w, h) if i % 2 == 0 else jpeg_bytes(w, h))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode, "doc_id long, payload binary"
+    )
