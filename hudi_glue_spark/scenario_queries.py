@@ -285,3 +285,44 @@ def q_range_read_time_slice(spark, sf_dir):
     lo = datetime.datetime(2024, 1, 10)
     hi = datetime.datetime(2024, 1, 20)
     return tbl.read_range(spark, "ts", lo, hi).select(_COLS)
+
+
+# -- external-engine read (§2a #5) ------------------------------------------
+
+#: The driver's oracle gate runs at sf0.01; the physical-read oracle
+#: embeds that table path (data-dependent oracles are sf-bound, like
+#: the IVF centroid literals in llm_queries).
+_EXT_ROOT = "/tmp/hudi_glue_spark_scn_ext_sf0.01"
+
+
+@query(
+    "external_engine_read",
+    f"""
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM read_parquet('{_EXT_ROOT}/data/*/*.parquet', hive_partitioning=true)
+    """,
+)
+def q_external_engine_read(spark, sf_dir):
+    """External-engine read of the table format (§2a #5, the Redshift
+    Spectrum capability generalized: Redshift/spectrum_setup.sql:2-11).
+
+    Spark side: bulk_insert + upsert + clean(retain_commits=1) so the
+    published files ARE the live snapshot, then read back through
+    ``register_external`` — a real catalog table (CREATE EXTERNAL TABLE
+    ... USING PARQUET + MSCK partition recovery), not the manifest path.
+    Oracle side: DuckDB — the stand-in external engine — scans the
+    table's PHYSICAL files straight off disk. Both engines must see the
+    identical merged state for the cross-engine contract to hold."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_ext_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts", partition_by="event_type")
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    ingest(tbl, b0)
+    ingest(tbl, b1)
+    tbl.clean(retain_commits=1)
+    tbl.register_external(spark, "kt_external_demo")
+    return spark.sql(
+        "SELECT event_id, user_id, event_type, value, ts FROM kt_external_demo"
+    )
