@@ -60,6 +60,9 @@ def main() -> int:
         "knn_l2_bruteforce",
         "benchmark_decontamination",
         "docs_repetition_signals",
+        "knn_lsh",
+        "knn_ivf",
+        "tf_idf_top_terms",
     ):
         if warm_name in qs_all:
             qs_all[warm_name](spark, "/root/testdata/sf0.001").count()
