@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hudi_glue_spark.operators.similarity import ivf_assign
+from hudi_glue_spark.operators.similarity import ivf_assign, ivf_assign_expr
 
 
 def _update_centroids(
@@ -34,7 +34,12 @@ def _update_centroids(
         .groupBy("__cid", "__pos")
         .agg(
             (
-                F.sum(F.col("__v").cast("decimal(28,10)")).cast("double")
+                # float → DOUBLE → decimal: casting float straight to
+                # decimal rounds via the float's short string repr,
+                # which diverges from an engine that widens to double
+                # first (DuckDB) — the double hop makes both identical.
+                F.sum(F.col("__v").cast("double").cast("decimal(28,10)"))
+                .cast("double")
                 / F.count(F.lit(1))
             ).alias("__m")
         )
@@ -52,20 +57,28 @@ def kmeans_lloyd(
     vec_col: str,
     k: int = 8,
     n_iter: int = 5,
+    assigner: str = "pandas",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Full-corpus Lloyd k-means: returns (assignments, centroids) where
     assignments carries ``id_col`` and ``cluster`` (the final nearest-
     centroid id under cosine). ``n_iter`` fixed iterations — the classic
-    bounded-cost form for pipeline use."""
+    bounded-cost form for pipeline use.
+
+    With ``assigner='expr'`` every step of the loop is bit-deterministic
+    AND SQL-reproducible: ordered-fold cosine assignment over centroid
+    literals + the decimal-cast mean — so a DuckDB oracle can replay the
+    identical iterations (see pipeline_queries kmeans oracle). The
+    default 'pandas' assigner is the vectorized throughput path."""
+    assign = ivf_assign_expr if assigner == "expr" else ivf_assign
     init = (
         df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
     )
     centroids: list[list[float]] = [list(r[1]) for r in init]
     base = df.select(F.col(id_col), F.col(vec_col))
     for _ in range(n_iter):
-        assigned = ivf_assign(base, vec_col, centroids)
+        assigned = assign(base, vec_col, centroids)
         centroids = _update_centroids(assigned, vec_col, centroids)
-    out = ivf_assign(base, vec_col, centroids).select(
+    out = assign(base, vec_col, centroids).select(
         F.col(id_col), F.col("__cid").alias("cluster")
     )
     return out, centroids

@@ -400,28 +400,127 @@ def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@query("kmeans_embedding_clusters", None)
+_KM_K, _KM_ITER = 8, 3
+
+#: cosine of a vector column against a centroid-list column, ordered
+#: folds — the association cosine_similarity uses (dot / (|a| * |b|)).
+_KM_COS = (
+    "list_dot_product(e.v, c.cv)"
+    " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    """Replay kmeans_lloyd(assigner='expr') in SQL: every iteration is
+    assignment (ordered-fold cosine, ties to the higher cid) + a
+    decimal-cast per-(cluster, dim) mean — both bit-deterministic, so
+    the unrolled CTE chain lands on the identical final clustering."""
+    steps = []
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""
+    a{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_COS} DESC, c.cid DESC) AS rn
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+      FROM (SELECT cid, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM a{i})
+      GROUP BY cid, pos
+    ),
+    c{i} AS (
+      SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
+      ) u ON u.cid = p.cid
+    )"""
+        )
+        prev = f"c{i}"
+    chain = ",".join(steps)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+    ),{chain},
+    afinal AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_COS} DESC, c.cid DESC) AS rn
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cid AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM afinal GROUP BY cid
+    """
+
+
+@query("kmeans_embedding_clusters", _kmeans_oracle_sql())
 def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table: per-cluster
-    sizes after 3 full-corpus iterations (iterative algorithm — no SQL
-    oracle; convergence and self-consistency are unit-tested). The
-    update step shuffles on (cluster, dimension), never collects the
-    corpus."""
+    sizes after 3 full-corpus iterations. The update step shuffles on
+    (cluster, dimension) and never collects the corpus; with the
+    ordered-fold assigner the whole loop is bit-deterministic, so the
+    oracle replays the identical iterations as unrolled SQL CTEs —
+    a value-EXACT check of an iterative distributed algorithm."""
     from hudi_glue_spark.operators.clustering import kmeans_lloyd
 
     emb = table(spark, sf_dir, "embeddings")
-    assigned, _cents = kmeans_lloyd(emb, "vec_id", "embedding", k=8, n_iter=3)
+    assigned, _cents = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, assigner="expr"
+    )
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
 
 
-@query("sequence_pack_greedy", None)
+@query(
+    "sequence_pack_greedy",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, source,
+             CAST(len({T.words_sql("text")}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    -- replay the first-fit state machine breadth-first: step i advances
+    -- every source shard to its i-th document (sequential within a
+    -- shard, parallel across shards — exactly what applyInPandas does)
+    rec AS (
+      SELECT source, rn, doc_id, n_tokens,
+             0 AS bin_id, n_tokens AS bin_tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN r.bin_tokens > 0
+                       AND r.bin_tokens + d.n_tokens > {_PACK_BUDGET}
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.bin_tokens > 0
+                       AND r.bin_tokens + d.n_tokens > {_PACK_BUDGET}
+                  THEN d.n_tokens ELSE r.bin_tokens + d.n_tokens END
+      FROM rec r JOIN d ON d.source = r.source AND d.rn = r.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, CAST(bin_id AS INTEGER) AS bin_id
+    FROM rec
+    """,
+)
 def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit greedy whole-document packing (the SFT norm) per source
-    shard — sequential bin state, so applyInPandas per shard (rows-only
-    driver check; bin-capacity and greedy-tightness invariants are
-    asserted in tests/test_pipeline_ops.py)."""
+    shard — sequential bin state, so applyInPandas per shard. The
+    oracle replays the same state machine as a recursive CTE (one
+    recursion step per document position, all shards in parallel), so
+    even this inherently-sequential operator is value-EXACT; capacity/
+    tightness invariants stay asserted in tests/test_pipeline_ops.py."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", T.token_count("text").cast("long").alias("n_tokens")
     )
