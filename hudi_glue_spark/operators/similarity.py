@@ -76,7 +76,7 @@ def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 42) -
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = F.lit([float(x) for x in plane])
         bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
         bucket = bucket + F.shiftleft(bit, i)
     return df.withColumn("__bucket", bucket)
@@ -120,7 +120,10 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     oracle can recompute identical buckets from plane literals."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        # one ArrayType Literal node, not a 64-child CreateArray —
+        # at 8 tables × 4 planes the flat form keeps Catalyst analysis
+        # cost negligible (measured seconds of driver time otherwise)
+        lit_plane = F.lit([float(x) for x in plane])
         bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
@@ -153,7 +156,7 @@ def _centroid_structs(vec_col: str, centroids: list[list[float]]):
         *[
             F.struct(
                 cosine_similarity(
-                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                    F.col(vec_col), F.lit([float(x) for x in c])
                 ).alias("c"),
                 F.lit(i).alias("i"),
             )

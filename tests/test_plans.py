@@ -233,3 +233,41 @@ def test_ensure_parallelism_no_rdd_probe(spark, tmp_path):
     derived = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
     same = ensure_parallelism(derived, min_partitions=8)
     assert same is derived  # no-op object identity: no repartition added
+
+
+def test_relevance_broadcasts_vocabulary(spark, sf_dir):
+    """TF-IDF: the vocabulary-sized df table must broadcast back onto
+    the term-doc counts (scoring shuffle-free after the tf agg), and
+    relevance stays JVM-side (no Python stage)."""
+    from hudi_glue_spark.llm_queries import q_tf_idf_top_terms
+
+    df = q_tf_idf_top_terms(spark, sf_dir)
+    txt = explain_str(df)
+    assert "BroadcastHashJoin" in txt
+    assert "EvalPython" not in txt
+
+
+def test_knn_expr_variants_broadcast_query_side(spark, sf_dir):
+    """The oracle-grade ANN variants keep the right join shape: query
+    side broadcast, corpus never shuffled for the candidate join, and
+    zero Python stages (ordered folds are JVM expressions)."""
+    from hudi_glue_spark.llm_queries import q_knn_lsh, q_knn_ivf
+
+    for q in (q_knn_lsh, q_knn_ivf):
+        txt = explain_str(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in txt, q.__name__
+        assert "EvalPython" not in txt, q.__name__
+
+
+def test_external_read_prunes_partitions(spark, sf_dir):
+    """The external catalog table is partition-discovered: a filter on
+    the partition column must prune at planning time (partition count
+    in the scan, no partition filter left in the data filters)."""
+    from hudi_glue_spark.scenario_queries import q_external_engine_read
+
+    q_external_engine_read(spark, sf_dir)  # builds + registers the table
+    df = spark.table("kt_external_demo").filter(F.col("event_type") == "click")
+    txt = explain_str(df)
+    assert "PartitionFilters" in txt
+    part_section = txt.split("PartitionFilters")[1].split("]")[0]
+    assert "event_type" in part_section, part_section
