@@ -526,3 +526,89 @@ def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = P.greedy_pack(docs, "n_tokens", "source", "doc_id", _PACK_BUDGET)
     return packed.select("doc_id", "source", "n_tokens", "bin_id")
+
+
+@query(
+    "incremental_dedup_vs_corpus",
+    f"""
+    WITH corpus_fp AS (
+      SELECT {T.doc_fingerprint_sql("text")} AS fingerprint FROM documents
+    ),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id, source,
+             CASE WHEN doc_id % 40 = 0 THEN text
+                  ELSE text || ' fresh suffix xyz' END AS text
+      FROM documents WHERE source = 'src0'
+    ),
+    batch_fp AS (
+      SELECT doc_id, source, {T.doc_fingerprint_sql("text")} AS fingerprint
+      FROM batch
+    )
+    SELECT doc_id, source, fingerprint FROM batch_fp
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus_fp)
+    """,
+)
+def q_incremental_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a NEW batch is deduped against the
+    EXISTING corpus by content fingerprint (anti-join), without ever
+    re-deduping the corpus against itself — the shape every growing
+    training corpus needs. Here ~half the batch duplicates corpus
+    docs (doc_id % 40 == 0 — src0 ids are all multiples of 20, so a
+    %2 split would be degenerate) and the rest carries fresh text.
+
+    At 100 TB the corpus side of the anti-join should come from a
+    stored fingerprint column/index (one narrow column scan, one
+    fingerprint-keyed shuffle) rather than recomputing from text — the
+    join shape is identical; this query recomputes because the fixture
+    stores no fingerprint column."""
+    docs = table(spark, sf_dir, "documents")
+    corpus_fp = docs.select(T.doc_fingerprint("text").alias("fingerprint"))
+    batch = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "source",
+            F.when(F.col("doc_id") % 40 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" fresh suffix xyz")))
+            .alias("text"),
+        )
+    )
+    batch_fp = batch.select(
+        "doc_id", "source", T.doc_fingerprint("text").alias("fingerprint")
+    )
+    return batch_fp.join(corpus_fp, "fingerprint", "left_anti").select(
+        "doc_id", "source", "fingerprint"
+    )
+
+
+@query(
+    "quality_quantile_filter",
+    f"""
+    SELECT doc_id, source, quality,
+           CAST(pr AS DOUBLE) AS quality_pctl
+    FROM (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS pr
+      FROM (SELECT doc_id, source,
+                   {T.quality_score_sql("text")} AS quality
+            FROM documents)
+    ) WHERE pr >= 0.5
+    """,
+)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile curation: keep each source's top
+    half by quality score (percent_rank with a doc_id tie-break so the
+    cut is a total order). Quantile-relative filtering is how real
+    pipelines set per-domain quality bars — an absolute threshold
+    over-prunes clean domains and under-prunes noisy ones. One window
+    over one source-keyed shuffle; the score itself is JVM expressions."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("quality_pctl", F.percent_rank().over(w).cast("double"))
+        .filter(F.col("quality_pctl") >= 0.5)
+    )
