@@ -326,3 +326,44 @@ def q_external_engine_read(spark, sf_dir):
     return spark.sql(
         "SELECT event_id, user_id, event_type, value, ts FROM kt_external_demo"
     )
+
+
+@query(
+    "dual_path_read_agreement",
+    _BATCHES_CTE.replace("b2 AS", "b2_unused AS").replace(
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2",
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1",
+    )
+    + """
+    , merged AS (
+      SELECT event_id, user_id, event_type, value, ts FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC, src DESC) AS rn
+        FROM u
+      ) WHERE rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS sql_rows,
+           CAST(count(*) AS BIGINT) AS path_rows,
+           CAST(count(*) AS BIGINT) AS agreeing_rows
+    FROM merged
+    """,
+)
+def q_dual_path_read_agreement(spark, sf_dir):
+    """The reference's own correctness check, automated (§2a #4 + §5:
+    glue/MockCuratedGlueJob.py:17-25 reads the table via catalog SQL
+    AND via direct path and eyeballs agreement). Here: register the
+    two-batch table as a view, read it once through ``spark.sql`` and
+    once through the manifest path, and return the row counts plus the
+    exact-match intersection size — all three must equal the oracle's
+    merged-state count, which fails loudly if the paths ever diverge."""
+    tbl = _two_batch_table(spark, sf_dir)
+    tbl.register(spark, "kt_dual_path")
+    sql_side = spark.sql(
+        "SELECT event_id, user_id, event_type, value, ts FROM kt_dual_path"
+    )
+    path_side = tbl.read(spark).select(_COLS)
+    agree = sql_side.intersect(path_side)
+    return spark.createDataFrame(
+        [(sql_side.count(), path_side.count(), agree.count())],
+        "sql_rows long, path_rows long, agreeing_rows long",
+    )
