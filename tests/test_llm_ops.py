@@ -295,3 +295,24 @@ def test_expr_bucketers_recall_and_determinism(spark, sf_dir):
     )
     got2 = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     assert len(got2 & exact) / len(exact) >= 0.5
+
+
+def test_parse_image_header_never_raises():
+    """Fuzz: arbitrary/truncated bytes must yield NULL metadata, never
+    an exception — a decode crash at 100 TB aborts the whole job."""
+    import random
+
+    from hudi_glue_spark.operators import multimodal as MM2
+
+    rng = random.Random(42)
+    samples = [bytes()]
+    for _ in range(300):
+        n = rng.randrange(0, 64)
+        samples.append(bytes(rng.randrange(256) for _ in range(n)))
+    png, jpg = MM2.png_bytes(9, 4), MM2.jpeg_bytes(9, 4)
+    samples += [png[:i] for i in range(0, len(png), 7)]
+    samples += [jpg[:i] for i in range(0, len(jpg), 5)]
+    samples += [b"\xff\xd8" + bytes(rng.randrange(256) for _ in range(20)) for _ in range(50)]
+    for s in samples:
+        out = MM2.parse_image_header(s)
+        assert isinstance(out, tuple) and len(out) == 4
