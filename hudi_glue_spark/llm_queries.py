@@ -345,14 +345,7 @@ def _arr_sql(xs) -> str:
     return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
 
 
-def _seq_norm(xs) -> float:
-    """l2 norm with the exact sequential fold both engines use."""
-    import math
-
-    acc = 0.0
-    for v in xs:
-        acc += float(v) * float(v)
-    return math.sqrt(acc)
+from hudi_glue_spark.operators.similarity import py_l2_norm as _seq_norm
 
 
 _COS_SQL = (

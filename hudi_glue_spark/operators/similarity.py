@@ -148,15 +148,35 @@ def multi_table_buckets_expr(
     )
 
 
-def _centroid_structs(vec_col: str, centroids: list[list[float]]):
+def py_l2_norm(xs) -> float:
+    """l2 norm with the exact sequential fold the JVM/SQL sides use —
+    Python doubles ARE IEEE doubles, so this bit-matches l2_norm()."""
+    import math
+
+    acc = 0.0
+    for v in xs:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def _centroid_structs(vec_col: str, centroids: list[list[float]], norm_col: str):
     """array<struct<c: cosine, i: cid>> over literal centroids, ordered
     folds throughout — struct comparison then gives (cos, cid) ordering
-    with ties to the HIGHER cid, matching the pandas variants."""
+    with ties to the HIGHER cid, matching the pandas variants.
+
+    The vector norm comes from ``norm_col`` (computed ONCE in its own
+    projection — higher-order folds run interpreted, and Spark's
+    CollapseProject keeps non-cheap multi-referenced aliases
+    materialized) and centroid norms are precomputed Python literals
+    via :func:`py_l2_norm` — same bits, k+1× fewer fold evaluations."""
+    a = F.col(vec_col)
+    nv = F.col(norm_col)
     return F.array(
         *[
             F.struct(
-                cosine_similarity(
-                    F.col(vec_col), F.lit([float(x) for x in c])
+                (
+                    dot_product(a, F.lit([float(x) for x in c]))
+                    / (nv * F.lit(py_l2_norm(c)))
                 ).alias("c"),
                 F.lit(i).alias("i"),
             )
@@ -170,9 +190,12 @@ def ivf_assign_expr(
 ) -> DataFrame:
     """Expression twin of :func:`ivf_assign`: nearest-centroid id via
     array_max over (cosine, cid) structs — bit-reproducible in SQL."""
-    return df.withColumn(
-        "__cid", F.array_max(_centroid_structs(vec_col, centroids))["i"]
-    )
+    from hudi_glue_spark.functions.vector import l2_norm
+
+    staged = df.withColumn("__nv", l2_norm(F.col(vec_col)))
+    return staged.withColumn(
+        "__cid", F.array_max(_centroid_structs(vec_col, centroids, "__nv"))["i"]
+    ).drop("__nv")
 
 
 def ivf_probes_expr(
@@ -180,11 +203,14 @@ def ivf_probes_expr(
 ) -> DataFrame:
     """Expression twin of :func:`ivf_probes`: explode the ``nprobe``
     nearest centroid ids (cosine desc, cid desc)."""
-    ranked = F.reverse(F.array_sort(_centroid_structs(vec_col, centroids)))
-    return df.withColumn(
+    from hudi_glue_spark.functions.vector import l2_norm
+
+    staged = df.withColumn("__nv", l2_norm(F.col(vec_col)))
+    ranked = F.reverse(F.array_sort(_centroid_structs(vec_col, centroids, "__nv")))
+    return staged.withColumn(
         "__cid",
         F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])),
-    )
+    ).drop("__nv")
 
 
 def ivf_centroids_from_matrix(
