@@ -68,17 +68,48 @@ def kmeans_lloyd(
     AND SQL-reproducible: ordered-fold cosine assignment over centroid
     literals + the decimal-cast mean — so a DuckDB oracle can replay the
     identical iterations (see pipeline_queries kmeans oracle). The
-    default 'pandas' assigner is the vectorized throughput path."""
-    assign = ivf_assign_expr if assigner == "expr" else ivf_assign
-    init = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
-    )
-    centroids: list[list[float]] = [list(r[1]) for r in init]
-    base = df.select(F.col(id_col), F.col(vec_col))
-    for _ in range(n_iter):
-        assigned = assign(base, vec_col, centroids)
-        centroids = _update_centroids(assigned, vec_col, centroids)
-    out = assign(base, vec_col, centroids).select(
-        F.col(id_col), F.col("__cid").alias("cluster")
-    )
+    default 'pandas' assigner is the vectorized throughput path.
+
+    The loop input is persisted (memory-then-disk — the standard
+    iterative-ML posture; at 100 TB it spills to executor-local disk)
+    so the n_iter+1 assignment passes re-read cached columns instead of
+    re-scanning parquet. For the expr path the cache also carries the
+    float→double widened vector (exact, so per-fold element casts
+    become no-ops the optimizer elides) and the l2 norm computed once —
+    bit-identical to recomputing both per pass, k+1× cheaper."""
+    from pyspark import StorageLevel
+
+    if assigner == "expr":
+        from hudi_glue_spark.functions.vector import l2_norm
+
+        base = (
+            df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            )
+            .withColumn("__nv", l2_norm(F.col(vec_col)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        def assign(d: DataFrame, v: str, c: list[list[float]]) -> DataFrame:
+            return ivf_assign_expr(d, v, c, norm_col="__nv")
+
+    else:
+        base = df.select(F.col(id_col), F.col(vec_col)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        assign = ivf_assign
+    try:
+        init = base.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+        centroids: list[list[float]] = [list(r[1]) for r in init]
+        for _ in range(n_iter):
+            assigned = assign(base, vec_col, centroids)
+            centroids = _update_centroids(assigned, vec_col, centroids)
+        out = assign(base, vec_col, centroids).select(
+            F.col(id_col), F.col("__cid").alias("cluster")
+        )
+        # Materialize the (id, cluster) result — tiny next to the vector
+        # cache — so the loop input can be unpersisted before returning.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
     return out, centroids

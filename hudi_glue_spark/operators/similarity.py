@@ -67,19 +67,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).astype(float).tolist()
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 42) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
     """Attach a random-hyperplane LSH bucket id (0..2^n_planes-1):
     bit i = sign(vec · plane_i). JVM-side dot products against literal
-    plane arrays — no Python, no shuffle."""
-    first = df.select(F.first(vec_col)).first()
-    dim = len(first[0]) if first else 0
+    plane arrays — no Python, no shuffle.
+
+    Pass ``dim`` (callers know their embedding width) to avoid the
+    fallback probe job that reads one row just to learn the vector
+    length — one extra scan stage at scale if the input isn't cached."""
+    if dim is None:
+        first = df.select(F.first(vec_col)).first()
+        dim = len(first[0]) if first else 0
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        lit_plane = F.lit([float(x) for x in plane])
-        bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.withColumn("__bucket", bucket)
+    return df.withColumn("__bucket", F.expr(_bucket_sql(vec_col, planes)))
 
 
 def _multi_table_buckets(
@@ -113,20 +119,38 @@ def _multi_table_buckets(
     )
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    """One LSH table's bucket id as a pure JVM expression: bit i =
-    sign(vec · plane_i) via the ordered-fold :func:`dot_product` — the
-    fold DuckDB's ``list_dot_product`` reproduces bit-for-bit, so an
-    oracle can recompute identical buckets from plane literals."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        # one ArrayType Literal node, not a 64-child CreateArray —
-        # at 8 tables × 4 planes the flat form keeps Catalyst analysis
-        # cost negligible (measured seconds of driver time otherwise)
-        lit_plane = F.lit([float(x) for x in plane])
-        bit = (dot_product(F.col(vec_col), lit_plane) > 0).cast("int")
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+def _dbl_sql(x: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal. ``repr`` emits the
+    shortest round-tripping decimal and Spark's parse is correctly
+    rounded, so the JVM double is bit-identical to the Python one."""
+    return f"{float(x)!r}D"
+
+
+def _dot_sql(vec_col: str, c: list[float]) -> str:
+    """SQL text parsing to the exact expression tree of
+    ``dot_product(col, lit(c))``: zip_with product, ordered double fold.
+
+    Text form matters: building these literal-heavy folds Column-by-
+    Column costs hundreds of Py4J round trips per centroid/plane set
+    (measured ~0.7-1.5 s of driver time PER ASSIGNMENT PASS at k=8,
+    dim=64); one ``F.expr`` parse is a single call and milliseconds."""
+    arr = "array(" + ",".join(_dbl_sql(x) for x in c) + ")"
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """One LSH table's bucket id as SQL: bit i = sign(vec · plane_i)
+    via the ordered fold DuckDB's ``list_dot_product`` reproduces
+    bit-for-bit, so an oracle can recompute identical buckets from
+    plane literals."""
+    return " + ".join(
+        f"shiftleft(CAST(({_dot_sql(vec_col, plane)}) > 0 AS INT), {i})"
+        for i, plane in enumerate(planes)
+    )
 
 
 def multi_table_buckets_expr(
@@ -137,11 +161,13 @@ def multi_table_buckets_expr(
     ordered JVM fold instead of a numpy matmul — bit-reproducible by
     the DuckDB oracle (numpy's BLAS/FMA association is not). Use for
     correctness gates; the pandas variant is the throughput path."""
-    arr = F.array(
-        *[
-            _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + t))
+    arr = F.expr(
+        "array("
+        + ",".join(
+            _bucket_sql(vec_col, _hyperplanes(dim, n_planes, seed + t))
             for t in range(n_tables)
-        ]
+        )
+        + ")"
     )
     return df.withColumn("__tb", arr).select(
         *df.columns, F.posexplode("__tb").alias("__table", "__bucket")
@@ -168,30 +194,34 @@ def _centroid_structs(vec_col: str, centroids: list[list[float]], norm_col: str)
     projection — higher-order folds run interpreted, and Spark's
     CollapseProject keeps non-cheap multi-referenced aliases
     materialized) and centroid norms are precomputed Python literals
-    via :func:`py_l2_norm` — same bits, k+1× fewer fold evaluations."""
-    a = F.col(vec_col)
-    nv = F.col(norm_col)
-    return F.array(
-        *[
-            F.struct(
-                (
-                    dot_product(a, F.lit([float(x) for x in c]))
-                    / (nv * F.lit(py_l2_norm(c)))
-                ).alias("c"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    via :func:`py_l2_norm` — same bits, k+1× fewer fold evaluations.
+    The whole array is ONE ``F.expr`` parse (see :func:`_dot_sql`)."""
+    structs = ",".join(
+        f"named_struct('c', ({_dot_sql(vec_col, c)})"
+        f" / (`{norm_col}` * {_dbl_sql(py_l2_norm(c))}), 'i', {i})"
+        for i, c in enumerate(centroids)
     )
+    return F.expr(f"array({structs})")
 
 
 def ivf_assign_expr(
-    df: DataFrame, vec_col: str, centroids: list[list[float]]
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Expression twin of :func:`ivf_assign`: nearest-centroid id via
-    array_max over (cosine, cid) structs — bit-reproducible in SQL."""
+    array_max over (cosine, cid) structs — bit-reproducible in SQL.
+
+    ``norm_col`` names a precomputed l2-norm column: iterative callers
+    (k-means) stage it once in a persisted projection instead of paying
+    the norm fold on every assignment pass."""
     from hudi_glue_spark.functions.vector import l2_norm
 
+    if norm_col is not None:
+        return df.withColumn(
+            "__cid", F.array_max(_centroid_structs(vec_col, centroids, norm_col))["i"]
+        )
     staged = df.withColumn("__nv", l2_norm(F.col(vec_col)))
     return staged.withColumn(
         "__cid", F.array_max(_centroid_structs(vec_col, centroids, "__nv"))["i"]

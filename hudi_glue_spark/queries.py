@@ -35,65 +35,72 @@ ORACLE_QUERIES: dict[str, str] = {}
 NON_SQL_QUERIES: set[str] = set()
 
 #: Driver-window priority. The external driver verifies queries in the
-#: order ``queries()`` yields them and may cap how many it reaches per
-#: round (round 2 recorded exactly the first 50). This list pins one
-#: representative query per SURVEY §2a operator — plus every §2b family
-#: and anything new or previously-weak — into the first 50 slots so each
-#: operator earns a driver CORRECTNESS row; every other query stays
-#: registered after them in module order (and is verified locally by
-#: tools/check_oracle.py). Cheap queries lead, stateful/streaming ones
-#: close the window, so a time-based cap also maximizes coverage.
+#: order ``queries()`` yields them and caps how many it reaches per
+#: round (~50). Rounds 2+3 drove 65 distinct queries green; this round's
+#: window is exactly the complement — the 46 queries that have never
+#: earned a driver CORRECTNESS row (all locally oracle-verified, see
+#: tools/check_oracle.py) plus this round's new queries — so that after
+#: r4 every registered query has a driver-green row in r2∪r3∪r4.
+#: dual_path_read_agreement leads (the reference's own verification
+#: idiom, glue/MockCuratedGlueJob.py:17-25 — §2a #4's only query-level
+#: check); cheap scalar/agg queries next, the TPC-H batch, the
+#: LLM-pipeline family, then the heavy/stateful tail so a time-based cap
+#: still maximizes coverage.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    "count_rows",                      # §2a 2,22
-    "filter_project_rewrite",          # §2a 12-17
-    "scan_limit_sorted",               # §2a 24
-    "hive_partition_paths",            # §2a 6,10
-    "csv_ingest_roundtrip",            # §2a 1
-    "lineitem_pricing_summary",        # flagship agg
-    "customer_name_features",          # §2a 18
-    "orders_date_functions",           # §2a 19-21
-    "rollup_returnflag",               # §2a 30
-    "cube_returnflag_status",          # §2a 30
-    "window_functions_suite",          # §2a 29
-    "dim_broadcast_join",              # §2a 28
-    "fact_join_agg",                   # §2a 28
-    "anti_join_new_keys",              # §2a 28 (upsert key-match join)
-    "semi_join_touched_keys",          # §2a 28
-    "customer_orders_full_outer",      # §2a 28
-    "intersect_customer_supplier_nations",  # §2a 27
-    "except_nations_without_suppliers",     # §2a 27
-    "union_tagged_batches",            # §2a 26
-    "window_latest_event",             # §2a 25,29
-    "topk_orders_per_segment",         # §2a 25
-    "tpch_q3_shipping_priority",       # §2a 24,28
-    "tpch_q18_large_orders",           # IN + HAVING subquery
-    "upsert_event_time_wins",          # §2a 3,7,23 (flagship)
-    "upsert_arrival_wins",             # §2a 7,23
-    "upsert_then_delete",              # §2a 9
-    "time_travel_first_commit",        # §2a 3,8
-    "incremental_read_since_first",    # incremental pull
-    "merge_into_scenario",             # MERGE INTO
-    "external_engine_read",            # §2a 5
-    "text_stats_per_doc",              # §2b text
-    "docs_quality_by_source",          # §2b text
-    "lang_id_accuracy",                # §2b lang-ID
-    "tf_idf_top_terms",                # §2b relevance
-    "bm25_scores",                     # §2b relevance
-    "exact_dedup",                     # §2b dedup
-    "word_jaccard_pairs",              # §2b dedup
-    "minhash_near_dup",                # §2b dedup
-    "simhash_near_dup",                # §2b dedup
-    "embedding_near_dup",              # §2b dedup
-    "knn_bruteforce",                  # §2b similarity
-    "knn_ivf",                         # §2b similarity (ANN)
-    "knn_lsh",                         # §2b similarity (ANN)
-    "media_meta_extract",              # §2b multimodal, §2a 32
-    "video_frame_sample",              # §2b multimodal
-    "image_decode_meta",               # §2b multimodal decode
-    "asof_last_view_before_purchase",  # as-of join
-    "events_value_band_join",          # interval join
-    "stream_tumbling_counts",          # §2a 31
-    "stream_running_totals",           # §2a 31,32 (stateful UDF)
+    "dual_path_read_agreement",        # §2a 4 — catalog-SQL vs path read
+    # -- cheap relational / agg ------------------------------------------
+    "jsonl_ingest_roundtrip",
+    "json_props_extract",
+    "null_handling_suite",
+    "orders_above_avg_price",
+    "tpch_q6_forecast_revenue",
+    "events_value_histogram",
+    "events_moment_stats",
+    "orders_price_quantiles",
+    "orders_price_quantiles_approx",
+    "approx_distinct_users",
+    "user_event_type_sets",
+    "pivot_user_event_matrix",
+    "sessions_batch",
+    "salted_distinct_users_per_type",
+    "salted_join_user_activity",
+    "global_shuffle_order",
+    "fixed_size_eval_sample",
+    "domain_mix_resample",
+    "vocab_top_terms",
+    # -- TPC-H batch ------------------------------------------------------
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # -- LLM-pipeline family ---------------------------------------------
+    "docs_repetition_signals",
+    "pii_redaction",
+    "benchmark_decontamination",
+    "decontaminated_corpus",
+    "sliding_token_windows",
+    "sequence_pack_chunks",
+    "sequence_pack_greedy",
+    "source_median_tokens_udaf",
+    "incremental_dedup_vs_corpus",
+    "quality_quantile_filter",
+    "kmeans_embedding_clusters",
+    # -- new in r4 --------------------------------------------------------
+    "knn_ivf_indexed",                 # ANN over persisted index
+    "dedup_chain_fixpoint",            # iterated survivor collapse
+    "schema_widen_drop_scenario",      # type widening + column drop
+    # -- streaming tail ---------------------------------------------------
+    "stream_text_pipeline",
 ]
 
 
