@@ -507,6 +507,33 @@ def q_knn_ivf(spark, sf_dir):
     )
 
 
+@query("knn_ivf_indexed", _ivf_oracle_sql())
+def q_knn_ivf_indexed(spark, sf_dir):
+    """IVF search over a PERSISTED index: the embeddings are bulk-loaded
+    into a KeyedTable, ``build_ivf_index`` materializes ``__cid`` into
+    range-clustered files (one assignment pass, amortized over all
+    future searches), and the search prunes files via manifest min/max
+    before any vector math. Same oracle as knn_ivf — the indexed path
+    must return the identical neighbors, proving index+search ≡
+    assign-per-query. The corpus-side plan has NO assignment stage
+    (tests/test_plans.py asserts it)."""
+    import os
+    import shutil
+
+    from hudi_glue_spark.table import KeyedTable
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = f"/tmp/hudi_glue_spark_ivfidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
+    tbl.bulk_insert(emb)
+    tbl.build_ivf_index(spark, "embedding", centroids=_IVF_CENTS)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_search_indexed(
+        spark, tbl, queries, "vec_id", k=5, nprobe=_IVF_NPROBE
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 

@@ -429,3 +429,64 @@ def knn_lsh(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )
+
+
+def ivf_search_indexed(
+    spark,
+    tbl,
+    queries: DataFrame,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF search over a PERSISTED index (`KeyedTable.build_ivf_index`):
+    the corpus side reads its cell ids (``__cid``) straight from the
+    table files — no assignment pass, no UDF, no fold — and the probe
+    set prunes at THREE levels before any vector math runs:
+
+    1. manifest file skipping (``read_isin``: files whose __cid min/max
+       miss every probe are never opened — the index write range-
+       clusters by __cid precisely so these stats are tight),
+    2. parquet row-group skipping (the IN filter is pushed to the scan),
+    3. the broadcast hash join on __cid.
+
+    The probe-cell list collected driver-side is metadata-scale
+    (≤ n_queries × nprobe ints). Output schema and ranking semantics are
+    identical to :func:`knn_ivf` with the same centroids — which is the
+    differential test: index + search must equal assign-per-query."""
+    idx = tbl.vector_index()
+    if idx is None or idx.get("kind") != "ivf":
+        raise ValueError(
+            f"no IVF index on the latest commit at {tbl.path}; "
+            "run build_ivf_index() (again, after any ingest)"
+        )
+    cents = idx["centroids"]
+    cell = idx["cell_col"]
+    vec_col = idx["vec_col"]
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qp = ivf_probes_expr(q, "__qv", cents, nprobe).withColumnRenamed("__cid", cell)
+    probe_cells = sorted(
+        r[0] for r in qp.select(cell).distinct().collect()
+    )  # metadata-scale: bounded by n_centroids
+    corpus = tbl.read_isin(spark, cell, probe_cells)
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(cell),
+        )
+    )
+    pairs = F.broadcast(qp).join(c, cell).select(
+        "query_id", "__qv", "neighbor_id", "__cv"
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )

@@ -42,19 +42,29 @@ def read_parquet(spark: SparkSession, path: str, *paths: str) -> DataFrame:
 
 
 def normalize_ns_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Convert nanosecond-epoch LongType columns (produced by reading
-    parquet TIMESTAMP(NANOS) under ``spark.sql.legacy.parquet.nanosAsLong``)
-    to microsecond TimestampType.
+    """Normalize event-time columns to microsecond TimestampType (LTZ),
+    whatever physical form the parquet writer chose:
 
-    Integer ``div`` (not ``/``) — ns epoch values exceed 2^53 so double
-    division would lose precision.
+    - TIMESTAMP(NANOS) read as LongType under
+      ``spark.sql.legacy.parquet.nanosAsLong``: integer ``div`` (not
+      ``/``) — ns epoch values exceed 2^53 so double division would
+      lose precision.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers as
+      TIMESTAMP_NTZ: cast to TIMESTAMP — an identity instant mapping
+      under the engine's pinned UTC session timezone (session.py), and
+      required by instant functions like ``unix_micros``.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

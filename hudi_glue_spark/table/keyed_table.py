@@ -282,6 +282,42 @@ class KeyedTable:
             or not (st[1] < nlo or st[0] > nhi)
         ]
 
+    def files_isin(self, col: str, values: list) -> list[str]:
+        """Files whose manifest ``col`` min/max may hold ANY of
+        ``values`` (files without stats are kept, never skipped)."""
+        man = M.read_manifest(self.path)
+        assert man is not None
+        vals = sorted(_stat_value(v) for v in values)
+        return [
+            f
+            for f in man.files
+            if (st := man.file_stats.get(f, {}).get(col)) is None
+            or any(st[0] <= v <= st[1] for v in vals)
+        ]
+
+    def read_isin(self, spark: SparkSession, col: str, values: list) -> DataFrame:
+        """Snapshot read of rows with ``col IN (values)``, skipping every
+        file whose manifest min/max proves it holds none of them — the
+        point-set twin of :meth:`read_range`. The exact IN filter is
+        re-applied after the scan (and pushed into the parquet reader
+        for row-group skipping), so manifest pruning is purely an
+        optimization."""
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        keep = self.files_isin(col, values)
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        cond = F.col(col).isin(list(values))
+        if not keep:
+            return spark.createDataFrame([], schema).filter(cond)
+        ddir = M.data_dir(self.path)
+        df = (
+            spark.read.option("basePath", ddir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(ddir, f) for f in keep])
+        )
+        return df.select(self._conform(df, schema)).filter(cond)
+
     def register(self, spark: SparkSession, name: str) -> None:
         """Catalog registration (↦ hive_sync, glue/HudiJarGlueJob.py:80-82):
         the snapshot becomes queryable via ``spark.sql``/``spark.table``."""
@@ -766,6 +802,88 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    # -- vector index --------------------------------------------------------
+
+    IVF_CELL_COL = "__cid"
+
+    def build_ivf_index(
+        self,
+        spark: SparkSession,
+        vec_col: str,
+        centroids: list[list[float]] | None = None,
+        n_centroids: int = 16,
+        n_iter: int = 5,
+        sample_n: int = 2048,
+    ) -> str:
+        """Materialize an IVF ANN index as a table commit (the
+        clustering-commit idiom, Hudi ``replacecommit`` parity): every
+        row gains a persisted ``__cid`` (nearest-centroid id, computed
+        with the ordered-fold cosine any SQL engine can re-derive from
+        the centroid literals), files are range-clustered by ``__cid``
+        with per-file min/max recorded in the manifest, and the trained
+        centroids are registered in the commit's stats.
+
+        At 100 TB this is the difference between re-assigning the whole
+        corpus on EVERY query (one pass over 100 TB) and pruning to the
+        ~nprobe/n_centroids fraction of FILES a probe touches: the
+        assignment pass runs once at index-build time, amortized over
+        all future searches (see
+        :func:`hudi_glue_spark.operators.similarity.ivf_search_indexed`).
+
+        Returns the index commit id. Mutating commits after the index
+        (upsert/delete) leave new rows unassigned — rebuild the index
+        after ingest, exactly like any secondary index."""
+        from hudi_glue_spark.operators.similarity import (
+            ivf_assign_expr,
+            ivf_centroids,
+        )
+
+        full = self.read(spark)
+        if centroids is None:
+            centroids = ivf_centroids(
+                full, self.key[0], vec_col, n_centroids, n_iter, sample_n
+            )
+        cell = self.IVF_CELL_COL
+        assigned = ivf_assign_expr(full, vec_col, centroids)
+        # Range-cluster by cell id so each output file covers a narrow,
+        # contiguous __cid range — tight min/max, hard probe-time skips.
+        clustered = assigned.repartitionByRange(
+            max(len(centroids), 1), F.col(cell)
+        ).sortWithinPartitions(cell)
+        prev_stats = list(self.stats_cols or [])
+        if cell not in prev_stats:
+            self.stats_cols = prev_stats + [cell]
+        try:
+            cid = M.next_commit_id(self.path)
+            files, nrows = self._write_files(clustered, cid, repartition=False)
+            self._commit(
+                "index",
+                files,
+                clustered.schema,
+                rows=nrows,
+                extra_stats={
+                    "vector_index": {
+                        "kind": "ivf",
+                        "vec_col": vec_col,
+                        "cell_col": cell,
+                        "centroids": centroids,
+                    }
+                },
+            )
+        finally:
+            self.stats_cols = prev_stats
+        return self.commits()[-1]
+
+    def vector_index(self) -> dict | None:
+        """The vector index registered by the LATEST commit, or None.
+        Deliberately not inherited across commits: an upsert after the
+        index leaves rows unassigned, so a stale index must read as
+        absent, not silently wrong."""
+        man = M.read_manifest(self.path)
+        if man is None:
+            return None
+        return (man.stats or {}).get("vector_index")
+
     # -- internals ---------------------------------------------------------
 
     def _precombine(self, df: DataFrame) -> DataFrame:
@@ -903,7 +1021,13 @@ class KeyedTable:
         return moved, nrows
 
     def _commit(
-        self, op: str, files: list[str], schema: StructType, rows: int, rewritten=None
+        self,
+        op: str,
+        files: list[str],
+        schema: StructType,
+        rows: int,
+        rewritten=None,
+        extra_stats: dict | None = None,
     ) -> None:
         # carry forward per-file stats of surviving files, merge in the
         # stats of files this commit just wrote
@@ -917,7 +1041,11 @@ class KeyedTable:
             ts=M.utc_now_iso(),
             files=sorted(files),
             schema_json=schema.json(),
-            stats={"rows_written": rows, "partitions_rewritten": rewritten or []},
+            stats={
+                "rows_written": rows,
+                "partitions_rewritten": rewritten or [],
+                **(extra_stats or {}),
+            },
             file_stats={f: known[f] for f in files if f in known},
         )
         M.write_manifest(self.path, man)

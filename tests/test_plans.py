@@ -271,3 +271,75 @@ def test_external_read_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in txt
     part_section = txt.split("PartitionFilters")[1].split("]")[0]
     assert "event_type" in part_section, part_section
+
+
+def test_ivf_index_persists_cells_and_prunes_files(spark, sf_dir):
+    """build_ivf_index materializes __cid into range-clustered files:
+    (a) the search-time corpus plan reads __cid FROM THE SCAN — no
+    assignment fold/UDF stage — with the probe IN-filter pushed down;
+    (b) manifest min/max skip files for a small probe set; (c) results
+    equal assign-per-query knn_ivf exactly (same centroids)."""
+    import shutil
+
+    from hudi_glue_spark.operators import similarity as S
+    from hudi_glue_spark.queries import table
+    from hudi_glue_spark.table import KeyedTable
+    import hudi_glue_spark.table.manifest as M
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = "/tmp/hgs_test_ivfidx"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
+    tbl.bulk_insert(emb)
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    tbl.build_ivf_index(spark, "embedding", centroids=cents)
+
+    man = M.read_manifest(root)
+    assert man.op == "index"
+    assert man.stats["vector_index"]["cell_col"] == "__cid"
+    # (b) manifest pruning: a 2-cell probe must skip most files
+    pruned = tbl.files_isin("__cid", [0, 1])
+    assert 0 < len(pruned) < len(man.files)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_search_indexed(spark, tbl, queries, "vec_id", k=5, nprobe=2)
+    # (a) corpus side: __cid comes from the parquet scan (pushed IN
+    # filter), and no Python/fold assignment runs over the corpus —
+    # the only aggregate() folds in the plan are the broadcast
+    # query-side probes, which sit under the BroadcastExchange.
+    txt = explain_str(out)
+    assert "EvalPython" not in txt
+    assert any(
+        "__cid" in seg[:400] for seg in txt.split("PushedFilters")[1:]
+    ), "probe IN-filter on __cid not pushed to any scan"
+
+    base = S.knn_ivf(
+        queries, emb, "vec_id", "embedding", k=5, nprobe=2,
+        assigner="expr", centroids=cents,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_ivf_index_stale_after_ingest_refuses(spark, sf_dir):
+    """A mutating commit after the index must make the index read as
+    absent — searching a stale index would silently miss new rows."""
+    import shutil
+
+    import pytest
+
+    from hudi_glue_spark.operators import similarity as S
+    from hudi_glue_spark.queries import table
+    from hudi_glue_spark.table import KeyedTable
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = "/tmp/hgs_test_ivfidx_stale"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
+    tbl.bulk_insert(emb.limit(64))
+    cents = S.ivf_centroids(emb.limit(64), "vec_id", "embedding", n_centroids=4)
+    tbl.build_ivf_index(spark, "embedding", centroids=cents)
+    assert tbl.vector_index() is not None
+    tbl.upsert(emb.limit(8))
+    assert tbl.vector_index() is None
+    with pytest.raises(ValueError, match="no IVF index"):
+        S.ivf_search_indexed(spark, tbl, emb.limit(2), "vec_id")
