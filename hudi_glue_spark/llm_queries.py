@@ -811,6 +811,122 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
+def _chain_suffix(j):
+    """`` zzq1 zzq2 … zzqj`` (empty when j < 1) — synthetic tokens
+    appended to a doc to dial its Jaccard against the original to an
+    exact rational, identically on both engines."""
+    toks = F.transform(
+        F.sequence(F.lit(1), F.greatest(j, F.lit(1))),
+        lambda i: F.concat(F.lit("zzq"), i.cast("string")),
+    )
+    return F.when(
+        j >= 1, F.concat(F.lit(" "), F.concat_ws(" ", toks))
+    ).otherwise(F.lit(""))
+
+
+def _chain_suffix_sql(j: str) -> str:
+    return (
+        f"CASE WHEN {j} >= 1 THEN ' ' || array_to_string("
+        f"list_transform(range(1, {j} + 1), i -> 'zzq' || CAST(i AS VARCHAR)),"
+        f" ' ') ELSE '' END"
+    )
+
+
+#: Chain fixture: for each src0 doc (n distinct words) plant two copies
+#: whose ids are LARGER than the original's —
+#:   A = text + j extra tokens,  j  = n//4 + 1  → J(orig, A) < 0.8
+#:   B = text + j2 extra tokens, j2 = j//2      → J(orig, B) ≥ 0.8
+#: and J(A, B) = (n+j2)/(n+j) ≥ 0.8 — so the duplicate graph is the
+#: star orig–B, A–B through the HIGHEST id B: exactly the shape where
+#: one-hop min-neighbor collapse keeps {orig, A} but true connected
+#: components keep only {orig}.
+_CHAIN_CORPUS_SQL = f"""
+  src AS (
+    SELECT doc_id, text, source,
+           len(list_distinct({_SQL_WORDS})) AS n
+    FROM documents WHERE source = 'src0'
+  ),
+  params AS (
+    SELECT *, n // 4 + 1 AS j, (n // 4 + 1) // 2 AS j2 FROM src
+  ),
+  corpus AS (
+    SELECT doc_id, text, source FROM params
+    UNION ALL
+    SELECT doc_id + 1000000, text || {_chain_suffix_sql("j")}, source
+    FROM params
+    UNION ALL
+    SELECT doc_id + 2000000, text || {_chain_suffix_sql("j2")}, source
+    FROM params
+  )
+"""
+
+
+@query(
+    "dedup_chain_fixpoint",
+    f"""
+    WITH RECURSIVE {_CHAIN_CORPUS_SQL},
+    w AS (
+      SELECT doc_id, list_distinct({_SQL_WORDS}) AS ws FROM corpus
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            >= 0.8
+    ),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.s, r.comp FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT c.doc_id FROM corpus c
+    LEFT JOIN comps ON comps.node = c.doc_id
+    WHERE comp IS NULL OR comp = c.doc_id
+    """,
+)
+def q_dedup_chain_fixpoint(spark, sf_dir):
+    """Iterated survivor collapse (dedup_keep_list(iterations=None)) on
+    a chain-heavy planted fixture where the one-hop default is WRONG:
+    each src0 doc gets two near-copies wired orig–B, A–B through the
+    highest id, so one-hop keeps the spurious A while the fixpoint keeps
+    only the component min (the original). The oracle recomputes true
+    components with a recursive CTE — tests/test_llm_ops.py asserts the
+    one-hop and fixpoint answers actually differ on this fixture."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", "text", "source")
+    )
+    base = docs.withColumn(
+        "__j", F.expr("size(array_distinct(filter(split(text, '\\\\s+'), x -> x != ''))) div 4 + 1")
+    ).withColumn("__j2", F.expr("__j div 2"))
+    a = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", _chain_suffix(F.col("__j"))).alias("text"),
+        "source",
+    )
+    b = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", _chain_suffix(F.col("__j2"))).alias("text"),
+        "source",
+    )
+    corpus = docs.unionByName(a).unionByName(b)
+    w = corpus.select(
+        "doc_id", "source", F.array_distinct(T.words("text")).alias("ws")
+    )
+    pairs = D.jaccard_pairs(w, "doc_id", "ws", "source", threshold=0.8)
+    return D.dedup_keep_list(pairs, corpus, "doc_id", iterations=None).select(
+        "doc_id"
+    )
+
+
 @query(
     "near_dup_components",
     f"""

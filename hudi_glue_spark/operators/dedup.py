@@ -224,19 +224,44 @@ def minhash_lsh_pairs(
     )
 
 
-def dedup_keep_list(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
-    """Collapse duplicate pairs to survivors: every id maps to the min
-    id among itself and its direct neighbors (connected-components-lite,
-    one aggregation instead of an iterative CC — documents chained A-B-C
-    collapse transitively enough for dedup purposes)."""
-    edges = pairs.select(
-        F.col("a_id").alias("__rid"), F.col("b_id").alias("__nb")
-    ).unionByName(pairs.select(F.col("b_id").alias("__rid"), F.col("a_id").alias("__nb")))
-    rep = edges.groupBy("__rid").agg(F.min("__nb").alias("__min_nb"))
+def dedup_keep_list(
+    pairs: DataFrame, df: DataFrame, id_col: str, iterations: int | None = 1
+) -> DataFrame:
+    """Collapse duplicate pairs to survivors.
+
+    ``iterations=1`` (default): every id maps to the min id among itself
+    and its direct neighbors — connected-components-lite, one
+    aggregation, no loop. Monotone id chains (A<B<C, pairs A-B, B-C)
+    collapse fully, but a node whose neighbors all have LARGER ids
+    survives even when a smaller id is reachable transitively (edges
+    1-3, 2-3 keep both 1 and 2).
+
+    ``iterations=None`` (or >1): survivors = exactly one per connected
+    component — the component's min id — via
+    :func:`connected_components` min-label propagation capped at that
+    many rounds (None → until fixpoint). Use for aggressive curation
+    where duplicate chains run long (crawl dumps sharing boilerplate).
+    Each extra round costs one edges⋈labels shuffle over the PAIRED
+    nodes only — a tiny fraction of the corpus."""
+    if iterations is not None and iterations <= 1:
+        edges = pairs.select(
+            F.col("a_id").alias("__rid"), F.col("b_id").alias("__nb")
+        ).unionByName(
+            pairs.select(F.col("b_id").alias("__rid"), F.col("a_id").alias("__nb"))
+        )
+        rep = edges.groupBy("__rid").agg(F.min("__nb").alias("__min_nb"))
+        return (
+            df.join(rep, df[id_col] == rep["__rid"], "left")
+            .filter(F.col("__min_nb").isNull() | (F.col("__min_nb") > df[id_col]))
+            .drop("__rid", "__min_nb")
+        )
+    comps = connected_components(
+        pairs, max_iter=50 if iterations is None else iterations
+    )
     return (
-        df.join(rep, df[id_col] == rep["__rid"], "left")
-        .filter(F.col("__min_nb").isNull() | (F.col("__min_nb") > df[id_col]))
-        .drop("__rid", "__min_nb")
+        df.join(comps, df[id_col] == comps["node"], "left")
+        .filter(F.col("comp").isNull() | (F.col("comp") == df[id_col]))
+        .drop("node", "comp")
     )
 
 

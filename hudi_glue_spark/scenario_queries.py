@@ -367,3 +367,71 @@ def q_dual_path_read_agreement(spark, sf_dir):
         [(sql_side.count(), path_side.count(), agree.count())],
         "sql_rows long, path_rows long, agreeing_rows long",
     )
+
+
+@query(
+    "schema_widen_drop_scenario",
+    """
+    WITH b0 AS (
+      SELECT event_id, CAST(user_id AS INTEGER) AS user_id, event_type,
+             CAST(value AS REAL) AS value, CAST(ts AS TIMESTAMP) AS ts,
+             0 AS src
+      FROM events
+    ), b1 AS (
+      SELECT event_id, user_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts, 1 AS src
+      FROM events WHERE event_type = 'click'
+    ), u AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+             CAST(value AS DOUBLE) AS value, ts, src FROM b0
+      UNION ALL
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             ts, src FROM b1
+    )
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_schema_widen_drop_scenario(spark, sf_dir):
+    """Schema evolution across commits (§2a #23 extension, Hudi native
+    type-promotion parity): load the events narrow (user_id INT, value
+    FLOAT, plus a tag column), upsert the click subset WIDE (BIGINT /
+    DOUBLE, newer event time) — which widens the committed schema while
+    untouched partitions keep their narrow files, upcast in place by the
+    reader — then drop the tag column (metadata-only, zero rewrites).
+    The oracle replays the same widen-then-merge in SQL: non-click rows
+    show the float-rounded narrow values upcast to double, click rows
+    the wide batch's exact values, and no tag column anywhere."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = (
+        f"/tmp/hudi_glue_spark_scn_widen_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    b0 = ev.select(
+        "event_id",
+        F.col("user_id").cast("int").alias("user_id"),
+        "event_type",
+        F.col("value").cast("float").alias("value"),
+        "ts",
+        F.lit("v0").alias("tag"),
+    )
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    tbl.bulk_insert(b0)
+    b1 = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") + F.lit(100.0)).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    tbl.upsert(b1)
+    tbl.drop_columns(["tag"])
+    return tbl.read(spark).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )

@@ -51,6 +51,24 @@ from hudi_glue_spark.table import manifest as M
 ARRIVAL_WINS = "arrival_wins"
 EVENT_TIME_WINS = "event_time_wins"
 
+#: Lossless numeric widenings the parquet reader performs in place
+#: (Spark 4 type-widening reads): integer ladder + float→double.
+_INT_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _widened_type(table_t, batch_t):
+    """The batch's type if it is a supported WIDENING of the table's
+    (int ladder, float→double), else None (equal or narrower — the
+    batch is cast up to the table type instead)."""
+    a, b = table_t.typeName(), batch_t.typeName()
+    if a == b:
+        return None
+    if a in _INT_WIDTH and b in _INT_WIDTH and _INT_WIDTH[b] > _INT_WIDTH[a]:
+        return batch_t
+    if a == "float" and b == "double":
+        return batch_t
+    return None
+
 
 def _parquet_num_rows(path: str) -> int:
     import pyarrow.parquet as pq
@@ -197,15 +215,24 @@ class KeyedTable:
             return spark.createDataFrame([], schema)
         ddir = M.data_dir(self.path)
         paths = [os.path.join(ddir, f) for f in man.files]
-        # mergeSchema: after add-column evolution, files written before
-        # the new column lack it physically; the union schema + the
-        # NULL-fill below give every snapshot the committed schema.
-        df = (
-            spark.read.option("basePath", ddir)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
+        # Read under the COMMITTED schema, not mergeSchema inference:
+        # files written before an add-column lack it physically (the
+        # reader NULL-fills), files written before a type widening keep
+        # the narrow physical type (the parquet reader upcasts
+        # int→long / float→double in place), and a dropped column is
+        # pruned at scan time even though old files still carry it.
+        # mergeSchema would ERROR on the widened mix (int vs long) and
+        # resurrect dropped columns — and paying a footer-merge pass
+        # over every file of a 100 TB table buys nothing the manifest
+        # doesn't already know.
+        df = self._read_files(spark, ddir, paths, schema)
         return df.select(self._conform(df, schema))
+
+    @staticmethod
+    def _read_files(
+        spark: SparkSession, ddir: str, paths: list[str], schema: StructType
+    ):
+        return spark.read.option("basePath", ddir).schema(schema).parquet(*paths)
 
     def read_incremental(self, spark: SparkSession, since: str) -> DataFrame:
         """Rows written after commit ``since`` (Hudi incremental-query
@@ -218,10 +245,8 @@ class KeyedTable:
         if not new_files:
             return spark.createDataFrame([], schema)
         ddir = M.data_dir(self.path)
-        df = (
-            spark.read.option("basePath", ddir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(ddir, f) for f in new_files])
+        df = self._read_files(
+            spark, ddir, [os.path.join(ddir, f) for f in new_files], schema
         )
         return df.select(self._conform(df, schema))
 
@@ -262,10 +287,8 @@ class KeyedTable:
         if not keep:
             return spark.createDataFrame([], schema).filter(cond)
         ddir = M.data_dir(self.path)
-        df = (
-            spark.read.option("basePath", ddir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(ddir, f) for f in keep])
+        df = self._read_files(
+            spark, ddir, [os.path.join(ddir, f) for f in keep], schema
         )
         return df.select(self._conform(df, schema)).filter(cond)
 
@@ -311,10 +334,8 @@ class KeyedTable:
         if not keep:
             return spark.createDataFrame([], schema).filter(cond)
         ddir = M.data_dir(self.path)
-        df = (
-            spark.read.option("basePath", ddir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(ddir, f) for f in keep])
+        df = self._read_files(
+            spark, ddir, [os.path.join(ddir, f) for f in keep], schema
         )
         return df.select(self._conform(df, schema)).filter(cond)
 
@@ -391,10 +412,42 @@ class KeyedTable:
         spark = batch.sparkSession
         batch = self._precombine(batch)
         existing = self.read(spark)
-        # Schema evolution (add-column, Hudi parity): batch columns not
-        # in the table are appended as nullable fields (existing rows
-        # read NULL); table columns missing from the batch are
-        # NULL-filled; shared columns are cast to the table's types.
+        # Schema evolution (Hudi parity):
+        # - add-column: batch columns not in the table are appended as
+        #   nullable fields (existing rows read NULL); table columns
+        #   missing from the batch are NULL-filled.
+        # - type WIDENING: a batch column wider than the table's
+        #   (byte→short→int→long, float→double) widens the COMMITTED
+        #   schema; already-written files keep the narrow physical type
+        #   and the parquet reader upcasts them in place at read time
+        #   (see read()) — no rewrite of untouched files.
+        # - anything narrower in the batch is cast UP to the table type.
+        # - a column dropped by drop_columns() may not be re-added: old
+        #   files still hold its bytes, and an explicit-schema read
+        #   would resurrect stale values under the new column.
+        retired = self._retired_columns() & set(batch.columns)
+        if retired:
+            raise ValueError(
+                f"cannot re-add dropped column(s) {sorted(retired)}: old "
+                "files still hold their bytes and would resurrect stale "
+                "values; use a fresh column name"
+            )
+        widened = {
+            f.name: w
+            for f in existing.schema.fields
+            if f.name in batch.columns
+            and (w := _widened_type(f.dataType, batch.schema[f.name].dataType))
+            is not None
+        }
+        if widened:
+            existing = existing.select(
+                *[
+                    F.col(f.name).cast(widened[f.name]).alias(f.name)
+                    if f.name in widened
+                    else F.col(f.name)
+                    for f in existing.schema.fields
+                ]
+            )
         existing_names = {f.name for f in existing.schema.fields}
         batch_names = set(batch.columns)
         new_fields = [f for f in batch.schema.fields if f.name not in existing_names]
@@ -801,6 +854,53 @@ class KeyedTable:
             rewritten=sorted(str(p) for p in todo),
         )
         return self.commits()[-1]
+
+    # -- schema evolution ----------------------------------------------------
+
+    def drop_columns(self, cols: list[str]) -> str:
+        """Metadata-only column drop: publishes a commit whose schema no
+        longer has ``cols`` — zero files rewritten. Old files keep the
+        bytes physically, but every read goes through the committed
+        schema (see read()), so the column is pruned at scan time. The
+        Iceberg drop-column idiom; on a 100 TB table this is a metadata
+        operation instead of a full rewrite.
+
+        Dropped names are retired for the table's lifetime (recorded in
+        the commit; upsert refuses to re-add them) because an
+        explicit-schema read of an old file would resurrect its stale
+        values under a re-added name."""
+        if isinstance(cols, str):
+            cols = [cols]
+        protected = set(self.key) | {self.precombine} | set(self.partition_by or [])
+        bad = set(cols) & protected
+        if bad:
+            raise ValueError(f"cannot drop key/precombine/partition column(s) {sorted(bad)}")
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        missing = set(cols) - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"no such column(s) {sorted(missing)}")
+        new_schema = StructType([f for f in schema.fields if f.name not in set(cols)])
+        self._commit(
+            "drop_columns",
+            man.files,
+            new_schema,
+            rows=0,
+            extra_stats={"dropped_cols": sorted(set(cols))},
+        )
+        return self.commits()[-1]
+
+    def _retired_columns(self) -> set[str]:
+        """Union of all column names ever dropped (across retained
+        commits) — these may never be re-added (see drop_columns)."""
+        out: set[str] = set()
+        for cid in self.commits():
+            man = M.read_manifest(self.path, cid)
+            if man is not None:
+                out.update(man.stats.get("dropped_cols", []))
+        return out
 
     # -- vector index --------------------------------------------------------
 

@@ -427,3 +427,76 @@ def test_validate_integrity(spark, tmp_path):
     victim = M.read_manifest(t.path).files[0]
     os.unlink(os.path.join(M.data_dir(t.path), victim))
     assert any("missing file" in p for p in t.validate())
+
+
+def test_upsert_widens_int_and_float(spark, tmp_path):
+    """A batch with wider numerics (int→long, float→double) widens the
+    COMMITTED schema; files written before the widening keep the narrow
+    physical type and are upcast by the reader in place — the untouched
+    partition's file is NOT rewritten."""
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    narrow = spark.createDataFrame(
+        [
+            Row(pk=1, part="a", n=1, x=1.5, update_ts=ts(10)),
+            Row(pk=3, part="b", n=3, x=3.5, update_ts=ts(10)),
+        ]
+    ).select("pk", "part", F_col("n").cast("int").alias("n"),
+             F_col("x").cast("float").alias("x"), "update_ts")
+    ingest(t, narrow)
+    files_before = set(M.read_manifest(t.path).files)
+
+    wide = spark.createDataFrame(
+        [Row(pk=1, part="a", n=2**40, x=2.25, update_ts=ts(11))]
+    ).select("pk", "part", F_col("n").cast("long").alias("n"),
+             F_col("x").cast("double").alias("x"), "update_ts")
+    ingest(t, wide)
+
+    snap = t.read(spark)
+    assert snap.schema["n"].dataType.typeName() == "long"
+    assert snap.schema["x"].dataType.typeName() == "double"
+    got = {r.pk: (r.n, r.x) for r in snap.collect()}
+    assert got == {1: (2**40, 2.25), 3: (3, 3.5)}
+    # partition b untouched: its narrow file carried forward verbatim
+    files_after = set(M.read_manifest(t.path).files)
+    assert any(f in files_after for f in files_before if f.startswith("part=b"))
+
+
+def test_drop_column_metadata_only_and_retired(spark, tmp_path):
+    """drop_columns rewrites nothing (same file list), prunes the column
+    from reads, survives a later upsert, and refuses resurrection."""
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark).withColumn("tag", F_col("val")))
+    before = M.read_manifest(t.path).files
+    t.drop_columns(["tag"])
+    man = M.read_manifest(t.path)
+    assert man.files == before  # zero files rewritten
+    assert "tag" not in t.read(spark).columns
+
+    # later upsert keeps the column dropped
+    ingest(t, day1(spark))
+    assert "tag" not in t.read(spark).columns
+    # resurrection refused
+    with pytest.raises(ValueError, match="re-add dropped"):
+        t.upsert(day1(spark).withColumn("tag", F_col("val")))
+    # protected columns refused
+    with pytest.raises(ValueError, match="key/precombine/partition"):
+        t.drop_columns(["pk"])
+
+
+def test_time_travel_sees_pre_drop_and_pre_widen_schema(spark, tmp_path):
+    """Time-travel reads use the schema committed AT that commit: the
+    dropped column reappears, the widened column reads narrow."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark).withColumn("tag", F_col("val")))
+    first = t.commits()[-1]
+    t.drop_columns(["tag"])
+    old = t.read(spark, at=first)
+    assert "tag" in old.columns
+    assert {r.tag for r in old.collect()} == {"init1", "init2", "init3", "init4"}

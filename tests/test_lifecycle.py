@@ -84,3 +84,51 @@ def test_full_lifecycle(spark, tmp_path):
         .collect()
     }
     assert a == b
+
+
+def test_concurrent_writers_exactly_one_commit_wins(tmp_path):
+    """Optimistic-concurrency publish: two writers race the SAME commit
+    id through the hard-link publish (manifest.write_manifest). Exactly
+    one link succeeds — whatever the interleaving, so no sleeps — the
+    other gets ConcurrentCommitError and retries cleanly with the next
+    id. Both manifests end up published, ids strictly ordered."""
+    import threading
+
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "t")
+
+    def mk(commit_id: str, tag: str) -> M.Manifest:
+        return M.Manifest(
+            commit_id=commit_id,
+            op=f"bulk_insert_{tag}",
+            ts=M.utc_now_iso(),
+            files=[],
+            schema_json='{"type":"struct","fields":[]}',
+        )
+
+    barrier = threading.Barrier(2)
+    results: dict[str, str] = {}
+
+    def writer(tag: str) -> None:
+        cid = M.next_commit_id(root)  # both observe the same next id
+        barrier.wait()
+        try:
+            M.write_manifest(root, mk(cid, tag))
+            results[tag] = f"won:{cid}"
+        except M.ConcurrentCommitError:
+            retry = M.next_commit_id(root)  # loser sees the winner's id
+            M.write_manifest(root, mk(retry, tag))
+            results[tag] = f"retried:{retry}"
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    outcomes = sorted(v.split(":")[0] for v in results.values())
+    assert outcomes == ["retried", "won"], results
+    assert M.list_commit_ids(root) == ["00000001", "00000002"]
+    ops = {M.read_manifest(root, c).op for c in ["00000001", "00000002"]}
+    assert ops == {"bulk_insert_a", "bulk_insert_b"}

@@ -85,6 +85,64 @@ def test_dedup_keep_list_transitive(spark):
     assert kept == {1, 9}
 
 
+def test_dedup_keep_list_fixpoint_vs_one_hop(spark):
+    """The star 1–3, 2–3 through the highest id: one-hop keeps the
+    spurious 2 (its only neighbor is larger); the fixpoint keeps only
+    the component min. Unpaired rows survive in both."""
+    df = spark.createDataFrame([Row(id=i, v="x") for i in [1, 2, 3, 9]])
+    pairs = spark.createDataFrame(
+        [Row(a_id=1, b_id=3, jaccard=0.9), Row(a_id=2, b_id=3, jaccard=0.9)]
+    )
+    one_hop = {r.id for r in D.dedup_keep_list(pairs, df, "id").collect()}
+    fix = {
+        r.id for r in D.dedup_keep_list(pairs, df, "id", iterations=None).collect()
+    }
+    assert one_hop == {1, 2, 9}
+    assert fix == {1, 9}
+
+
+def test_chain_fixpoint_query_differs_from_one_hop(spark, sf_dir):
+    """The registered dedup_chain_fixpoint fixture must actually
+    exercise the gap: one-hop collapse keeps strictly more survivors
+    than the fixpoint on the planted orig–B, A–B stars."""
+    from hudi_glue_spark.llm_queries import q_dedup_chain_fixpoint, _chain_suffix
+    from hudi_glue_spark.queries import table
+
+    fix_ids = {r.doc_id for r in q_dedup_chain_fixpoint(spark, sf_dir).collect()}
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", "text", "source")
+    )
+    base = docs.withColumn(
+        "__j",
+        F.expr(
+            "size(array_distinct(filter(split(text, '\\\\s+'), x -> x != ''))) div 4 + 1"
+        ),
+    ).withColumn("__j2", F.expr("__j div 2"))
+    a = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", _chain_suffix(F.col("__j"))).alias("text"),
+        "source",
+    )
+    b = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", _chain_suffix(F.col("__j2"))).alias("text"),
+        "source",
+    )
+    corpus = docs.unionByName(a).unionByName(b)
+    w = corpus.select(
+        "doc_id", "source", F.array_distinct(T.words("text")).alias("ws")
+    )
+    pairs = D.jaccard_pairs(w, "doc_id", "ws", "source", threshold=0.8)
+    one_hop_ids = {
+        r.doc_id
+        for r in D.dedup_keep_list(pairs, corpus, "doc_id").select("doc_id").collect()
+    }
+    assert fix_ids < one_hop_ids  # strictly fewer survivors at fixpoint
+
+
 def test_simhash_near_dup_small_hamming(spark):
     df = spark.createDataFrame(
         [

@@ -69,8 +69,21 @@ def diff_bench(old: dict, new: dict, threshold: float = 0.3) -> int:
 
 
 def _load(path: str) -> dict:
+    import os
+
     with open(path) as f:
         d = json.load(f)
+    # bench.py's compact stdout line carries only the slowest-10; the
+    # complete per-query map lives in the sidecar it names. Prefer a
+    # sidecar next to the INPUT file (a committed per-round snapshot).
+    full = d.get("queries_full_file") or (d.get("parsed") or {}).get(
+        "queries_full_file"
+    )
+    if full:
+        sib = os.path.join(os.path.dirname(os.path.abspath(path)), full)
+        if os.path.exists(sib):
+            with open(sib) as f:
+                return json.load(f)
     # driver BENCH_r{N}.json wraps the bench line: {"rc":…, "tail": "…"}
     if "tail" in d and "metric" not in d:
         if isinstance(d.get("parsed"), dict):
