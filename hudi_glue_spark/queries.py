@@ -48,6 +48,10 @@ NON_SQL_QUERIES: set[str] = set()
 #: still maximizes coverage.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "dual_path_read_agreement",        # §2a 4 — catalog-SQL vs path read
+    # -- new operators in r4 ----------------------------------------------
+    "knn_ivf_indexed",                 # ANN over persisted index
+    "dedup_chain_fixpoint",            # iterated survivor collapse
+    "schema_widen_drop_scenario",      # type widening + column drop
     # -- cheap relational / agg ------------------------------------------
     "jsonl_ingest_roundtrip",
     "json_props_extract",
@@ -83,6 +87,10 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",        # new in r4
+    "tpch_q9_product_type_profit",      # new in r4
+    "tpch_q11_important_stock",         # new in r4
+    "tpch_q12_shipment_priority_classes",  # new in r4
     # -- LLM-pipeline family ---------------------------------------------
     "docs_repetition_signals",
     "pii_redaction",
@@ -95,10 +103,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "incremental_dedup_vs_corpus",
     "quality_quantile_filter",
     "kmeans_embedding_clusters",
-    # -- new in r4 --------------------------------------------------------
-    "knn_ivf_indexed",                 # ANN over persisted index
-    "dedup_chain_fixpoint",            # iterated survivor collapse
-    "schema_widen_drop_scenario",      # type widening + column drop
     # -- streaming tail ---------------------------------------------------
     "stream_text_pipeline",
 ]

@@ -322,3 +322,114 @@ _sql_query(
     as exact-sum / count, so both engines derive the identical double
     threshold) + NOT EXISTS anti-join.""",
 )
+
+_sql_query(
+    "tpch_q2_min_cost_supplier",
+    ["part", "supplier", "lineitem", "nation", "region"],
+    """
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM part, cost, supplier, nation, region
+    WHERE p_partkey = partkey AND s_suppkey = suppkey
+      AND p_size = 15
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND supplycost = (
+        SELECT MIN(c2.supplycost)
+        FROM cost c2, supplier s2, nation n2, region r2
+        WHERE c2.partkey = p_partkey AND s2.s_suppkey = c2.suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    """,
+    """TPC-H Q2 (adapted: no partsupp table in the fixture, so the
+    supplier's cost for a part is derived as the MIN line price it ever
+    shipped that part at — same correlated-scalar-MIN shape): for size-15
+    parts, the cheapest EUROPE supplier(s). Ties all qualify, as in the
+    spec, so the result is a deterministic set. Exercises a correlated
+    scalar subquery that itself joins four tables — the decorrelation
+    stress case. No LIMIT: the spec's top-100 needs a total order the
+    driver's order-insensitive hash would not see anyway.""",
+)
+
+_sql_query(
+    "tpch_q9_product_type_profit",
+    ["lineitem", "part", "supplier", "orders", "nation"],
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))
+             - CAST(p_retailprice AS DECIMAL(6,2))
+               * CAST(0.6 AS DECIMAL(2,1))
+               * CAST(l_quantity AS DECIMAL(4,0)) AS amount
+      FROM lineitem, part, supplier, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    """TPC-H Q9 (adapted: supply cost is 60% of the part's retail price
+    instead of the missing ps_supplycost; the '%green%' name filter
+    becomes '%red%' to match the fixture's part names): profit by
+    supplier nation and order year over a five-table star join. All
+    money terms stay in DECIMAL chosen narrow enough ((6,2)x(2,1)x(4,0))
+    that no engine ever rounds mid-product; quantities are integral
+    <= 50 and retail prices 2dp <= 999.9 (verified), so every cast is
+    exact.""",
+)
+
+_sql_query(
+    "tpch_q11_important_stock",
+    ["lineitem", "supplier", "nation"],
+    """
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM val
+    WHERE value > (SELECT SUM(value) * 0.001 FROM val)
+    """,
+    """TPC-H Q11 (adapted: a part's "stock value" held by NATION_3
+    suppliers is its shipped revenue from them, replacing the missing
+    partsupp availability x cost): parts whose value exceeds 0.1% of the
+    nation's total. The HAVING-against-global-scalar shape; both the
+    per-part values and the threshold are exact decimal sums (x 0.001
+    extends scale, never rounds), so the > comparison is bit-identical
+    across engines.""",
+)
+
+_sql_query(
+    "tpch_q12_shipment_priority_classes",
+    ["orders", "lineitem"],
+    """
+    SELECT l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL '30' DAY
+      AND l_shipdate < o_orderdate + INTERVAL '90' DAY
+    GROUP BY l_linestatus
+    """,
+    """TPC-H Q12 (adapted: the fixture has no ship mode or commit/receipt
+    dates, so the mode becomes l_linestatus and "late receipt" becomes a
+    30-90 day ship lag after the order date): per class, how many lines
+    belong to high- vs low-priority orders. The conditional-aggregation-
+    over-join shape with both CASE branches summed in one pass.""",
+)
