@@ -52,6 +52,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "knn_ivf_indexed",                 # ANN over persisted index
     "dedup_chain_fixpoint",            # iterated survivor collapse
     "schema_widen_drop_scenario",      # type widening + column drop
+    "insert_overwrite_partition",      # partition replace (backfill)
+    "point_lookup_keys",               # per-file bloom key index
     # -- cheap relational / agg ------------------------------------------
     "jsonl_ingest_roundtrip",
     "json_props_extract",

@@ -148,7 +148,13 @@ def _two_batch_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
     if cached is not None and len(cached.commits()) == 2:
         return cached
     shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(root, key="event_id", precombine="ts", partition_by="event_type")
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        key_bloom=True,  # point_lookup_keys reads through the sidecars
+    )
     b0, b1, _b2 = _batches(spark, sf_dir)
     ingest(tbl, b0)
     ingest(tbl, b1)
@@ -435,3 +441,69 @@ def q_schema_widen_drop_scenario(spark, sf_dir):
     return tbl.read(spark).select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
+
+
+@query(
+    "insert_overwrite_partition",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type <> 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type, CAST(value * 2 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_insert_overwrite_partition(spark, sf_dir):
+    """Partition replace (Hudi insert_overwrite parity, the backfill
+    primitive): load all events, then OVERWRITE just the click partition
+    with a recomputed batch (value doubled) — no merge, prior click rows
+    gone, every other partition's files carried forward untouched. The
+    oracle is the union of untouched partitions and the recomputed one."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = (
+        f"/tmp/hudi_glue_spark_scn_iow_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    tbl.bulk_insert(ev)
+    recomputed = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * F.lit(2.0)
+    )
+    tbl.insert_overwrite(recomputed)
+    return tbl.read(spark).select(_COLS)
+
+
+#: fixed, scattered probe keys for the point-lookup query (most exist at
+#: every SF; absentees are fine — both engines agree they're absent)
+_LOOKUP_KEYS = [i * 97 + 7 for i in range(32)]
+
+
+@query(
+    "point_lookup_keys",
+    _BATCHES_CTE.replace("b2 AS", "b2_unused AS").replace(
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2",
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1",
+    )
+    + f"""
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1 AND event_id IN ({", ".join(map(str, _LOOKUP_KEYS))})
+    """,
+)
+def q_point_lookup_keys(spark, sf_dir):
+    """Key point lookup through the per-file Bloom index (Hudi
+    bloom-index parity, table/bloom.py): 32 scattered event_ids fetched
+    from the two-batch table via read_keys, which opens only files whose
+    sidecar may hold a probe — min/max stats can't prune scattered keys,
+    which is exactly why Hudi blooms them. The oracle filters the merged
+    state by the same IN list; bloom false positives cost I/O only, so
+    the results must match row-for-row."""
+    tbl = _two_batch_table(spark, sf_dir)
+    return tbl.read_keys(spark, _LOOKUP_KEYS).select(_COLS)

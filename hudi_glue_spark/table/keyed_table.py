@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
+from hudi_glue_spark.table import bloom as B
 from hudi_glue_spark.table import manifest as M
 
 ARRIVAL_WINS = "arrival_wins"
@@ -139,6 +140,11 @@ class KeyedTable:
     #: file skipping (None → the precombine column). At 100 TB this is
     #: the difference between scanning a time slice and the whole table.
     stats_cols: list[str] | None = None
+    #: write a per-file key Bloom sidecar (table/bloom.py — Hudi
+    #: bloom-index parity) so :meth:`read_keys` point lookups open only
+    #: files that may hold the key. Opt-in: costs one key-column read
+    #: per written file at commit time.
+    key_bloom: bool = False
 
     def __post_init__(self):
         if isinstance(self.key, str):
@@ -184,6 +190,7 @@ class KeyedTable:
                     "policy": self.policy,
                     "key_scope": self.key_scope,
                     "stats_cols": self.stats_cols,
+                    "key_bloom": self.key_bloom,
                 },
                 f,
                 indent=1,
@@ -339,6 +346,49 @@ class KeyedTable:
         )
         return df.select(self._conform(df, schema)).filter(cond)
 
+    def files_with_keys(self, keys: list) -> list[str]:
+        """Files whose Bloom sidecar may hold ANY of the (single-column)
+        ``keys``; files without a sidecar are kept, never skipped — so
+        a missing/stale bloom can cause extra scanning, never a missed
+        row."""
+        man = M.read_manifest(self.path)
+        assert man is not None
+        ddir = M.data_dir(self.path)
+        want = [B.key_string((k,)) for k in keys]
+        keep: list[str] = []
+        for f in man.files:
+            bl = B.read_sidecar(os.path.join(ddir, f))
+            if bl is None or any(B.maybe_contains(bl, w) for w in want):
+                keep.append(f)
+        return keep
+
+    def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
+        """Point lookup: rows whose record key is in ``keys``, opening
+        only files whose Bloom sidecar may hold one of them (plus any
+        file without a sidecar). The exact IN filter is re-applied after
+        the scan, so bloom false positives cost I/O, never correctness.
+
+        This is the read-side face of Hudi's bloom index: on a 100 TB
+        table a key lookup touches ~1 file instead of every file —
+        min/max stats can't do this because keys are scattered, which is
+        exactly why Hudi indexes them with blooms. Single-column keys
+        only (Hudi's record key is likewise one field)."""
+        if len(self.key) != 1:
+            raise ValueError("read_keys supports single-column keys")
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        keep = self.files_with_keys(keys)
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        cond = F.col(self.key[0]).isin(list(keys))
+        if not keep:
+            return spark.createDataFrame([], schema).filter(cond)
+        ddir = M.data_dir(self.path)
+        df = self._read_files(
+            spark, ddir, [os.path.join(ddir, f) for f in keep], schema
+        )
+        return df.select(self._conform(df, schema)).filter(cond)
+
     def register(self, spark: SparkSession, name: str) -> None:
         """Catalog registration (↦ hive_sync, glue/HudiJarGlueJob.py:80-82):
         the snapshot becomes queryable via ``spark.sql``/``spark.table``."""
@@ -394,6 +444,50 @@ class KeyedTable:
         self.save_meta()
         files, nrows = self._write_files(df, M.next_commit_id(self.path))
         self._commit("bulk_insert", files, df.schema, rows=nrows)
+        return self.commits()[-1]
+
+    def insert_overwrite(self, batch: DataFrame, dedupe: bool = True) -> str:
+        """Partition replace (Hudi ``insert_overwrite`` / Spark dynamic
+        ``INSERT OVERWRITE`` parity): every partition PRESENT in the
+        batch ends up holding exactly the batch's rows for it — no merge
+        with prior contents — while untouched partitions are carried
+        forward as metadata. The backfill primitive: recompute one day's
+        partition from scratch without touching the other 9,999.
+
+        On an unpartitioned table this replaces the whole table (Hudi
+        ``insert_overwrite_table``). Prior commits stay time-travelable
+        until :meth:`clean`. ``dedupe`` runs the precombine pass so the
+        batch itself can carry late duplicates."""
+        if not self.exists():
+            return self.bulk_insert(batch, dedupe=dedupe)
+        self._require_columns(batch, "insert_overwrite batch")
+        spark = batch.sparkSession
+        if dedupe:
+            batch = self._precombine(batch)
+        existing = self.read(spark)
+        batch = batch.select(
+            [F.col(f.name).cast(f.dataType) for f in existing.schema.fields]
+        )
+        man = M.read_manifest(self.path)
+        assert man is not None
+        cid = M.next_commit_id(self.path)
+        new_files, nrows = self._write_files(batch, cid)
+        if self.partition_by:
+            replaced = {
+                self._dirname(r)
+                for r in batch.select(self.partition_by).distinct().collect()
+            }
+            carried = [f for f in man.files if M.partition_of(f) not in replaced]
+        else:
+            replaced = None
+            carried = []
+        self._commit(
+            "insert_overwrite",
+            carried + new_files,
+            existing.schema,
+            rows=nrows,
+            rewritten=sorted(replaced) if replaced is not None else ["<all>"],
+        )
         return self.commits()[-1]
 
     def upsert(self, batch: DataFrame) -> str:
@@ -752,6 +846,11 @@ class KeyedTable:
         for dirpath, _dirs, files in os.walk(ddir):
             for fn in files:
                 rel = os.path.relpath(os.path.join(dirpath, fn), ddir)
+                if rel.endswith(B.SIDECAR_SUFFIX):
+                    # a bloom sidecar lives and dies with its data file
+                    if rel[: -len(B.SIDECAR_SUFFIX)] not in referenced:
+                        os.unlink(os.path.join(dirpath, fn))
+                    continue
                 if rel not in referenced:
                     os.unlink(os.path.join(dirpath, fn))
                     removed.append(rel)
@@ -1115,6 +1214,22 @@ class KeyedTable:
                 nrows += n
                 if st:
                     self._pending_stats[rel] = st
+                if self.key_bloom:
+                    # one key-column read of the just-written LOCAL file;
+                    # on a real cluster this belongs executor-side at
+                    # write time (Hudi keeps it in the parquet footer)
+                    import pyarrow.parquet as pq
+
+                    kt = pq.read_table(dest, columns=self.key)
+                    B.write_sidecar(
+                        dest,
+                        [
+                            B.key_string(vals)
+                            for vals in zip(
+                                *[kt.column(c).to_pylist() for c in self.key]
+                            )
+                        ],
+                    )
                 moved.append(rel)
                 i += 1
         shutil.rmtree(os.path.join(self.path, ".tmp"), ignore_errors=True)

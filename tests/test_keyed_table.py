@@ -500,3 +500,72 @@ def test_time_travel_sees_pre_drop_and_pre_widen_schema(spark, tmp_path):
     old = t.read(spark, at=first)
     assert "tag" in old.columns
     assert {r.tag for r in old.collect()} == {"init1", "init2", "init3", "init4"}
+
+
+def test_insert_overwrite_replaces_only_batch_partitions(spark, tmp_path):
+    """insert_overwrite: partitions in the batch hold EXACTLY the batch
+    rows (no merge — a key absent from the batch disappears); untouched
+    partitions carry their files forward verbatim."""
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark))  # pk 1,2 in a; 3,4 in b
+    b_files = {f for f in M.read_manifest(t.path).files if f.startswith("part=b")}
+
+    batch = spark.createDataFrame(
+        [Row(pk=9, part="a", val="fresh9", update_ts=ts(12))]
+    )
+    t.insert_overwrite(batch)
+
+    got = {(r.pk, r.part, r.val) for r in t.read(spark).collect()}
+    assert got == {(9, "a", "fresh9"), (3, "b", "init3"), (4, "b", "init4")}
+    man = M.read_manifest(t.path)
+    assert man.op == "insert_overwrite"
+    assert b_files <= set(man.files)  # b untouched, carried forward
+    assert man.stats["partitions_rewritten"] == ["part=a"]
+
+
+def test_bloom_point_lookup_prunes_files_no_false_negatives(spark, tmp_path):
+    """key_bloom tables: a point lookup opens a strict subset of files,
+    every present key is found (no false negatives, per construction),
+    and clean() keeps live sidecars while dropping orphaned ones."""
+    import os
+
+    from hudi_glue_spark.table import bloom as B
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part", key_bloom=True)
+    rows = [
+        Row(pk=i, part=f"p{i % 8}", val=f"v{i}", update_ts=ts(10))
+        for i in range(400)
+    ]
+    ingest(t, spark.createDataFrame(rows))
+
+    man = M.read_manifest(t.path)
+    ddir = M.data_dir(t.path)
+    assert all(
+        os.path.exists(os.path.join(ddir, f) + B.SIDECAR_SUFFIX)
+        for f in man.files
+    )
+    # pruning: one key lives in exactly one partition's file(s)
+    keep = t.files_with_keys([17])
+    assert 0 < len(keep) < len(man.files)
+    got = {r.pk: r.val for r in t.read_keys(spark, [17, 399, 999999]).collect()}
+    assert got == {17: "v17", 399: "v399"}  # absent key absent, no FN
+    # every key findable (no false negatives across the whole table)
+    assert all(t.files_with_keys([i]) for i in range(0, 400, 37))
+
+    # rewrite partition p0 → old p0 file becomes orphaned after clean
+    t.upsert(spark.createDataFrame([Row(pk=0, part="p0", val="new0",
+                                        update_ts=ts(11))]))
+    t.clean(retain_commits=1)
+    man2 = M.read_manifest(t.path)
+    on_disk = {
+        os.path.relpath(os.path.join(dp, fn), ddir)
+        for dp, _d, fns in os.walk(ddir) for fn in fns
+        if fn.endswith(B.SIDECAR_SUFFIX)
+    }
+    assert on_disk == {f + B.SIDECAR_SUFFIX for f in man2.files}
+    assert {r.val for r in t.read_keys(spark, [0]).collect()} == {"new0"}
