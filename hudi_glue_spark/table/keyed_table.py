@@ -358,7 +358,7 @@ class KeyedTable:
         keep: list[str] = []
         for f in man.files:
             bl = B.read_sidecar(os.path.join(ddir, f))
-            if bl is None or any(B.maybe_contains(bl, w) for w in want):
+            if bl is None or B.contains_any(bl, want):
                 keep.append(f)
         return keep
 

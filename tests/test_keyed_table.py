@@ -569,3 +569,31 @@ def test_bloom_point_lookup_prunes_files_no_false_negatives(spark, tmp_path):
     }
     assert on_disk == {f + B.SIDECAR_SUFFIX for f in man2.files}
     assert {r.val for r in t.read_keys(spark, [0]).collect()} == {"new0"}
+
+
+def test_bloom_vectorized_build_matches_scalar_reference():
+    """The numpy build must stay bit-identical to the definitional
+    per-key construction ((h1 + i*h2) % m over unbounded ints) — the
+    read side deserializes old sidecars, so the layout is a contract."""
+    import base64
+
+    from hudi_glue_spark.table import bloom as B
+
+    def build_scalar(keys):
+        m = max(1024, len(keys) * B.BITS_PER_KEY)
+        arr = bytearray((m + 7) // 8)
+        for key in keys:
+            h1, h2 = B._hash_pair(key)
+            for i in range(B.NUM_PROBES):
+                b = (h1 + i * h2) % m
+                arr[b >> 3] |= 1 << (b & 7)
+        return base64.b64encode(bytes(arr)).decode()
+
+    keys = [f"k{i * 7919}" for i in range(5000)] + ["", "a|b", "雪", "0"]
+    assert B.build(keys)["b64"] == build_scalar(keys)
+    assert B.build([])["b64"] == build_scalar([])
+
+    b = B.build(keys)
+    assert all(B.maybe_contains(b, k) for k in keys)
+    assert B.contains_any(b, ["absent-1", keys[17]])
+    assert not B.contains_any(b, [])
