@@ -28,7 +28,15 @@ def _update_centroids(
     assigned: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> list[list[float]]:
     """Distributed mean per (cluster, dimension); empty clusters keep
-    their previous centroid."""
+    their previous centroid.
+
+    posexplode → groupBy(cluster, dim) rather than one agg with dim
+    decimal sum columns: decimal(28,10) buffers exceed the mutable
+    UnsafeRow width, so the wide form falls back to sort-based
+    aggregation (measured 2× slower end-to-end). The exploded rows are
+    (int, int, double) triples and the map-side partial agg collapses
+    each partition to k×dim rows before the exchange, so the shuffle
+    moves k×dim×partitions tiny rows regardless of corpus size."""
     means = (
         assigned.select("__cid", F.posexplode(F.col(vec_col)).alias("__pos", "__v"))
         .groupBy("__cid", "__pos")
