@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
 
+from hudi_glue_spark.operators.export import shard_id_sql
+from hudi_glue_spark.operators.text import words_sql
 from hudi_glue_spark.queries import query, table
 from hudi_glue_spark.sources.readers import read_csv
 
@@ -66,3 +68,47 @@ def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows would surface as NULLs (PERMISSIVE), not job failures."""
     path = _stage(spark, sf_dir, "jsonl")
     return spark.read.schema(_DDL).json(path).select(_COLS)
+
+
+_N_EXPORT_SHARDS = 8
+
+
+@query(
+    "jsonl_shard_export",
+    f"""
+    SELECT {shard_id_sql("doc_id", _N_EXPORT_SHARDS)} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(len({words_sql("text")})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def q_jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training export round-trip: the documents table written
+    as 8 deterministic md5-sharded JSONL shard dirs (the data-loader
+    hand-off layout — operators/export.py), read back through the
+    loader's view (explicit schema + recovered shard partition column),
+    then audited per shard: doc count, key checksum, token total — all
+    value-exact against computing the same shard assignment directly on
+    the parquet table, which proves the export moved every document to
+    exactly one correct shard with its text byte-intact."""
+    from hudi_glue_spark.operators.export import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+    )
+    from hudi_glue_spark.operators.text import token_count
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/hudi_glue_spark_io_shards_{base}"
+    if out not in _STAGED or not os.path.isdir(out):
+        docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        export_jsonl_shards(docs, out, key="doc_id", n_shards=_N_EXPORT_SHARDS)
+        _STAGED.add(out)
+    back = read_jsonl_shards(
+        spark, out, "doc_id bigint, source string, text string"
+    )
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(token_count("text").cast("bigint")).alias("n_tokens"),
+    )

@@ -54,6 +54,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "schema_widen_drop_scenario",      # type widening + column drop
     "insert_overwrite_partition",      # partition replace (backfill)
     "point_lookup_keys",               # per-file bloom key index
+    "jsonl_shard_export",              # sharded training-export round-trip
     # -- cheap relational / agg ------------------------------------------
     "jsonl_ingest_roundtrip",
     "json_props_extract",

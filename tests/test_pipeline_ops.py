@@ -296,3 +296,51 @@ class TestAdviceRegressions:
         ).first()
         assert r.n == 1
         assert r.red == "write <EMAIL> today"
+
+
+class TestShardExport:
+    def test_shard_assignment_deterministic_and_balanced(self, spark):
+        from hudi_glue_spark.operators.export import shard_id
+
+        df = spark.range(4000).select(F.col("id").alias("doc_id"))
+        a = {r.doc_id: r.s for r in df.select("doc_id", shard_id("doc_id", 8).alias("s")).collect()}
+        b = {r.doc_id: r.s for r in df.repartition(13).select("doc_id", shard_id("doc_id", 8).alias("s")).collect()}
+        assert a == b  # order/partitioning independent
+        assert set(a.values()) == set(range(8))
+        sizes = [list(a.values()).count(s) for s in range(8)]
+        assert max(sizes) < 2 * min(sizes)  # md5-uniform balance
+        # salt draws an independent assignment
+        c = {r.doc_id: r.s for r in df.select("doc_id", shard_id("doc_id", 8, salt="x").alias("s")).collect()}
+        assert c != a
+
+    def test_export_roundtrip_layout_and_stability(self, spark, tmp_path):
+        import os
+
+        from hudi_glue_spark.operators.export import (
+            export_jsonl_shards,
+            read_jsonl_shards,
+            shard_id,
+        )
+
+        rows = [(i, f"doc {i} text\nwith newline é", f"s{i%3}") for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = str(tmp_path / "shards")
+        export_jsonl_shards(df, out, key="doc_id", n_shards=4)
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+        assert dirs == [f"shard={k}" for k in range(4)]
+
+        back = read_jsonl_shards(spark, out, "doc_id bigint, text string, source string")
+        assert back.count() == 500
+        # every doc landed in ITS shard, text byte-intact through JSON
+        got = {r.doc_id: (r.shard, r.text) for r in back.collect()}
+        want = {r.doc_id: r.s for r in df.select("doc_id", shard_id("doc_id", 4).alias("s")).collect()}
+        assert all(got[i][0] == want[i] for i in range(500))
+        assert all(got[i][1] == rows[i][1] for i in range(500))
+
+        # incremental append does not move existing docs between shards
+        df2 = spark.createDataFrame(rows + [(1000 + i, "new", "s0") for i in range(50)],
+                                    "doc_id long, text string, source string")
+        export_jsonl_shards(df2, out, key="doc_id", n_shards=4)
+        back2 = read_jsonl_shards(spark, out, "doc_id bigint, text string, source string")
+        got2 = {r.doc_id: r.shard for r in back2.collect()}
+        assert all(got2[i] == want[i] for i in range(500))
