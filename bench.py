@@ -64,7 +64,11 @@ def main() -> int:
         "docs_repetition_signals",
         "knn_lsh",
         "knn_ivf",
+        "knn_ivf_indexed",
         "tf_idf_top_terms",
+        "kmeans_embedding_clusters",
+        "dedup_chain_fixpoint",
+        "dual_path_read_agreement",
     ):
         if warm_name in qs_all:
             qs_all[warm_name](spark, "/root/testdata/sf0.001").count()

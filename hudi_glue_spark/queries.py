@@ -43,9 +43,11 @@ NON_SQL_QUERIES: set[str] = set()
 #: r4 every registered query has a driver-green row in r2∪r3∪r4.
 #: dual_path_read_agreement leads (the reference's own verification
 #: idiom, glue/MockCuratedGlueJob.py:17-25 — §2a #4's only query-level
-#: check); cheap scalar/agg queries next, the TPC-H batch, the
-#: LLM-pipeline family, then the heavy/stateful tail so a time-based cap
-#: still maximizes coverage.
+#: check); cheap scalar/agg queries next, then the unique-capability
+#: LLM-pipeline queries (no sibling driver rows anywhere), and only
+#: then the 18-row TPC-H batch and the streaming tail — so if the cap
+#: lands mid-list, what misses is a family-redundant variant, never a
+#: capability's only row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "dual_path_read_agreement",        # §2a 4 — catalog-SQL vs path read
     # -- new operators in r4 ----------------------------------------------
@@ -75,6 +77,20 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "fixed_size_eval_sample",
     "domain_mix_resample",
     "vocab_top_terms",
+    # -- unique-capability LLM-pipeline queries (no sibling driver rows,
+    #    so they must land inside the cap; the TPC-H batch below shares
+    #    its join/agg machinery across 18 rows and tolerates a miss) ----
+    "docs_repetition_signals",
+    "pii_redaction",
+    "benchmark_decontamination",
+    "decontaminated_corpus",
+    "sliding_token_windows",
+    "sequence_pack_chunks",
+    "sequence_pack_greedy",
+    "source_median_tokens_udaf",
+    "incremental_dedup_vs_corpus",
+    "quality_quantile_filter",
+    "kmeans_embedding_clusters",
     # -- TPC-H batch ------------------------------------------------------
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -94,18 +110,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q9_product_type_profit",      # new in r4
     "tpch_q11_important_stock",         # new in r4
     "tpch_q12_shipment_priority_classes",  # new in r4
-    # -- LLM-pipeline family ---------------------------------------------
-    "docs_repetition_signals",
-    "pii_redaction",
-    "benchmark_decontamination",
-    "decontaminated_corpus",
-    "sliding_token_windows",
-    "sequence_pack_chunks",
-    "sequence_pack_greedy",
-    "source_median_tokens_udaf",
-    "incremental_dedup_vs_corpus",
-    "quality_quantile_filter",
-    "kmeans_embedding_clusters",
     # -- streaming tail ---------------------------------------------------
     "stream_text_pipeline",
 ]
