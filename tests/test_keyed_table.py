@@ -597,3 +597,24 @@ def test_bloom_vectorized_build_matches_scalar_reference():
     assert all(B.maybe_contains(b, k) for k in keys)
     assert B.contains_any(b, ["absent-1", keys[17]])
     assert not B.contains_any(b, [])
+
+
+def test_bloom_no_false_negatives_property():
+    """Hypothesis: for ANY key set (arbitrary unicode, dups, empties),
+    every inserted key probes positive — false negatives are impossible
+    by construction, which is what lets read_keys prune files safely."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hudi_glue_spark.table import bloom as B
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(max_size=40), max_size=120))
+    def prop(keys):
+        b = B.build(keys)
+        assert all(B.maybe_contains(b, k) for k in keys)
+        if keys:
+            assert B.contains_any(b, keys)
+            assert B.contains_any(b, ["definitely-absent-xyz"] + keys[:1])
+
+    prop()
