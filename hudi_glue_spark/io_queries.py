@@ -40,6 +40,8 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         w = ev.write.mode("overwrite")
         if fmt == "csv":
             w.option("header", True).csv(out)
+        elif fmt == "orc":
+            w.orc(out)
         else:
             w.json(out)
         _STAGED.add(out)
@@ -68,6 +70,17 @@ def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows would surface as NULLs (PERMISSIVE), not job failures."""
     path = _stage(spark, sf_dir, "jsonl")
     return spark.read.schema(_DDL).json(path).select(_COLS)
+
+
+@query("orc_ingest_roundtrip", _ORACLE)
+def q_orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the third landing format (Hive-ecosystem
+    counterpart of parquet; Spark reads/writes it natively with the
+    same pushdown/pruning machinery). Typed columnar storage, so
+    doubles and longs survive bit-exact without string round-trips;
+    explicit schema keeps the read a single pass."""
+    path = _stage(spark, sf_dir, "orc")
+    return spark.read.schema(_DDL).orc(path).select(_COLS)
 
 
 _N_EXPORT_SHARDS = 8

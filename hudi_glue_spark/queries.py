@@ -59,6 +59,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "jsonl_shard_export",              # sharded training-export round-trip
     # -- cheap relational / agg ------------------------------------------
     "jsonl_ingest_roundtrip",
+    "orc_ingest_roundtrip",
     "json_props_extract",
     "null_handling_suite",
     "orders_above_avg_price",
