@@ -17,7 +17,6 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
-    target_file_rows: int | None = None,
 ) -> None:
     """Parquet write with optional Hive-style partitioning.
 
