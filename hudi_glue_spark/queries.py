@@ -57,6 +57,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "insert_overwrite_partition",      # partition replace (backfill)
     "point_lookup_keys",               # per-file bloom key index
     "jsonl_shard_export",              # sharded training-export round-trip
+    "predicate_dml_scenario",          # UPDATE/DELETE WHERE on the table
     # -- cheap relational / agg ------------------------------------------
     "jsonl_ingest_roundtrip",
     "orc_ingest_roundtrip",

@@ -507,3 +507,45 @@ def q_point_lookup_keys(spark, sf_dir):
     the results must match row-for-row."""
     tbl = _two_batch_table(spark, sf_dir)
     return tbl.read_keys(spark, _LOOKUP_KEYS).select(_COLS)
+
+
+_DML_CACHE: dict[str, KeyedTable] = {}
+
+
+@query(
+    "predicate_dml_scenario",
+    """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(value * 2 AS DOUBLE)
+                  ELSE CAST(value AS DOUBLE) END AS value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ) WHERE NOT (value >= 150.0)
+    """,
+)
+def q_predicate_dml_scenario(spark, sf_dir):
+    """Predicate DML (Spark-SQL UPDATE/DELETE on a Hudi table, the DML
+    surface next to MERGE INTO and insert_overwrite): bulk-load events,
+    UPDATE ... SET value = value * 2 WHERE event_type = 'click' (only
+    the click partition rewrites), then DELETE ... WHERE value >= 150
+    (every partition holding matches rewrites, minus those rows). The
+    oracle replays both statements over the raw table — sequencing
+    matters, since the delete sees doubled click values."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dml_{os.path.basename(sf_dir.rstrip('/'))}"
+    tbl = _DML_CACHE.get(root)
+    if tbl is None or len(tbl.commits()) != 3:
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = KeyedTable(
+            root, key="event_id", precombine="ts", partition_by="event_type"
+        )
+        ev = table(spark, sf_dir, "events").select(_COLS)
+        tbl.bulk_insert(ev)
+        tbl.update_where(
+            spark, {"value": "value * 2.0D"}, "event_type = 'click'"
+        )
+        tbl.delete_where(spark, "value >= 150.0D")
+        _DML_CACHE[root] = tbl
+    return tbl.read(spark).select(_COLS)

@@ -628,6 +628,129 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def update_where(
+        self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
+    ) -> str:
+        """Predicate update (Spark-SQL ``UPDATE t SET ... WHERE ...`` on
+        a Hudi table): rewrite ONLY the partitions holding matching rows,
+        applying each SET expression to the rows the predicate selects
+        (NULL predicate = not selected, SQL three-valued semantics).
+        Record-key and partition columns may not be SET — updating the
+        key is undefined under merge semantics, and moving rows between
+        partitions belongs to delete+upsert.
+
+        At 100 TB this is the same cost shape as upsert: one scan to
+        find touched partitions, one rewrite of those partitions; every
+        untouched file is carried forward by manifest reference."""
+        frozen = set(self.key) | set(self.partition_by or [])
+        bad = frozen & set(set_exprs)
+        if bad:
+            raise ValueError(
+                f"cannot SET key/partition column(s) {sorted(bad)}; "
+                "use delete + upsert to move or re-key rows"
+            )
+        if not self.exists():
+            raise FileNotFoundError(f"no table at {self.path}")
+        existing = self.read(spark)
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+
+        man = M.read_manifest(self.path)
+        assert man is not None
+        if self.partition_by:
+            touched = {
+                self._dirname(r)
+                for r in existing.filter(hit)
+                .select(self.partition_by)
+                .distinct()
+                .collect()
+            }
+            if not touched:
+                return self.commits()[-1]
+            existing_touched = self._rows_in_partitions(existing, touched)
+        else:
+            if existing.filter(hit).isEmpty():
+                return self.commits()[-1]
+            touched = None
+            existing_touched = existing
+
+        updated = existing_touched.select(
+            *[
+                (
+                    F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                )
+                for f in existing.schema.fields
+            ]
+        )
+        cid = M.next_commit_id(self.path)
+        new_files, nrows = self._write_files(updated, cid)
+        carried = (
+            [f for f in man.files if M.partition_of(f) not in touched]
+            if touched is not None
+            else []
+        )
+        self._commit(
+            "update_where",
+            carried + new_files,
+            existing.schema,
+            rows=nrows,
+            rewritten=sorted(touched) if touched is not None else ["<all>"],
+        )
+        return self.commits()[-1]
+
+    def delete_where(self, spark: SparkSession, predicate) -> str:
+        """Predicate delete (Spark-SQL ``DELETE FROM t WHERE ...``,
+        ``predicate`` a SQL string or Column): rewrite only partitions
+        holding matching rows, keeping rows the predicate does NOT
+        select (FALSE or NULL — three-valued SQL semantics, matching
+        every engine's DELETE). One snapshot scan + one rewrite of the
+        touched partitions — no intermediate key set, unlike the by-key
+        companion :meth:`delete`. No matches → no new commit."""
+        if not self.exists():
+            raise FileNotFoundError(f"no table at {self.path}")
+        existing = self.read(spark)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(cond, F.lit(False))
+
+        man = M.read_manifest(self.path)
+        assert man is not None
+        if self.partition_by:
+            touched = {
+                self._dirname(r)
+                for r in existing.filter(hit)
+                .select(self.partition_by)
+                .distinct()
+                .collect()
+            }
+            if not touched:
+                return self.commits()[-1]
+            existing_touched = self._rows_in_partitions(existing, touched)
+        else:
+            if existing.filter(hit).isEmpty():
+                return self.commits()[-1]
+            touched = None
+            existing_touched = existing
+
+        remaining = existing_touched.filter(~hit)
+        cid = M.next_commit_id(self.path)
+        new_files, nrows = self._write_files(remaining, cid)
+        carried = (
+            [f for f in man.files if M.partition_of(f) not in touched]
+            if touched is not None
+            else []
+        )
+        self._commit(
+            "delete_where",
+            carried + new_files,
+            existing.schema,
+            rows=nrows,
+            rewritten=sorted(touched) if touched is not None else ["<all>"],
+        )
+        return self.commits()[-1]
+
     def validate(self) -> list[str]:
         """Manifest/file integrity audit (operational tooling): returns a
         list of problems — referenced files missing on disk, footer row
@@ -818,14 +941,6 @@ class KeyedTable:
             rewritten=sorted(touched) if touched is not None else ["<all>"],
         )
         return self.commits()[-1]
-
-    def delete_where(self, spark: SparkSession, condition) -> str:
-        """Predicate delete: remove every live row matching ``condition``
-        (a Column or SQL string) — sugar over keyed delete, computing the
-        doomed key set from a snapshot scan."""
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        keys = self.read(spark).filter(cond).select(self.key)
-        return self.delete(keys)
 
     def clean(self, retain_commits: int = 10) -> list[str]:
         """Cleaner (↦ KEEP_LATEST_COMMITS, commits.retained=10,

@@ -618,3 +618,60 @@ def test_bloom_no_false_negatives_property():
             assert B.contains_any(b, ["definitely-absent-xyz"] + keys[:1])
 
     prop()
+
+
+class TestPredicateDML:
+    def _table(self, spark, tmp_path):
+        t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                       partition_by="part")
+        rows = [Row(pk=i, part=f"p{i % 3}", val=float(i), tag="x" if i % 2 else None,
+                    update_ts=ts(10)) for i in range(30)]
+        ingest(t, spark.createDataFrame(rows))
+        return t
+
+    def test_update_where_rewrites_only_touched_partitions(self, spark, tmp_path):
+        from hudi_glue_spark.table import manifest as M
+
+        t = self._table(spark, tmp_path)
+        before = M.read_manifest(t.path).files
+        t.update_where(spark, {"val": "val + 1000.0D"}, "part = 'p1'")
+        after = M.read_manifest(t.path)
+        got = {r.pk: r.val for r in t.read(spark).collect()}
+        assert all(got[i] == i + 1000 for i in range(30) if i % 3 == 1)
+        assert all(got[i] == i for i in range(30) if i % 3 != 1)
+        # p0/p2 files carried forward untouched, only p1 rewritten
+        untouched = {f for f in before if not f.startswith("part=p1")}
+        assert untouched <= set(after.files)
+        assert after.stats["partitions_rewritten"] == ["part=p1"]
+
+    def test_update_where_rejects_key_and_partition_columns(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="key/partition"):
+            t.update_where(spark, {"pk": "pk + 1"}, "true")
+        with pytest.raises(ValueError, match="key/partition"):
+            t.update_where(spark, {"part": "'p9'"}, "true")
+
+    def test_delete_where_null_predicate_keeps_row(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        # tag IS NULL for even pk → predicate NULL → row kept (3VL)
+        t.delete_where(spark, "tag = 'x'")
+        kept = {r.pk for r in t.read(spark).collect()}
+        assert kept == {i for i in range(30) if i % 2 == 0}
+
+    def test_no_match_is_a_noop_commit_wise(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        n = len(t.commits())
+        assert t.delete_where(spark, "val > 1e9") == t.commits()[-1]
+        assert t.update_where(spark, {"val": "0.0D"}, "val > 1e9") == t.commits()[-1]
+        assert len(t.commits()) == n
+
+    def test_sequencing_update_then_delete(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.update_where(spark, {"val": "val * 10.0D"}, "part = 'p0'")
+        t.delete_where(spark, "val >= 100.0D")
+        got = {r.pk: r.val for r in t.read(spark).collect()}
+        # p0: val*10 >= 100 → pk 12,15,... deleted; pk 0,3,6,9 kept scaled
+        assert {p for p in got if p % 3 == 0} == {0, 3, 6, 9}
+        assert got[9] == 90.0
+        # non-p0 rows all < 100 → all kept, unscaled
+        assert all(got[i] == i for i in got if i % 3 != 0)
