@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from hudi_glue_spark.operators import decontam as DC
 from hudi_glue_spark.operators import packing as P
 from hudi_glue_spark.operators import text as T
+from hudi_glue_spark.operators.export import shard_id_sql
 from hudi_glue_spark.queries import query, table
 
 
@@ -611,4 +612,73 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("quality_pctl", F.percent_rank().over(w).cast("double"))
         .filter(F.col("quality_pctl") >= 0.5)
+    )
+
+
+_CURATE_QUALITY_MIN = 0.45
+
+
+@query(
+    "curation_pipeline_end_to_end",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, text, {T.doc_fingerprint_sql("text")} AS fp
+      FROM documents WHERE source <> 'src19'
+    ),
+    dedup AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        FROM fp
+      ) WHERE doc_id = keep_id
+    ),
+    qual AS (
+      SELECT * FROM dedup WHERE {T.quality_score_sql("text")} >= {_CURATE_QUALITY_MIN}
+    ),
+    bench_grams AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+            FROM documents WHERE source = 'src19')
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+            FROM qual) tg
+      JOIN bench_grams USING (gram)
+    ),
+    clean AS (
+      SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    )
+    SELECT {shard_id_sql("doc_id", 8)} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(len({T.words_sql("text")})) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY 1
+    """,
+)
+def q_curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed dataflow — exact dedup
+    (fingerprint, min-id survivor) → quality gate (composite score ≥
+    0.45) → benchmark decontamination (src19 n-gram anti-join) → shard
+    assignment for the training export — with per-shard doc/key/token
+    audits value-exact against an oracle replaying every stage. Each
+    stage is the registered operator other queries check in isolation;
+    this query proves they COMPOSE: one plan, no driver round-trips
+    between stages, and the CORPUS crosses only three shuffles
+    (fingerprint window, gram-hit count, final shard agg) regardless of
+    size — the benchmark side is small-side aggregation plus broadcasts
+    (gram set into the join, hit list into the anti-join)."""
+    from hudi_glue_spark.operators import dedup as D
+    from hudi_glue_spark.operators.export import shard_id
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    train = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    deduped = D.exact_dedup(train, "doc_id", "text")
+    qual = deduped.filter(T.quality_score("text") >= _CURATE_QUALITY_MIN)
+    clean = DC.decontaminate(qual, bench, n=_DECONTAM_N)
+    return clean.withColumn("shard", shard_id("doc_id", 8)).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(T.token_count("text").cast("long")).alias("n_tokens"),
     )

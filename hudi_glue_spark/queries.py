@@ -58,6 +58,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "point_lookup_keys",               # per-file bloom key index
     "jsonl_shard_export",              # sharded training-export round-trip
     "predicate_dml_scenario",          # UPDATE/DELETE WHERE on the table
+    "curation_pipeline_end_to_end",    # dedup→quality→decontam→shard, composed
     # -- cheap relational / agg ------------------------------------------
     "jsonl_ingest_roundtrip",
     "orc_ingest_roundtrip",
