@@ -343,3 +343,20 @@ def test_ivf_index_stale_after_ingest_refuses(spark, sf_dir):
     assert tbl.vector_index() is None
     with pytest.raises(ValueError, match="no IVF index"):
         S.ivf_search_indexed(spark, tbl, emb.limit(2), "vec_id")
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir):
+    """The composed pipeline's corpus side crosses a BOUNDED number of
+    exchanges (fingerprint window, gram-hit count, final agg) and the
+    benchmark side rides broadcasts — composition must not multiply
+    shuffles as stages are added."""
+    from hudi_glue_spark.pipeline_queries import q_curation_pipeline_end_to_end
+
+    import re
+
+    txt = explain_str(q_curation_pipeline_end_to_end(spark, sf_dir))
+    shuffles = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", txt))
+    bcasts = set(re.findall(r"BroadcastExchange \((\d+)\)", txt))
+    assert len(shuffles) <= 5, f"shuffle count grew: {sorted(shuffles)}\n{txt}"
+    assert len(bcasts) >= 2, txt
+    assert "CartesianProduct" not in txt
