@@ -91,10 +91,6 @@ def jaccard_pairs(
     """
     from hudi_glue_spark.plans.parallelism import ensure_parallelism
 
-    # The probe side must be WIDE before the join: with the replicated
-    # side broadcast, the join inherits the probe side's partitioning,
-    # and a single-file scan would run the whole quadratic stage on one
-    # core regardless of salting.
     left = ensure_parallelism(
         df.select(
             F.col(block_col).alias("__blk"),
@@ -109,7 +105,14 @@ def jaccard_pairs(
     ).withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    pairs = left.join(right, ["__blk", "__salt"]).filter(
+    # merge hint: BOTH sides are corpus-sized, so neither may ever be
+    # broadcast — small-SF stats once tempted the planner into building
+    # a hash relation of the replicated side, which OOMs the moment the
+    # corpus outgrows the driver (measured at 16x sf0.1). A sort-merge
+    # join shuffles both sides on (block, salt) — exactly the
+    # parallelism the salting exists to create — and spills instead of
+    # failing.
+    pairs = left.join(right.hint("merge"), ["__blk", "__salt"]).filter(
         F.col("a_id") < F.col("b_id")
     )
     return (
@@ -199,23 +202,29 @@ def minhash_lsh_pairs(
             )
         ).alias("__band", "__bh"),
     ).persist()
-    # cap pathological buckets before the self-join
+    # Every join below pairs two CORPUS-SIZED sides (bucket counts grow
+    # with rows; the banded table is rows x bands; the shingle re-attach
+    # sides are the corpus itself). merge hints keep them sort-merge —
+    # small-SF size estimates otherwise let the planner broadcast them,
+    # which OOMs once the corpus outgrows the driver (measured at 16x
+    # sf0.1) and is impossible at 100 TB. SMJ shuffles on the same keys
+    # the LSH design already buckets by, and spills instead of failing.
     bucket_sizes = banded.groupBy("__band", "__bh").count()
     banded = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count").hint("merge"),
         ["__band", "__bh"],
     )
     cand = (
         banded.alias("l")
-        .join(banded.alias("r"), ["__band", "__bh"])
+        .join(banded.alias("r").hint("merge"), ["__band", "__bh"])
         .filter(F.col("l.__id") < F.col("r.__id"))
         .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
     # shingle sets re-attached only for the (much smaller) candidate set
     verified = (
-        cand.join(base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")), "a_id")
-        .join(base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")), "b_id")
+        cand.join(base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")).hint("merge"), "a_id")
+        .join(base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")).hint("merge"), "b_id")
     )
     return (
         verified.withColumn("jaccard", jaccard(F.col("__sa"), F.col("__sb")))
@@ -407,9 +416,11 @@ def simhash_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), simhash(text_col, hash_fn).alias("__sh")
     ).withColumn("__blk", F.shiftright(F.col("__sh"), bits - prefix_bits))
+    # merge hint: both self-join sides are the corpus — never broadcast
+    # (see jaccard_pairs); the prefix block is the shuffle key.
     pairs = (
         base.alias("l")
-        .join(base.alias("r"), "__blk")
+        .join(base.alias("r").hint("merge"), "__blk")
         .filter(F.col("l.__id") < F.col("r.__id"))
         .select(
             F.col("l.__id").alias("a_id"),
@@ -448,8 +459,10 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("__vb"),
     )
+    # merge hint: both sides are the corpus — never broadcast (see
+    # jaccard_pairs); the coarse bucket is the shuffle key.
     return (
-        left.join(right, "__blk")
+        left.join(right.hint("merge"), "__blk")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= F.lit(threshold))

@@ -57,6 +57,15 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    if master and master.startswith("local"):
+        # Local mode packs driver + every executor thread into ONE JVM
+        # whose default heap is 1 GiB — 32 MB per task at local[32],
+        # an order of magnitude under any sane executor sizing (real
+        # clusters give cores 4-8 GiB each). Size the heap like a small
+        # executor so sort/aggregate buffers behave the way they would
+        # in production; only effective at first JVM launch, harmless
+        # afterwards.
+        conf["spark.driver.memory"] = "16g"
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
