@@ -39,7 +39,12 @@ def salted_join(
     m = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    out = s.join(m, on=[*on, "__salt"], how=how)
+    # merge hint: the contract is "too big (or too skew-prone) to
+    # broadcast", so the replicated side must never become a broadcast
+    # build (post-explode size estimates are unreliable and a broadcast
+    # would defeat the salting anyway) — sort-merge on (key, salt) IS
+    # the de-skewed shuffle this helper exists to produce.
+    out = s.join(m.hint("merge"), on=[*on, "__salt"], how=how)
     return out.drop("__salt")
 
 
