@@ -105,14 +105,15 @@ def jaccard_pairs(
     ).withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    # merge hint: BOTH sides are corpus-sized, so neither may ever be
-    # broadcast — small-SF stats once tempted the planner into building
-    # a hash relation of the replicated side, which OOMs the moment the
-    # corpus outgrows the driver (measured at 16x sf0.1). A sort-merge
-    # join shuffles both sides on (block, salt) — exactly the
-    # parallelism the salting exists to create — and spills instead of
-    # failing.
-    pairs = left.join(right.hint("merge"), ["__blk", "__salt"]).filter(
+    # shuffle_hash hint: BOTH sides are corpus-sized, so neither may
+    # ever be BROADCAST — small-SF size estimates once let the planner
+    # build a driver-side hash relation of the replicated side, which
+    # OOMs the moment the corpus outgrows the driver (measured at 16x
+    # sf0.1) and is impossible at 100 TB. A shuffled hash join
+    # partitions both sides on (block, salt) — exactly the parallelism
+    # the salting exists to create — builds per-partition (spillable),
+    # and skips the sort a merge join would pay on the wide set arrays.
+    pairs = left.join(right.hint("shuffle_hash"), ["__blk", "__salt"]).filter(
         F.col("a_id") < F.col("b_id")
     )
     return (
@@ -204,27 +205,29 @@ def minhash_lsh_pairs(
     ).persist()
     # Every join below pairs two CORPUS-SIZED sides (bucket counts grow
     # with rows; the banded table is rows x bands; the shingle re-attach
-    # sides are the corpus itself). merge hints keep them sort-merge —
-    # small-SF size estimates otherwise let the planner broadcast them,
-    # which OOMs once the corpus outgrows the driver (measured at 16x
-    # sf0.1) and is impossible at 100 TB. SMJ shuffles on the same keys
-    # the LSH design already buckets by, and spills instead of failing.
+    # sides are the corpus itself). shuffle_hash hints keep them
+    # shuffled, per-partition-built, spillable hash joins — small-SF
+    # size estimates otherwise let the planner BROADCAST them, which
+    # OOMs once the corpus outgrows the driver (measured at 16x sf0.1)
+    # and is impossible at 100 TB. The shuffle keys are the ones the
+    # LSH design already buckets by, and unlike a merge join nothing
+    # sorts the wide shingle arrays.
     bucket_sizes = banded.groupBy("__band", "__bh").count()
     banded = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count").hint("merge"),
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count").hint("shuffle_hash"),
         ["__band", "__bh"],
     )
     cand = (
         banded.alias("l")
-        .join(banded.alias("r").hint("merge"), ["__band", "__bh"])
+        .join(banded.alias("r").hint("shuffle_hash"), ["__band", "__bh"])
         .filter(F.col("l.__id") < F.col("r.__id"))
         .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
     # shingle sets re-attached only for the (much smaller) candidate set
     verified = (
-        cand.join(base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")).hint("merge"), "a_id")
-        .join(base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")).hint("merge"), "b_id")
+        cand.join(base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")).hint("shuffle_hash"), "a_id")
+        .join(base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")).hint("shuffle_hash"), "b_id")
     )
     return (
         verified.withColumn("jaccard", jaccard(F.col("__sa"), F.col("__sb")))
@@ -416,11 +419,11 @@ def simhash_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), simhash(text_col, hash_fn).alias("__sh")
     ).withColumn("__blk", F.shiftright(F.col("__sh"), bits - prefix_bits))
-    # merge hint: both self-join sides are the corpus — never broadcast
-    # (see jaccard_pairs); the prefix block is the shuffle key.
+    # shuffle_hash hint: both self-join sides are the corpus — never
+    # broadcast (see jaccard_pairs); the prefix block is the shuffle key.
     pairs = (
         base.alias("l")
-        .join(base.alias("r").hint("merge"), "__blk")
+        .join(base.alias("r").hint("shuffle_hash"), "__blk")
         .filter(F.col("l.__id") < F.col("r.__id"))
         .select(
             F.col("l.__id").alias("a_id"),
@@ -459,10 +462,10 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("__vb"),
     )
-    # merge hint: both sides are the corpus — never broadcast (see
-    # jaccard_pairs); the coarse bucket is the shuffle key.
+    # shuffle_hash hint: both sides are the corpus — never broadcast
+    # (see jaccard_pairs); the coarse bucket is the shuffle key.
     return (
-        left.join(right.hint("merge"), "__blk")
+        left.join(right.hint("shuffle_hash"), "__blk")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= F.lit(threshold))

@@ -39,12 +39,14 @@ def salted_join(
     m = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    # merge hint: the contract is "too big (or too skew-prone) to
-    # broadcast", so the replicated side must never become a broadcast
-    # build (post-explode size estimates are unreliable and a broadcast
-    # would defeat the salting anyway) — sort-merge on (key, salt) IS
-    # the de-skewed shuffle this helper exists to produce.
-    out = s.join(m.hint("merge"), on=[*on, "__salt"], how=how)
+    # shuffle_hash hint: the contract is "too big (or too skew-prone)
+    # to broadcast", so the replicated side must never become a
+    # broadcast build (post-explode size estimates are unreliable, and
+    # a broadcast would defeat the salting anyway). A shuffled hash
+    # join on (key, salt) IS the de-skewed shuffle this helper exists
+    # to produce, and it streams the skewed probe side without sorting
+    # it.
+    out = s.join(m.hint("shuffle_hash"), on=[*on, "__salt"], how=how)
     return out.drop("__salt")
 
 
