@@ -111,9 +111,11 @@ def jaccard_pairs(
     # OOMs the moment the corpus outgrows the driver (measured at 16x
     # sf0.1) and is impossible at 100 TB. A shuffled hash join
     # partitions both sides on (block, salt) — exactly the parallelism
-    # the salting exists to create — builds per-partition (spillable),
-    # and skips the sort a merge join would pay on the wide set arrays.
-    pairs = left.join(right.hint("shuffle_hash"), ["__blk", "__salt"]).filter(
+    # the salting exists to create — and skips the sort a merge join
+    # would pay on the wide set arrays. The hint goes on the LEFT
+    # (salted) side so the per-partition hash BUILD holds 1/n_salts of
+    # a block, not the replicated full block.
+    pairs = left.hint("shuffle_hash").join(right, ["__blk", "__salt"]).filter(
         F.col("a_id") < F.col("b_id")
     )
     return (
@@ -224,10 +226,20 @@ def minhash_lsh_pairs(
         .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    # shingle sets re-attached only for the (much smaller) candidate set
-    verified = (
-        cand.join(base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")).hint("shuffle_hash"), "a_id")
-        .join(base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")).hint("shuffle_hash"), "b_id")
+    # Shingle sets re-attached only for the (much smaller) candidate
+    # set. The hint goes on the CANDIDATE side: a one-sided
+    # shuffle_hash hint both forces the shuffled join (so the corpus
+    # side can never be broadcast) and makes the hinted side the hash
+    # BUILD side — building over the wide corpus arrays would hold
+    # each partition's full shingle slice in memory, the exact failure
+    # the hint exists to prevent.
+    half = cand.hint("shuffle_hash").join(
+        base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")), "a_id"
+    )
+    # a strategy hint is consumed by the nearest enclosing join, so the
+    # second join needs its own
+    verified = half.hint("shuffle_hash").join(
+        base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")), "b_id"
     )
     return (
         verified.withColumn("jaccard", jaccard(F.col("__sa"), F.col("__sb")))

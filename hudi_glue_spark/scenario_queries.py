@@ -522,7 +522,7 @@ _DML_CACHE: dict[str, KeyedTable] = {}
                   ELSE CAST(value AS DOUBLE) END AS value,
              CAST(ts AS TIMESTAMP) AS ts
       FROM events
-    ) WHERE NOT (value >= 150.0)
+    ) WHERE value IS NULL OR NOT (value >= 150.0)
     """,
 )
 def q_predicate_dml_scenario(spark, sf_dir):
@@ -535,8 +535,11 @@ def q_predicate_dml_scenario(spark, sf_dir):
     matters, since the delete sees doubled click values."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = f"/tmp/hudi_glue_spark_scn_dml_{os.path.basename(sf_dir.rstrip('/'))}"
+    # cache key is "this process built it" — NOT a commit count, which
+    # would force a rebuild every call at any SF where a no-match DML
+    # statement (legitimately) publishes no commit
     tbl = _DML_CACHE.get(root)
-    if tbl is None or len(tbl.commits()) != 3:
+    if tbl is None or not tbl.exists():
         shutil.rmtree(root, ignore_errors=True)
         tbl = KeyedTable(
             root, key="event_id", precombine="ts", partition_by="event_type"

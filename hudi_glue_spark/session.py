@@ -10,6 +10,8 @@ copy-on-write upsert only rewrites touched partitions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 #: Engine defaults, tuned for correctness-at-scale rather than any one SF:
@@ -62,10 +64,18 @@ def get_spark(
         # whose default heap is 1 GiB — 32 MB per task at local[32],
         # an order of magnitude under any sane executor sizing (real
         # clusters give cores 4-8 GiB each). Size the heap like a small
-        # executor so sort/aggregate buffers behave the way they would
-        # in production; only effective at first JVM launch, harmless
-        # afterwards.
-        conf["spark.driver.memory"] = "16g"
+        # executor — a quarter of physical RAM, capped at 16g — so
+        # sort/aggregate buffers behave the way they would in
+        # production without starving a small host. Only effective at
+        # first JVM launch; extra_conf overrides.
+        try:
+            total_gb = (
+                os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            ) // (1024**3)
+            heap = max(2, min(16, total_gb // 4))
+        except (ValueError, OSError):
+            heap = 4
+        conf["spark.driver.memory"] = f"{heap}g"
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

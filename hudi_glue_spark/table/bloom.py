@@ -54,14 +54,14 @@ def _hash_pairs_np(keys: list[str]) -> np.ndarray:
     return np.frombuffer(digests, dtype=">u8").reshape(-1, 2).astype(np.uint64)
 
 
-def _probe_bits(h: np.ndarray, m: int) -> np.ndarray:
+def _probe_bits(h: np.ndarray, m: int, k: int = NUM_PROBES) -> np.ndarray:
     """(n, k) probe bit positions. Reduces h1/h2 mod m FIRST so uint64
     arithmetic cannot wrap (m ≤ 10·n ≪ 2^60, so (h1%m) + i·(h2%m) stays
     exact) — bit-identical to the unbounded-int form (h1 + i·h2) % m."""
     um = np.uint64(m)
     a = h[:, 0] % um
     b = h[:, 1] % um
-    i = np.arange(NUM_PROBES, dtype=np.uint64)
+    i = np.arange(k, dtype=np.uint64)
     return (a[:, None] + i[None, :] * b[:, None]) % um
 
 
@@ -94,7 +94,9 @@ def contains_any(bloom: dict, keys: list[str]) -> bool:
     if not keys:
         return False
     arr = _decode(bloom)
-    bits = _probe_bits(_hash_pairs_np(keys), bloom["m"])
+    # probe with the sidecar's OWN k — a filter written under a
+    # different NUM_PROBES must keep its no-false-negative guarantee
+    bits = _probe_bits(_hash_pairs_np(keys), bloom["m"], bloom["k"])
     hit = (
         arr[(bits >> np.uint64(3)).astype(np.int64)]
         >> (bits & np.uint64(7)).astype(np.uint8)

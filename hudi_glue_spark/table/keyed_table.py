@@ -649,57 +649,35 @@ class KeyedTable:
                 f"cannot SET key/partition column(s) {sorted(bad)}; "
                 "use delete + upsert to move or re-key rows"
             )
-        if not self.exists():
-            raise FileNotFoundError(f"no table at {self.path}")
-        existing = self.read(spark)
-        hit = F.coalesce(F.expr(predicate), F.lit(False))
 
         man = M.read_manifest(self.path)
-        assert man is not None
-        if self.partition_by:
-            touched = {
-                self._dirname(r)
-                for r in existing.filter(hit)
-                .select(self.partition_by)
-                .distinct()
-                .collect()
-            }
-            if not touched:
-                return self.commits()[-1]
-            existing_touched = self._rows_in_partitions(existing, touched)
-        else:
-            if existing.filter(hit).isEmpty():
-                return self.commits()[-1]
-            touched = None
-            existing_touched = existing
-
-        updated = existing_touched.select(
-            *[
-                (
-                    F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
-                    .otherwise(F.col(f.name))
-                    .alias(f.name)
-                    if f.name in set_exprs
-                    else F.col(f.name)
-                )
-                for f in existing.schema.fields
+        if man is not None:
+            names = [
+                f.name
+                for f in StructType.fromJson(json.loads(man.schema_json)).fields
             ]
-        )
-        cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(updated, cid)
-        carried = (
-            [f for f in man.files if M.partition_of(f) not in touched]
-            if touched is not None
-            else []
-        )
-        self._commit(
-            "update_where",
-            carried + new_files,
-            existing.schema,
-            rows=nrows,
-            rewritten=sorted(touched) if touched is not None else ["<all>"],
-        )
-        return self.commits()[-1]
+            unknown = set(set_exprs) - set(names)
+            if unknown:
+                raise ValueError(
+                    f"cannot SET unknown column(s) {sorted(unknown)}; "
+                    f"table columns are {names}"
+                )
+
+        def transform(rows: DataFrame, hit, schema) -> DataFrame:
+            return rows.select(
+                *[
+                    (
+                        F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                    )
+                    for f in schema.fields
+                ]
+            )
+
+        return self._rewrite_where(spark, predicate, transform, "update_where")
 
     def delete_where(self, spark: SparkSession, predicate) -> str:
         """Predicate delete (Spark-SQL ``DELETE FROM t WHERE ...``,
@@ -709,6 +687,17 @@ class KeyedTable:
         every engine's DELETE). One snapshot scan + one rewrite of the
         touched partitions — no intermediate key set, unlike the by-key
         companion :meth:`delete`. No matches → no new commit."""
+        return self._rewrite_where(
+            spark, predicate, lambda rows, hit, _schema: rows.filter(~hit),
+            "delete_where",
+        )
+
+    def _rewrite_where(self, spark, predicate, transform, op: str) -> str:
+        """Shared predicate-DML scaffold: find partitions holding rows
+        the predicate selects (NULL = not selected), rewrite ONLY those
+        partitions through ``transform(rows, hit, schema)``, carry every
+        untouched file forward, publish ``op``. No matches → no new
+        commit, existing head returned."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
         existing = self.read(spark)
@@ -734,16 +723,16 @@ class KeyedTable:
             touched = None
             existing_touched = existing
 
-        remaining = existing_touched.filter(~hit)
+        rewritten = transform(existing_touched, hit, existing.schema)
         cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(remaining, cid)
+        new_files, nrows = self._write_files(rewritten, cid)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
             if touched is not None
             else []
         )
         self._commit(
-            "delete_where",
+            op,
             carried + new_files,
             existing.schema,
             rows=nrows,

@@ -675,3 +675,39 @@ class TestPredicateDML:
         assert got[9] == 90.0
         # non-p0 rows all < 100 → all kept, unscaled
         assert all(got[i] == i for i in got if i % 3 != 0)
+
+
+def test_bloom_reader_honors_stored_probe_count():
+    """A sidecar written under a different NUM_PROBES must keep its
+    no-false-negative guarantee: the reader probes with the filter's
+    OWN stored k, never the current build constant."""
+    import base64
+
+    from hudi_glue_spark.table import bloom as B
+
+    keys = [f"k{i}" for i in range(500)]
+    k_old = 3
+    m = max(1024, len(keys) * B.BITS_PER_KEY)
+    arr = bytearray((m + 7) // 8)
+    for key in keys:
+        h1, h2 = B._hash_pair(key)
+        for i in range(k_old):
+            b = (h1 + i * h2) % m
+            arr[b >> 3] |= 1 << (b & 7)
+    old_sidecar = {"m": m, "k": k_old, "n": len(keys),
+                   "b64": base64.b64encode(bytes(arr)).decode()}
+    assert all(B.maybe_contains(old_sidecar, k) for k in keys)
+    assert B.contains_any(old_sidecar, ["absent"] + keys[:1])
+
+
+def test_update_where_rejects_unknown_columns(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    rows = [Row(pk=i, part=f"p{i % 3}", val=float(i), update_ts=ts(10))
+            for i in range(9)]
+    ingest(t, spark.createDataFrame(rows))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, {"vall": "0.0D"}, "part = 'p1'")
+    # even when the predicate matches nothing — a typo must never no-op
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, {"vall": "0.0D"}, "val > 1e9")
