@@ -132,3 +132,42 @@ def test_concurrent_writers_exactly_one_commit_wins(tmp_path):
     assert M.list_commit_ids(root) == ["00000001", "00000002"]
     ops = {M.read_manifest(root, c).op for c in ["00000001", "00000002"]}
     assert ops == {"bulk_insert_a", "bulk_insert_b"}
+
+
+def test_torn_write_invisible_to_readers(spark, tmp_path):
+    """Crash consistency: a writer that dies AFTER moving data files but
+    BEFORE publishing its manifest leaves readers untouched — reads are
+    manifest-exact, never directory listings. validate() reports the
+    orphan as cleanable and clean() removes it."""
+    import os
+    import shutil
+
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(
+        str(tmp_path / "t"), key="id", precombine="ts", partition_by="grp"
+    )
+    ingest(t, spark.createDataFrame(
+        [Row(id=i, grp=f"g{i % 2}", amount=float(i), ts=_ts(1))
+         for i in range(50)]
+    ))
+    before = {(r.id, r.amount) for r in t.read(spark).collect()}
+
+    # simulate the torn write: stage a data file under a commit id that
+    # never published (copy an existing file — content is irrelevant,
+    # only that it sits in the data dir unreferenced)
+    ddir = M.data_dir(t.path)
+    src = os.path.join(ddir, M.read_manifest(t.path).files[0])
+    torn = os.path.join(os.path.dirname(src), "99999999-00000.parquet")
+    shutil.copyfile(src, torn)
+
+    # readers trust the manifest: snapshot identical, torn file invisible
+    assert {(r.id, r.amount) for r in t.read(spark).collect()} == before
+    problems = t.validate()
+    assert any("orphan" in p and "99999999-00000" in p for p in problems)
+
+    # the cleaner physically removes what no retained manifest references
+    t.clean(retain_commits=10)
+    assert not os.path.exists(torn)
+    assert t.validate() == []
+    assert {(r.id, r.amount) for r in t.read(spark).collect()} == before
