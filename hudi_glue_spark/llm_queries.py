@@ -534,6 +534,33 @@ def q_knn_ivf_indexed(spark, sf_dir):
     )
 
 
+@query("knn_lsh_indexed", _lsh_oracle_sql())
+def q_knn_lsh_indexed(spark, sf_dir):
+    """LSH search over a PERSISTED index: ``build_lsh_index``
+    materializes every hash table's bucket column into the files once,
+    so a search reads n_tables small ints per corpus row instead of
+    re-running the n_tables × n_planes dot-product folds that dominate
+    bucket-per-query ``knn_lsh``. Same oracle as knn_lsh — the indexed
+    path must return the identical neighbors, proving index+search ≡
+    bucket-per-query."""
+    import os
+    import shutil
+
+    from hudi_glue_spark.table import KeyedTable
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = f"/tmp/hudi_glue_spark_lshidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
+    tbl.bulk_insert(emb)
+    tbl.build_lsh_index(
+        spark, "embedding", dim=_EMB_DIM,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_search_indexed(spark, tbl, queries, "vec_id", k=5)
+
+
 # -- multimodal -------------------------------------------------------------
 
 

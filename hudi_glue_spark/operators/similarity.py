@@ -483,6 +483,12 @@ def ivf_search_indexed(
     )
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _rank_topk(pairs, k)
+
+
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared exact-cosine top-k tail: rank candidate pairs per query,
+    ties to the lower neighbor id."""
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
@@ -490,3 +496,57 @@ def ivf_search_indexed(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )
+
+
+def lsh_search_indexed(
+    spark,
+    tbl,
+    queries: DataFrame,
+    id_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-table LSH search over a PERSISTED index
+    (`KeyedTable.build_lsh_index`): the corpus side reads its bucket
+    ids straight from the table files — the n_tables × n_planes
+    dot-product folds per corpus row that dominate
+    :func:`knn_lsh`'s per-query cost ran once at index-build time.
+    Only the (tiny) query side hashes at search time, with the same
+    seeded plane family, so candidates — and therefore results — are
+    identical to bucket-per-query ``knn_lsh``, which is the
+    differential test.
+
+    No file skipping here, deliberately: a candidate may match in ANY
+    table, so pruning by one table's bucket range would drop
+    cross-table matches (unlike IVF, where ``__cid`` is the single
+    authority)."""
+    idx = tbl.vector_index()
+    if idx is None or idx.get("kind") != "lsh":
+        raise ValueError(
+            f"no LSH index on the latest commit at {tbl.path}; "
+            "run build_lsh_index() (again, after any ingest)"
+        )
+    vec_col = idx["vec_col"]
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qb = multi_table_buckets_expr(
+        q, "__qv", idx["n_planes"], idx["n_tables"], idx["dim"], idx["seed"]
+    )
+    corpus = tbl.read(spark)
+    cb = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.posexplode(F.array(*[F.col(c) for c in idx["bucket_cols"]])).alias(
+                "__table", "__bucket"
+            ),
+        )
+    )
+    pairs = (
+        F.broadcast(qb.select("query_id", "__qv", "__table", "__bucket"))
+        .join(cb, ["__table", "__bucket"])
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _rank_topk(pairs, k)

@@ -52,6 +52,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "dual_path_read_agreement",        # §2a 4 — catalog-SQL vs path read
     # -- new operators in r4 ----------------------------------------------
     "knn_ivf_indexed",                 # ANN over persisted index
+    "knn_lsh_indexed",                 # LSH over persisted bucket columns
     "dedup_chain_fixpoint",            # iterated survivor collapse
     "schema_widen_drop_scenario",      # type widening + column drop
     "insert_overwrite_partition",      # partition replace (backfill)

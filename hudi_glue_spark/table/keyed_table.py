@@ -1177,6 +1177,74 @@ class KeyedTable:
             self.stats_cols = prev_stats
         return self.commits()[-1]
 
+    LSH_BUCKET_PREFIX = "__lshb"
+
+    def build_lsh_index(
+        self,
+        spark: SparkSession,
+        vec_col: str,
+        dim: int,
+        n_planes: int = 4,
+        n_tables: int = 8,
+        seed: int = 42,
+    ) -> str:
+        """Materialize a multi-table LSH ANN index as a table commit:
+        every row gains one persisted bucket column per hash table
+        (``__lshb0..__lshbN``, sign-bit buckets over seeded random
+        hyperplanes — the ordered-fold form any SQL engine re-derives
+        from the plane literals), and the plane family parameters are
+        registered in the commit's stats.
+
+        The amortization argument differs from the IVF index: LSH
+        candidates come from ANY table, so single-column file skipping
+        would drop cross-table matches — the index's win is that the
+        n_tables × n_planes dot-product folds per corpus row (the
+        dominant per-query cost) run ONCE at build time; a search reads
+        n_tables small ints per row instead. Files are range-clustered
+        by table 0's bucket for row-group locality on the primary
+        table. Rebuild after ingest, like any secondary index."""
+        from hudi_glue_spark.operators.similarity import (
+            _bucket_sql,
+            _hyperplanes,
+        )
+
+        full = self.read(spark)
+        bucket_cols = [f"{self.LSH_BUCKET_PREFIX}{t}" for t in range(n_tables)]
+        indexed = full.select(
+            "*",
+            *[
+                F.expr(
+                    _bucket_sql(vec_col, _hyperplanes(dim, n_planes, seed + t))
+                )
+                .cast("int")
+                .alias(c)
+                for t, c in enumerate(bucket_cols)
+            ],
+        )
+        clustered = indexed.repartitionByRange(
+            max(2, min(2**n_planes, 64)), F.col(bucket_cols[0])
+        ).sortWithinPartitions(bucket_cols[0])
+        cid = M.next_commit_id(self.path)
+        files, nrows = self._write_files(clustered, cid, repartition=False)
+        self._commit(
+            "index",
+            files,
+            clustered.schema,
+            rows=nrows,
+            extra_stats={
+                "vector_index": {
+                    "kind": "lsh",
+                    "vec_col": vec_col,
+                    "dim": dim,
+                    "n_planes": n_planes,
+                    "n_tables": n_tables,
+                    "seed": seed,
+                    "bucket_cols": bucket_cols,
+                }
+            },
+        )
+        return self.commits()[-1]
+
     def vector_index(self) -> dict | None:
         """The vector index registered by the LATEST commit, or None.
         Deliberately not inherited across commits: an upsert after the

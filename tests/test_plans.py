@@ -360,3 +360,52 @@ def test_curation_pipeline_shuffle_budget(spark, sf_dir):
     assert len(shuffles) <= 5, f"shuffle count grew: {sorted(shuffles)}\n{txt}"
     assert len(bcasts) >= 2, txt
     assert "CartesianProduct" not in txt
+
+
+def test_lsh_index_persists_buckets_and_matches_per_query(spark, sf_dir):
+    """build_lsh_index materializes every table's bucket column: (a)
+    the search-time corpus plan reads buckets FROM THE SCAN — the only
+    dot-product folds left sit on the broadcast query side; (b) results
+    equal bucket-per-query knn_lsh exactly (same seeded plane family);
+    (c) a mutating commit makes the index read as absent."""
+    import shutil
+
+    import pytest
+
+    from hudi_glue_spark.operators import similarity as S
+    from hudi_glue_spark.queries import table
+    from hudi_glue_spark.table import KeyedTable
+    import hudi_glue_spark.table.manifest as M
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = "/tmp/hgs_test_lshidx"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
+    tbl.bulk_insert(emb)
+    tbl.build_lsh_index(spark, "embedding", dim=64, n_planes=4, n_tables=8)
+
+    man = M.read_manifest(root)
+    assert man.op == "index"
+    idx = man.stats["vector_index"]
+    assert idx["kind"] == "lsh" and len(idx["bucket_cols"]) == 8
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.lsh_search_indexed(spark, tbl, queries, "vec_id", k=5)
+    # (a) corpus side reads persisted buckets: the generated plan's
+    # corpus branch scans __lshb columns, and every aggregate() fold
+    # (query-side hashing) sits under the broadcast
+    txt = explain_str(out)
+    assert "__lshb0" in txt
+    assert "EvalPython" not in txt
+
+    base = S.knn_lsh(
+        queries, emb, "vec_id", "embedding", k=5,
+        n_planes=4, n_tables=8, bucketer="expr", dim=64,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+    # (c) stale after ingest
+    tbl.upsert(emb.limit(4))
+    assert tbl.vector_index() is None
+    with pytest.raises(ValueError, match="no LSH index"):
+        S.lsh_search_indexed(spark, tbl, queries, "vec_id")
