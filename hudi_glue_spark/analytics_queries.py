@@ -338,17 +338,69 @@ def q_salted_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("orders_price_quantiles_approx", None)
+@query(
+    "orders_price_quantiles_approx",
+    """
+    SELECT o_orderpriority, CAST(q AS DOUBLE) AS q, exact_value,
+           TRUE AS within_bound
+    FROM (
+      SELECT o_orderpriority, 0.25 AS q,
+             quantile_cont(o_totalprice, 0.25) AS exact_value
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT o_orderpriority, 0.5, quantile_cont(o_totalprice, 0.5)
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT o_orderpriority, 0.75, quantile_cont(o_totalprice, 0.75)
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT o_orderpriority, 0.95, quantile_cont(o_totalprice, 0.95)
+      FROM orders GROUP BY o_orderpriority
+    )
+    """,
+)
 def q_orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for orders_price_quantiles: one-pass mergeable
     approx_percentile sketch (accuracy 10000 ≈ 0.01% rank error) instead
-    of the exact sort-based percentile. Rows-only driver check; the
-    error bound vs the exact quantiles is asserted in tests."""
+    of the exact sort-based percentile.
+
+    Bounds-oracle shape so the sketch is DRIVER-checkable, not just
+    unit-tested: each (priority, q) row carries the exact interpolated
+    quantile (deterministic, hash-checkable — Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) plus ``within_bound``, computed in Spark
+    as "the sketch value lies between the exact q±0.01 rank quantiles".
+    The sketch's guarantee is 1e-4 rank error, so ±0.01 is a 100×
+    margin, and sortedness makes the bound exact: any value whose rank
+    is within q±1e-4 lies between the interpolated q-0.01 and q+0.01
+    quantiles. DuckDB's oracle emits the exact values + TRUE.
+    """
+    qs = "array(0.25D, 0.5D, 0.75D, 0.95D)"
+    lo = "array(0.24D, 0.49D, 0.74D, 0.94D)"
+    hi = "array(0.26D, 0.51D, 0.76D, 0.96D)"
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(o_totalprice, {qs})").alias("_exact"),
+        F.expr(f"percentile(o_totalprice, {lo})").alias("_lo"),
+        F.expr(f"percentile(o_totalprice, {hi})").alias("_hi"),
         F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "quantiles"
-        )
+            "_approx"
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.posexplode(F.expr(qs)).alias("_i", "q"),
+        "_exact",
+        "_lo",
+        "_hi",
+        "_approx",
+    ).select(
+        "o_orderpriority",
+        F.col("q").cast("double").alias("q"),
+        F.expr("_exact[_i]").alias("exact_value"),
+        (
+            (F.expr("_approx[_i]") >= F.expr("_lo[_i]"))
+            & (F.expr("_approx[_i]") <= F.expr("_hi[_i]"))
+        ).alias("within_bound"),
     )
 
 
@@ -458,15 +510,38 @@ def q_orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", None)
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_rsd
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ cardinality per event_type (rows-only check: HLL
-    sketches are engine-specific; the ≤2% relative error vs the exact
-    count is asserted in unit tests). The 100 TB path: one pass, O(1)
-    state per group, mergeable across partitions."""
+    """HyperLogLog++ cardinality per event_type. The 100 TB path: one
+    pass, O(1) state per group, mergeable across partitions.
+
+    Bounds-oracle shape so the sketch is DRIVER-checkable: the output
+    carries the exact distinct count (hash-checkable against DuckDB)
+    plus ``within_rsd``, computed in Spark as |approx - exact| ≤
+    max(1, 3·rsd·exact) — a 3σ band around the sketch's rsd=0.02
+    guarantee. The engine-specific HLL estimate itself stays out of the
+    hashed output; the boolean converts its accuracy into a driver fact.
+    """
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact"))
+            <= F.greatest(F.lit(1.0), F.lit(0.06) * F.col("n_users_exact"))
+        ).alias("within_rsd"),
     )
 
 

@@ -160,14 +160,17 @@ class TestApproxQuantiles:
             r.o_orderpriority: [r.p25, r.p50, r.p75, r.p95]
             for r in q_orders_price_quantiles(spark, sf_dir).collect()
         }
-        approx = {
-            r.o_orderpriority: r.quantiles
-            for r in q_orders_price_quantiles_approx(spark, sf_dir).collect()
-        }
-        assert set(exact) == set(approx)
+        rows = q_orders_price_quantiles_approx(spark, sf_dir).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.o_orderpriority, {})[r.q] = r
+        assert set(exact) == set(got)
         for k, ex in exact.items():
-            for e, a in zip(ex, approx[k]):
-                assert abs(e - a) / max(abs(e), 1) < 0.02, (k, e, a)
+            assert sorted(got[k]) == [0.25, 0.5, 0.75, 0.95]
+            for q, e in zip([0.25, 0.5, 0.75, 0.95], ex):
+                r = got[k][q]
+                assert r.within_bound, (k, q)
+                assert abs(r.exact_value - e) < 1e-9, (k, q, r.exact_value, e)
 
 
 class TestGreedyPackProperties:
