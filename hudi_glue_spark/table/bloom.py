@@ -22,6 +22,8 @@ wants to read them).
 from __future__ import annotations
 
 import base64
+import datetime
+import decimal
 import hashlib
 import json
 import os
@@ -35,9 +37,40 @@ NUM_PROBES = 7
 SIDECAR_SUFFIX = ".bloom"
 
 
+def _canon_value(v) -> str:
+    """Canonical string for ONE key value. The write side hashes pyarrow
+    ``to_pylist`` objects; the probe side hashes caller-supplied Python
+    values — equal values MUST canonicalize identically or the probe
+    produces a bloom FALSE NEGATIVE (file skipped, rows silently
+    dropped). So: integral floats/Decimals collapse to the int form
+    (probing a long key with ``5.0`` or ``Decimal('5.00')`` hits rows
+    written as ``5``), Decimals drop trailing zeros, and tz-aware
+    timestamps normalize to naive UTC."""
+    if v is None:
+        return "\0null"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return str(int(f)) if f.is_integer() else repr(f)
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        return str(v.normalize())
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
 def key_string(values) -> str:
     """Canonical string form of a (possibly composite) key tuple."""
-    return "|".join(str(v) for v in values)
+    return "|".join(_canon_value(v) for v in values)
 
 
 def _hash_pair(key: str) -> tuple[int, int]:

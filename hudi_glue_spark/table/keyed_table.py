@@ -167,6 +167,13 @@ class KeyedTable:
         # _commit publishes them (not a dataclass field: per-instance
         # transient)
         self._pending_stats: dict = {}
+        # decoded bloom sidecars by data-file name. Data files are
+        # immutable once committed (rewrites produce NEW names), so a
+        # decoded sidecar never goes stale; caching turns repeated
+        # point lookups from O(total files) small-file JSON I/O into
+        # dict hits. Missing sidecars are NOT cached (one may be
+        # written between probe and commit).
+        self._bloom_cache: dict = {}
 
     # -- metadata ----------------------------------------------------------
 
@@ -357,7 +364,11 @@ class KeyedTable:
         want = [B.key_string((k,)) for k in keys]
         keep: list[str] = []
         for f in man.files:
-            bl = B.read_sidecar(os.path.join(ddir, f))
+            bl = self._bloom_cache.get(f)
+            if bl is None:
+                bl = B.read_sidecar(os.path.join(ddir, f))
+                if bl is not None:
+                    self._bloom_cache[f] = bl
             if bl is None or B.contains_any(bl, want):
                 keep.append(f)
         return keep
@@ -765,11 +776,24 @@ class KeyedTable:
                 problems.append(
                     f"commit {cid}: rows_written={expected} but files hold {total}"
                 )
+        latest = M.read_manifest(self.path)
+        live = set(latest.files) if latest else set()
         for dirpath, _dirs, files in os.walk(ddir):
             for fn in files:
                 rel = os.path.relpath(os.path.join(dirpath, fn), ddir)
                 if fn.endswith(".parquet") and rel not in referenced:
                     problems.append(f"orphan file (cleanable): {rel}")
+                if fn.endswith(B.SIDECAR_SUFFIX):
+                    data_rel = rel[: -len(B.SIDECAR_SUFFIX)]
+                    if data_rel not in referenced:
+                        problems.append(f"orphan bloom sidecar (cleanable): {rel}")
+        # the inverse: live files that SHOULD carry a sidecar but don't
+        # (never wrong — read_keys keeps sidecar-less files — but it
+        # means point lookups degrade to full scans; surface it)
+        if self.key_bloom:
+            for f in sorted(live):
+                if not os.path.exists(os.path.join(ddir, f) + B.SIDECAR_SUFFIX):
+                    problems.append(f"live file missing bloom sidecar: {f}")
         return problems
 
     def _require_columns(self, df: DataFrame, what: str) -> None:
@@ -1096,9 +1120,16 @@ class KeyedTable:
         return self.commits()[-1]
 
     def _retired_columns(self) -> set[str]:
-        """Union of all column names ever dropped (across retained
-        commits) — these may never be re-added (see drop_columns)."""
+        """Union of all column names ever dropped — these may never be
+        re-added (see drop_columns). The latest manifest's carried-
+        forward ``retired_cols`` is authoritative (it survives clean()
+        aging out the drop commit — see _commit); the per-commit
+        ``dropped_cols`` scan remains for tables whose manifests predate
+        the carry-forward."""
         out: set[str] = set()
+        latest = M.read_manifest(self.path)
+        if latest is not None:
+            out.update((latest.stats or {}).get("retired_cols", []))
         for cid in self.commits():
             man = M.read_manifest(self.path, cid)
             if man is not None:
@@ -1209,6 +1240,13 @@ class KeyedTable:
         )
 
         full = self.read(spark)
+        # Re-runnable: a prior build's bucket columns live in the
+        # committed schema (an upsert NULL-fills and keeps them), so the
+        # documented rebuild-after-ingest flow must drop them before
+        # appending fresh ones or the select would duplicate names.
+        stale = [c for c in full.columns if c.startswith(self.LSH_BUCKET_PREFIX)]
+        if stale:
+            full = full.drop(*stale)
         bucket_cols = [f"{self.LSH_BUCKET_PREFIX}{t}" for t in range(n_tables)]
         indexed = full.select(
             "*",
@@ -1422,17 +1460,29 @@ class KeyedTable:
         known = dict(prev.file_stats) if prev else {}
         known.update(self._pending_stats)
         self._pending_stats = {}
+        # Retired (dropped) column names are carried forward into EVERY
+        # subsequent manifest: the guard must survive clean() aging out
+        # the drop_columns commit itself, because pre-drop files in
+        # untouched partitions still physically hold the old bytes — a
+        # re-added name would resurrect them as live data.
+        prev_stats = (prev.stats or {}) if prev else {}
+        retired = set(prev_stats.get("retired_cols", []))
+        retired |= set(prev_stats.get("dropped_cols", []))
+        retired |= set((extra_stats or {}).get("dropped_cols", []))
+        stats = {
+            "rows_written": rows,
+            "partitions_rewritten": rewritten or [],
+            **(extra_stats or {}),
+        }
+        if retired:
+            stats["retired_cols"] = sorted(retired)
         man = M.Manifest(
             commit_id=M.next_commit_id(self.path),
             op=op,
             ts=M.utc_now_iso(),
             files=sorted(files),
             schema_json=schema.json(),
-            stats={
-                "rows_written": rows,
-                "partitions_rewritten": rewritten or [],
-                **(extra_stats or {}),
-            },
+            stats=stats,
             file_stats={f: known[f] for f in files if f in known},
         )
         M.write_manifest(self.path, man)

@@ -711,3 +711,120 @@ def test_update_where_rejects_unknown_columns(spark, tmp_path):
     # even when the predicate matches nothing — a typo must never no-op
     with pytest.raises(ValueError, match="unknown column"):
         t.update_where(spark, {"vall": "0.0D"}, "val > 1e9")
+
+
+def test_retired_columns_survive_clean(spark, tmp_path):
+    """The retirement guard is durable: dropped_cols is carried forward
+    into every later manifest's stats (retired_cols), so aging out the
+    drop_columns commit via clean() cannot silently re-open the door to
+    resurrecting stale pre-drop bytes (ADVICE r4, keyed_table.py:1098)."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark).withColumn("tag", F_col("val")))
+    t.drop_columns(["tag"])
+    # push the drop commit out of the retained window
+    for day in range(11, 16):
+        t.upsert(spark.createDataFrame(
+            [Row(pk=1, part="a", val=f"v{day}", update_ts=ts(day))]
+        ))
+    t.clean(retain_commits=2)
+    assert len(t.commits()) == 2  # the drop_columns commit is GONE
+    assert "tag" in t._retired_columns()
+    with pytest.raises(ValueError, match="re-add dropped"):
+        t.upsert(spark.createDataFrame(
+            [Row(pk=1, part="a", val="x", update_ts=ts(20), tag="boo")]
+        ))
+
+
+def test_lsh_index_rebuild_after_ingest(spark, tmp_path):
+    """build_lsh_index is re-runnable (the documented rebuild-after-
+    ingest flow): a second build replaces the prior bucket columns
+    instead of colliding with them (ADVICE r4, keyed_table.py:1213)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [Row(pk=i, part="a", update_ts=ts(10),
+                embedding=[rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, spark.createDataFrame(rows))
+    t.build_lsh_index(spark, "embedding", dim=8, n_planes=3, n_tables=4)
+
+    # ingest → stale index (NULL-filled bucket cols persist in schema)
+    t.upsert(spark.createDataFrame(
+        [Row(pk=100, part="a", update_ts=ts(11),
+             embedding=[rng.uniform(-1, 1) for _ in range(8)])]
+    ))
+    assert t.vector_index() is None  # stale index reads as absent
+
+    t.build_lsh_index(spark, "embedding", dim=8, n_planes=3, n_tables=4)
+    snap = t.read(spark)
+    buckets = [c for c in snap.columns if c.startswith(t.LSH_BUCKET_PREFIX)]
+    assert sorted(buckets) == [f"__lshb{i}" for i in range(4)]  # no dupes
+    assert snap.count() == 41
+    # the new row got real (non-NULL) buckets this time
+    got = snap.filter(F_col("pk") == 100).collect()[0]
+    assert all(got[c] is not None for c in buckets)
+    assert t.vector_index() is not None
+
+
+def test_bloom_key_canonicalization_no_false_negatives(spark, tmp_path):
+    """Equal key values canonicalize identically across type
+    representations (write side = pyarrow objects, probe side = caller
+    values), so mixed-type probes cannot produce bloom false negatives
+    (ADVICE r4, bloom.py:38)."""
+    import decimal
+
+    from hudi_glue_spark.table import bloom as B
+
+    # unit level: the canonical forms collapse
+    assert B.key_string((5,)) == B.key_string((5.0,))
+    assert B.key_string((5,)) == B.key_string((decimal.Decimal("5.00"),))
+    assert B.key_string((decimal.Decimal("2.50"),)) == B.key_string((2.5,))
+    aware = datetime.datetime(2026, 1, 10, 12, 0,
+                              tzinfo=datetime.timezone.utc)
+    naive = datetime.datetime(2026, 1, 10, 12, 0)
+    assert B.key_string((aware,)) == B.key_string((naive,))
+    assert B.key_string((True,)) == B.key_string((1,))
+
+    # end to end: long-typed key probed with float / Decimal values
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part", key_bloom=True)
+    rows = [Row(pk=i, part=f"p{i % 4}", val=f"v{i}", update_ts=ts(10))
+            for i in range(100)]
+    ingest(t, spark.createDataFrame(rows))
+    assert t.files_with_keys([17.0])  # float probe of a long key
+    assert t.files_with_keys([decimal.Decimal("17")])
+    got = {r.pk for r in t.read_keys(spark, [17, 23]).collect()}
+    assert got == {17, 23}
+
+
+def test_validate_flags_sidecar_problems(spark, tmp_path):
+    """validate() audits bloom sidecars: an orphaned sidecar (data file
+    no longer referenced) and a live file missing its sidecar are both
+    surfaced (ADVICE r4, keyed_table.py:359)."""
+    import os
+
+    from hudi_glue_spark.table import bloom as B
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part", key_bloom=True)
+    rows = [Row(pk=i, part=f"p{i % 2}", val=f"v{i}", update_ts=ts(10))
+            for i in range(20)]
+    ingest(t, spark.createDataFrame(rows))
+    assert t.validate() == []
+
+    ddir = M.data_dir(t.path)
+    man = M.read_manifest(t.path)
+    # plant an orphan sidecar + remove a live file's sidecar
+    stray = os.path.join(ddir, "part=p0", "deadbeef.parquet" + B.SIDECAR_SUFFIX)
+    with open(stray, "w") as f:
+        f.write("{}")
+    victim = sorted(man.files)[0]
+    os.unlink(os.path.join(ddir, victim) + B.SIDECAR_SUFFIX)
+
+    problems = t.validate()
+    assert any("orphan bloom sidecar" in p for p in problems)
+    assert any(p == f"live file missing bloom sidecar: {victim}" for p in problems)
