@@ -552,3 +552,118 @@ def q_predicate_dml_scenario(spark, sf_dir):
         tbl.delete_where(spark, "value >= 150.0D")
         _DML_CACHE[root] = tbl
     return tbl.read(spark).select(_COLS)
+
+
+# -- SQL-path pruned reads (§2a #4 × file skipping) --------------------------
+
+#: three probe keys present at every SF (event_id is dense 0..N-1) and
+#: close enough in id space to land in few range-clustered files
+_PRUNE_KEYS = [42, 57, 311]
+_PRUNE_LO, _PRUNE_HI = 100, 350
+
+_PRUNE_CACHE: dict[str, KeyedTable] = {}
+
+
+def _pruned_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    """events bulk-loaded range-clustered on event_id (8 files, tight
+    per-file min/max in the manifest, bloom sidecars) — the layout where
+    point/range reads can prove file skipping at any SF."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_prune_{os.path.basename(sf_dir.rstrip('/'))}"
+    cached = _PRUNE_CACHE.get(root)
+    if cached is not None and cached.exists():
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        stats_cols=["event_id", "ts"],
+        key_bloom=True,
+    )
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    # unpartitioned table + pre-clustered batch: _write_files keeps the
+    # caller's partitioning, so each of the 8 range tasks becomes one
+    # file covering a contiguous event_id slice
+    clustered = ev.repartitionByRange(8, F.col("event_id")).sortWithinPartitions(
+        "event_id"
+    )
+    tbl.bulk_insert(clustered)
+    _PRUNE_CACHE[root] = tbl
+    return tbl
+
+
+@query(
+    "sql_pruned_point_range",
+    f"""
+    SELECT
+      CAST((SELECT count(*) FROM events
+            WHERE event_id IN ({", ".join(map(str, _PRUNE_KEYS))})) AS BIGINT)
+        AS n_point,
+      CAST((SELECT count(*) FROM events
+            WHERE event_id BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}) AS BIGINT)
+        AS n_range,
+      TRUE AS point_paths_agree,
+      TRUE AS range_paths_agree,
+      TRUE AS point_scan_pruned,
+      TRUE AS isin_scan_pruned,
+      TRUE AS range_scan_pruned
+    """,
+)
+def q_sql_pruned_point_range(spark, sf_dir):
+    """Dual-path PRUNED reads (the reference's catalog-vs-path agreement
+    idiom, glue/MockCuratedGlueJob.py:17-25, applied to the point/range
+    read family): the same key IN-list and range predicate evaluated
+    (a) through the registered SQL view — Catalyst pushes the predicate
+    into the parquet scan — and (b) through the manifest-pruned Python
+    API (read_keys via bloom sidecars, read_isin / read_range via
+    manifest min/max), which must agree row-for-row AND provably open
+    fewer files than the table holds. The booleans convert the pruning
+    claim into a driver fact: point_scan_pruned/isin_scan_pruned/
+    range_scan_pruned are computed from the actual pruned file sets
+    (metadata-scale, driver-side), and the oracle expects TRUE — a
+    regression that stops skipping files fails the hash, not just a
+    perf number. At 100 TB this is the difference between a point
+    lookup opening ~1 file and opening every file."""
+    from hudi_glue_spark.table import manifest as M
+
+    tbl = _pruned_table(spark, sf_dir)
+    n_files = len(M.read_manifest(tbl.path).files)
+
+    tbl.register(spark, "kt_pruned")
+    keys_sql = ", ".join(map(str, _PRUNE_KEYS))
+    sel = "event_id, user_id, event_type, value, ts"
+    sql_point = spark.sql(
+        f"SELECT {sel} FROM kt_pruned WHERE event_id IN ({keys_sql})"
+    )
+    sql_range = spark.sql(
+        f"SELECT {sel} FROM kt_pruned "
+        f"WHERE event_id BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}"
+    )
+
+    api_point = tbl.read_keys(spark, _PRUNE_KEYS).select(_COLS)
+    api_isin = tbl.read_isin(spark, "event_id", _PRUNE_KEYS).select(_COLS)
+    api_range = tbl.read_range(spark, "event_id", _PRUNE_LO, _PRUNE_HI).select(_COLS)
+
+    def agrees(a: DataFrame, b: DataFrame) -> bool:
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    point_agree = agrees(sql_point, api_point) and agrees(sql_point, api_isin)
+    range_agree = agrees(sql_range, api_range)
+
+    return spark.createDataFrame(
+        [
+            (
+                sql_point.count(),
+                sql_range.count(),
+                point_agree,
+                range_agree,
+                len(tbl.files_with_keys(_PRUNE_KEYS)) < n_files,
+                len(tbl.files_isin("event_id", _PRUNE_KEYS)) < n_files,
+                len(tbl.files_in_range("event_id", _PRUNE_LO, _PRUNE_HI)) < n_files,
+            )
+        ],
+        "n_point long, n_range long, point_paths_agree boolean, "
+        "range_paths_agree boolean, point_scan_pruned boolean, "
+        "isin_scan_pruned boolean, range_scan_pruned boolean",
+    )

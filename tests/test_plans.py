@@ -409,3 +409,37 @@ def test_lsh_index_persists_buckets_and_matches_per_query(spark, sf_dir):
     assert tbl.vector_index() is None
     with pytest.raises(ValueError, match="no LSH index"):
         S.lsh_search_indexed(spark, tbl, queries, "vec_id")
+
+
+def test_sql_pruned_point_range_plans(spark, sf_dir):
+    """The dual-path pruned-read query's two claims, plan-level:
+    (a) the manifest/bloom API paths physically open a strict subset of
+    the table's files (inputFiles, not just the boolean in the query);
+    (b) the SQL path pushes the key predicate into the parquet scan of
+    the registered view (PushedFilters carries event_id)."""
+    from hudi_glue_spark.scenario_queries import (
+        _PRUNE_HI,
+        _PRUNE_KEYS,
+        _PRUNE_LO,
+        _pruned_table,
+    )
+
+    tbl = _pruned_table(spark, sf_dir)
+    all_files = set(tbl.read(spark).inputFiles())
+    assert len(all_files) == 8
+
+    point_files = set(tbl.read_keys(spark, _PRUNE_KEYS).inputFiles())
+    isin_files = set(tbl.read_isin(spark, "event_id", _PRUNE_KEYS).inputFiles())
+    range_files = set(
+        tbl.read_range(spark, "event_id", _PRUNE_LO, _PRUNE_HI).inputFiles()
+    )
+    for sub in (point_files, isin_files, range_files):
+        assert sub and sub < all_files, (len(sub), len(all_files))
+
+    tbl.register(spark, "kt_pruned_plan_test")
+    keys_sql = ", ".join(map(str, _PRUNE_KEYS))
+    df = spark.sql(
+        f"SELECT event_id FROM kt_pruned_plan_test WHERE event_id IN ({keys_sql})"
+    )
+    pf = pushed_filters(df)
+    assert any("event_id" in f for f in pf), pf
