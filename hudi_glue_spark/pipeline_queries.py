@@ -682,3 +682,164 @@ def q_curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("doc_id").alias("sum_doc_id"),
         F.sum(T.token_count("text").cast("long")).alias("n_tokens"),
     )
+
+
+# -- range-clustered curated output + pruned scans ---------------------------
+
+#: fixed slice literals for the pruned-scan demo (source src3 and a
+#: mid-range quality band, both present at every SF)
+_CURATED_SRC = 3
+_CURATED_Q_LO, _CURATED_Q_HI = 0.60, 0.68
+
+_CURATED_CACHE: dict = {}
+
+
+def _curated_table(spark: SparkSession, sf_dir: str):
+    """The curation pipeline's CLEAN output (dedup → quality ≥ 0.45 →
+    decontam) persisted as a KeyedTable and z-order clustered on
+    (src_num, quality) with both columns in stats_cols — the layout a
+    training-export table needs so downstream per-source and
+    per-quality-band reads skip files instead of scanning the corpus.
+    ``src_num`` is the numeric rank of the source label (zorder
+    quantizes numerically; the string column rides along for output)."""
+    import os
+    import shutil
+
+    from hudi_glue_spark.operators import dedup as D
+    from hudi_glue_spark.table import KeyedTable
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_curated_{os.path.basename(sf_dir.rstrip('/'))}"
+    cached = _CURATED_CACHE.get(root)
+    if cached is not None and cached.exists():
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="doc_id",
+        precombine="doc_id",
+        stats_cols=["src_num", "quality"],
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    train = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    deduped = D.exact_dedup(train, "doc_id", "text")
+    qual = deduped.withColumn("quality", T.quality_score("text")).filter(
+        F.col("quality") >= _CURATE_QUALITY_MIN
+    )
+    clean = DC.decontaminate(qual, bench, n=_DECONTAM_N)
+    out = clean.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"(\d+)$", 1).cast("int").alias("src_num"),
+        "quality",
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    # scatter first (every file spans both dimensions), then let
+    # optimize(zorder_by=...) produce the clustered layout — the same
+    # two-step a live table goes through (ingest happens unclustered;
+    # clustering is a maintenance commit)
+    tbl.bulk_insert(out.repartition(8))
+    cid = tbl.optimize(
+        spark,
+        target_file_mb=0.002,
+        small_file_mb=10,
+        zorder_by=["src_num", "quality"],
+    )
+    assert cid is not None, "curated table must compact+cluster"
+    _CURATED_CACHE[root] = tbl
+    return tbl
+
+
+@query(
+    "curated_pruned_scan",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, text, {T.doc_fingerprint_sql("text")} AS fp
+      FROM documents WHERE source <> 'src19'
+    ),
+    dedup AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        FROM fp
+      ) WHERE doc_id = keep_id
+    ),
+    qual AS (
+      SELECT * FROM (
+        SELECT doc_id, source, text,
+               {T.quality_score_sql("text")} AS quality
+        FROM dedup
+      ) WHERE quality >= {_CURATE_QUALITY_MIN}
+    ),
+    bench_grams AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+            FROM documents WHERE source = 'src19')
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest({DC.shingles_sql("text", _DECONTAM_N)}) AS gram
+            FROM qual) tg
+      JOIN bench_grams USING (gram)
+    ),
+    clean AS (
+      SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    )
+    SELECT
+      CAST((SELECT count(*) FROM clean
+            WHERE source = 'src{_CURATED_SRC}') AS BIGINT) AS n_src,
+      CAST((SELECT coalesce(sum(doc_id), 0) FROM clean
+            WHERE source = 'src{_CURATED_SRC}') AS BIGINT) AS sum_src,
+      CAST((SELECT count(*) FROM clean
+            WHERE quality BETWEEN {_CURATED_Q_LO} AND {_CURATED_Q_HI})
+        AS BIGINT) AS n_qslice,
+      CAST((SELECT coalesce(sum(doc_id), 0) FROM clean
+            WHERE quality BETWEEN {_CURATED_Q_LO} AND {_CURATED_Q_HI})
+        AS BIGINT) AS sum_qslice,
+      TRUE AS src_scan_pruned,
+      TRUE AS q_scan_pruned
+    """,
+)
+def q_curated_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scans over the PIPELINE'S OWN OUTPUT (not a synthetic
+    fixture): the curated corpus is persisted z-order clustered on
+    (src_num, quality), and this query reads a single source and a
+    narrow quality band through the manifest-pruning APIs — counts and
+    key-sums must match the oracle's replay of the whole pipeline, and
+    the booleans assert each slice physically opened FEWER FILES than
+    the table holds (computed from the real pruned file sets). This is
+    the 100 TB access pattern for a training-export table: per-domain
+    and per-quality-band reads are file-skipping scans, not corpus
+    scans, because z-ordering keeps per-file min/max tight in BOTH
+    dimensions."""
+    tbl = _curated_table(spark, sf_dir)
+
+    from hudi_glue_spark.table import manifest as M
+
+    n_files = len(M.read_manifest(tbl.path).files)
+    src = tbl.read_isin(spark, "src_num", [_CURATED_SRC])
+    qsl = tbl.read_range(spark, "quality", _CURATED_Q_LO, _CURATED_Q_HI)
+    src_row = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("s"),
+    ).first()
+    q_row = qsl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("s"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                src_row["n"],
+                src_row["s"],
+                q_row["n"],
+                q_row["s"],
+                len(tbl.files_isin("src_num", [_CURATED_SRC])) < n_files,
+                len(tbl.files_in_range("quality", _CURATED_Q_LO, _CURATED_Q_HI))
+                < n_files,
+            )
+        ],
+        "n_src long, sum_src long, n_qslice long, sum_qslice long, "
+        "src_scan_pruned boolean, q_scan_pruned boolean",
+    )

@@ -443,3 +443,26 @@ def test_sql_pruned_point_range_plans(spark, sf_dir):
     )
     pf = pushed_filters(df)
     assert any("event_id" in f for f in pf), pf
+
+
+def test_curated_output_zorder_prunes(spark, sf_dir):
+    """The curation pipeline's persisted output is z-order clustered:
+    a one-source slice and a quality-band slice each physically open a
+    strict subset of the table's files (inputFiles-level, backing the
+    booleans the curated_pruned_scan query hash-checks)."""
+    from hudi_glue_spark.pipeline_queries import (
+        _CURATED_Q_HI,
+        _CURATED_Q_LO,
+        _CURATED_SRC,
+        _curated_table,
+    )
+
+    tbl = _curated_table(spark, sf_dir)
+    all_files = set(tbl.read(spark).inputFiles())
+    assert len(all_files) > 1
+    src_files = set(tbl.read_isin(spark, "src_num", [_CURATED_SRC]).inputFiles())
+    q_files = set(
+        tbl.read_range(spark, "quality", _CURATED_Q_LO, _CURATED_Q_HI).inputFiles()
+    )
+    assert src_files and src_files < all_files, (len(src_files), len(all_files))
+    assert q_files and q_files < all_files, (len(q_files), len(all_files))
