@@ -69,6 +69,12 @@ def main() -> int:
         "kmeans_embedding_clusters",
         "dedup_chain_fixpoint",
         "dual_path_read_agreement",
+        "sequence_pack_greedy",
+        "knn_lsh_indexed",
+        "curation_pipeline_end_to_end",
+        "stream_text_pipeline",
+        "sql_pruned_point_range",
+        "curated_pruned_scan",
     ):
         if warm_name in qs_all:
             qs_all[warm_name](spark, "/root/testdata/sf0.001").count()
@@ -84,6 +90,33 @@ def main() -> int:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    # Flagship upsert, per-commit: the registry's upsert_* queries time
+    # the WHOLE 3-commit scenario plus the read; these rows break the
+    # merge cost out per commit (bulk load, update-batch merge,
+    # late-batch merge) so window-dedup + anti-join + partition-rewrite
+    # cost is tracked across rounds. Keys are prefixed "commit:" so the
+    # rows are visibly bench probes, not registry queries.
+    import shutil
+
+    from hudi_glue_spark.scenario_queries import _batches
+    from hudi_glue_spark.table import KeyedTable, ingest
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    up_root = "/tmp/hgs_bench_upsert"
+    shutil.rmtree(up_root, ignore_errors=True)
+    up_tbl = KeyedTable(
+        up_root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    b0, b1, b2 = _batches(spark, sf_dir)
+    for tag, batch in (("day0_bulk", b0), ("day1_upsert", b1), ("day2_late", b2)):
+        t0 = time.perf_counter()
+        ingest(up_tbl, batch)
+        dt = time.perf_counter() - t0
+        timings[f"commit:upsert_{tag}"] = round(dt, 3)
+        total += dt
+        print(f"# commit:upsert_{tag}: {dt:.3f}s", file=sys.stderr)
+    shutil.rmtree(up_root, ignore_errors=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

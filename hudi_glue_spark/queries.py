@@ -65,7 +65,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r5 --------------------------------------------------------
     "sql_pruned_point_range",          # SQL-path pruned point/range reads
     "curated_pruned_scan",             # range-clustered pipeline output
-    "upsert_incremental_scenario",     # 3-commit day0/1/2 merge scenario
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",
