@@ -82,6 +82,20 @@ def main() -> int:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
+
+    # Build the SHARED two-batch scenario table once, as its own timed
+    # row: six registry queries read it through a per-process cache, so
+    # whichever ran first used to absorb the build — and any reordering
+    # of the registry then read as a phantom regression on that query.
+    # An explicit row keeps per-query numbers comparable across rounds.
+    from hudi_glue_spark.scenario_queries import _two_batch_table
+
+    t0 = time.perf_counter()
+    _two_batch_table(spark, sf_dir)
+    dt = time.perf_counter() - t0
+    timings["commit:two_batch_scenario_build"] = round(dt, 3)
+    total += dt
+    print(f"# commit:two_batch_scenario_build: {dt:.3f}s", file=sys.stderr)
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -1,6 +1,7 @@
 """Corpus growth stress: time the data-proportional operator family at
-1x/4x/16x the sf0.1 documents table (doc_ids shifted per replica so the
-corpus is genuinely larger, with planted cross-replica duplicates).
+1x/4x/16x (optionally 64x: ``--deep``) the sf0.1 documents table
+(doc_ids shifted per replica so the corpus is genuinely larger, with
+planted cross-replica duplicates).
 
 This is the harness that caught the broadcast scale bug fixed in
 operators/dedup.py: at 16x the planner's post-explode size estimates
@@ -36,7 +37,8 @@ def main() -> int:
     print(f"base corpus: {n0} docs")
 
     rows = []
-    for mult in (1, 4, 16):
+    mults = (1, 4, 16, 64) if "--deep" in sys.argv else (1, 4, 16)
+    for mult in mults:
         path = f"/tmp/hudi_glue_spark_growth_{mult}x.parquet"
         if not os.path.isdir(path):
             big = docs
