@@ -96,7 +96,14 @@ def main() -> int:
     timings["commit:two_batch_scenario_build"] = round(dt, 3)
     total += dt
     print(f"# commit:two_batch_scenario_build: {dt:.3f}s", file=sys.stderr)
-    for name, fn in qs.items():
+    # ALPHABETICAL timing order, deliberately decoupled from the
+    # registry's driver-window priority: that order rotates every round,
+    # and whichever query runs first after a cold stretch absorbs JIT /
+    # cache-population cost — reordering then reads as phantom per-query
+    # regressions round-over-round. A fixed order keeps r(N) vs r(N+1)
+    # per-query diffs meaningful.
+    for name in sorted(qs):
+        fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
