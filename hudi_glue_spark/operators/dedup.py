@@ -550,3 +550,64 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 10
+) -> DataFrame:
+    """Corpus-wide segment (paragraph) dedup with document reassembly —
+    RefinedWeb-style exact-substring dedup at ``w``-word granularity:
+    every segment keeps only its first global occurrence (ordered by
+    id, then position); each document is rebuilt from its surviving
+    segments. Documents with no surviving segment are dropped.
+
+    Returns one row per surviving document: (id, n_segs, n_kept,
+    new_fp) where ``new_fp`` is the md5 of the reassembled text.
+
+    100 TB shape: the dedup decision shuffles only (md5(segment), id,
+    pos) — never text; winning positions shuffle back by id and the
+    text is RE-SLICED from the original document at reassembly, so
+    full text crosses the wire zero times. The reassembly join hints
+    shuffle_hash: its aggregated side is corpus-sized, and the
+    planner's post-agg estimate would otherwise broadcast it (the
+    no-broadcast contract, same as the pair-generating family)."""
+    ws = df.select(F.col(id_col).alias("__id"), words(text_col).alias("ws"))
+    n_seg = F.ceil(F.size("ws") / F.lit(float(w))).cast("long")
+    segs = ws.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i * w + 1, w))),
+            )
+        ).alias("pos", "h"),
+    ).select("__id", F.col("pos").cast("long").alias("pos"), "h")
+    win = Window.partitionBy("h").orderBy("__id", "pos")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("__id", "pos")
+    )
+    kept_pos = kept.groupBy("__id").agg(
+        F.sort_array(F.collect_list("pos")).alias("keep_ps"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        ws.join(kept_pos.hint("shuffle_hash"), "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.ceil(F.size("ws") / F.lit(float(w))).cast("long").alias("n_segs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.transform(
+                            "keep_ps",
+                            lambda p: F.slice("ws", (p * w + 1).cast("int"), w),
+                        )
+                    ),
+                )
+            ).alias("new_fp"),
+        )
+    )

@@ -117,6 +117,51 @@ def quality_score_sql(col: str = "text") -> str:
     )
 
 
+def mean_word_len(text: Column | str) -> Column:
+    """Mean characters per word (0 for empty text): total non-whitespace
+    chars / word count — one regexp + one size, fully JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(chars.cast("double") / n)
+
+
+def mean_word_len_sql(col: str = "text") -> str:
+    w = words_sql(col)
+    return (
+        f"(CASE WHEN len({w}) = 0 THEN 0.0 ELSE "
+        f"CAST(length(regexp_replace({col}, '\\s+', '', 'g')) AS DOUBLE)"
+        f" / len({w}) END)"
+    )
+
+
+def digit_ratio(text: Column | str) -> Column:
+    """Digit chars / total chars (0 for empty text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        digits.cast("double") / F.length(c)
+    )
+
+
+def digit_ratio_sql(col: str = "text") -> str:
+    return (
+        f"(CASE WHEN length({col}) = 0 THEN 0.0 ELSE "
+        f"CAST(length(regexp_replace({col}, '[^0-9]', '', 'g')) AS DOUBLE)"
+        f" / length({col}) END)"
+    )
+
+
+def stopword_ratio_sql(col: str = "text") -> str:
+    w = words_sql(col)
+    lst = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return (
+        f"(CASE WHEN len({w}) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter({w}, x -> list_contains({lst}, lower(x)))) "
+        f"AS DOUBLE) / len({w}) END)"
+    )
+
+
 # -- repetition signals (Gopher-style quality filters) ----------------------
 
 

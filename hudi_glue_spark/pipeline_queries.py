@@ -843,3 +843,126 @@ def q_curated_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src long, sum_src long, n_qslice long, sum_qslice long, "
         "src_scan_pruned boolean, q_scan_pruned boolean",
     )
+
+
+# -- C4-style rule filters ---------------------------------------------------
+
+#: rule thresholds (C4/Gopher-style document filters, tuned to be
+#: discriminative on the fixture: each rule fails a real slice)
+_C4_MIN_WORDS, _C4_MAX_WORDS = 15, 1000
+_C4_MWL_LO, _C4_MWL_HI = 3.0, 10.0
+_C4_MIN_STOPWORD = 0.02
+_C4_MAX_REPETITION = 0.12
+_C4_MAX_DIGIT = 0.2
+
+
+@query(
+    "c4_rule_filters",
+    f"""
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           keep_len, keep_mean_wl, keep_stopword, keep_repetition,
+           keep_digits,
+           (keep_len AND keep_mean_wl AND keep_stopword
+            AND keep_repetition AND keep_digits) AS keep
+    FROM (
+      SELECT doc_id,
+             len({T.words_sql("text")}) AS n_words,
+             len({T.words_sql("text")})
+               BETWEEN {_C4_MIN_WORDS} AND {_C4_MAX_WORDS} AS keep_len,
+             {T.mean_word_len_sql("text")}
+               BETWEEN {_C4_MWL_LO} AND {_C4_MWL_HI} AS keep_mean_wl,
+             {T.stopword_ratio_sql("text")} >= {_C4_MIN_STOPWORD}
+               AS keep_stopword,
+             {T.max_word_freq_ratio_sql("text")} <= {_C4_MAX_REPETITION}
+               AS keep_repetition,
+             {T.digit_ratio_sql("text")} <= {_C4_MAX_DIGIT} AS keep_digits
+      FROM documents
+    )
+    """,
+)
+def q_c4_rule_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule-based document filtering as an auditable
+    rule MATRIX, not just a verdict: per document, one boolean per rule
+    (length band, mean word length band, stopword floor, repetition
+    ceiling, digit ceiling) plus the conjunction — the shape real
+    curation pipelines ship, because per-rule booleans let you measure
+    each rule's kill rate and ablate rules without recomputing. All
+    signals are single-pass JVM expressions over the scan (no shuffle,
+    no Python); at 100 TB this is a map-only pass that rides whatever
+    scan comes next."""
+    docs = table(spark, sf_dir, "documents")
+    n = T.token_count("text")
+    keep_len = (n >= _C4_MIN_WORDS) & (n <= _C4_MAX_WORDS)
+    mwl = T.mean_word_len("text")
+    keep_mwl = (mwl >= _C4_MWL_LO) & (mwl <= _C4_MWL_HI)
+    keep_stop = T.stopword_ratio("text") >= _C4_MIN_STOPWORD
+    keep_rep = T.max_word_freq_ratio("text") <= _C4_MAX_REPETITION
+    keep_dig = T.digit_ratio("text") <= _C4_MAX_DIGIT
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        keep_len.alias("keep_len"),
+        keep_mwl.alias("keep_mean_wl"),
+        keep_stop.alias("keep_stopword"),
+        keep_rep.alias("keep_repetition"),
+        keep_dig.alias("keep_digits"),
+        (keep_len & keep_mwl & keep_stop & keep_rep & keep_dig).alias("keep"),
+    )
+
+
+# -- segment-level (paragraph) dedup with reassembly -------------------------
+
+#: words per segment — the "paragraph" unit of the fixture's
+#: unpunctuated text (real corpora would split on blank lines instead)
+_SEG_W = 10
+
+
+@query(
+    "segment_dedup_reassembled",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {T.words_sql("text")} AS ws FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[(i*{_SEG_W}+1):((i+1)*{_SEG_W})], ' ') AS seg
+      FROM w, unnest(range(0, CAST(ceil(len(ws) / {_SEG_W}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, pos) AS rn
+      FROM segs
+    ),
+    kept AS (SELECT doc_id, pos, seg FROM ranked WHERE rn = 1)
+    SELECT k.doc_id,
+           CAST(t.n_segs AS BIGINT) AS n_segs,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(k.seg, ' ' ORDER BY k.pos)) AS new_fp
+    FROM kept k
+    JOIN (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id) t
+      USING (doc_id)
+    GROUP BY k.doc_id, t.n_segs
+    """,
+)
+def q_segment_dedup_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SEGMENT-level dedup with document reassembly — the
+    RefinedWeb/Gopher "remove repeated paragraphs across the corpus"
+    operation (exact-substring dedup at paragraph granularity): every
+    {_SEG_W}-word segment keeps only its first global occurrence
+    (ordered by doc_id, then position); each document is rebuilt from
+    its surviving segments and fingerprinted. Documents whose every
+    segment is a duplicate vanish — that IS the dedup.
+
+    100 TB shape (see :func:`operators.dedup.segment_dedup`): the dedup
+    decision shuffles only (md5(seg), doc_id, pos) — never segment
+    text; the winning positions shuffle back by doc_id and the text is
+    RE-SLICED from the original document at reassembly, so full text
+    crosses the wire zero times. One explode, two narrow shuffles, one
+    doc-keyed shuffled-hash join (no-broadcast contract)."""
+    from hudi_glue_spark.operators.dedup import segment_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return segment_dedup(docs, "doc_id", "text", w=_SEG_W)

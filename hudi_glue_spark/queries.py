@@ -65,6 +65,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r5 --------------------------------------------------------
     "sql_pruned_point_range",          # SQL-path pruned point/range reads
     "curated_pruned_scan",             # range-clustered pipeline output
+    "c4_rule_filters",                 # rule-matrix document filtering
+    "segment_dedup_reassembled",       # paragraph-level dedup + rebuild
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

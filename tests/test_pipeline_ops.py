@@ -347,3 +347,43 @@ class TestShardExport:
         back2 = read_jsonl_shards(spark, out, "doc_id bigint, text string, source string")
         got2 = {r.doc_id: r.shard for r in back2.collect()}
         assert all(got2[i] == want[i] for i in range(500))
+
+
+class TestSegmentDedup:
+    def test_planted_duplicates_first_occurrence_wins(self, spark):
+        """Segment-level dedup semantics on a planted corpus: a segment
+        duplicated across docs survives only at its first (doc_id, pos)
+        occurrence; a doc whose every segment is a dupe vanishes; the
+        reassembled fingerprint equals md5 of the surviving words."""
+        import hashlib
+
+        from hudi_glue_spark.operators.dedup import segment_dedup
+
+        A = " ".join(f"a{i}" for i in range(4))
+        B = " ".join(f"b{i}" for i in range(4))
+        C = " ".join(f"c{i}" for i in range(4))
+        rows = [
+            (1, f"{A} {B}"),   # doc1: A@0, B@1 — both first occurrences
+            (2, f"{B} {C}"),   # doc2: B is a dupe of doc1@1 → only C kept
+            (3, f"{A} {B}"),   # doc3: every segment duplicated → vanishes
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in segment_dedup(df, w=4).collect()}
+
+        assert set(got) == {1, 2}  # doc3 fully deduplicated away
+        assert (got[1].n_segs, got[1].n_kept) == (2, 2)
+        assert (got[2].n_segs, got[2].n_kept) == (2, 1)
+        assert got[1].new_fp == hashlib.md5(f"{A} {B}".encode()).hexdigest()
+        assert got[2].new_fp == hashlib.md5(C.encode()).hexdigest()
+
+    def test_partial_tail_segment(self, spark):
+        """The final sub-width segment is a unit of its own: identical
+        tails dedup, distinct tails survive."""
+        from hudi_glue_spark.operators.dedup import segment_dedup
+
+        rows = [(1, "x0 x1 x2 tail"), (2, "y0 y1 y2 tail"), (3, "z0 z1 z2 zz")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.n_kept for r in segment_dedup(df, w=3).collect()}
+        # each doc: one full segment + one 1-word tail; 'tail' of doc2
+        # duplicates doc1's tail segment
+        assert got == {1: 2, 2: 1, 3: 2}
