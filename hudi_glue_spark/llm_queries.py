@@ -1016,3 +1016,48 @@ def q_bm25_scores(spark, sf_dir):
     that stays cheap at corpus scale."""
     docs = table(spark, sf_dir, "documents")
     return R.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+
+
+from hudi_glue_spark.operators.sampling import (  # noqa: E402
+    stratified_exact_split as _strat_split,
+    stratified_exact_split_sql as _strat_split_sql,
+)
+
+
+@query(
+    "stratified_split_exact",
+    f"""
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM (
+      SELECT source, doc_id,
+             {_strat_split_sql("doc_id", "source", _SPLITS)} AS split
+      FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+      )
+    ) GROUP BY source, split
+    """,
+)
+def q_stratified_split_exact(spark, sf_dir):
+    """EXACT-proportion stratified split (the companion to the
+    hash-Bernoulli train_val_test_split): within every source, rows
+    rank by md5(key) and cut at floor(cum_frac·n) — each source lands
+    within one row of 80/10/10 regardless of its size, which is what a
+    training mixture needs from small domains. sum(doc_id) per
+    (source, split) hash-checks the actual MEMBERSHIP, not just the
+    counts, so both engines must agree on every assignment."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        _strat_split(docs, "doc_id", "source", _SPLITS)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )

@@ -105,3 +105,50 @@ def split_column_sql(key: str, fractions: dict[str, float], salt: str = "") -> s
         acc += frac
         cases.append(f"WHEN ({b}) < {int(round(acc * _BUCKETS))} THEN '{name}'")
     return "CASE " + " ".join(cases) + " ELSE NULL END"
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    key: str,
+    group: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """EXACT-proportion per-group split: within each ``group``, rows are
+    ranked by md5 of the key (deterministic shuffle order, tie-broken by
+    the key itself) and cut at floor(cum_frac · n) boundaries — so every
+    group lands within one row of its target proportions, unlike the
+    hash-Bernoulli :func:`split_column` whose per-group counts are only
+    proportional in expectation. The training-mixture use case: small
+    domains must still yield a non-degenerate val/test slice.
+
+    One window over one group-keyed shuffle; membership depends only on
+    (key, group, fractions) — rerunnable, engine-portable, no RNG."""
+    from pyspark.sql.window import Window
+
+    k = F.col(key)
+    w = Window.partitionBy(group).orderBy(F.md5(k.cast("string")), k)
+    rn = F.row_number().over(w).cast("long")
+    n = F.count(F.lit(1)).over(Window.partitionBy(group)).cast("long")
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = rn <= F.floor(F.lit(acc) * n)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
+
+
+def stratified_exact_split_sql(
+    key: str, group: str, fractions: dict[str, float]
+) -> str:
+    """DuckDB twin of :func:`stratified_exact_split`'s split expression
+    (expects window aliases ``rn`` and ``n`` in scope)."""
+    names = list(fractions)
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += fractions[name]
+        cases.append(f"WHEN rn <= floor({acc} * n) THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"

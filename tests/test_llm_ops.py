@@ -374,3 +374,39 @@ def test_parse_image_header_never_raises():
     for s in samples:
         out = MM2.parse_image_header(s)
         assert isinstance(out, tuple) and len(out) == 4
+
+
+def test_stratified_exact_split_proportions(spark):
+    """Every group lands within one row of its target fractions, and
+    assignment is deterministic across invocations."""
+    from hudi_glue_spark.operators.sampling import stratified_exact_split
+
+    rows = [(i, f"g{i % 3}") for i in range(100)] + [(1000 + i, "tiny") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = stratified_exact_split(df, "doc_id", "source", fr)
+    counts = {
+        (r.source, r.split): r.n
+        for r in out.groupBy("source", "split").agg(F.count("*").alias("n")).collect()
+    }
+    # g0/g1 have 34/33 rows, g2 33, tiny 5
+    sizes = {"g0": 34, "g1": 33, "g2": 33, "tiny": 5}
+    import math
+    for g, n in sizes.items():
+        tr = counts.get((g, "train"), 0)
+        va = counts.get((g, "val"), 0)
+        te = counts.get((g, "test"), 0)
+        assert tr + va + te == n
+        assert tr == math.floor(0.8 * n)
+        assert va == math.floor(0.9 * n) - math.floor(0.8 * n)
+    # tiny group: 5 rows -> 4/0/1, never an empty train
+    assert counts.get(("tiny", "train"), 0) == 4
+    # determinism: second run assigns identically
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in stratified_exact_split(df, "doc_id", "source", fr)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b

@@ -67,11 +67,16 @@ def main() -> int:
         D.exact_dedup(bdf, "doc_id", "text").count()
         te = time.perf_counter() - t0
 
-        rows.append((mult, n0 * mult, tw, tm, nm, ts, ns, te))
+        t0 = time.perf_counter()
+        ng = D.segment_dedup(bdf, "doc_id", "text").count()
+        tg = time.perf_counter() - t0
+
+        rows.append((mult, n0 * mult, tw, tm, nm, ts, ns, te, tg, ng))
         print(
             f"mult={mult:>2} rows={n0 * mult:>7}  winnow={tw:6.2f}s  "
             f"minhash={tm:6.2f}s ({nm} pairs)  simhash={ts:6.2f}s "
-            f"({ns} pairs)  exact_dedup={te:5.2f}s"
+            f"({ns} pairs)  exact_dedup={te:5.2f}s  "
+            f"segment_dedup={tg:5.2f}s ({ng} survivors)"
         )
     return 0
 
