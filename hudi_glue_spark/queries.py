@@ -67,6 +67,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "curated_pruned_scan",             # range-clustered pipeline output
     "c4_rule_filters",                 # rule-matrix document filtering
     "segment_dedup_reassembled",       # paragraph-level dedup + rebuild
+    "stratified_split_exact",          # exact-proportion per-source split
+    "bucketed_colocated_join",         # exchange-free bucketed fact join
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

@@ -34,3 +34,37 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    path: str,
+    buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hash-bucketed, sorted parquet table registered in the session
+    catalog (``CLUSTERED BY (key) SORTED BY (...) INTO n BUCKETS``).
+
+    This is the shuffle-amortization primitive the reference's Hudi
+    tables never had: two tables bucketed by the same key with the same
+    bucket count join WITHOUT an Exchange on either side — at 100 TB
+    that converts the nightly fact⋈fact join from the single largest
+    shuffle in the pipeline into a zipper over co-located files. The
+    write pays the shuffle ONCE; every subsequent join/groupBy on the
+    bucket key reuses the layout for free.
+
+    ``path`` makes the table external, so no warehouse/metastore is
+    required beyond the session's in-memory catalog.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(*(sort_cols or [key]))
+        .saveAsTable(name)
+    )

@@ -466,3 +466,27 @@ def test_curated_output_zorder_prunes(spark, sf_dir):
     )
     assert src_files and src_files < all_files, (len(src_files), len(all_files))
     assert q_files and q_files < all_files, (len(q_files), len(all_files))
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Both sides bucketed by the join key with equal bucket counts →
+    EnsureRequirements must insert no Exchange anywhere in the join
+    subplan, and the query's self-reported driver-fact boolean must
+    agree with the result rows it emits."""
+    from hudi_glue_spark.analytics_queries import q_bucketed_colocated_join
+
+    df = q_bucketed_colocated_join(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r["join_exchange_free"] for r in rows)
+
+    # independent re-check on the registered bucketed tables
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    bo = spark.table(f"bkt_orders_{tag}")
+    bl = spark.table(f"bkt_lineitem_{tag}")
+    joined = bo.join(bl.hint("merge"), bo["o_orderkey"] == bl["l_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
