@@ -1061,3 +1061,44 @@ def q_stratified_split_exact(spark, sf_dir):
             F.sum("doc_id").cast("long").alias("sum_doc_id"),
         )
     )
+
+
+@query(
+    "quality_model_filter",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN logit_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(logit_milli) AS BIGINT) AS logit_milli_sum,
+           CAST(sum(n_tokens) AS BIGINT) AS token_sum
+    FROM (
+      SELECT source,
+             {T.hashed_feature_logit_milli_sql("text")} AS logit_milli,
+             len({T.words_sql("text")}) AS n_tokens
+      FROM documents
+    ) GROUP BY source
+    """,
+)
+def q_quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a feature-hashed linear scorer
+    (operators/text.py hashed_feature_logit_milli) evaluated per
+    document as one JVM ``aggregate`` over the token array — the
+    classifier-filter stage of a curation pipeline (fastText-style
+    quality models), expressed so the model evaluation is map-only and
+    rides the scan. keep = logit > 0; the per-source integer sums
+    hash-check every document's exact logit, so the driver verifies the
+    full scoring computation, not just kept counts. At 100 TB: zero
+    shuffle until the 20-group rollup, partial-aggregated map-side."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        T.hashed_feature_logit_milli("text").alias("logit_milli"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("logit_milli") > 0).cast("int")).cast("long").alias("n_kept"),
+        F.sum("logit_milli").cast("long").alias("logit_milli_sum"),
+        F.sum("n_tokens").cast("long").alias("token_sum"),
+    )

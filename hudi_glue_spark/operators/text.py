@@ -306,3 +306,46 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", doc_fingerprint(text_col))
     )
+
+
+# -- model-based quality scoring (feature hashing) ---------------------------
+
+#: weight granularity: integer "millis" in [-1000, 1000] so the per-doc
+#: fold is an exact integer sum — order-independent and bit-identical on
+#: any engine (a float weight sum would be fold-order-dependent).
+_W_RANGE = 2001
+
+
+def hashed_feature_logit_milli(text: Column | str, salt: str = "qm1") -> Column:
+    """Feature-hashed linear model logit, in integer millis.
+
+    Vowpal-Wabbit-style feature hashing: each token's weight is read
+    from a hash of the token itself (md5 → [-1000, 1000] millis), so the
+    "model" ships as pure expression — no weight table to broadcast, no
+    Python. Swapping the hash for trained weights means broadcasting a
+    (token → milli) map and keeping exactly this fold; the plumbing is
+    the product. The per-document score is a single JVM ``aggregate``
+    over the token array: map-only, zero shuffle at any corpus size.
+
+    Integer millis (not floats) make the fold an exact integer sum, so
+    the DuckDB oracle reproduces every document's logit bit-for-bit.
+    """
+    ws = words(text)
+
+    def wt(w: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), w)), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(_W_RANGE)) - F.lit(1000)
+
+    return F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + wt(w))
+
+
+def hashed_feature_logit_milli_sql(col: str = "text", salt: str = "qm1") -> str:
+    """DuckDB twin of :func:`hashed_feature_logit_milli`."""
+    w = words_sql(col)
+    wt = (
+        f"CAST(('0x' || substr(md5('{salt}:' || x), 1, 15)) AS BIGINT) "
+        f"% {_W_RANGE} - 1000"
+    )
+    return f"CAST(coalesce(list_sum(list_transform({w}, x -> {wt})), 0) AS BIGINT)"

@@ -69,6 +69,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "segment_dedup_reassembled",       # paragraph-level dedup + rebuild
     "stratified_split_exact",          # exact-proportion per-source split
     "bucketed_colocated_join",         # exchange-free bucketed fact join
+    "quality_model_filter",            # feature-hashed linear scorer
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

@@ -410,3 +410,26 @@ def test_stratified_exact_split_proportions(spark):
         .collect()
     }
     assert a == b
+
+
+def test_hashed_feature_logit_contract(spark):
+    """Empty text scores exactly 0; identical tokens accumulate the
+    same weight; the logit is reproducible across plans/partitionings."""
+    from hudi_glue_spark.operators.text import hashed_feature_logit_milli
+
+    df = spark.createDataFrame(
+        [("", 0), ("hello hello", 1), ("hello", 2)], "text string, i int"
+    ).select("i", hashed_feature_logit_milli("text").alias("lm"))
+    got = {r["i"]: r["lm"] for r in df.collect()}
+    assert got[0] == 0
+    assert got[1] == 2 * got[2]
+    got2 = {
+        r["i"]: r["lm"]
+        for r in spark.createDataFrame(
+            [("hello hello", 1)], "text string, i int"
+        )
+        .repartition(4)
+        .select("i", hashed_feature_logit_milli("text").alias("lm"))
+        .collect()
+    }
+    assert got2[1] == got[1]
