@@ -70,6 +70,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "stratified_split_exact",          # exact-proportion per-source split
     "bucketed_colocated_join",         # exchange-free bucketed fact join
     "quality_model_filter",            # feature-hashed linear scorer
+    "cdf_incremental_agg",             # IVM off pre/post-image feed
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

@@ -667,3 +667,112 @@ def q_sql_pruned_point_range(spark, sf_dir):
         "range_paths_agree boolean, point_scan_pruned boolean, "
         "isin_scan_pruned boolean, range_scan_pruned boolean",
     )
+
+
+# -- CDF pre/post images + incremental view maintenance ----------------------
+
+_CDF_CACHE: dict[str, KeyedTable] = {}
+
+
+def _cdf_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    """Three-commit table exercising every change type: bulk load (c0),
+    one upsert mixing UPDATES (clicks: value+100, ts+1d) with INSERTS
+    (new keys cloned from purchases: id+100M, value+500, ts+2d), then a
+    predicate DELETE of every user_id % 7 == 0 row (c2)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_cdf_{os.path.basename(sf_dir.rstrip('/'))}"
+    cached = _CDF_CACHE.get(root)
+    if cached is not None and len(cached.commits()) == 3:
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    clicks = ev.filter(F.col("event_type") == "click")
+    updates = clicks.withColumn("value", F.col("value") + F.lit(100.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    )
+    inserts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("event_id", F.col("event_id") + F.lit(100_000_000))
+        .withColumn("value", F.col("value") + F.lit(500.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAY"))
+    )
+    tbl.upsert(updates.unionByName(inserts))
+    tbl.delete_where(spark, "user_id % 7 = 0")
+    _CDF_CACHE[root] = tbl
+    return tbl
+
+
+@query(
+    "cdf_incremental_agg",
+    """
+    WITH b0 AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), final AS (
+      SELECT * FROM b0 WHERE event_type <> 'click'
+      UNION ALL
+      SELECT event_id, user_id, event_type, value + 100.0, ts
+      FROM b0 WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id + 100000000, user_id, event_type, value + 500.0, ts
+      FROM b0 WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM final WHERE user_id % 7 <> 0
+    GROUP BY user_id
+    """,
+)
+def q_cdf_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance off the pre/post-image change feed:
+    a per-user (count, sum) aggregate materialized at c0 is brought up
+    to date using ONLY diff_commits(images="both") — +post-image for
+    insert/update_postimage, −pre-image for delete/update_preimage —
+    never re-reading the base table. The oracle recomputes the final
+    aggregate from scratch, so the maintained result hash-matches iff
+    retraction arithmetic is exactly right for all three change types
+    (the scenario plants updates, inserts, AND a predicate delete).
+    At 100 TB this is the pattern that keeps a derived table fresh for
+    the cost of the day's delta instead of a full recompute; the feed
+    itself stays O(changed partitions) via commit file pruning."""
+    tbl = _cdf_table(spark, sf_dir)
+    c0 = tbl.commits()[0]
+    dec = F.col("value").cast("decimal(18,4)")
+    agg0 = (
+        tbl.read(spark, at=c0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(dec).alias("s0"),
+        )
+    )
+    feed = tbl.diff_commits(spark, c0, images="both")
+    sign_pos = F.col("_change_type").isin("insert", "update_postimage")
+    delta = feed.groupBy("user_id").agg(
+        F.sum(F.when(sign_pos, 1).otherwise(-1)).alias("dn"),
+        F.sum(F.when(sign_pos, dec).otherwise(-dec)).alias("ds"),
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    maintained = (
+        agg0.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_events"
+            ),
+            (F.coalesce(F.col("s0"), zero) + F.coalesce(F.col("ds"), zero)).alias(
+                "s"
+            ),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    return maintained.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("s").cast("double").alias("sum_value"),
+    )

@@ -807,14 +807,27 @@ class KeyedTable:
             )
 
     def diff_commits(
-        self, spark: SparkSession, from_commit: str, to_commit: str | None = None
+        self,
+        spark: SparkSession,
+        from_commit: str,
+        to_commit: str | None = None,
+        images: str = "post",
     ) -> DataFrame:
         """Change feed between two commits (Delta CDF-style): one row per
         changed key with ``_change_type`` ∈ insert | update | delete,
         carrying the post-image for inserts/updates and the pre-image for
-        deletes. Computed as a key-wise full-outer diff of the two
-        snapshots — O(changed partitions) at scale when combined with
-        :meth:`read_incremental` file pruning; exact as written here."""
+        deletes. With ``images="both"`` updates instead emit TWO rows —
+        ``update_preimage`` and ``update_postimage`` (full Delta CDF
+        parity) — which is what downstream incremental view maintenance
+        needs: an aggregate delta is +post − pre, so a consumer can
+        retract the old contribution without re-reading the base table.
+        Computed as a key-wise full-outer diff of the two snapshots —
+        O(changed partitions) at scale when combined with
+        :meth:`read_incremental` file pruning; exact as written here.
+        The pre/post expansion is a single ``explode`` over the same
+        join, not a second join."""
+        if images not in ("post", "both"):
+            raise ValueError(f"images must be 'post' or 'both', got {images!r}")
         before = self.read(spark, at=from_commit).withColumn("__b", F.lit(1))
         after = self.read(spark, at=to_commit).withColumn("__a", F.lit(1))
         cols = [c for c in after.columns if c != "__a"]
@@ -828,21 +841,54 @@ class KeyedTable:
         for c in cols:
             if c not in self.key:
                 changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
-        ctype = (
-            F.when(in_a & ~in_b, F.lit("insert"))
-            .when(in_b & ~in_a, F.lit("delete"))
-            .when(in_b & in_a & changed, F.lit("update"))
-        )
-        return (
-            j.withColumn("_change_type", ctype)
-            .filter(F.col("_change_type").isNotNull())
-            .select(
-                *[
-                    F.when(in_a, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
-                    for c in cols
-                ],
-                "_change_type",
+        if images == "post":
+            ctype = (
+                F.when(in_a & ~in_b, F.lit("insert"))
+                .when(in_b & ~in_a, F.lit("delete"))
+                .when(in_b & in_a & changed, F.lit("update"))
             )
+            return (
+                j.withColumn("_change_type", ctype)
+                .filter(F.col("_change_type").isNotNull())
+                .select(
+                    *[
+                        F.when(in_a, F.col(f"a.{c}"))
+                        .otherwise(F.col(f"b.{c}"))
+                        .alias(c)
+                        for c in cols
+                    ],
+                    "_change_type",
+                )
+            )
+
+        def img(side: str, ctype) -> Column:
+            return F.struct(
+                *[F.col(f"{side}.{c}").alias(c) for c in cols],
+                ctype.alias("_change_type"),
+            )
+
+        pre = F.when(
+            in_b & (~in_a | changed),
+            img(
+                "b",
+                F.when(~in_a, F.lit("delete")).otherwise(
+                    F.lit("update_preimage")
+                ),
+            ),
+        )
+        post = F.when(
+            in_a & (~in_b | changed),
+            img(
+                "a",
+                F.when(~in_b, F.lit("insert")).otherwise(
+                    F.lit("update_postimage")
+                ),
+            ),
+        )
+        rows = F.filter(F.array(pre, post), lambda x: x.isNotNull())
+        return (
+            j.select(F.explode(rows).alias("__r"))
+            .select("__r.*")
         )
 
     def rollback(self, to_commit: str) -> str:

@@ -828,3 +828,46 @@ def test_validate_flags_sidecar_problems(spark, tmp_path):
     problems = t.validate()
     assert any("orphan bloom sidecar" in p for p in problems)
     assert any(p == f"live file missing bloom sidecar: {victim}" for p in problems)
+
+
+def test_diff_commits_pre_post_images(spark, tmp_path):
+    """images='both' must emit exactly: 1 insert row (post-image),
+    1 delete row (pre-image), and an update as a pre/post PAIR whose
+    values are the old and new rows — the contract incremental view
+    maintenance retracts against."""
+    t = KeyedTable(str(tmp_path / "cdf"), key="k", precombine="v")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(k=1, v=10.0), Row(k=2, v=20.0), Row(k=3, v=30.0)]
+        )
+    )
+    c0 = t.commits()[0]
+    # update k=2, insert k=4
+    t.upsert(spark.createDataFrame([Row(k=2, v=25.0), Row(k=4, v=40.0)]))
+    # delete k=3
+    t.delete_where(spark, "k = 3")
+
+    feed = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in t.diff_commits(spark, c0, images="both").collect()
+    }
+    assert feed == {
+        ("insert", 4): 40.0,
+        ("delete", 3): 30.0,
+        ("update_preimage", 2): 20.0,
+        ("update_postimage", 2): 25.0,
+    }
+
+    # default 'post' view unchanged: one row per change, post-image wins
+    post = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in t.diff_commits(spark, c0).collect()
+    }
+    assert post == {
+        ("insert", 4): 40.0,
+        ("delete", 3): 30.0,
+        ("update", 2): 25.0,
+    }
+
+    with pytest.raises(ValueError):
+        t.diff_commits(spark, c0, images="neither")
