@@ -176,3 +176,22 @@ def tf_idf_sql(col: str, id_col: str, table: str, words_sql: str, k: int = 3) ->
     )
     SELECT * FROM ranked WHERE rank <= {k}
     """
+
+
+def inverted_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id) inverted-index postings, one row per distinct
+    term-document pair.
+
+    Row-per-posting (not array-per-term) deliberately: a stopword's
+    posting list is corpus-sized, and materializing it as one array row
+    recreates the giant-row problem bucketed designs exist to avoid.
+    Rows range-cluster by term into files with tight term min/max, so a
+    keyword lookup prunes to the files covering its terms — the layout
+    :func:`hudi_glue_spark.llm_queries.q_keyword_search_indexed`
+    persists through a KeyedTable."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(words(text_col))).alias("term"),
+    ).select("term", "doc_id")

@@ -71,6 +71,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "bucketed_colocated_join",         # exchange-free bucketed fact join
     "quality_model_filter",            # feature-hashed linear scorer
     "cdf_incremental_agg",             # IVM off pre/post-image feed
+    "keyword_search_indexed",          # pruned inverted-index search
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

@@ -490,3 +490,31 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_keyword_index_prunes_term_files(spark, sf_dir):
+    """The inverted-index lookup must open a strict subset of the
+    postings table's files (term range-clustering + manifest min/max),
+    and the search result must equal a direct text scan."""
+    from hudi_glue_spark.llm_queries import _KW_TERMS, _kw_index, q_keyword_search_indexed
+    from hudi_glue_spark.operators.text import words
+    from hudi_glue_spark.queries import table
+    from hudi_glue_spark.table import manifest as M
+
+    tbl = _kw_index(spark, sf_dir)
+    n_files = len(M.read_manifest(tbl.path).files)
+    hit = tbl.files_isin("term", _KW_TERMS)
+    assert 0 < len(hit) < n_files, (len(hit), n_files)
+
+    got = {
+        r["doc_id"] for r in q_keyword_search_indexed(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents")
+    w = words("text")
+    want = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.array_contains(w, _KW_TERMS[0]) & F.array_contains(w, _KW_TERMS[1])
+        ).collect()
+    }
+    assert got == want and got
