@@ -845,3 +845,146 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("join_exchange_free", F.lit(exchange_free))
     )
+
+
+@query(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT) AS orphans,
+           CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+             AS distinct_keys
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem l LEFT JOIN part p
+                 ON l.l_partkey = p.p_partkey
+                 WHERE p.p_partkey IS NULL) AS BIGINT),
+           CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+                 ON l.l_suppkey = s.s_suppkey
+                 WHERE s.s_suppkey IS NULL) AS BIGINT),
+           CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT)
+    """,
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every foreign key (anti-join against the referenced table) plus
+    the referencing side's distinct-key cardinality — the pre-flight
+    check a pipeline runs before trusting its joins. Each anti-join
+    broadcasts nothing it shouldn't: the dimension sides (customer,
+    part, supplier) are broadcast-sized, and the orders probe of
+    lineitem is a shuffled left-anti on the join key. At 100 TB the
+    audit costs the same joins the pipeline was about to run anyway —
+    finding the orphans BEFORE they silently drop revenue rows in an
+    inner join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def audit(fk_name, child, fk_col, parent, pk_col):
+        orphans = child.join(
+            parent.select(pk_col), F.col(fk_col) == F.col(pk_col), "left_anti"
+        ).count()
+        nd = child.select(fk_col).distinct().count()
+        return (fk_name, orphans, nd)
+
+    rows = [
+        audit(
+            "lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"
+        ),
+        audit(
+            "orders.o_custkey->customer",
+            o,
+            "o_custkey",
+            table(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+        audit(
+            "lineitem.l_partkey->part",
+            li,
+            "l_partkey",
+            table(spark, sf_dir, "part"),
+            "p_partkey",
+        ),
+        audit(
+            "lineitem.l_suppkey->supplier",
+            li,
+            "l_suppkey",
+            table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "fk string, orphans long, distinct_keys long"
+    )
+
+
+@query(
+    "join_key_skew_profile",
+    """
+    WITH k AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_per_key,
+           CAST(sum(n) AS DOUBLE) / count(*) AS avg_per_key,
+           CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*))
+             AS skew_factor,
+           CAST((SELECT count(*) FROM k
+                 WHERE n > 2 * (SELECT CAST(sum(n) AS DOUBLE) / count(*)
+                                FROM k)) AS BIGINT) AS n_heavy,
+           CAST((SELECT min(user_id) FROM k
+                 WHERE n = (SELECT max(n) FROM k)) AS BIGINT) AS top_key
+    FROM k
+    """,
+)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the distribution stats that decide
+    whether a key needs salting BEFORE the join runs — rows, distinct
+    keys, max and mean rows-per-key, their ratio (skew factor), the
+    count of heavy keys (>2× mean) and the heaviest key itself (min key
+    on ties, so the answer is deterministic). One shuffle on the key,
+    then metadata-scale aggregates; at 100 TB you run this on the join
+    column once and route the output into operators/skew.py's salted
+    join instead of discovering the straggler task at 3 a.m. All
+    derived ratios are single IEEE divisions over exact integers, so
+    both engines agree bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = k.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_per_key"),
+    ).collect()[0]
+    avg = stats["n_rows"] / stats["n_keys"]
+    n_heavy = k.filter(F.col("n") > 2 * avg).count()
+    top_key = (
+        k.filter(F.col("n") == stats["max_per_key"])
+        .agg(F.min("user_id"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_rows"],
+                stats["n_keys"],
+                stats["max_per_key"],
+                avg,
+                stats["max_per_key"] / avg,
+                n_heavy,
+                top_key,
+            )
+        ],
+        "n_rows long, n_keys long, max_per_key long, avg_per_key double, "
+        "skew_factor double, n_heavy long, top_key long",
+    )

@@ -72,6 +72,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "quality_model_filter",            # feature-hashed linear scorer
     "cdf_incremental_agg",             # IVM off pre/post-image feed
     "keyword_search_indexed",          # pruned inverted-index search
+    "fk_integrity_audit",              # referential-integrity orphans
+    "join_key_skew_profile",           # salting-decision skew stats
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",
