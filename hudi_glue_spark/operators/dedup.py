@@ -105,17 +105,19 @@ def jaccard_pairs(
     ).withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    # shuffle_hash hint: BOTH sides are corpus-sized, so neither may
-    # ever be BROADCAST — small-SF size estimates once let the planner
-    # build a driver-side hash relation of the replicated side, which
-    # OOMs the moment the corpus outgrows the driver (measured at 16x
-    # sf0.1) and is impossible at 100 TB. A shuffled hash join
-    # partitions both sides on (block, salt) — exactly the parallelism
-    # the salting exists to create — and skips the sort a merge join
-    # would pay on the wide set arrays. The hint goes on the LEFT
-    # (salted) side so the per-partition hash BUILD holds 1/n_salts of
-    # a block, not the replicated full block.
-    pairs = left.hint("shuffle_hash").join(right, ["__blk", "__salt"]).filter(
+    # merge hint: BOTH sides are corpus-sized, so neither may ever be
+    # BROADCAST — small-SF size estimates once let the planner build a
+    # driver-side hash relation of the replicated side, which OOMs the
+    # moment the corpus outgrows the driver (measured at 16x sf0.1) and
+    # is impossible at 100 TB. And it can't be shuffle_hash either: the
+    # join key space is only (blocks × n_salts) partitions — 160 here —
+    # so per-task hash BUILDS grow linearly with the corpus no matter
+    # how many shuffle partitions the session sets, and a hash-relation
+    # build cannot spill (the sibling minhash re-attach join measured
+    # exactly that death at 64x corpus). Sort-merge spills both sides;
+    # the sort keys are the slim (block, salt) pair and the wide set
+    # arrays are payload.
+    pairs = left.hint("merge").join(right, ["__blk", "__salt"]).filter(
         F.col("a_id") < F.col("b_id")
     )
     return (
@@ -227,18 +229,24 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     # Shingle sets re-attached only for the (much smaller) candidate
-    # set. The hint goes on the CANDIDATE side: a one-sided
-    # shuffle_hash hint both forces the shuffled join (so the corpus
-    # side can never be broadcast) and makes the hinted side the hash
-    # BUILD side — building over the wide corpus arrays would hold
-    # each partition's full shingle slice in memory, the exact failure
-    # the hint exists to prevent.
-    half = cand.hint("shuffle_hash").join(
+    # set — but "smaller" is duplicate-density-dependent: candidates
+    # grow with the square of per-bucket duplicate counts, and a
+    # shuffled-hash-join BUILD cannot spill (only the probe streams),
+    # so hinting shuffle_hash here dies with "can't acquire memory to
+    # build hash relation" once candidates outgrow per-task memory
+    # (measured: 64x sf0.1 corpus, ~10M candidate pairs). merge hints
+    # instead: sort-merge spills BOTH sides to disk, the sort keys are
+    # the narrow ids (rows sort by key; the wide arrays are payload),
+    # and the hint still forbids broadcasting a corpus-sized side. The
+    # narrow banded self-join above keeps shuffle_hash: its build rows
+    # are 3 slim columns and per-partition slices shrink as shuffle
+    # partitions scale with the corpus.
+    half = cand.hint("merge").join(
         base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa")), "a_id"
     )
     # a strategy hint is consumed by the nearest enclosing join, so the
     # second join needs its own
-    verified = half.hint("shuffle_hash").join(
+    verified = half.hint("merge").join(
         base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb")), "b_id"
     )
     return (
@@ -474,10 +482,13 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("__vb"),
     )
-    # shuffle_hash hint: both sides are the corpus — never broadcast
-    # (see jaccard_pairs); the coarse bucket is the shuffle key.
+    # merge hint: both sides are the corpus — never broadcast (see
+    # jaccard_pairs) — and the build payload is the VECTOR column, so a
+    # shuffled-hash build would hold a bucket's full vector slice in
+    # memory with no spill path; sort-merge spills, sorting only the
+    # slim bucket key.
     return (
-        left.join(right.hint("shuffle_hash"), "__blk")
+        left.join(right.hint("merge"), "__blk")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= F.lit(threshold))

@@ -299,3 +299,108 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("view_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
     return run_to_memory(spark, joined, f"{wd}/ckpt", output_mode="append")
+
+
+@query(
+    "stream_cdf_agg_maintenance",
+    """
+    WITH b0 AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), final AS (
+      SELECT * FROM b0 WHERE event_type <> 'click'
+      UNION ALL
+      SELECT event_id, user_id, event_type, value + 100.0, ts
+      FROM b0 WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id + 100000000, user_id, event_type, value + 500.0, ts
+      FROM b0 WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM final WHERE user_id % 7 <> 0
+    GROUP BY user_id
+    """,
+)
+def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance: the per-commit pre/post-
+    image change feeds of the CDF scenario table land as files, a file
+    stream drains them one micro-batch per commit, and foreachBatch
+    merges each delta into a materialized per-user aggregate table —
+    read-modify-write touching ONLY the users in that delta, one
+    KeyedTable commit per micro-batch. The maintained view (seeded with
+    the aggregate at c0) must equal a from-scratch aggregate of the
+    final snapshot, the same oracle as the batch cdf_incremental_agg —
+    proving the batch and streaming maintenance paths agree. At 100 TB
+    this is the standing pipeline that keeps a derived table fresh for
+    the cost of each day's delta: the feed is O(changed rows), the
+    merge is O(changed users), and restarts are safe because the
+    checkpoint and the view's commit log advance together."""
+    from hudi_glue_spark.scenario_queries import _cdf_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _cdf_table(spark, sf_dir)
+    c0, c1, c2 = src.commits()
+
+    wd = _workdir("cdfivm", sf_dir)
+    staging = f"{wd}/staging"
+    os.makedirs(staging)
+    feeds = [
+        src.diff_commits(spark, c0, c1, images="both"),
+        src.diff_commits(spark, c1, c2, images="both"),
+    ]
+    for i, feed in enumerate(feeds):
+        tmp = f"{wd}/f{i}_tmp"
+        feed.select("user_id", "value", "_change_type").coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{staging}/feed_{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        shutil.rmtree(tmp)
+
+    dec = F.col("value").cast("decimal(18,4)")
+    view = KeyedTable(f"{wd}/view", key="user_id", precombine="ver")
+    view.bulk_insert(
+        src.read(spark, at=c0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(dec).alias("s"),
+        )
+        .withColumn("ver", F.lit(0).cast("long"))
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pos = F.col("_change_type").isin("insert", "update_postimage")
+        delta = batch.groupBy("user_id").agg(
+            F.sum(F.when(pos, 1).otherwise(-1)).cast("long").alias("dn"),
+            F.sum(F.when(pos, dec).otherwise(-dec)).alias("ds"),
+        )
+        cur = view.read(spark).select("user_id", "n_events", "s")
+        zero = F.lit(0).cast("decimal(18,4)")
+        touched = delta.join(cur, "user_id", "left").select(
+            "user_id",
+            (F.coalesce("n_events", F.lit(0)) + F.col("dn"))
+            .cast("long")
+            .alias("n_events"),
+            (F.coalesce(F.col("s"), zero) + F.col("ds")).alias("s"),
+            F.lit(batch_id + 1).cast("long").alias("ver"),
+        )
+        view.upsert(touched)
+
+    q = (
+        stream_parquet(spark, staging, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        view.read(spark)
+        .filter(F.col("n_events") > 0)
+        .select("user_id", "n_events", F.col("s").cast("double").alias("sum_value"))
+    )
