@@ -75,6 +75,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "fk_integrity_audit",              # referential-integrity orphans
     "join_key_skew_profile",           # salting-decision skew stats
     "stream_cdf_agg_maintenance",      # streaming IVM off the CDF feed
+    "hypertable_rollup_hierarchy",     # one-pass multi-grain rollup
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

@@ -111,3 +111,55 @@ def q_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).select("session_start", "session_end", "user_id", "n_events")
+
+
+#: hypertable rollup granularities (seconds): 15 min / 6 h / 1 d —
+#: deliberately NOT all calendar units, to exercise arbitrary-width
+#: bucketing (date_trunc can't express 15 min or 6 h).
+_ROLLUP_GRAINS = {"15m": 900, "6h": 21600, "1d": 86400}
+
+
+def _bucket_sql(width: int) -> str:
+    # floor(), not CAST: DuckDB's double->BIGINT cast ROUNDS, while
+    # Spark's unix_timestamp floors away sub-second fractions.
+    return (
+        f"to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) "
+        f"- CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % {width})"
+        f"::TIMESTAMP"
+    )
+
+
+@query(
+    "hypertable_rollup_hierarchy",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{name}' AS grain, {_bucket_sql(secs)} AS bucket_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+        """
+        for name, secs in _ROLLUP_GRAINS.items()
+    ),
+)
+def q_hypertable_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (TimescaleDB continuous-aggregate hierarchy):
+    15-minute, 6-hour and 1-day rollups of the events stream computed
+    in ONE pass — each row explodes into its three (grain, bucket)
+    pairs and a single groupBy aggregates every level, one shuffle
+    total versus one scan+shuffle per level for the naive plan. The
+    grains are arbitrary widths (time_bucket epoch arithmetic), not
+    calendar truncs. The oracle computes each level independently with
+    per-level GROUP BYs and must match every bucket at every grain."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from hudi_glue_spark.operators.temporal import hypertable_rollup
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    return hypertable_rollup(
+        ev,
+        "ts",
+        _ROLLUP_GRAINS,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        keys=["event_type"],
+    )

@@ -387,3 +387,41 @@ class TestSegmentDedup:
         # each doc: one full segment + one 1-word tail; 'tail' of doc2
         # duplicates doc1's tail segment
         assert got == {1: 2, 2: 1, 3: 2}
+
+
+def test_time_bucket_and_rollup_one_pass(spark):
+    """time_bucket floors to arbitrary widths; the rollup's coarser
+    grains aggregate from raw rows (exact), and the single plan carries
+    exactly one shuffle (the combined groupBy)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hudi_glue_spark.operators.temporal import hypertable_rollup, time_bucket
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, 14, 59), 1.0),
+        (datetime.datetime(2024, 1, 1, 0, 15, 0), 2.0),
+        (datetime.datetime(2024, 1, 1, 5, 59, 0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    b = {r["ts"]: r["b"] for r in df.select("ts", time_bucket("ts", 900).alias("b")).collect()}
+    assert b[rows[0][0]] == datetime.datetime(2024, 1, 1, 0, 0, 0)
+    assert b[rows[1][0]] == datetime.datetime(2024, 1, 1, 0, 15, 0)
+
+    out = hypertable_rollup(
+        df, "ts", {"15m": 900, "6h": 21600}, F.sum("v").alias("s")
+    ).collect()
+    got = {(r["grain"], r["bucket_start"]): r["s"] for r in out}
+    assert got[("6h", datetime.datetime(2024, 1, 1, 0, 0))] == 7.0
+    assert got[("15m", datetime.datetime(2024, 1, 1, 0, 0))] == 1.0
+    assert len([k for k in got if k[0] == "15m"]) == 3
+
+    plan = (
+        hypertable_rollup(df, "ts", {"15m": 900, "6h": 21600}, F.sum("v").alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
