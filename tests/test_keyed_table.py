@@ -871,3 +871,70 @@ def test_diff_commits_pre_post_images(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.diff_commits(spark, c0, images="neither")
+
+
+def test_cdf_feed_reconstructs_any_aggregate(spark, tmp_path):
+    """IVM invariant: for any commit sequence, applying the signed
+    pre/post feed (+post, −pre) to the before-aggregate reproduces the
+    after-aggregate — INCLUDING updates that move a row between groups
+    (the case a post-image-only feed cannot retract correctly)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    rows = [
+        Row(k=i, g=rnd.randint(0, 3), v=float(rnd.randint(1, 50)), ver=1)
+        for i in range(40)
+    ]
+    t = KeyedTable(str(tmp_path / "cdfp"), key="k", precombine="ver")
+    t.bulk_insert(spark.createDataFrame(rows))
+    c0 = t.commits()[0]
+
+    # updates move half the touched rows to a DIFFERENT group
+    ups = [
+        Row(k=i, g=(r.g + 2) % 4 if i % 2 else r.g, v=r.v + 100.0, ver=2)
+        for i, r in enumerate(rows)
+        if i % 3 == 0
+    ]
+    ins = [Row(k=100 + i, g=i % 4, v=7.0, ver=2) for i in range(10)]
+    t.upsert(spark.createDataFrame(ups + ins))
+    t.delete_where(spark, "k % 5 = 0")
+
+    def agg(df):
+        return {
+            r["g"]: (r["n"], r["s"])
+            for r in df.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("s"),
+            )
+            .collect()
+        }
+
+    before = agg(t.read(spark, at=c0))
+    after = agg(t.read(spark))
+
+    feed = t.diff_commits(spark, c0, images="both")
+    pos = F.col("_change_type").isin("insert", "update_postimage")
+    delta = {
+        r["g"]: (r["dn"], r["ds"])
+        for r in feed.groupBy("g")
+        .agg(
+            F.sum(F.when(pos, 1).otherwise(-1)).alias("dn"),
+            F.sum(
+                F.when(pos, F.col("v").cast("decimal(18,4)")).otherwise(
+                    -F.col("v").cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("ds"),
+        )
+        .collect()
+    }
+    for g in set(before) | set(after) | set(delta):
+        bn, bs = before.get(g, (0, 0.0))
+        dn, ds = delta.get(g, (0, 0.0))
+        an, asum = after.get(g, (0, 0.0))
+        assert bn + dn == an, g
+        assert abs(bs + ds - asum) < 1e-9, g
