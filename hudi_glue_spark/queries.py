@@ -76,6 +76,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "join_key_skew_profile",           # salting-decision skew stats
     "stream_cdf_agg_maintenance",      # streaming IVM off the CDF feed
     "hypertable_rollup_hierarchy",     # one-pass multi-grain rollup
+    "table_history_audit",             # DESCRIBE HISTORY + time travel
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

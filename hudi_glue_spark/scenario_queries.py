@@ -776,3 +776,40 @@ def q_cdf_incremental_agg(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("s").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "table_history_audit",
+    """
+    WITH b0 AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+    ), final AS (
+      SELECT event_id, user_id FROM b0
+      UNION ALL
+      SELECT event_id + 100000000, user_id FROM b0 WHERE event_type = 'purchase'
+    )
+    SELECT 0 AS seq, 'bulk_insert' AS op,
+           CAST((SELECT count(*) FROM b0) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, 'upsert', CAST((SELECT count(*) FROM final) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'delete_where',
+           CAST((SELECT count(*) FROM final WHERE user_id % 7 <> 0) AS BIGINT)
+    """,
+)
+def q_table_history_audit(spark, sf_dir):
+    """Commit-timeline audit (DESCRIBE HISTORY parity): the CDF
+    scenario table's history() joined with each commit's time-travel
+    row count — the operational "what happened to this table" view.
+    seq/op come from the timeline metadata; n_rows is a snapshot read
+    AT each commit, so the row also re-proves time travel across the
+    whole timeline. The oracle predicts every commit's cardinality
+    from the scenario definition."""
+    tbl = _cdf_table(spark, sf_dir)
+    hist = tbl.history(spark).select("seq", "op", "commit_id").collect()
+    counts = [
+        (r["seq"], r["op"], tbl.read(spark, at=r["commit_id"]).count())
+        for r in hist
+    ]
+    return spark.createDataFrame(counts, "seq int, op string, n_rows long")

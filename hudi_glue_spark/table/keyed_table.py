@@ -891,6 +891,36 @@ class KeyedTable:
             .select("__r.*")
         )
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Commit timeline as a DataFrame (Delta ``DESCRIBE HISTORY`` /
+        Hudi ``show commits`` parity): one row per retained commit with
+        its sequence number, id, operation, wall timestamp, live-file
+        count, and the file delta vs the previous retained commit.
+        Driver-side metadata only — the timeline is thousands of JSON
+        sidecars at most, never data-scale."""
+        rows = []
+        prev: set[str] = set()
+        for seq, cid in enumerate(M.list_commit_ids(self.path)):
+            man = M.read_manifest(self.path, cid)
+            cur = set(man.files)
+            rows.append(
+                (
+                    seq,
+                    cid,
+                    man.op,
+                    man.ts,
+                    len(cur),
+                    len(cur - prev),
+                    len(prev - cur),
+                )
+            )
+            prev = cur
+        return spark.createDataFrame(
+            rows,
+            "seq int, commit_id string, op string, ts string, "
+            "n_files int, files_added int, files_removed int",
+        )
+
     def rollback(self, to_commit: str) -> str:
         """Restore the table to an earlier commit's state by publishing a
         NEW commit that references that commit's files — metadata-only,

@@ -938,3 +938,15 @@ def test_cdf_feed_reconstructs_any_aggregate(spark, tmp_path):
         an, asum = after.get(g, (0, 0.0))
         assert bn + dn == an, g
         assert abs(bs + ds - asum) < 1e-9, g
+
+
+def test_history_timeline(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "h"), key="k", precombine="v")
+    t.bulk_insert(spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]))
+    t.upsert(spark.createDataFrame([Row(k=2, v=3.0), Row(k=5, v=5.0)]))
+    t.delete_where(spark, "k = 1")
+    h = t.history(spark).orderBy("seq").collect()
+    assert [r["op"] for r in h] == ["bulk_insert", "upsert", "delete_where"]
+    assert [r["seq"] for r in h] == [0, 1, 2]
+    assert all(r["n_files"] >= 1 for r in h)
+    assert h[0]["files_removed"] == 0 and h[0]["files_added"] == h[0]["n_files"]
