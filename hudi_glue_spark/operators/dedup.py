@@ -439,11 +439,16 @@ def simhash_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), simhash(text_col, hash_fn).alias("__sh")
     ).withColumn("__blk", F.shiftright(F.col("__sh"), bits - prefix_bits))
-    # shuffle_hash hint: both self-join sides are the corpus — never
-    # broadcast (see jaccard_pairs); the prefix block is the shuffle key.
+    # merge hint: both self-join sides are the corpus — never broadcast
+    # (see jaccard_pairs) — and the prefix block key space is at most
+    # 2^prefix_bits values, so per-task hash builds would grow linearly
+    # with the corpus regardless of shuffle-partition count (the
+    # unspillable-build failure measured on the minhash re-attach at
+    # 64x). Sort-merge spills; the rows are 3 slim columns, so the sort
+    # is cheap.
     pairs = (
         base.alias("l")
-        .join(base.alias("r").hint("shuffle_hash"), "__blk")
+        .join(base.alias("r").hint("merge"), "__blk")
         .filter(F.col("l.__id") < F.col("r.__id"))
         .select(
             F.col("l.__id").alias("a_id"),

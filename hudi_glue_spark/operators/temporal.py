@@ -178,6 +178,12 @@ def hypertable_rollup(
     finer grain — so the levels are independently exact even for
     non-decomposable aggregates.
     """
+    reserved = {"grain", "bucket_start"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"hypertable_rollup injects columns {sorted(reserved)}; "
+            "rename them on the input first"
+        )
     c = F.col(ts)
     pairs = F.array(
         *[

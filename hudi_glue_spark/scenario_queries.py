@@ -673,6 +673,38 @@ def q_sql_pruned_point_range(spark, sf_dir):
 
 _CDF_CACHE: dict[str, KeyedTable] = {}
 
+#: The _cdf_table scenario, restated as SQL — the ONE place its
+#: constants (+100 click update, +100M/+500 purchase clones, %7 delete)
+#: live on the oracle side. Every oracle over the scenario (batch IVM,
+#: streaming IVM, history audit) builds from these fragments, so a
+#: scenario change is a two-place edit (builder + here), not a hunt
+#: through per-query f-strings.
+CDF_FINAL_CTE = """
+    WITH b0 AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), final AS (
+      SELECT * FROM b0 WHERE event_type <> 'click'
+      UNION ALL
+      SELECT event_id, user_id, event_type, value + 100.0, ts
+      FROM b0 WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id + 100000000, user_id, event_type, value + 500.0, ts
+      FROM b0 WHERE event_type = 'purchase'
+    )
+"""
+
+CDF_AGG_ORACLE = (
+    CDF_FINAL_CTE
+    + """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM final WHERE user_id % 7 <> 0
+    GROUP BY user_id
+    """
+)
+
 
 def _cdf_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
     """Three-commit table exercising every change type: bulk load (c0),
@@ -706,28 +738,7 @@ def _cdf_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
     return tbl
 
 
-@query(
-    "cdf_incremental_agg",
-    """
-    WITH b0 AS (
-      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
-             CAST(ts AS TIMESTAMP) AS ts FROM events
-    ), final AS (
-      SELECT * FROM b0 WHERE event_type <> 'click'
-      UNION ALL
-      SELECT event_id, user_id, event_type, value + 100.0, ts
-      FROM b0 WHERE event_type = 'click'
-      UNION ALL
-      SELECT event_id + 100000000, user_id, event_type, value + 500.0, ts
-      FROM b0 WHERE event_type = 'purchase'
-    )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM final WHERE user_id % 7 <> 0
-    GROUP BY user_id
-    """,
-)
+@query("cdf_incremental_agg", CDF_AGG_ORACLE)
 def q_cdf_incremental_agg(spark, sf_dir):
     """Incremental view maintenance off the pre/post-image change feed:
     a per-user (count, sum) aggregate materialized at c0 is brought up
@@ -780,15 +791,8 @@ def q_cdf_incremental_agg(spark, sf_dir):
 
 @query(
     "table_history_audit",
-    """
-    WITH b0 AS (
-      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
-      FROM events
-    ), final AS (
-      SELECT event_id, user_id FROM b0
-      UNION ALL
-      SELECT event_id + 100000000, user_id FROM b0 WHERE event_type = 'purchase'
-    )
+    CDF_FINAL_CTE
+    + """
     SELECT 0 AS seq, 'bulk_insert' AS op,
            CAST((SELECT count(*) FROM b0) AS BIGINT) AS n_rows
     UNION ALL

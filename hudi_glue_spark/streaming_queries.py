@@ -141,7 +141,11 @@ def q_stream_keyed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = stream_parquet(spark, staging, max_files_per_trigger=1)
     q = stream_ingest(tbl, stream, f"{wd}/ckpt")
-    q.awaitTermination(300)
+    # returns False WITHOUT raising on timeout — fail loud rather than
+    # reading a partially-ingested table
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("keyed-ingest stream did not drain in 300s")
     return tbl.read(spark).select(_COLS)
 
 
@@ -301,28 +305,10 @@ def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(spark, joined, f"{wd}/ckpt", output_mode="append")
 
 
-@query(
-    "stream_cdf_agg_maintenance",
-    """
-    WITH b0 AS (
-      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
-             CAST(ts AS TIMESTAMP) AS ts FROM events
-    ), final AS (
-      SELECT * FROM b0 WHERE event_type <> 'click'
-      UNION ALL
-      SELECT event_id, user_id, event_type, value + 100.0, ts
-      FROM b0 WHERE event_type = 'click'
-      UNION ALL
-      SELECT event_id + 100000000, user_id, event_type, value + 500.0, ts
-      FROM b0 WHERE event_type = 'purchase'
-    )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM final WHERE user_id % 7 <> 0
-    GROUP BY user_id
-    """,
-)
+from hudi_glue_spark.scenario_queries import CDF_AGG_ORACLE as _CDF_AGG_ORACLE
+
+
+@query("stream_cdf_agg_maintenance", _CDF_AGG_ORACLE)
 def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental view maintenance: the per-commit pre/post-
     image change feeds of the CDF scenario table land as files, a file
@@ -374,6 +360,14 @@ def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # Idempotency ledger: foreachBatch is at-least-once — a crash
+        # after the upsert but before the checkpoint commits the offset
+        # replays this batch on restart. Each applied batch stamps
+        # ver = batch_id + 1 into the view, so a replay (its ver is
+        # already ≤ the view's max) is skipped instead of double-applied.
+        applied = view.read(spark).agg(F.max("ver")).collect()[0][0] or 0
+        if batch_id + 1 <= applied:
+            return
         pos = F.col("_change_type").isin("insert", "update_postimage")
         delta = batch.groupBy("user_id").agg(
             F.sum(F.when(pos, 1).otherwise(-1)).cast("long").alias("dn"),
@@ -398,7 +392,11 @@ def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT raising — falling
+    # through on a timeout would read a partially-maintained view.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("CDF maintenance stream did not drain in 300s")
     return (
         view.read(spark)
         .filter(F.col("n_events") > 0)
