@@ -77,6 +77,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "stream_cdf_agg_maintenance",      # streaming IVM off the CDF feed
     "hypertable_rollup_hierarchy",     # one-pass multi-grain rollup
     "table_history_audit",             # DESCRIBE HISTORY + time travel
+    "forget_user_flow",                # delete + clean purge, byte-proven
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

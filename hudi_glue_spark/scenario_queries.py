@@ -817,3 +817,85 @@ def q_table_history_audit(spark, sf_dir):
         for r in hist
     ]
     return spark.createDataFrame(counts, "seq int, op string, n_rows long")
+
+
+@query(
+    "forget_user_flow",
+    """
+    WITH tgt AS (SELECT min(user_id) AS u FROM events)
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_before,
+           CAST((SELECT count(*) FROM events WHERE user_id <> (SELECT u FROM tgt))
+                AS BIGINT) AS n_after,
+           CAST((SELECT count(*) FROM events WHERE user_id = (SELECT u FROM tgt))
+                AS BIGINT) AS user_rows_before,
+           TRUE AS live_absent,
+           TRUE AS snapshot_kept_user_pre_clean,
+           TRUE AS history_purged,
+           TRUE AS raw_bytes_absent
+    """,
+)
+def q_forget_user_flow(spark, sf_dir):
+    """Right-to-be-forgotten lifecycle, end-to-end and PROVEN at the
+    byte level: delete_where removes the user from the live table, but
+    time travel still reaches their rows (snapshot_kept_user_pre_clean
+    — the compliance gap every snapshot table has); clean(retain=1)
+    then drops the pre-delete manifest AND physically deletes the
+    rewritten partitions' old files. history_purged checks the
+    timeline; raw_bytes_absent re-reads EVERY remaining parquet file
+    directly (bypassing the manifest) and asserts the user's rows are
+    gone from disk, not merely unreferenced — the difference between
+    "we don't show it" and "we don't have it". At 100 TB the cost is
+    the delete's partition rewrite plus metadata-scale cleaning; only
+    partitions that held the user are ever rewritten."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_forget_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    c0 = tbl.commits()[0]
+    # smallest user with rows: exists at every SF, so the delete always
+    # produces a commit and the purge path is always exercised
+    target = tbl.read(spark).agg(F.min("user_id")).collect()[0][0]
+    n_before = tbl.read(spark).count()
+    user_rows_before = tbl.read(spark).filter(F.col("user_id") == target).count()
+
+    tbl.delete_where(spark, F.col("user_id") == target)
+    live = tbl.read(spark)
+    n_after = live.count()
+    live_absent = live.filter(F.col("user_id") == target).isEmpty()
+    snapshot_kept = (
+        tbl.read(spark, at=c0).filter(F.col("user_id") == target).count()
+        == user_rows_before
+    )
+
+    tbl.clean(retain_commits=1)
+    try:
+        M.read_manifest(tbl.path, c0)
+        history_purged = False
+    except ValueError:
+        history_purged = True
+    ddir = M.data_dir(tbl.path)
+    raw = spark.read.option("basePath", ddir).parquet(ddir)
+    raw_bytes_absent = raw.filter(F.col("user_id") == target).isEmpty()
+
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                n_after,
+                user_rows_before,
+                bool(live_absent),
+                bool(snapshot_kept),
+                bool(history_purged),
+                bool(raw_bytes_absent),
+            )
+        ],
+        "n_before long, n_after long, user_rows_before long, "
+        "live_absent boolean, snapshot_kept_user_pre_clean boolean, "
+        "history_purged boolean, raw_bytes_absent boolean",
+    )
