@@ -78,6 +78,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "hypertable_rollup_hierarchy",     # one-pass multi-grain rollup
     "table_history_audit",             # DESCRIBE HISTORY + time travel
     "forget_user_flow",                # delete + clean purge, byte-proven
+    "partition_evolution_scenario",    # re-layout + post-migration merge
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

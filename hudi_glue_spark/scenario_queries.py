@@ -899,3 +899,88 @@ def q_forget_user_flow(spark, sf_dir):
         "live_absent boolean, snapshot_kept_user_pre_clean boolean, "
         "history_purged boolean, raw_bytes_absent boolean",
     )
+
+
+@query(
+    "partition_evolution_scenario",
+    """
+    WITH b0 AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts, user_id % 10 AS ub, 0 AS src
+      FROM events
+    ), b1 AS (
+      SELECT event_id, user_id, event_type, value + 100.0,
+             ts + INTERVAL 1 DAY, ub, 1 AS src
+      FROM b0 WHERE event_type = 'click'
+    ), u AS (
+      SELECT * FROM b0 UNION ALL SELECT * FROM b1
+    ), final AS (
+      SELECT * FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC, src DESC) AS rn
+        FROM u
+      ) WHERE rn = 1
+    )
+    SELECT CAST(ub AS BIGINT) AS ub,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS layout_changed,
+           TRUE AS pre_migration_snapshot_ok
+    FROM final GROUP BY ub
+    """,
+)
+def q_partition_evolution_scenario(spark, sf_dir):
+    """Partition evolution end-to-end: a table partitioned by
+    event_type is migrated to partition by a user bucket
+    (change_partitioning — one clustering-rewrite commit that also
+    updates the table metadata), then a post-migration upsert merges
+    through the NEW layout. layout_changed is computed from the actual
+    manifest (every live file under ub=), pre_migration_snapshot_ok
+    re-reads the original layout via time travel; the oracle recomputes
+    the merged final state per bucket. This is the operation a 100 TB
+    deployment runs when its query pattern shifts and the old pruning
+    scheme stops matching the filters."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_pevo_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    ev = table(spark, sf_dir, "events").select(_COLS).withColumn(
+        "ub", F.col("user_id") % 10
+    )
+    tbl.bulk_insert(ev)
+    c0 = tbl.commits()[0]
+    n0 = tbl.read(spark).count()
+
+    tbl.change_partitioning(spark, "ub")
+    man = M.read_manifest(tbl.path)
+    layout_changed = all(f.startswith("ub=") for f in man.files)
+
+    b1 = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    tbl.upsert(b1)
+    snapshot_ok = tbl.read(spark, at=c0).count() == n0
+
+    return (
+        tbl.read(spark)
+        .groupBy("ub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("ub").cast("long").alias("ub"),
+            "n",
+            "sum_value",
+            F.lit(bool(layout_changed)).alias("layout_changed"),
+            F.lit(bool(snapshot_ok)).alias("pre_migration_snapshot_ok"),
+        )
+    )

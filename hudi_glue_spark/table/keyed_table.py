@@ -921,6 +921,53 @@ class KeyedTable:
             "n_files int, files_added int, files_removed int",
         )
 
+    def change_partitioning(
+        self, spark: SparkSession, new_partition_by: list[str] | str | None
+    ) -> str:
+        """Partition evolution: rewrite the table into a new Hive
+        partition layout (or unpartitioned) as ONE commit and update the
+        table metadata, so every later upsert/delete/overwrite targets
+        the new layout. Iceberg evolves partition SPECS metadata-only
+        (old files keep the old layout); a Hive-layout table cannot,
+        because readers and the partition-scoped merge both derive
+        pruning from the directory scheme — so this is the honest
+        equivalent: one clustering rewrite, after which pruning is
+        uniform. Old files stay for time travel until :meth:`clean`; a
+        crash mid-write publishes nothing (write-data-first protocol).
+        At 100 TB this is the same cost as a full compaction and is the
+        operation you run when the query pattern shifts (e.g. from
+        by-type to by-day pruning)."""
+        new_pb = (
+            [new_partition_by]
+            if isinstance(new_partition_by, str)
+            else (list(new_partition_by) if new_partition_by else None)
+        )
+        snap = self.read(spark)
+        if new_pb:
+            missing = [c for c in new_pb if c not in snap.columns]
+            if missing:
+                raise ValueError(f"unknown partition columns {missing}")
+        old_pb = self.partition_by
+        cid = M.next_commit_id(self.path)
+        self.partition_by = new_pb
+        try:
+            files, n = self._write_files(snap, cid)
+        except Exception:
+            self.partition_by = old_pb
+            raise
+        self._commit(
+            "change_partitioning",
+            files,
+            snap.schema,
+            n,
+            extra_stats={
+                "partition_by": new_pb or [],
+                "previous_partition_by": old_pb or [],
+            },
+        )
+        self.save_meta()
+        return self.commits()[-1]
+
     def rollback(self, to_commit: str) -> str:
         """Restore the table to an earlier commit's state by publishing a
         NEW commit that references that commit's files — metadata-only,

@@ -950,3 +950,42 @@ def test_history_timeline(spark, tmp_path):
     assert [r["seq"] for r in h] == [0, 1, 2]
     assert all(r["n_files"] >= 1 for r in h)
     assert h[0]["files_removed"] == 0 and h[0]["files_added"] == h[0]["n_files"]
+
+
+def test_partition_evolution(spark, tmp_path):
+    """change_partitioning rewrites into the new layout in one commit:
+    data identical, later writes target the new directories, time
+    travel to the old layout still works, and clean() drops it."""
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(
+        str(tmp_path / "pe"), key="k", precombine="v", partition_by="a"
+    )
+    rows = [Row(k=i, a=f"a{i % 2}", b=f"b{i % 3}", v=float(i)) for i in range(30)]
+    t.bulk_insert(spark.createDataFrame(rows))
+    c0 = t.commits()[0]
+
+    t.change_partitioning(spark, "b")
+    assert t.partition_by == ["b"]
+    man = M.read_manifest(t.path)
+    assert all(f.startswith("b=") for f in man.files), man.files
+    assert man.stats["previous_partition_by"] == ["a"]
+    # reloading from disk sees the new layout
+    assert KeyedTable.load(t.path).partition_by == ["b"]
+
+    got = {r.k: (r.a, r.b, r.v) for r in t.read(spark).collect()}
+    assert got == {r.k: (r.a, r.b, r.v) for r in rows}
+
+    # post-migration upsert lands under the new scheme
+    t.upsert(spark.createDataFrame([Row(k=1, a="a1", b="b1", v=100.0)]))
+    newest = M.read_manifest(t.path)
+    assert all(f.startswith("b=") for f in newest.files)
+    assert t.read(spark).filter(F_col("k") == 1).collect()[0].v == 100.0
+
+    # pre-migration snapshot still readable, then cleanable
+    assert t.read(spark, at=c0).count() == 30
+    t.clean(retain_commits=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.read_manifest(t.path, c0)
