@@ -1183,3 +1183,59 @@ def q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .withColumn("index_scan_pruned", F.lit(pruned))
     )
+
+
+# -- ANN recall audit --------------------------------------------------------
+
+from hudi_glue_spark.queries import ORACLE_QUERIES as _OQ
+
+_RECALL_ORACLE = f"""
+    WITH exact AS ({_OQ["knn_bruteforce"]}),
+    ivf AS ({_OQ["knn_ivf"]}),
+    lsh AS ({_OQ["knn_lsh"]})
+    SELECT 'ivf' AS method,
+           CAST((SELECT count(*) FROM ivf i JOIN exact e
+                 ON i.query_id = e.query_id
+                AND i.neighbor_id = e.neighbor_id) AS BIGINT) AS hits,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM ivf i JOIN exact e
+                 ON i.query_id = e.query_id
+                AND i.neighbor_id = e.neighbor_id) AS DOUBLE)
+             / (SELECT count(*) FROM exact) AS recall
+    UNION ALL
+    SELECT 'lsh',
+           CAST((SELECT count(*) FROM lsh l JOIN exact e
+                 ON l.query_id = e.query_id
+                AND l.neighbor_id = e.neighbor_id) AS BIGINT),
+           CAST((SELECT count(*) FROM exact) AS BIGINT),
+           CAST((SELECT count(*) FROM lsh l JOIN exact e
+                 ON l.query_id = e.query_id
+                AND l.neighbor_id = e.neighbor_id) AS DOUBLE)
+             / (SELECT count(*) FROM exact)
+"""
+
+
+@query("ann_recall_audit", _RECALL_ORACLE)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality, not assumed: recall@5 of the IVF and LSH
+    paths against exact brute force, as a query — the "measure, don't
+    guess" loop for index parameter tuning (nprobe, planes, tables)
+    runs INSIDE the engine, on the real corpus, at any scale. Because
+    every path here is deterministic (ordered folds, pinned
+    tie-breaks), recall itself is deterministic and the DuckDB oracle
+    recomputes the identical number by composing the three queries'
+    own oracles — the audit of the approximations is itself
+    value-exact. At 100 TB you run this on a sampled query set; the
+    exact side is the only quadratic piece and the sample bounds it."""
+    from hudi_glue_spark.queries import SPARK_QUERIES as _SQ
+
+    exact = _SQ["knn_bruteforce"](spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    rows = []
+    for method in ("ivf", "lsh"):
+        m = _SQ[f"knn_{method}"](spark, sf_dir).select("query_id", "neighbor_id")
+        hits = m.join(exact, ["query_id", "neighbor_id"]).count()
+        rows.append((method, hits, n_exact, hits / n_exact))
+    return spark.createDataFrame(
+        rows, "method string, hits long, n_exact long, recall double"
+    )

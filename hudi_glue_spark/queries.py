@@ -79,6 +79,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "table_history_audit",             # DESCRIBE HISTORY + time travel
     "forget_user_flow",                # delete + clean purge, byte-proven
     "partition_evolution_scenario",    # re-layout + post-migration merge
+    "ann_recall_audit",                # measured recall@5 of IVF/LSH
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",
