@@ -80,6 +80,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "forget_user_flow",                # delete + clean purge, byte-proven
     "partition_evolution_scenario",    # re-layout + post-migration merge
     "ann_recall_audit",                # measured recall@5 of IVF/LSH
+    "compaction_scenario",             # small-file optimize, data-proven
+    "rollback_scenario",               # metadata-only undo commit
     # -- rotation: r2-only green rows (two rounds stale) ------------------
     "change_feed_clicks",
     "distinct_pairs",

@@ -984,3 +984,92 @@ def q_partition_evolution_scenario(spark, sf_dir):
             F.lit(bool(snapshot_ok)).alias("pre_migration_snapshot_ok"),
         )
     )
+
+
+@query(
+    "compaction_scenario",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS files_reduced,
+           TRUE AS pre_compaction_snapshot_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_compaction_scenario(spark, sf_dir):
+    """Small-file compaction with the data proven byte-identical: the
+    events table is bulk-loaded fragmented (32-way shuffle per
+    partition → ~160 small files), optimize() rewrites each partition
+    into few target-size files binned by key hash, and the query
+    hash-checks the post-compaction per-partition aggregates against
+    the raw fixture — plus manifest facts: the live file count strictly
+    dropped and the pre-compaction snapshot still time-travels. This is
+    the maintenance operation the reference explicitly DISABLED in Hudi
+    (hoodie.parquet.small.file.limit: 0, glue/HudiJarGlueJob.py:77) and
+    the one a 100 TB table needs weekly: scan cost tracks file count,
+    not just bytes."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    # unpartitioned: _write_files keeps the caller's partitioning, so
+    # the repartition(32) below fragments the table into ~32 small
+    # files — the layout a high-parallelism ingest really produces
+    tbl = KeyedTable(root, key="event_id", precombine="ts")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev.repartition(32), dedupe=False)
+    c0 = tbl.commits()[0]
+    n_files_before = len(M.read_manifest(tbl.path).files)
+    n0 = tbl.read(spark).count()
+
+    cid = tbl.optimize(spark, target_file_mb=128)
+    assert cid is not None
+    n_files_after = len(M.read_manifest(tbl.path).files)
+    files_reduced = n_files_after < n_files_before
+    snapshot_ok = tbl.read(spark, at=c0).count() == n0
+
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("files_reduced", F.lit(bool(files_reduced)))
+        .withColumn("pre_compaction_snapshot_ok", F.lit(bool(snapshot_ok)))
+    )
+
+
+@query(
+    "rollback_scenario",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    """,
+)
+def q_rollback_scenario(spark, sf_dir):
+    """Rollback as a first-class commit: bulk load, then a click-batch
+    upsert, then rollback(to=c0) — a METADATA-ONLY commit that
+    re-references c0's files (no data movement). The final read must be
+    byte-identical to the initial load, which is exactly what the
+    oracle states; the bad upsert stays in history for forensics until
+    clean(). At 100 TB this is the 'undo the broken backfill in
+    seconds' operation — cost is one manifest write regardless of
+    table size."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_rollb_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    ingest(tbl, b0)
+    c0 = tbl.commits()[0]
+    ingest(tbl, b1)
+    tbl.rollback(c0)
+    return tbl.read(spark).select(_COLS)
