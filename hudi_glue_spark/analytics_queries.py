@@ -808,11 +808,19 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner regression that reintroduces the shuffle fails the driver
     hash — the scale claim is a checked fact, not a comment.
     """
+    import hashlib as _hashlib
     import os as _os
 
     from hudi_glue_spark.sources.writers import write_bucketed
 
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # tag carries a hash of the FULL sf_dir: two fixtures sharing a
+    # basename (/data/a/sf0.1 vs /data/b/sf0.1) must not share the
+    # cached bucketed tables, or the cache silently serves stale data
+    tag = (
+        _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + "_"
+        + _hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
     root = f"/tmp/hudi_glue_spark_bucketed_{tag}"
     # Write-once, join-many — literally: rebuild only if this session's
     # catalog lacks the tables (bucketing metadata is catalog-scoped) or

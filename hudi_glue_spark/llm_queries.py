@@ -1189,10 +1189,18 @@ def q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from hudi_glue_spark.queries import ORACLE_QUERIES as _OQ
 
-_RECALL_ORACLE = f"""
-    WITH exact AS ({_OQ["knn_bruteforce"]}),
-    ivf AS ({_OQ["knn_ivf"]}),
-    lsh AS ({_OQ["knn_lsh"]})
+# The IVF/LSH oracles embed data-derived literals and register as None
+# when the testdata fixtures are absent (fresh checkout, CI without
+# fixtures) — composing them here must degrade the same way instead of
+# KeyError-ing the whole package import.
+_HAVE_KNN_ORACLES = all(
+    n in _OQ for n in ("knn_bruteforce", "knn_ivf", "knn_lsh")
+)
+
+_RECALL_ORACLE = None if not _HAVE_KNN_ORACLES else f"""
+    WITH exact AS ({_OQ.get("knn_bruteforce")}),
+    ivf AS ({_OQ.get("knn_ivf")}),
+    lsh AS ({_OQ.get("knn_lsh")})
     SELECT 'ivf' AS method,
            CAST((SELECT count(*) FROM ivf i JOIN exact e
                  ON i.query_id = e.query_id
@@ -1229,13 +1237,22 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side is the only quadratic piece and the sample bounds it."""
     from hudi_glue_spark.queries import SPARK_QUERIES as _SQ
 
-    exact = _SQ["knn_bruteforce"](spark, sf_dir).select("query_id", "neighbor_id")
-    n_exact = exact.count()
-    rows = []
-    for method in ("ivf", "lsh"):
-        m = _SQ[f"knn_{method}"](spark, sf_dir).select("query_id", "neighbor_id")
-        hits = m.join(exact, ["query_id", "neighbor_id"]).count()
-        rows.append((method, hits, n_exact, hits / n_exact))
+    # persist: the exact side is the quadratic piece, and count + two
+    # joins would otherwise re-execute the full scoring scan three times
+    exact = _SQ["knn_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    try:
+        n_exact = exact.count()
+        rows = []
+        for method in ("ivf", "lsh"):
+            m = _SQ[f"knn_{method}"](spark, sf_dir).select(
+                "query_id", "neighbor_id"
+            )
+            hits = m.join(exact, ["query_id", "neighbor_id"]).count()
+            rows.append((method, hits, n_exact, hits / n_exact))
+    finally:
+        exact.unpersist()
     return spark.createDataFrame(
         rows, "method string, hits long, n_exact long, recall double"
     )

@@ -21,7 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hudi_glue_spark.queries import query, table
+from hudi_glue_spark.queries import dec_sum, query, table
 from hudi_glue_spark.table import KeyedTable, ingest
 from hudi_glue_spark.table.keyed_table import ARRIVAL_WINS, EVENT_TIME_WINS
 
@@ -972,9 +972,7 @@ def q_partition_evolution_scenario(spark, sf_dir):
         .groupBy("ub")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
         )
         .select(
             F.col("ub").cast("long").alias("ub"),
@@ -1024,8 +1022,12 @@ def q_compaction_scenario(spark, sf_dir):
     n_files_before = len(M.read_manifest(tbl.path).files)
     n0 = tbl.read(spark).count()
 
-    cid = tbl.optimize(spark, target_file_mb=128)
-    assert cid is not None
+    # small_file_mb is effectively unbounded so the scenario compacts
+    # at ANY scale factor (the default threshold would skip partitions
+    # whose fragments average above 64 MB and return None)
+    cid = tbl.optimize(spark, target_file_mb=1024, small_file_mb=1 << 20)
+    if cid is None:
+        raise RuntimeError("optimize() found nothing to compact")
     n_files_after = len(M.read_manifest(tbl.path).files)
     files_reduced = n_files_after < n_files_before
     snapshot_ok = tbl.read(spark, at=c0).count() == n0
@@ -1035,9 +1037,7 @@ def q_compaction_scenario(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
         )
         .withColumn("files_reduced", F.lit(bool(files_reduced)))
         .withColumn("pre_compaction_snapshot_ok", F.lit(bool(snapshot_ok)))

@@ -950,21 +950,26 @@ class KeyedTable:
         old_pb = self.partition_by
         cid = M.next_commit_id(self.path)
         self.partition_by = new_pb
+        # The restore guard covers the COMMIT too: if the manifest write
+        # fails after the data write, the in-memory/metadata layout must
+        # not claim the new scheme while the live manifest still
+        # describes the old one — later upserts would mis-scope their
+        # partition rewrites and duplicate rows.
         try:
             files, n = self._write_files(snap, cid)
+            self._commit(
+                "change_partitioning",
+                files,
+                snap.schema,
+                n,
+                extra_stats={
+                    "partition_by": new_pb or [],
+                    "previous_partition_by": old_pb or [],
+                },
+            )
         except Exception:
             self.partition_by = old_pb
             raise
-        self._commit(
-            "change_partitioning",
-            files,
-            snap.schema,
-            n,
-            extra_stats={
-                "partition_by": new_pb or [],
-                "previous_partition_by": old_pb or [],
-            },
-        )
         self.save_meta()
         return self.commits()[-1]
 
@@ -972,20 +977,35 @@ class KeyedTable:
         """Restore the table to an earlier commit's state by publishing a
         NEW commit that references that commit's files — metadata-only,
         no data movement, and the rolled-back history stays
-        time-travelable until :meth:`clean`."""
+        time-travelable until :meth:`clean`. Rolling back across a
+        :meth:`change_partitioning` commit also restores the partition
+        layout recorded in the target manifest, so later upserts scope
+        their partition rewrites against the layout the files actually
+        use."""
         man = M.read_manifest(self.path, to_commit)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
+        # restore the layout the target commit's files were written
+        # under (recorded in every manifest's stats since partition
+        # evolution landed; absent on pre-evolution tables → no change)
+        target_pb = (man.stats or {}).get("partition_by")
         new = M.Manifest(
             commit_id=M.next_commit_id(self.path),
             op="rollback",
             ts=M.utc_now_iso(),
             files=man.files,
             schema_json=man.schema_json,
-            stats={"rows_written": 0, "rolled_back_to": to_commit},
+            stats={
+                "rows_written": 0,
+                "rolled_back_to": to_commit,
+                **({"partition_by": target_pb} if target_pb is not None else {}),
+            },
             file_stats=man.file_stats,
         )
         M.write_manifest(self.path, new)
+        if target_pb is not None and (target_pb or None) != self.partition_by:
+            self.partition_by = target_pb or None
+            self.save_meta()
         return new.commit_id
 
     def merge_into(
@@ -1595,6 +1615,10 @@ class KeyedTable:
         stats = {
             "rows_written": rows,
             "partitions_rewritten": rewritten or [],
+            # layout at commit time, in EVERY manifest: rollback across
+            # a change_partitioning commit must restore the old scheme,
+            # or later upserts would mis-scope partition rewrites
+            "partition_by": self.partition_by or [],
             **(extra_stats or {}),
         }
         if retired:

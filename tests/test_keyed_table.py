@@ -989,3 +989,28 @@ def test_partition_evolution(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         M.read_manifest(t.path, c0)
+
+
+def test_rollback_across_partition_evolution_restores_layout(spark, tmp_path):
+    """Rolling back over a change_partitioning commit must restore the
+    OLD layout in table metadata — otherwise the next upsert scopes its
+    partition rewrite against the wrong directory scheme and duplicates
+    every carried-forward row."""
+    t = KeyedTable(
+        str(tmp_path / "rbpe"), key="k", precombine="v", partition_by="a"
+    )
+    rows = [Row(k=i, a=f"a{i % 2}", b=f"b{i % 3}", v=float(i)) for i in range(20)]
+    t.bulk_insert(spark.createDataFrame(rows))
+    c0 = t.commits()[0]
+    t.change_partitioning(spark, "b")
+    assert t.partition_by == ["b"]
+
+    t.rollback(c0)
+    assert t.partition_by == ["a"]
+    assert KeyedTable.load(t.path).partition_by == ["a"]
+
+    # the post-rollback upsert must NOT duplicate rows
+    t.upsert(spark.createDataFrame([Row(k=3, a="a1", b="b0", v=99.0)]))
+    out = t.read(spark)
+    assert out.count() == 20
+    assert out.filter(F_col("k") == 3).collect()[0].v == 99.0

@@ -481,9 +481,14 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     assert all(r["join_exchange_free"] for r in rows)
 
     # independent re-check on the registered bucketed tables
+    import hashlib
     import os
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
     bo = spark.table(f"bkt_orders_{tag}")
     bl = spark.table(f"bkt_lineitem_{tag}")
     joined = bo.join(bl.hint("merge"), bo["o_orderkey"] == bl["l_orderkey"])
