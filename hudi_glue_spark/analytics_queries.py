@@ -900,29 +900,34 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: orphan counts
     for every foreign key (anti-join against the referenced table) plus
     the referencing side's distinct-key cardinality — the pre-flight
-    check a pipeline runs before trusting its joins. Each anti-join
-    broadcasts nothing it shouldn't: the dimension sides (customer,
-    part, supplier) are broadcast-sized, and the orders probe of
-    lineitem is a shuffled left-anti on the join key. At 100 TB the
-    audit costs the same joins the pipeline was about to run anyway —
-    finding the orphans BEFORE they silently drop revenue rows in an
-    inner join."""
+    check a pipeline runs before trusting its joins. The four audits
+    are built LAZILY and unioned with a tag column, so the whole audit
+    is ONE Spark action (one DAG; the four fact-table scans run as
+    sibling stages, not serialized driver round-trips), with the orphan
+    count and the distinct-key cardinality of each FK fused into one
+    left-join + aggregate. The dimension sides (customer, part,
+    supplier) are broadcast-sized; the orders probe of lineitem is a
+    shuffled join on the key. At 100 TB the audit costs the same joins
+    the pipeline was about to run anyway — finding the orphans BEFORE
+    they silently drop revenue rows in an inner join."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
 
     def audit(fk_name, child, fk_col, parent, pk_col):
-        orphans = child.join(
-            parent.select(pk_col), F.col(fk_col) == F.col(pk_col), "left_anti"
-        ).count()
+        # one left join, one aggregate: orphans = rows whose FK found no
+        # PK (NULL FKs never match → orphans, same as a left-anti);
         # count_distinct, not distinct().count(): SQL's COUNT(DISTINCT)
         # ignores NULL FKs and the oracle must agree on NULL-bearing keys
-        nd = child.agg(F.count_distinct(F.col(fk_col))).collect()[0][0]
-        return (fk_name, orphans, nd)
+        j = child.select(fk_col).join(
+            parent.select(pk_col), F.col(fk_col) == F.col(pk_col), "left"
+        )
+        return j.agg(
+            F.sum(F.col(pk_col).isNull().cast("long")).alias("orphans"),
+            F.count_distinct(F.col(fk_col)).alias("distinct_keys"),
+        ).select(F.lit(fk_name).alias("fk"), "orphans", "distinct_keys")
 
-    rows = [
-        audit(
-            "lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"
-        ),
+    audits = [
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
         audit(
             "orders.o_custkey->customer",
             o,
@@ -945,9 +950,10 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
         ),
     ]
-    return spark.createDataFrame(
-        rows, "fk string, orphans long, distinct_keys long"
-    )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
 
 
 @query(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modul
 
 from hudi_glue_spark.operators.export import shard_id_sql
 from hudi_glue_spark.operators.text import words_sql
-from hudi_glue_spark.queries import query, table
+from hudi_glue_spark.queries import query, sf_tag, table
 from hudi_glue_spark.sources.readers import read_csv
 
 _COLS = ["event_id", "user_id", "event_type", "value"]
@@ -33,7 +33,7 @@ _STAGED: set[str] = set()
 
 
 def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    base = os.path.basename(sf_dir.rstrip("/"))
+    base = sf_tag(sf_dir)
     out = f"/tmp/hudi_glue_spark_io_{fmt}_{base}"
     if out not in _STAGED or not os.path.isdir(out):
         ev = table(spark, sf_dir, "events").select(_COLS)
@@ -111,7 +111,7 @@ def q_jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hudi_glue_spark.operators.text import token_count
 
-    base = os.path.basename(sf_dir.rstrip("/"))
+    base = sf_tag(sf_dir)
     out = f"/tmp/hudi_glue_spark_io_shards_{base}"
     if out not in _STAGED or not os.path.isdir(out):
         docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")

@@ -21,7 +21,7 @@ from hudi_glue_spark.operators import dedup as D
 from hudi_glue_spark.operators import multimodal as MM
 from hudi_glue_spark.operators import similarity as S
 from hudi_glue_spark.operators import text as T
-from hudi_glue_spark.queries import query, table
+from hudi_glue_spark.queries import query, sf_tag, table
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
@@ -523,7 +523,7 @@ def q_knn_ivf_indexed(spark, sf_dir):
     from hudi_glue_spark.table import KeyedTable
 
     emb = table(spark, sf_dir, "embeddings")
-    root = f"/tmp/hudi_glue_spark_ivfidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_ivfidx_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
     tbl.bulk_insert(emb)
@@ -549,7 +549,7 @@ def q_knn_lsh_indexed(spark, sf_dir):
     from hudi_glue_spark.table import KeyedTable
 
     emb = table(spark, sf_dir, "embeddings")
-    root = f"/tmp/hudi_glue_spark_lshidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_lshidx_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
     tbl.bulk_insert(emb)
@@ -1124,9 +1124,7 @@ def _kw_index(spark: SparkSession, sf_dir: str):
     from hudi_glue_spark.operators.relevance import inverted_postings
     from hudi_glue_spark.table import KeyedTable
 
-    root = "/tmp/hudi_glue_spark_kwidx_" + _os.path.basename(
-        sf_dir.rstrip("/")
-    )
+    root = "/tmp/hudi_glue_spark_kwidx_" + sf_tag(sf_dir)
     cached = _KWIDX_CACHE.get(root)
     if cached is not None and cached.exists():
         return cached

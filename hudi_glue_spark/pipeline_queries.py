@@ -19,7 +19,7 @@ from hudi_glue_spark.operators import decontam as DC
 from hudi_glue_spark.operators import packing as P
 from hudi_glue_spark.operators import text as T
 from hudi_glue_spark.operators.export import shard_id_sql
-from hudi_glue_spark.queries import query, table
+from hudi_glue_spark.queries import query, sf_tag, table
 
 
 @query(
@@ -238,7 +238,7 @@ def q_stream_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_glue_spark.streaming.sources import stream_table
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    wd = f"/tmp/hudi_glue_spark_stream_textpipe_{_os.path.basename(sf_dir.rstrip('/'))}"
+    wd = f"/tmp/hudi_glue_spark_stream_textpipe_{sf_tag(sf_dir)}"
     _shutil.rmtree(wd, ignore_errors=True)
     _os.makedirs(wd)
     docs = stream_table(spark, sf_dir, "documents")
@@ -709,7 +709,7 @@ def _curated_table(spark: SparkSession, sf_dir: str):
     from hudi_glue_spark.table import KeyedTable
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_curated_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_curated_{sf_tag(sf_dir)}"
     cached = _CURATED_CACHE.get(root)
     if cached is not None and cached.exists():
         return cached

@@ -19,6 +19,7 @@ columns sorted by name):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,6 +151,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _NS_TS_COLS:
         df = normalize_ns_timestamps(df, _NS_TS_COLS[name])
     return df
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Workdir/cache tag for a fixture dir: basename plus a hash of the
+    FULL absolute path. Every /tmp scratch root and in-process cache
+    keyed on a fixture must use this, so two fixtures that share a
+    basename (/a/sf0.1 vs /b/sf0.1) can never silently serve each
+    other's staged data within one process."""
+    import hashlib
+
+    p = os.path.abspath(sf_dir.rstrip("/"))
+    return f"{os.path.basename(p)}_{hashlib.md5(p.encode()).hexdigest()[:8]}"
 
 
 def query(name: str, oracle: str | None):

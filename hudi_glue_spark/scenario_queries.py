@@ -21,7 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hudi_glue_spark.queries import dec_sum, query, table
+from hudi_glue_spark.queries import dec_sum, query, sf_tag, table
 from hudi_glue_spark.table import KeyedTable, ingest
 from hudi_glue_spark.table.keyed_table import ARRIVAL_WINS, EVENT_TIME_WINS
 
@@ -63,7 +63,7 @@ def _run_scenario(spark: SparkSession, sf_dir: str, policy: str, tag: str) -> Ke
     # Timestamp arithmetic must agree with the (naive-timestamp) oracle —
     # pin the session to UTC at runtime; driver sessions may differ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_{tag}_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(
         root, key="event_id", precombine="ts", partition_by="event_type", policy=policy
@@ -121,7 +121,7 @@ def q_upsert_then_delete(spark, sf_dir):
     """bulk_insert then keyed delete (§2a #9): keys of users 0 mod 10
     are removed; final state is oracle-expressible as a filter."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_del_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_del_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(root, key="event_id", precombine="ts", partition_by="event_type")
     ev = table(spark, sf_dir, "events").select(_COLS)
@@ -143,7 +143,7 @@ def _two_batch_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
     """bulk_insert(b0) then upsert(b1) — the first two scenario batches,
     event-time policy; cached per (sf_dir) within the process."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_tt_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_tt_{sf_tag(sf_dir)}"
     cached = _TT_CACHE.get(root)
     if cached is not None and len(cached.commits()) == 2:
         return cached
@@ -227,7 +227,7 @@ def q_merge_into_scenario(spark, sf_dir):
     over 300, which the delete branch removes. The oracle re-states the
     same MERGE as three set operations."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_merge_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_merge_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(root, key="event_id", precombine="ts", partition_by="event_type")
     ev = table(spark, sf_dir, "events").select(_COLS)
@@ -321,7 +321,7 @@ def q_external_engine_read(spark, sf_dir):
     table's PHYSICAL files straight off disk. Both engines must see the
     identical merged state for the cross-engine contract to hold."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_ext_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_ext_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(root, key="event_id", precombine="ts", partition_by="event_type")
     b0, b1, _b2 = _batches(spark, sf_dir)
@@ -413,7 +413,7 @@ def q_schema_widen_drop_scenario(spark, sf_dir):
     the wide batch's exact values, and no tag column anywhere."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = (
-        f"/tmp/hudi_glue_spark_scn_widen_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"/tmp/hudi_glue_spark_scn_widen_{sf_tag(sf_dir)}"
     )
     shutil.rmtree(root, ignore_errors=True)
     ev = table(spark, sf_dir, "events").select(_COLS)
@@ -463,7 +463,7 @@ def q_insert_overwrite_partition(spark, sf_dir):
     oracle is the union of untouched partitions and the recomputed one."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = (
-        f"/tmp/hudi_glue_spark_scn_iow_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"/tmp/hudi_glue_spark_scn_iow_{sf_tag(sf_dir)}"
     )
     shutil.rmtree(root, ignore_errors=True)
     ev = table(spark, sf_dir, "events").select(_COLS)
@@ -534,7 +534,7 @@ def q_predicate_dml_scenario(spark, sf_dir):
     oracle replays both statements over the raw table — sequencing
     matters, since the delete sees doubled click values."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_dml_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_dml_{sf_tag(sf_dir)}"
     # cache key is "this process built it" — NOT a commit count, which
     # would force a rebuild every call at any SF where a no-match DML
     # statement (legitimately) publishes no commit
@@ -569,7 +569,7 @@ def _pruned_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
     per-file min/max in the manifest, bloom sidecars) — the layout where
     point/range reads can prove file skipping at any SF."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_prune_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_prune_{sf_tag(sf_dir)}"
     cached = _PRUNE_CACHE.get(root)
     if cached is not None and cached.exists():
         return cached
@@ -669,6 +669,61 @@ def q_sql_pruned_point_range(spark, sf_dir):
     )
 
 
+@query(
+    "manifest_metadata_table",
+    """
+    SELECT CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           TRUE AS files_disjoint,
+           TRUE AS metadata_only_scan
+    FROM events
+    """,
+)
+def q_manifest_metadata_table(spark, sf_dir):
+    """The Iceberg ``table.files`` metadata-table idiom over the v2
+    manifest: the snapshot's per-file min/max are themselves a parquet
+    table (``KeyedTable.files_df``), registered as a SQL view and
+    aggregated by the ENGINE with zero data-file I/O. Three facts are
+    driver-checked: (a) the metadata-side min/max of event_id equal the
+    data-side min/max (footer stats are exact for integers, so the
+    oracle computes them from the data); (b) the range-clustered files
+    cover DISJOINT event_id slices — the clustering contract behind
+    every file-skipping read, proven by a window over the metadata
+    rows; (c) the whole query physically scanned only ``_manifests/``
+    parquet, never ``data/`` (asserted from the plan's input files).
+    At 100 TB this is how operational questions — files per partition,
+    clustering quality, stat coverage — run as ordinary Spark SQL over
+    metadata-scale parquet instead of driver loops over a JSON
+    timeline."""
+    tbl = _pruned_table(spark, sf_dir)
+    meta = tbl.files_df(spark)
+    metadata_only = bool(meta.inputFiles()) and all(
+        f"{os.sep}_manifests{os.sep}" in p for p in meta.inputFiles()
+    )
+    meta.createOrReplaceTempView("kt_files_meta")
+    agg = spark.sql(
+        """
+        SELECT CAST(min(min_i) AS BIGINT) AS min_event_id,
+               CAST(max(max_i) AS BIGINT) AS max_event_id
+        FROM kt_files_meta WHERE col = 'event_id'
+        """
+    )
+    overlaps = spark.sql(
+        """
+        SELECT count(*) AS n FROM (
+          SELECT min_i, max_i,
+                 lead(min_i) OVER (ORDER BY min_i, max_i, file) AS nxt
+          FROM kt_files_meta WHERE col = 'event_id'
+        ) WHERE nxt IS NOT NULL AND nxt <= max_i
+        """
+    ).collect()[0][0]
+    return agg.select(
+        "*",
+        F.lit(overlaps == 0).alias("files_disjoint"),
+        F.lit(metadata_only).alias("metadata_only_scan"),
+    )
+
+
 # -- CDF pre/post images + incremental view maintenance ----------------------
 
 _CDF_CACHE: dict[str, KeyedTable] = {}
@@ -712,7 +767,7 @@ def _cdf_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
     (new keys cloned from purchases: id+100M, value+500, ts+2d), then a
     predicate DELETE of every user_id % 7 == 0 row (c2)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_cdf_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_cdf_{sf_tag(sf_dir)}"
     cached = _CDF_CACHE.get(root)
     if cached is not None and len(cached.commits()) == 3:
         return cached
@@ -850,7 +905,7 @@ def q_forget_user_flow(spark, sf_dir):
     from hudi_glue_spark.table import manifest as M
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_forget_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_forget_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(
         root, key="event_id", precombine="ts", partition_by="event_type"
@@ -943,7 +998,7 @@ def q_partition_evolution_scenario(spark, sf_dir):
     from hudi_glue_spark.table import manifest as M
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_pevo_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_pevo_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(
         root, key="event_id", precombine="ts", partition_by="event_type"
@@ -1010,7 +1065,7 @@ def q_compaction_scenario(spark, sf_dir):
     from hudi_glue_spark.table import manifest as M
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_compact_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     # unpartitioned: _write_files keeps the caller's partitioning, so
     # the repartition(32) below fragments the table into ~32 small
@@ -1062,7 +1117,7 @@ def q_rollback_scenario(spark, sf_dir):
     seconds' operation — cost is one manifest write regardless of
     table size."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_rollb_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_scn_rollb_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(
         root, key="event_id", precombine="ts", partition_by="event_type"

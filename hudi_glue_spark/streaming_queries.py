@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hudi_glue_spark.queries import query, table
+from hudi_glue_spark.queries import query, sf_tag, table
 from hudi_glue_spark.scenario_queries import _BATCHES_CTE, _batches
 from hudi_glue_spark.streaming.ingest import run_to_memory, stream_ingest
 from hudi_glue_spark.streaming.sources import stream_parquet, stream_table
@@ -28,7 +28,7 @@ _COLS = ["event_id", "user_id", "event_type", "value", "ts"]
 
 
 def _workdir(tag: str, sf_dir: str) -> str:
-    root = f"/tmp/hudi_glue_spark_stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = f"/tmp/hudi_glue_spark_stream_{tag}_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     return root
@@ -362,10 +362,13 @@ def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         # Idempotency ledger: foreachBatch is at-least-once — a crash
         # after the upsert but before the checkpoint commits the offset
-        # replays this batch on restart. Each applied batch stamps
-        # ver = batch_id + 1 into the view, so a replay (its ver is
-        # already ≤ the view's max) is skipped instead of double-applied.
-        applied = view.read(spark).agg(F.max("ver")).collect()[0][0] or 0
+        # replays this batch on restart. Each applied batch stamps its
+        # version into the view's COMMIT STATS (metadata-only, via
+        # upsert extra_stats), so a replay is detected by one manifest
+        # read — not by re-aggregating the materialized view, which at
+        # large view cardinality would be a per-batch table scan for
+        # one scalar. The rows still carry ver for auditability.
+        applied = view.latest_stats().get("applied_ver", 0)
         if batch_id + 1 <= applied:
             return
         pos = F.col("_change_type").isin("insert", "update_postimage")
@@ -383,7 +386,7 @@ def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("s"), zero) + F.col("ds")).alias("s"),
             F.lit(batch_id + 1).cast("long").alias("ver"),
         )
-        view.upsert(touched)
+        view.upsert(touched, extra_stats={"applied_ver": batch_id + 1})
 
     q = (
         stream_parquet(spark, staging, max_files_per_trigger=1)

@@ -207,7 +207,26 @@ class KeyedTable:
     def load(cls, path: str) -> "KeyedTable":
         with open(os.path.join(path, "_meta.json")) as f:
             d = json.load(f)
+        # The LIVE manifest is the single source of truth for the
+        # partition layout: change_partitioning/rollback publish the
+        # manifest first and update _meta.json second, so a crash in
+        # that window leaves _meta.json stale — trusting it would make
+        # the next upsert mis-scope its partition rewrites against a
+        # layout the live files no longer use (duplicate-row hazard).
+        # Every manifest since partition evolution landed records
+        # stats['partition_by']; older tables fall back to _meta.json.
+        man = M.read_manifest(path)
+        if man is not None and "partition_by" in (man.stats or {}):
+            d["partition_by"] = man.stats["partition_by"] or None
         return cls(path=path, **d)
+
+    def latest_stats(self) -> dict:
+        """The latest commit's stats dict (metadata-only read) — e.g. a
+        streaming maintainer's idempotency ledger stamped via the
+        ``extra_stats`` of :meth:`upsert`, read back without scanning
+        the table."""
+        man = M.read_manifest(self.path)
+        return dict(man.stats or {}) if man is not None else {}
 
     def commits(self) -> list[str]:
         return M.list_commit_ids(self.path)
@@ -254,7 +273,24 @@ class KeyedTable:
         man = M.read_manifest(self.path)
         base = M.read_manifest(self.path, since)
         assert man is not None and base is not None
-        new_files = [f for f in man.files if f not in set(base.files)]
+        if man.shards is not None and base.shards is not None:
+            # shard-level diff: files of shards the two snapshots SHARE
+            # never enter the comparison, so the cost is O(changed
+            # shards), not O(table files) — shards within one snapshot
+            # are disjoint, so a file in an unshared shard of the head
+            # cannot also live in a shared one
+            shared = set(base.shards) & set(man.shards)
+            mine = set()
+            for s in man.shards:
+                if s not in shared:
+                    mine |= M.shard_file_set(self.path, s)
+            theirs = set()
+            for s in base.shards:
+                if s not in shared:
+                    theirs |= M.shard_file_set(self.path, s)
+            new_files = sorted(mine - theirs)
+        else:
+            new_files = [f for f in man.files if f not in set(base.files)]
         schema = StructType.fromJson(json.loads(man.schema_json))
         if not new_files:
             return spark.createDataFrame([], schema)
@@ -308,10 +344,16 @@ class KeyedTable:
 
     def files_in_range(self, col: str, lo, hi) -> list[str]:
         """The file subset :meth:`read_range` would scan (introspection
-        for tests and planning)."""
+        for tests and planning). Sharded manifests prune as one
+        vectorized arrow compute over the columnar shard table — no
+        per-file Python loop; legacy inline manifests fall back to the
+        dict walk."""
         man = M.read_manifest(self.path)
         assert man is not None
         nlo, nhi = _stat_value(lo), _stat_value(hi)
+        fast = man.prune_range(col, nlo, nhi)
+        if fast is not None:
+            return fast
         return [
             f
             for f in man.files
@@ -321,16 +363,57 @@ class KeyedTable:
 
     def files_isin(self, col: str, values: list) -> list[str]:
         """Files whose manifest ``col`` min/max may hold ANY of
-        ``values`` (files without stats are kept, never skipped)."""
+        ``values`` (files without stats are kept, never skipped).
+        Vectorized over the shard table like :meth:`files_in_range`."""
         man = M.read_manifest(self.path)
         assert man is not None
         vals = sorted(_stat_value(v) for v in values)
+        fast = man.prune_isin(col, vals)
+        if fast is not None:
+            return fast
         return [
             f
             for f in man.files
             if (st := man.file_stats.get(f, {}).get(col)) is None
             or any(st[0] <= v <= st[1] for v in vals)
         ]
+
+    def files_df(self, spark: SparkSession, at: str | None = None) -> DataFrame:
+        """The snapshot's file-level metadata as a DataFrame — the
+        Iceberg ``table.files`` metadata-table idiom, read straight
+        from the parquet manifest shards with ZERO data-file I/O: one
+        row per (file, stats column) with typed min/max, plus the
+        Hive partition dir. This is what makes the manifest
+        "engine-readable" at 100 TB: operational queries (files per
+        partition, stat coverage, clustering quality) run as ordinary
+        Spark SQL over metadata-scale parquet instead of driver loops.
+        Legacy inline manifests materialize through the driver."""
+        man = M.read_manifest(self.path, at)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        part = F.regexp_extract("file", r"^(.*)/[^/]+$", 1).alias("partition")
+        if man.shards:
+            mdir = M.manifests_dir(self.path)
+            df = spark.read.parquet(*[os.path.join(mdir, s) for s in man.shards])
+            return df.select("*", part)
+        rows = M._stats_rows(man.files, lambda f: man.file_stats.get(f))
+        enc = [
+            (f, c, *(M._encode(mm[0]) if mm else (None, None, None)),
+             *(M._encode(mm[1]) if mm else (None, None, None)))
+            for f, c, mm in rows
+        ]
+        df = spark.createDataFrame(
+            [
+                (f, c, mi, mf, ms, xi, xf, xs)
+                for f, c, mi, mf, ms, xi, xf, xs in enc
+            ],
+            "file string, col string, min_i long, min_f double, min_s string, "
+            "max_i long, max_f double, max_s string",
+        )
+        return df.select(
+            "file", "col", "min_i", "max_i", "min_f", "max_f", "min_s",
+            "max_s", part,
+        )
 
     def read_isin(self, spark: SparkSession, col: str, values: list) -> DataFrame:
         """Snapshot read of rows with ``col IN (values)``, skipping every
@@ -501,7 +584,7 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
-    def upsert(self, batch: DataFrame) -> str:
+    def upsert(self, batch: DataFrame, extra_stats: dict | None = None) -> str:
         """Incremental merge (§2a #23, the flagship).
 
         (a) precombine-dedup the batch per key; (b) discover touched
@@ -596,6 +679,7 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
+            extra_stats=extra_stats,
         )
         return self.commits()[-1]
 
@@ -760,9 +844,31 @@ class KeyedTable:
         problems: list[str] = []
         ddir = M.data_dir(self.path)
         referenced: set[str] = set()
+        live_shards = M.referenced_shards(self.path)
+        mdir = M.manifests_dir(self.path)
         for cid in self.commits():
             man = M.read_manifest(self.path, cid)
             assert man is not None
+            # shard integrity: every referenced shard exists; within
+            # one snapshot, shards are disjoint and cover exactly the
+            # recorded file count
+            if man.shards is not None:
+                seen_files: set[str] = set()
+                for s in man.shards:
+                    if not os.path.isfile(os.path.join(mdir, s)):
+                        problems.append(f"commit {cid}: missing shard {s}")
+                        continue
+                    fs = M.shard_file_set(self.path, s)
+                    if fs & seen_files:
+                        problems.append(
+                            f"commit {cid}: shard {s} overlaps another shard"
+                        )
+                    seen_files |= fs
+                if len(seen_files) != man.n_files:
+                    problems.append(
+                        f"commit {cid}: shards cover {len(seen_files)} files "
+                        f"but manifest records {man.n_files}"
+                    )
             total = 0
             for f in man.files:
                 referenced.add(f)
@@ -787,6 +893,10 @@ class KeyedTable:
                     data_rel = rel[: -len(B.SIDECAR_SUFFIX)]
                     if data_rel not in referenced:
                         problems.append(f"orphan bloom sidecar (cleanable): {rel}")
+        if os.path.isdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
+                if fn not in live_shards:
+                    problems.append(f"orphan manifest shard (cleanable): {fn}")
         # the inverse: live files that SHOULD carry a sidecar but don't
         # (never wrong — read_keys keeps sidecar-less files — but it
         # means point lookups degrade to full scans; surface it)
@@ -987,8 +1097,15 @@ class KeyedTable:
             raise FileNotFoundError(f"no commits at {self.path}")
         # restore the layout the target commit's files were written
         # under (recorded in every manifest's stats since partition
-        # evolution landed; absent on pre-evolution tables → no change)
+        # evolution landed; a pre-evolution target without the stat
+        # resolves to the current layout). The resolved layout is
+        # recorded UNCONDITIONALLY — _commit's invariant is "layout in
+        # EVERY manifest", and a rollback manifest without it would
+        # strand a later rollback that targets THIS commit.
         target_pb = (man.stats or {}).get("partition_by")
+        resolved_pb = (
+            target_pb if target_pb is not None else (self.partition_by or [])
+        )
         new = M.Manifest(
             commit_id=M.next_commit_id(self.path),
             op="rollback",
@@ -998,13 +1115,16 @@ class KeyedTable:
             stats={
                 "rows_written": 0,
                 "rolled_back_to": to_commit,
-                **({"partition_by": target_pb} if target_pb is not None else {}),
+                "partition_by": resolved_pb,
             },
-            file_stats=man.file_stats,
+            # a sharded target's shards are reused wholesale (file sets
+            # identical) — the rollback copies ZERO per-file metadata;
+            # only a legacy inline target needs its stats handed over
+            file_stats=None if man.shards is not None else man.file_stats,
         )
         M.write_manifest(self.path, new)
-        if target_pb is not None and (target_pb or None) != self.partition_by:
-            self.partition_by = target_pb or None
+        if (resolved_pb or None) != self.partition_by:
+            self.partition_by = resolved_pb or None
             self.save_meta()
         return new.commit_id
 
@@ -1127,6 +1247,14 @@ class KeyedTable:
                     removed.append(rel)
         for cid in drop:
             os.unlink(os.path.join(M.commits_dir(self.path), cid + ".json"))
+        # GC manifest shards no retained commit references (including
+        # orphans from crashed commits — their JSON never published)
+        live_shards = M.referenced_shards(self.path)
+        mdir = M.manifests_dir(self.path)
+        if os.path.isdir(mdir):
+            for fn in os.listdir(mdir):
+                if fn not in live_shards:
+                    os.unlink(os.path.join(mdir, fn))
         # prune now-empty partition dirs
         for dirpath, dirs, files in os.walk(ddir, topdown=False):
             if dirpath != ddir and not dirs and not files:
@@ -1597,11 +1725,12 @@ class KeyedTable:
         rewritten=None,
         extra_stats: dict | None = None,
     ) -> None:
-        # carry forward per-file stats of surviving files, merge in the
-        # stats of files this commit just wrote
+        # Inline stats cover ONLY the files this commit just wrote;
+        # carried-forward files keep their stats inside the manifest
+        # shards write_manifest reuses (or recovers from broken shards)
+        # — the commit's metadata cost is O(delta), not O(table files).
         prev = M.read_manifest(self.path)
-        known = dict(prev.file_stats) if prev else {}
-        known.update(self._pending_stats)
+        pending = self._pending_stats
         self._pending_stats = {}
         # Retired (dropped) column names are carried forward into EVERY
         # subsequent manifest: the guard must survive clean() aging out
@@ -1630,7 +1759,7 @@ class KeyedTable:
             files=sorted(files),
             schema_json=schema.json(),
             stats=stats,
-            file_stats={f: known[f] for f in files if f in known},
+            file_stats={f: pending[f] for f in files if f in pending},
         )
         M.write_manifest(self.path, man)
 

@@ -2,73 +2,321 @@
 
 The reference delegates versioning to Hudi's ``.hoodie/`` timeline
 (commits retained via ``KEEP_LATEST_COMMITS``, glue/HudiJarGlueJob.py:83).
-Here a commit is one JSON sidecar under ``_commits/`` listing the table's
-live data files; the latest manifest IS the snapshot. Readers trust only
-the manifest (never directory listing), which is what makes the
-non-transactional file writes safe: files land first, the manifest
-rename publishes them atomically (write-manifest-last, SURVEY.md §7
-risk register).
+Here a commit is a small JSON sidecar under ``_commits/`` plus a set of
+parquet MANIFEST SHARDS under ``_manifests/`` (the Iceberg
+manifest-list / manifest-file split): the JSON names the shards, each
+shard is a parquet file holding one row per (live data file, stats
+column) with typed min/max. The latest commit IS the snapshot. Readers
+trust only the manifest (never directory listing), which is what makes
+the non-transactional file writes safe: data files land first, shards
+land second, the commit-JSON rename publishes them atomically
+(write-metadata-last, SURVEY.md §7 risk register).
 
-Filesystem access is driver-side ``os``/``shutil`` — manifest and file
-counts are metadata-scale (thousands), not data-scale, exactly like
-Hudi's driver-side timeline handling. Porting to an object store means
-swapping this module's primitives for the Hadoop FileSystem API; the
-layout and protocol stay the same.
+Why shards instead of the v1 inline JSON file list:
+
+- **O(delta) commits.** A commit REUSES every prior shard whose file
+  set survives intact and writes new shards only for its delta
+  (new files + survivors of broken shards). At 100 TB / ~800k files a
+  partition-scoped upsert re-serializes a few thousand manifest rows,
+  not a multi-hundred-MB JSON of the whole table.
+- **Columnar metadata.** The file list and per-file min/max load as
+  arrow columns (no per-file JSON parse) and file pruning is a
+  vectorized compute over the shard table, not a Python loop
+  (:meth:`Manifest.prune_range` / :meth:`Manifest.prune_isin`).
+- **Engine-readable.** Shards are plain parquet: Spark (or DuckDB) can
+  scan ``_manifests/`` directly — ``KeyedTable.files_df`` exposes the
+  Iceberg-style ``table.files`` metadata table with zero data I/O.
+
+Delta shards are grouped by PARTITION directory (capped fan-out), so a
+later upsert that touches partition P invalidates only P's shards and
+keeps reusing everyone else's — the partition-aligned-manifest property
+that bounds metadata churn on a 100 TB table. v1 manifests (inline
+``files``/``file_stats``) remain readable; the first v2 commit on a v1
+table simply finds no reusable shards.
+
+Filesystem access is driver-side ``os``/``pyarrow`` — manifest I/O is
+metadata-scale, exactly like Hudi's driver-side timeline handling.
+Porting to an object store means swapping this module's primitives for
+the Hadoop FileSystem API; the layout and protocol stay the same.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import tempfile
 import time
-from dataclasses import dataclass, field
+
+#: delta shards per commit are grouped by partition dir, but never more
+#: than this many shard files per commit (groups hash-fold beyond it)
+MAX_DELTA_SHARDS = 64
+#: when a snapshot references more shards than this, the next commit
+#: rewrites them into partition-grouped form (manifest compaction) —
+#: bounds the shard count (and the per-read shard-open fan-out) at
+#: ~MAX_TOTAL_SHARDS regardless of commit count
+MAX_TOTAL_SHARDS = 256
+
+_SHARD_SCHEMA_COLS = [
+    "file",
+    "col",
+    "min_i",
+    "max_i",
+    "min_f",
+    "max_f",
+    "min_s",
+    "max_s",
+]
 
 
-@dataclass
+def _shard_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("file", pa.string()),
+            ("col", pa.string()),
+            ("min_i", pa.int64()),
+            ("max_i", pa.int64()),
+            ("min_f", pa.float64()),
+            ("max_f", pa.float64()),
+            ("min_s", pa.string()),
+            ("max_s", pa.string()),
+        ]
+    )
+
+
+def _encode(v) -> tuple:
+    """A stats value into its typed (i, f, s) slot — exact round-trip:
+    int64 stays int64 (no double rounding), floats stay float64,
+    strings (ISO timestamps — lexical order == time order) stay
+    strings."""
+    if isinstance(v, bool):
+        return int(v), None, None
+    if isinstance(v, int):
+        return v, None, None
+    if isinstance(v, float):
+        return None, v, None
+    return None, None, str(v)
+
+
+def _decode(i, f, s):
+    if i is not None:
+        return i
+    if f is not None:
+        return f
+    return s
+
+
 class Manifest:
-    commit_id: str
-    op: str
-    ts: str
-    files: list[str]  # live data files, relative to <root>/data/
-    schema_json: str  # Spark schema of the table at this commit
-    stats: dict = field(default_factory=dict)
-    #: per-file column statistics for read-side file skipping:
-    #: {rel_file: {col: [min, max]}} (values JSON-normalized — see
-    #: keyed_table._stat_value; timestamps as ISO strings, which
-    #: compare correctly lexicographically)
-    file_stats: dict = field(default_factory=dict)
+    """One commit's metadata. Producers construct it with inline
+    ``files``/``file_stats``; :func:`write_manifest` shard-izes and
+    publishes. Readers get lazy ``files``/``file_stats`` backed by the
+    shard parquet (cached; shards are immutable once published)."""
+
+    def __init__(
+        self,
+        commit_id: str,
+        op: str,
+        ts: str,
+        schema_json: str,
+        files: list[str] | None = None,
+        stats: dict | None = None,
+        file_stats: dict | None = None,
+        shards: list[str] | None = None,
+        root: str | None = None,
+        n_files: int | None = None,
+    ):
+        self.commit_id = commit_id
+        self.op = op
+        self.ts = ts
+        self.schema_json = schema_json
+        self.stats = stats or {}
+        self.shards = shards  # None = inline/v1; list = v2 shard names
+        self.root = root
+        self._files = files
+        self._file_stats = file_stats
+        self._n_files = n_files
+        self._shard_tbl = None  # cached concatenated arrow table
+
+    # -- lazy views --------------------------------------------------------
+
+    @property
+    def files(self) -> list[str]:
+        if self._files is None:
+            t = self.shard_table()
+            names = t["file"].to_pylist() if t is not None else []
+            self._files = sorted(set(names))
+        return self._files
+
+    @property
+    def n_files(self) -> int:
+        if self._n_files is not None:
+            return self._n_files
+        return len(self.files)
+
+    @property
+    def file_stats(self) -> dict:
+        """{rel_file: {col: [min, max]}} — reconstructed exactly from
+        the typed shard columns. Loaded lazily; most paths (pruning,
+        shard reuse) never need the full dict."""
+        if self._file_stats is None:
+            out: dict = {}
+            t = self.shard_table()
+            if t is not None:
+                cols = {c: t[c].to_pylist() for c in _SHARD_SCHEMA_COLS}
+                for k in range(t.num_rows):
+                    c = cols["col"][k]
+                    if c is None:
+                        out.setdefault(cols["file"][k], {})
+                        continue
+                    out.setdefault(cols["file"][k], {})[c] = [
+                        _decode(cols["min_i"][k], cols["min_f"][k], cols["min_s"][k]),
+                        _decode(cols["max_i"][k], cols["max_f"][k], cols["max_s"][k]),
+                    ]
+                out = {f: st for f, st in out.items() if st}
+            self._file_stats = out
+        return self._file_stats
+
+    def shard_table(self):
+        """All shard rows as ONE arrow table (None for v1/inline
+        manifests) — the columnar metadata snapshot every vectorized
+        read-side operation works from."""
+        if self.shards is None or self.root is None:
+            return None
+        if self._shard_tbl is None:
+            import pyarrow as pa
+
+            parts = [_load_shard(self.root, s) for s in self.shards]
+            self._shard_tbl = (
+                pa.concat_tables(parts)
+                if parts
+                else _shard_schema().empty_table()
+            )
+        return self._shard_tbl
+
+    # -- vectorized pruning ------------------------------------------------
+
+    def prune_range(self, col: str, nlo, nhi) -> list[str] | None:
+        """Files that may hold rows with ``nlo <= col <= nhi`` (values
+        already ``_stat_value``-normalized), computed as a vectorized
+        arrow filter over the shard table — no per-file Python loop.
+        Returns None when there is no shard table (v1 path: caller
+        falls back to the dict walk). Files without stats for ``col``
+        are always kept; numeric comparisons run in float64 with a
+        one-ULP guard band so int64 stats beyond 2^53 can only ever be
+        kept, never wrongly skipped."""
+        t = self.shard_table()
+        if t is None:
+            return None
+        skipped = self._skip_mask_range(t, col, nlo, nhi)
+        return sorted(set(self.files) - skipped)
+
+    def prune_isin(self, col: str, nvalues: list) -> list[str] | None:
+        """Files that may hold ANY of ``nvalues`` — skip iff every
+        value misses the file's [min, max]. One binary search of the
+        sorted value list per file (O(files · log values), exact typed
+        comparisons — no float casting), so a 10^4-hash IN-probe against
+        an 800k-file index prunes in milliseconds driver-side. Same
+        conventions as :meth:`prune_range`: None → caller falls back;
+        files without stats (or with a stats type that doesn't compare
+        to the probe values) are kept, never skipped."""
+        t = self.shard_table()
+        if t is None:
+            return None
+        import bisect
+
+        import pyarrow.compute as pc
+
+        sub = t.filter(pc.equal(t["col"], col))
+        cols = {c: sub[c].to_pylist() for c in _SHARD_SCHEMA_COLS}
+        vals = sorted(nvalues)
+        skipped: set[str] = set()
+        for k in range(sub.num_rows):
+            mn = _decode(cols["min_i"][k], cols["min_f"][k], cols["min_s"][k])
+            mx = _decode(cols["max_i"][k], cols["max_f"][k], cols["max_s"][k])
+            if mn is None or mx is None:
+                continue
+            try:
+                i = bisect.bisect_left(vals, mn)
+                if not (i < len(vals) and vals[i] <= mx):
+                    skipped.add(cols["file"][k])
+            except TypeError:  # probe/stat type mismatch → keep
+                continue
+        return sorted(set(self.files) - skipped)
+
+    @staticmethod
+    def _skip_mask_range(t, col: str, nlo, nhi) -> set[str]:
+        """The set of files PROVABLY outside [nlo, nhi] on ``col``."""
+        import pyarrow.compute as pc
+
+        sub = t.filter(pc.equal(t["col"], col))
+        if sub.num_rows == 0:
+            return set()
+        if isinstance(nlo, str):
+            below = pc.less(sub["max_s"], nlo)
+            above = pc.greater(sub["min_s"], nhi)
+        else:
+            lo_g = math.nextafter(float(nlo), -math.inf)
+            hi_g = math.nextafter(float(nhi), math.inf)
+            # unsafe cast: int64 beyond 2^53 rounds — the ULP guard
+            # band above makes that rounding conservative (kept, never
+            # wrongly skipped)
+            mx = pc.coalesce(
+                pc.cast(sub["max_i"], "float64", safe=False), sub["max_f"]
+            )
+            mn = pc.coalesce(
+                pc.cast(sub["min_i"], "float64", safe=False), sub["min_f"]
+            )
+            below = pc.less(mx, lo_g)
+            above = pc.greater(mn, hi_g)
+        skip = pc.fill_null(pc.or_kleene(below, above), False)
+        return set(sub.filter(skip)["file"].to_pylist())
+
+    # -- (de)serialization -------------------------------------------------
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "commit_id": self.commit_id,
-                "op": self.op,
-                "ts": self.ts,
-                "files": self.files,
-                "schema_json": self.schema_json,
-                "stats": self.stats,
-                "file_stats": self.file_stats,
-            },
-            indent=1,
-        )
+        d = {
+            "commit_id": self.commit_id,
+            "op": self.op,
+            "ts": self.ts,
+            "schema_json": self.schema_json,
+            "stats": self.stats,
+        }
+        if self.shards is not None:
+            d["shards"] = self.shards
+            d["n_files"] = self.n_files
+        else:  # inline (pre-publish or legacy writer)
+            d["files"] = self.files
+            d["file_stats"] = self.file_stats
+        return json.dumps(d, indent=1)
 
     @classmethod
-    def from_json(cls, raw: str) -> "Manifest":
+    def from_json(cls, raw: str, root: str | None = None) -> "Manifest":
         d = json.loads(raw)
         return cls(
             commit_id=d["commit_id"],
             op=d["op"],
             ts=d["ts"],
-            files=d["files"],
             schema_json=d["schema_json"],
             stats=d.get("stats", {}),
-            file_stats=d.get("file_stats", {}),
+            files=d.get("files"),
+            file_stats=d.get("file_stats"),
+            shards=d.get("shards"),
+            root=root,
+            n_files=d.get("n_files"),
         )
+
+
+# -- layout ----------------------------------------------------------------
 
 
 def commits_dir(root: str) -> str:
     return os.path.join(root, "_commits")
+
+
+def manifests_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
 
 
 def data_dir(root: str) -> str:
@@ -97,15 +345,190 @@ def read_manifest(root: str, commit_id: str | None = None) -> Manifest | None:
     elif commit_id not in ids:
         raise ValueError(f"unknown commit {commit_id!r}; have {ids}")
     with open(os.path.join(commits_dir(root), commit_id + ".json")) as f:
-        return Manifest.from_json(f.read())
+        return Manifest.from_json(f.read(), root=root)
+
+
+# -- shard I/O (immutable once published → safely cached) ------------------
+
+_SHARD_CACHE: dict = {}
+
+
+def _load_shard(root: str, name: str):
+    import pyarrow.parquet as pq
+
+    path = os.path.join(manifests_dir(root), name)
+    st = os.stat(path)
+    key = (os.path.abspath(root), name, st.st_mtime_ns, st.st_size)
+    hit = _SHARD_CACHE.get(key)
+    if hit is None:
+        if len(_SHARD_CACHE) > 1024:
+            _SHARD_CACHE.clear()
+        hit = pq.read_table(path)
+        _SHARD_CACHE[key] = hit
+    return hit
+
+
+def shard_file_set(root: str, name: str) -> frozenset:
+    t = _load_shard(root, name)
+    return frozenset(t["file"].to_pylist())
+
+
+def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
+    """rows: (file, col|None, stats-[min,max]|None) → typed parquet.
+    Written to a temp name then renamed; an orphan from a crashed
+    commit is GC'd by clean() and may be safely overwritten by the
+    retry of the same commit id (the JSON link is the real lock)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = manifests_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    cols: dict[str, list] = {c: [] for c in _SHARD_SCHEMA_COLS}
+    for f, c, mm in rows:
+        cols["file"].append(f)
+        cols["col"].append(c)
+        lo = _encode(mm[0]) if mm is not None else (None, None, None)
+        hi = _encode(mm[1]) if mm is not None else (None, None, None)
+        for slot, v in zip(("min_i", "min_f", "min_s"), lo):
+            cols[slot].append(v)
+        for slot, v in zip(("max_i", "max_f", "max_s"), hi):
+            cols[slot].append(v)
+    tbl = pa.table(cols, schema=_shard_schema())
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(mdir, name))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _stats_rows(files: list[str], stats_of) -> list[tuple]:
+    rows: list[tuple] = []
+    for f in files:
+        st = stats_of(f)
+        if st:
+            for c in sorted(st):
+                rows.append((f, c, st[c]))
+        else:
+            rows.append((f, None, None))
+    return rows
+
+
+def _group_delta(files: list[str]) -> list[list[str]]:
+    """Partition-aligned delta grouping with capped fan-out: one shard
+    per partition dir keeps future invalidation partition-scoped; the
+    hash-fold beyond MAX_DELTA_SHARDS bounds small-file count."""
+    groups: dict[str, list[str]] = {}
+    for f in sorted(files):
+        groups.setdefault(partition_of(f) or "", []).append(f)
+    if len(groups) <= MAX_DELTA_SHARDS:
+        return [groups[k] for k in sorted(groups)]
+    folded: dict[int, list[str]] = {}
+    for k in sorted(groups):
+        folded.setdefault(hash(k) % MAX_DELTA_SHARDS, []).extend(groups[k])
+    return [folded[k] for k in sorted(folded)]
 
 
 def write_manifest(root: str, manifest: Manifest) -> None:
-    """Atomic publish with optimistic concurrency: write to a temp file,
-    then ``os.link`` to the final name — link fails with EEXIST if a
-    concurrent writer claimed the same commit id, so two writers can
-    never both believe they published commit N (the loser retries with
-    the next id)."""
+    """Shard-ize (with cross-commit shard reuse) and atomically publish.
+
+    Reuse: every shard referenced by any RETAINED commit whose file set
+    (a) survives intact in this commit and (b) doesn't overlap an
+    already-chosen shard is referenced as-is — zero metadata rewrite
+    for those files. The uncovered delta (new files + survivors of
+    broken shards) is written as fresh partition-grouped shards; stats
+    for the delta come from the manifest's inline ``file_stats`` (new
+    files' footer stats + carried stats the producer looked up).
+
+    Publish is atomic with optimistic concurrency: the commit JSON is
+    written to a temp file then ``os.link``-ed to its final name —
+    link fails with EEXIST if a concurrent writer claimed the same
+    commit id, so two writers can never both believe they published
+    commit N (the loser retries with the next id; its orphan shards
+    are GC'd by clean())."""
+    if manifest.shards is None:
+        new_files = sorted(set(manifest.files))
+        nset = set(new_files)
+        chosen: list[str] = []
+        covered: set[str] = set()
+        # candidate shards from every retained commit (tiny JSONs),
+        # biggest first so one intact historical shard beats fragments
+        seen: set[str] = set()
+        cands: list[str] = []
+        for cid in list_commit_ids(root):
+            prior = read_manifest(root, cid)
+            for s in prior.shards or []:
+                if s not in seen:
+                    seen.add(s)
+                    cands.append(s)
+        cand_sets = {s: shard_file_set(root, s) for s in cands}
+        force_compact = len(cands) > MAX_TOTAL_SHARDS
+        if not force_compact:
+            for s in sorted(cands, key=lambda s: -len(cand_sets[s])):
+                fs = cand_sets[s]
+                if fs and fs <= nset and not (fs & covered):
+                    chosen.append(s)
+                    covered |= fs
+        delta = sorted(nset - covered)
+        inline = dict(manifest._file_stats or {})
+        # Delta files whose stats the producer didn't hand us inline
+        # (carried-forward survivors of broken shards) recover their
+        # stats from the shards that still hold them — O(broken
+        # shards), never a full-table stats load.
+        need = {f for f in delta if f not in inline}
+        if need:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for s in cands:
+                hit = cand_sets[s] & need
+                if not hit:
+                    continue
+                t = _load_shard(root, s)
+                sub = t.filter(
+                    pc.is_in(t["file"], value_set=pa.array(sorted(hit)))
+                )
+                cols = {c: sub[c].to_pylist() for c in _SHARD_SCHEMA_COLS}
+                for k in range(sub.num_rows):
+                    c = cols["col"][k]
+                    if c is None:
+                        continue
+                    inline.setdefault(cols["file"][k], {})[c] = [
+                        _decode(
+                            cols["min_i"][k], cols["min_f"][k], cols["min_s"][k]
+                        ),
+                        _decode(
+                            cols["max_i"][k], cols["max_f"][k], cols["max_s"][k]
+                        ),
+                    ]
+                need -= hit
+                if not need:
+                    break
+        if need:
+            # v1 parent (inline stats, no shards): one-time migration
+            # read so upgrading a legacy table doesn't drop its stats
+            prev = read_manifest(root)
+            if prev is not None and prev.shards is None:
+                for f in sorted(need):
+                    st = prev.file_stats.get(f)
+                    if st:
+                        inline[f] = st
+
+        def stats_of(f: str):
+            return inline.get(f)
+
+        for k, group in enumerate(_group_delta(delta)):
+            name = f"{manifest.commit_id}-{k:04d}.parquet"
+            _write_shard(root, name, _stats_rows(group, stats_of))
+            chosen.append(name)
+        manifest.shards = sorted(chosen)
+        manifest._n_files = len(new_files)
+        manifest._files = new_files
+        manifest.root = root
+        manifest._shard_tbl = None
+
     cdir = commits_dir(root)
     os.makedirs(cdir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
@@ -122,6 +545,14 @@ def write_manifest(root: str, manifest: Manifest) -> None:
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def referenced_shards(root: str) -> set[str]:
+    out: set[str] = set()
+    for cid in list_commit_ids(root):
+        man = read_manifest(root, cid)
+        out.update(man.shards or [])
+    return out
 
 
 class ConcurrentCommitError(RuntimeError):
