@@ -49,7 +49,11 @@ NON_SQL_QUERIES: set[str] = set()
 #: mid-list, what misses is a re-confirmation of an already-green row,
 #: never a first row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- never driver-windowed (first rows — close the ledger) -----------
+    # -- new in r6 (first rows) -------------------------------------------
+    "manifest_metadata_table",         # engine-readable manifest shards
+    "incremental_near_dup_vs_index",   # batch vs persisted MinHash index
+    "ann_index_maintained_upsert",     # IVF maintained through upsert
+    # -- r5 first-row set (all green r5; re-confirmations) ---------------
     "stream_text_pipeline",            # only composed streaming+text row
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",

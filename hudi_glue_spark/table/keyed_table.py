@@ -666,8 +666,18 @@ class KeyedTable:
             existing_touched = existing
 
         merged = self._merge(existing_touched, batch)
+        # ANN index maintenance: if the previous commit carries a
+        # vector index, assign the incoming rows with ITS stored
+        # parameters and carry the index forward — an upsert no longer
+        # silently staleness-drops the index (see
+        # _maintain_vector_index for the contract).
+        merged, maintained = self._maintain_vector_index(
+            merged, (man.stats or {}).get("vector_index")
+        )
+        if maintained is not None:
+            extra_stats = {**(extra_stats or {}), "vector_index": maintained}
         cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(merged, cid)
+        new_files, nrows = self._write_index_aware(merged, cid, maintained)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
             if touched is not None
@@ -707,8 +717,11 @@ class KeyedTable:
             existing_touched = existing
 
         remaining = existing_touched.join(keys, on=self.key, how="left_anti")
+        # deleting rows never invalidates the survivors' index
+        # assignments — carry the vector index forward untouched
+        vidx = (man.stats or {}).get("vector_index")
         cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(remaining, cid)
+        new_files, nrows = self._write_index_aware(remaining, cid, vidx)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
             if touched is not None
@@ -720,6 +733,7 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
+            extra_stats={"vector_index": vidx} if vidx is not None else None,
         )
         return self.commits()[-1]
 
@@ -1436,8 +1450,11 @@ class KeyedTable:
         :func:`hudi_glue_spark.operators.similarity.ivf_search_indexed`).
 
         Returns the index commit id. Mutating commits after the index
-        (upsert/delete) leave new rows unassigned — rebuild the index
-        after ingest, exactly like any secondary index."""
+        MAINTAIN it incrementally (:meth:`_maintain_vector_index`):
+        upsert assigns new rows with the stored centroids, delete
+        carries the registration — the index is never stale. A rebuild
+        is only needed to re-CLUSTER (tighten the file pruning the
+        maintaining commits' mixed-cell files loosen)."""
         from hudi_glue_spark.operators.similarity import (
             ivf_assign_expr,
             ivf_centroids,
@@ -1504,7 +1521,10 @@ class KeyedTable:
         dominant per-query cost) run ONCE at build time; a search reads
         n_tables small ints per row instead. Files are range-clustered
         by table 0's bucket for row-group locality on the primary
-        table. Rebuild after ingest, like any secondary index."""
+        table. Mutating commits maintain the index incrementally
+        (:meth:`_maintain_vector_index` computes the new rows' buckets
+        from the stored plane family); a rebuild only refreshes the
+        bucket-0 clustering."""
         from hudi_glue_spark.operators.similarity import (
             _bucket_sql,
             _hyperplanes,
@@ -1554,11 +1574,95 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def _maintain_vector_index(self, df: DataFrame, vidx: dict | None):
+        """Keep the previous commit's ANN index LIVE across a mutating
+        commit (incremental index maintenance): rows that already carry
+        an assignment keep it; rows the batch introduced (NULL
+        assignment after schema conform) are assigned with the index's
+        OWN stored parameters — IVF centroid literals, or the LSH plane
+        family re-derived from (dim, n_planes, seed) — so the
+        maintained table equals a full index rebuild row-for-row while
+        touching only the partitions the mutation already rewrites.
+        Returns ``(df, vidx)``; ``(df, None)`` when the index's columns
+        are absent from ``df`` (the index then reads as ABSENT via
+        :meth:`vector_index`, never silently wrong). Files written by
+        the maintaining commit have WIDE cell stats (a rewritten
+        partition mixes cells), degrading file pruning — not
+        correctness — until the next ``build_*_index`` re-clusters."""
+        if vidx is None:
+            return df, None
+        kind = vidx.get("kind")
+        vec = vidx.get("vec_col")
+        if vec not in df.columns:
+            return df, None
+        if kind == "ivf":
+            from hudi_glue_spark.operators.similarity import ivf_assign_expr
+
+            cell = vidx["cell_col"]
+            if cell not in df.columns:
+                return df, None
+            cols = df.columns
+            tmp = df.withColumnRenamed(cell, "__kt_prev_cid")
+            tmp = ivf_assign_expr(tmp, vec, vidx["centroids"])
+            tmp = tmp.withColumn(
+                cell,
+                F.coalesce(
+                    F.col("__kt_prev_cid"),
+                    F.when(F.col(vec).isNotNull(), F.col(cell)),
+                ),
+            )
+            return tmp.drop("__kt_prev_cid").select(cols), vidx
+        if kind == "lsh":
+            from hudi_glue_spark.operators.similarity import (
+                _bucket_sql,
+                _hyperplanes,
+            )
+
+            bcols = vidx.get("bucket_cols") or []
+            if not bcols or any(c not in df.columns for c in bcols):
+                return df, None
+            out = df
+            for t, c in enumerate(bcols):
+                fresh = F.expr(
+                    _bucket_sql(
+                        vec,
+                        _hyperplanes(
+                            vidx["dim"], vidx["n_planes"], vidx["seed"] + t
+                        ),
+                    )
+                ).cast("int")
+                out = out.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c), F.when(F.col(vec).isNotNull(), fresh)
+                    ),
+                )
+            return out, vidx
+        return df, None
+
+    def _write_index_aware(
+        self, df: DataFrame, cid: str, vidx: dict | None
+    ) -> tuple[list[str], int]:
+        """:meth:`_write_files`, recording per-file cell stats when an
+        IVF index is being carried so the indexed search keeps its
+        manifest-level file skipping on the new files."""
+        prev_sc = list(self.stats_cols or [])
+        cell = vidx.get("cell_col") if vidx and vidx.get("kind") == "ivf" else None
+        if cell and cell not in prev_sc:
+            self.stats_cols = prev_sc + [cell]
+        try:
+            return self._write_files(df, cid)
+        finally:
+            self.stats_cols = prev_sc
+
     def vector_index(self) -> dict | None:
         """The vector index registered by the LATEST commit, or None.
-        Deliberately not inherited across commits: an upsert after the
-        index leaves rows unassigned, so a stale index must read as
-        absent, not silently wrong."""
+        Not blindly inherited across commits: a mutating commit either
+        MAINTAINS the index (upsert assigns new rows with the stored
+        parameters and carries the registration — see
+        :meth:`_maintain_vector_index`; delete carries it untouched) or
+        drops the registration, so a stale index reads as absent, not
+        silently wrong."""
         man = M.read_manifest(self.path)
         if man is None:
             return None

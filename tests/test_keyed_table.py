@@ -751,19 +751,22 @@ def test_lsh_index_rebuild_after_ingest(spark, tmp_path):
     ingest(t, spark.createDataFrame(rows))
     t.build_lsh_index(spark, "embedding", dim=8, n_planes=3, n_tables=4)
 
-    # ingest → stale index (NULL-filled bucket cols persist in schema)
+    # ingest → index MAINTAINED: the new row's buckets are computed
+    # from the stored plane family and the registration is carried
     t.upsert(spark.createDataFrame(
         [Row(pk=100, part="a", update_ts=ts(11),
              embedding=[rng.uniform(-1, 1) for _ in range(8)])]
     ))
-    assert t.vector_index() is None  # stale index reads as absent
+    assert t.vector_index() is not None
+    got = t.read(spark).filter(F_col("pk") == 100).collect()[0]
+    assert all(got[f"__lshb{i}"] is not None for i in range(4))
 
+    # a rebuild still replaces the bucket columns without colliding
     t.build_lsh_index(spark, "embedding", dim=8, n_planes=3, n_tables=4)
     snap = t.read(spark)
     buckets = [c for c in snap.columns if c.startswith(t.LSH_BUCKET_PREFIX)]
     assert sorted(buckets) == [f"__lshb{i}" for i in range(4)]  # no dupes
     assert snap.count() == 41
-    # the new row got real (non-NULL) buckets this time
     got = snap.filter(F_col("pk") == 100).collect()[0]
     assert all(got[c] is not None for c in buckets)
     assert t.vector_index() is not None

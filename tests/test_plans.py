@@ -320,12 +320,12 @@ def test_ivf_index_persists_cells_and_prunes_files(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
 
 
-def test_ivf_index_stale_after_ingest_refuses(spark, sf_dir):
-    """A mutating commit after the index must make the index read as
-    absent — searching a stale index would silently miss new rows."""
+def test_ivf_index_maintained_through_upsert(spark, sf_dir):
+    """A mutating commit after the index MAINTAINS it: upsert assigns
+    the incoming rows with the index's stored centroids and carries
+    the registration, so the maintained search equals a from-scratch
+    rebuild — never stale, never silently missing new rows."""
     import shutil
-
-    import pytest
 
     from hudi_glue_spark.operators import similarity as S
     from hudi_glue_spark.queries import table
@@ -335,14 +335,32 @@ def test_ivf_index_stale_after_ingest_refuses(spark, sf_dir):
     root = "/tmp/hgs_test_ivfidx_stale"
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(root, key="vec_id", precombine="vec_id")
-    tbl.bulk_insert(emb.limit(64))
+    tbl.bulk_insert(emb.filter(F.col("vec_id") >= 8).limit(64))
     cents = S.ivf_centroids(emb.limit(64), "vec_id", "embedding", n_centroids=4)
     tbl.build_ivf_index(spark, "embedding", centroids=cents)
     assert tbl.vector_index() is not None
-    tbl.upsert(emb.limit(8))
-    assert tbl.vector_index() is None
-    with pytest.raises(ValueError, match="no IVF index"):
-        S.ivf_search_indexed(spark, tbl, emb.limit(2), "vec_id")
+    late = emb.filter(F.col("vec_id") < 8)
+    tbl.upsert(late)
+    assert tbl.vector_index() is not None  # maintained, not dropped
+    # new rows carry real assignments equal to assigning with the
+    # stored centroids from scratch
+    snap = tbl.read(spark)
+    got = {r.vec_id: r["__cid"] for r in snap.filter(F.col("vec_id") < 8).collect()}
+    want = {
+        r.vec_id: r["__cid"]
+        for r in S.ivf_assign_expr(late, "embedding", cents)
+        .select("vec_id", "__cid")
+        .collect()
+    }
+    assert got == want and all(v is not None for v in got.values())
+    # maintained search == search over a freshly rebuilt index
+    queries = emb.filter(F.col("vec_id") < 3)
+    maintained = S.ivf_search_indexed(spark, tbl, queries, "vec_id", k=5)
+    tbl.build_ivf_index(spark, "embedding", centroids=cents)
+    rebuilt = S.ivf_search_indexed(spark, tbl, queries, "vec_id", k=5)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
 
 
 def test_curation_pipeline_shuffle_budget(spark, sf_dir):
@@ -367,10 +385,9 @@ def test_lsh_index_persists_buckets_and_matches_per_query(spark, sf_dir):
     the search-time corpus plan reads buckets FROM THE SCAN — the only
     dot-product folds left sit on the broadcast query side; (b) results
     equal bucket-per-query knn_lsh exactly (same seeded plane family);
-    (c) a mutating commit makes the index read as absent."""
+    (c) a mutating commit MAINTAINS the index (bucket columns computed
+    for the new rows from the stored plane family)."""
     import shutil
-
-    import pytest
 
     from hudi_glue_spark.operators import similarity as S
     from hudi_glue_spark.queries import table
@@ -404,11 +421,21 @@ def test_lsh_index_persists_buckets_and_matches_per_query(spark, sf_dir):
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
 
-    # (c) stale after ingest
-    tbl.upsert(emb.limit(4))
-    assert tbl.vector_index() is None
-    with pytest.raises(ValueError, match="no LSH index"):
-        S.lsh_search_indexed(spark, tbl, queries, "vec_id")
+    # (c) maintained after ingest: a NEW key gets non-NULL buckets
+    # computed from the stored plane family, and the registration
+    # survives the upsert
+    new_rows = emb.limit(1).withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    tbl.upsert(new_rows)
+    assert tbl.vector_index() is not None
+    got = (
+        tbl.read(spark)
+        .filter(F.col("vec_id") >= 10_000_000)
+        .select(*idx["bucket_cols"])
+        .collect()[0]
+    )
+    assert all(got[c] is not None for c in idx["bucket_cols"])
+    out2 = S.lsh_search_indexed(spark, tbl, queries, "vec_id", k=5)
+    assert out2.count() > 0
 
 
 def test_sql_pruned_point_range_plans(spark, sf_dir):
