@@ -37,20 +37,19 @@ NON_SQL_QUERIES: set[str] = set()
 
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
-#: round (~50). After r2∪r3∪r4, 113 of 125 registered queries hold a
-#: strict driver-green row; this round's window closes the ledger:
-#: first the 10 queries that have NEVER been windowed (r4's cap landed
-#: mid-list before them — all locally oracle-EXACT), then the two
-#: approx-sketch queries reworked this round into bounds-oracle form
-#: (they now hash-check instead of posting guaranteed-amber rows), then
-#: this round's new queries, and only then staleness-ordered rotation:
-#: the 15 queries whose only green row is from r2 (two rounds old),
-#: followed by capability-diverse r3-green picks. If the cap lands
-#: mid-list, what misses is a re-confirmation of an already-green row,
-#: never a first row.
+#: round (~50). After r2∪r3∪r4∪r5 every registered query holds a strict
+#: driver-green row, so r6's window leads with this round's NEW queries
+#: (the only possible first rows: metadata/manifest, incremental
+#: dedup-vs-index, maintained ANN, partition expiry), then re-confirms
+#: the r5 first-row set and the reworked approx sketches, then rotates
+#: staleness-ordered re-confirmations (r2-only green rows first). If
+#: the cap lands mid-list, what misses is a re-confirmation of an
+#: already-green row, never a first row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r6 (first rows) -------------------------------------------
     "manifest_metadata_table",         # engine-readable manifest shards
+    "metadata_only_aggregates",        # count/min/max with zero data I/O
+    "drop_partition_retention",        # metadata-only partition expiry
     "incremental_near_dup_vs_index",   # batch vs persisted MinHash index
     "ann_index_maintained_upsert",     # IVF maintained through upsert
     # -- r5 first-row set (all green r5; re-confirmations) ---------------

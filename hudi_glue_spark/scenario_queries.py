@@ -569,9 +569,18 @@ def _pruned_table(spark: SparkSession, sf_dir: str) -> KeyedTable:
     per-file min/max in the manifest, bloom sidecars) — the layout where
     point/range reads can prove file skipping at any SF."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from hudi_glue_spark.table import manifest as M
+
     root = f"/tmp/hudi_glue_spark_scn_prune_{sf_tag(sf_dir)}"
     cached = _PRUNE_CACHE.get(root)
-    if cached is not None and cached.exists():
+    # a cached fixture must also carry the current metadata generation
+    # (per-file row counts) — an on-disk table built by an older code
+    # generation is rebuilt, not trusted
+    if (
+        cached is not None
+        and cached.exists()
+        and M.read_manifest(root).total_rows() is not None
+    ):
         return cached
     shutil.rmtree(root, ignore_errors=True)
     tbl = KeyedTable(
@@ -721,6 +730,96 @@ def q_manifest_metadata_table(spark, sf_dir):
         "*",
         F.lit(overlaps == 0).alias("files_disjoint"),
         F.lit(metadata_only).alias("metadata_only_scan"),
+    )
+
+
+@query(
+    "drop_partition_retention",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS metadata_only_drop
+    FROM events WHERE event_type <> 'click'
+    GROUP BY event_type
+    """,
+)
+def q_drop_partition_retention(spark, sf_dir):
+    """Retention via METADATA-ONLY partition drop (`ALTER TABLE DROP
+    PARTITION` parity): events land Hive-partitioned by event_type,
+    then one partition is expired with ``drop_partitions`` — a commit
+    that stops referencing its files without reading a row or writing
+    a file. The ``metadata_only_drop`` boolean is computed from the
+    commit itself: the new manifest's file set must be EXACTLY the old
+    one minus the dropped directory (nothing rewritten), with zero
+    rows written and the surviving shards reused. The oracle aggregates
+    the raw events minus the dropped type — so the drop must be
+    surgically partition-exact to hash-match. At 100 TB this is the
+    nightly retention job: expiring a day costs one manifest commit;
+    bytes follow later via clean()."""
+    import os as _os
+
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dropp_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    tbl.bulk_insert(ev)
+    man0 = M.read_manifest(root)
+    tbl.drop_partitions(["event_type=click"])
+    man1 = M.read_manifest(root)
+    want = [f for f in man0.files if M.partition_of(f) != "event_type=click"]
+    metadata_only = (
+        man1.files == sorted(want)
+        and man1.stats.get("rows_written") == 0
+        and set(man1.shards or []) <= set(man0.shards or [])
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec).cast("double").alias("sum_value"),
+        )
+        .withColumn("metadata_only_drop", F.lit(bool(metadata_only)))
+    )
+
+
+@query(
+    "metadata_only_aggregates",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           TRUE AS from_metadata
+    FROM events
+    """,
+)
+def q_metadata_only_aggregates(spark, sf_dir):
+    """Metadata-aggregate pushdown (Iceberg's ``SELECT count(*)``
+    without a scan): every commit's manifest shards record each file's
+    footer row count and stats-column min/max, and the manifest is an
+    exact snapshot — so COUNT(*)/MIN/MAX answer from metadata alone,
+    zero data-file I/O, no Spark job at all (driver-side arithmetic
+    over shard parquet). The oracle computes the same aggregates from
+    the DATA, so a drift between recorded counts/stats and actual file
+    contents fails the hash. At 100 TB this turns the most common
+    operational queries from full scans into millisecond metadata
+    reads."""
+    tbl = _pruned_table(spark, sf_dir)
+    n = tbl.count_rows_metadata()
+    mm = tbl.minmax_metadata("event_id")
+    assert n is not None and mm is not None
+    return spark.createDataFrame(
+        [(n, int(mm[0]), int(mm[1]), True)],
+        "n_rows long, min_event_id long, max_event_id long, "
+        "from_metadata boolean",
     )
 
 

@@ -163,10 +163,11 @@ class KeyedTable:
             self.stats_cols = [self.precombine]
         elif isinstance(self.stats_cols, str):
             self.stats_cols = [self.stats_cols]
-        # staging area for footer stats gathered by _write_files until
-        # _commit publishes them (not a dataclass field: per-instance
-        # transient)
+        # staging area for footer stats / row counts gathered by
+        # _write_files until _commit publishes them (not a dataclass
+        # field: per-instance transient)
         self._pending_stats: dict = {}
+        self._pending_rows: dict = {}
         # decoded bloom sidecars by data-file name. Data files are
         # immutable once committed (rewrites produce NEW names), so a
         # decoded sidecar never goes stale; caching turns repeated
@@ -396,23 +397,25 @@ class KeyedTable:
             mdir = M.manifests_dir(self.path)
             df = spark.read.parquet(*[os.path.join(mdir, s) for s in man.shards])
             return df.select("*", part)
-        rows = M._stats_rows(man.files, lambda f: man.file_stats.get(f))
+        rows = M._stats_rows(
+            man.files,
+            lambda f: man.file_stats.get(f),
+            lambda f: man.file_rows.get(f),
+        )
         enc = [
-            (f, c, *(M._encode(mm[0]) if mm else (None, None, None)),
+            (f, c, n, *(M._encode(mm[0]) if mm else (None, None, None)),
              *(M._encode(mm[1]) if mm else (None, None, None)))
-            for f, c, mm in rows
+            for f, c, n, mm in rows
         ]
         df = spark.createDataFrame(
-            [
-                (f, c, mi, mf, ms, xi, xf, xs)
-                for f, c, mi, mf, ms, xi, xf, xs in enc
-            ],
-            "file string, col string, min_i long, min_f double, min_s string, "
+            enc,
+            "file string, col string, rows long, "
+            "min_i long, min_f double, min_s string, "
             "max_i long, max_f double, max_s string",
         )
         return df.select(
-            "file", "col", "min_i", "max_i", "min_f", "max_f", "min_s",
-            "max_s", part,
+            "file", "col", "rows", "min_i", "max_i", "min_f", "max_f",
+            "min_s", "max_s", part,
         )
 
     def read_isin(self, spark: SparkSession, col: str, values: list) -> DataFrame:
@@ -482,6 +485,35 @@ class KeyedTable:
             spark, ddir, [os.path.join(ddir, f) for f in keep], schema
         )
         return df.select(self._conform(df, schema)).filter(cond)
+
+    def count_rows_metadata(self, at: str | None = None) -> int | None:
+        """Exact ``SELECT count(*)`` from manifest metadata alone — no
+        data-file I/O, the Iceberg metadata-aggregate pushdown. Every
+        commit records each file's footer row count in its manifest
+        shard, and the manifest is an exact snapshot (upsert/delete
+        rewrite files, never mask rows), so the sum IS the table count.
+        Returns None when any live file predates row-count recording
+        (caller must fall back to a scan rather than undercount). At
+        100 TB this answers the most common operational query in
+        milliseconds instead of a full scan."""
+        man = M.read_manifest(self.path, at)
+        return man.total_rows() if man is not None else None
+
+    def minmax_metadata(self, col: str, at: str | None = None):
+        """(min, max) of ``col`` from manifest stats alone — exact when
+        every live file carries footer min/max for the column (parquet
+        footer stats are exact for the supported types), else None.
+        The metadata twin of ``SELECT min(col), max(col)``."""
+        man = M.read_manifest(self.path, at)
+        if man is None:
+            return None
+        fs = man.file_stats
+        if not man.files:
+            return None
+        vals = [fs.get(f, {}).get(col) for f in man.files]
+        if any(v is None for v in vals):
+            return None
+        return min(v[0] for v in vals), max(v[1] for v in vals)
 
     def register(self, spark: SparkSession, name: str) -> None:
         """Catalog registration (↦ hive_sync, glue/HudiJarGlueJob.py:80-82):
@@ -737,6 +769,52 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def drop_partitions(self, dirnames: list[str]) -> str:
+        """METADATA-ONLY partition drop (``ALTER TABLE ... DROP
+        PARTITION`` / Hudi ``delete_partition`` parity): publish a
+        commit that simply stops referencing the named partitions'
+        files — zero rows read, zero files written; the bytes are
+        reclaimed by :meth:`clean` once the dropped commits age out,
+        and until then the data stays time-travelable. This is the
+        retention primitive at 100 TB: expiring a day costs one
+        manifest commit, not a rewrite — and with sharded manifests the
+        surviving partitions' shards are reused verbatim, so even the
+        metadata cost is O(dropped partitions).
+
+        ``dirnames`` are Hive partition directory names exactly as the
+        manifest records them (e.g. ``"day=2024-01-01"`` or
+        ``"a=1/b=x"`` for multi-level layouts). Unknown names are
+        rejected (a silent no-op would mask a typo'd retention job).
+        A vector index survives: dropping rows never invalidates the
+        survivors' assignments."""
+        if not self.partition_by:
+            raise ValueError("drop_partitions requires a partitioned table")
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        drop = set(dirnames)
+        have = {M.partition_of(f) for f in man.files}
+        unknown = drop - have
+        if unknown:
+            raise ValueError(
+                f"unknown partition(s) {sorted(unknown)}; "
+                f"table has {sorted(p for p in have if p)}"
+            )
+        keep = [f for f in man.files if M.partition_of(f) not in drop]
+        vidx = (man.stats or {}).get("vector_index")
+        self._commit(
+            "drop_partitions",
+            keep,
+            StructType.fromJson(json.loads(man.schema_json)),
+            rows=0,
+            rewritten=sorted(drop),
+            extra_stats={
+                "dropped_partitions": sorted(drop),
+                **({"vector_index": vidx} if vidx is not None else {}),
+            },
+        )
+        return self.commits()[-1]
+
     def update_where(
         self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
     ) -> str:
@@ -786,7 +864,19 @@ class KeyedTable:
                 ]
             )
 
-        return self._rewrite_where(spark, predicate, transform, "update_where")
+        # a SET that doesn't touch the index's vector/assignment
+        # columns can't invalidate any assignment → carry the index
+        man0 = M.read_manifest(self.path)
+        vidx = ((man0.stats or {}) if man0 else {}).get("vector_index")
+        if vidx is not None:
+            icols = {vidx.get("vec_col"), vidx.get("cell_col")} | set(
+                vidx.get("bucket_cols") or []
+            )
+            if icols & set(set_exprs):
+                vidx = None  # index columns rewritten → honest drop
+        return self._rewrite_where(
+            spark, predicate, transform, "update_where", vidx=vidx
+        )
 
     def delete_where(self, spark: SparkSession, predicate) -> str:
         """Predicate delete (Spark-SQL ``DELETE FROM t WHERE ...``,
@@ -795,18 +885,26 @@ class KeyedTable:
         select (FALSE or NULL — three-valued SQL semantics, matching
         every engine's DELETE). One snapshot scan + one rewrite of the
         touched partitions — no intermediate key set, unlike the by-key
-        companion :meth:`delete`. No matches → no new commit."""
+        companion :meth:`delete`. No matches → no new commit. Removing
+        rows never invalidates the survivors' index assignments, so a
+        registered vector index is carried forward untouched."""
+        man0 = M.read_manifest(self.path)
+        vidx = ((man0.stats or {}) if man0 else {}).get("vector_index")
         return self._rewrite_where(
             spark, predicate, lambda rows, hit, _schema: rows.filter(~hit),
-            "delete_where",
+            "delete_where", vidx=vidx,
         )
 
-    def _rewrite_where(self, spark, predicate, transform, op: str) -> str:
+    def _rewrite_where(
+        self, spark, predicate, transform, op: str, vidx: dict | None = None
+    ) -> str:
         """Shared predicate-DML scaffold: find partitions holding rows
         the predicate selects (NULL = not selected), rewrite ONLY those
         partitions through ``transform(rows, hit, schema)``, carry every
         untouched file forward, publish ``op``. No matches → no new
-        commit, existing head returned."""
+        commit, existing head returned. ``vidx`` (caller-judged) is a
+        vector index the rewrite provably keeps valid — it is carried
+        into the new commit's stats."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
         existing = self.read(spark)
@@ -834,7 +932,7 @@ class KeyedTable:
 
         rewritten = transform(existing_touched, hit, existing.schema)
         cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(rewritten, cid)
+        new_files, nrows = self._write_index_aware(rewritten, cid, vidx)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
             if touched is not None
@@ -846,6 +944,7 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
+            extra_stats={"vector_index": vidx} if vidx is not None else None,
         )
         return self.commits()[-1]
 
@@ -1797,6 +1896,7 @@ class KeyedTable:
                 # rows + min/max from the parquet footer — no extra scan
                 n, st = _parquet_footer_stats(dest, self.stats_cols or [])
                 nrows += n
+                self._pending_rows[rel] = n
                 if st:
                     self._pending_stats[rel] = st
                 if self.key_bloom:
@@ -1835,7 +1935,9 @@ class KeyedTable:
         # — the commit's metadata cost is O(delta), not O(table files).
         prev = M.read_manifest(self.path)
         pending = self._pending_stats
+        pending_rows = self._pending_rows
         self._pending_stats = {}
+        self._pending_rows = {}
         # Retired (dropped) column names are carried forward into EVERY
         # subsequent manifest: the guard must survive clean() aging out
         # the drop_columns commit itself, because pre-drop files in
@@ -1864,6 +1966,7 @@ class KeyedTable:
             schema_json=schema.json(),
             stats=stats,
             file_stats={f: pending[f] for f in files if f in pending},
+            file_rows={f: pending_rows[f] for f in files if f in pending_rows},
         )
         M.write_manifest(self.path, man)
 

@@ -60,6 +60,7 @@ MAX_TOTAL_SHARDS = 256
 _SHARD_SCHEMA_COLS = [
     "file",
     "col",
+    "rows",
     "min_i",
     "max_i",
     "min_f",
@@ -76,6 +77,7 @@ def _shard_schema():
         [
             ("file", pa.string()),
             ("col", pa.string()),
+            ("rows", pa.int64()),
             ("min_i", pa.int64()),
             ("max_i", pa.int64()),
             ("min_f", pa.float64()),
@@ -126,6 +128,7 @@ class Manifest:
         shards: list[str] | None = None,
         root: str | None = None,
         n_files: int | None = None,
+        file_rows: dict | None = None,
     ):
         self.commit_id = commit_id
         self.op = op
@@ -136,6 +139,7 @@ class Manifest:
         self.root = root
         self._files = files
         self._file_stats = file_stats
+        self._file_rows = file_rows
         self._n_files = n_files
         self._shard_tbl = None  # cached concatenated arrow table
 
@@ -177,6 +181,37 @@ class Manifest:
                 out = {f: st for f, st in out.items() if st}
             self._file_stats = out
         return self._file_stats
+
+    @property
+    def file_rows(self) -> dict:
+        """{rel_file: footer row count} from the shards' per-file rows
+        (the ``col IS NULL`` row each file carries). Files from legacy
+        shards without the count are absent."""
+        if self._file_rows is None:
+            out: dict = {}
+            t = self.shard_table()
+            if t is not None:
+                import pyarrow.compute as pc
+
+                sub = t.filter(pc.is_null(t["col"]))
+                for f, n in zip(
+                    sub["file"].to_pylist(), sub["rows"].to_pylist()
+                ):
+                    if n is not None:
+                        out[f] = n
+            self._file_rows = out
+        return self._file_rows
+
+    def total_rows(self) -> int | None:
+        """Exact snapshot row count from metadata alone — the
+        ``SELECT count(*)`` that never scans data. None when any live
+        file lacks a recorded count (legacy shards): the caller must
+        fall back to a scan rather than undercount."""
+        fr = self.file_rows
+        files = self.files
+        if any(f not in fr for f in files):
+            return None
+        return sum(fr[f] for f in files)
 
     def shard_table(self):
         """All shard rows as ONE arrow table (None for v1/inline
@@ -364,6 +399,16 @@ def _load_shard(root: str, name: str):
         if len(_SHARD_CACHE) > 1024:
             _SHARD_CACHE.clear()
         hit = pq.read_table(path)
+        if "rows" not in hit.column_names:
+            # shard written before per-file row counts: null-fill so
+            # snapshots mixing shard generations still concat
+            import pyarrow as pa
+
+            hit = hit.add_column(
+                2,
+                pa.field("rows", pa.int64()),
+                pa.nulls(len(hit), pa.int64()),
+            )
         _SHARD_CACHE[key] = hit
     return hit
 
@@ -374,19 +419,20 @@ def shard_file_set(root: str, name: str) -> frozenset:
 
 
 def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
-    """rows: (file, col|None, stats-[min,max]|None) → typed parquet.
-    Written to a temp name then renamed; an orphan from a crashed
-    commit is GC'd by clean() and may be safely overwritten by the
-    retry of the same commit id (the JSON link is the real lock)."""
+    """rows: (file, col|None, rows|None, stats-[min,max]|None) → typed
+    parquet. Written to a temp name then renamed; an orphan from a
+    crashed commit is GC'd by clean() and may be safely overwritten by
+    the retry of the same commit id (the JSON link is the real lock)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     mdir = manifests_dir(root)
     os.makedirs(mdir, exist_ok=True)
     cols: dict[str, list] = {c: [] for c in _SHARD_SCHEMA_COLS}
-    for f, c, mm in rows:
+    for f, c, n, mm in rows:
         cols["file"].append(f)
         cols["col"].append(c)
+        cols["rows"].append(n)
         lo = _encode(mm[0]) if mm is not None else (None, None, None)
         hi = _encode(mm[1]) if mm is not None else (None, None, None)
         for slot, v in zip(("min_i", "min_f", "min_s"), lo):
@@ -404,15 +450,16 @@ def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
             os.unlink(tmp)
 
 
-def _stats_rows(files: list[str], stats_of) -> list[tuple]:
+def _stats_rows(files: list[str], stats_of, rows_of=None) -> list[tuple]:
+    """One ``col IS NULL`` row per file carrying its footer row count,
+    plus one row per stats column."""
     rows: list[tuple] = []
     for f in files:
+        rows.append((f, None, rows_of(f) if rows_of else None, None))
         st = stats_of(f)
         if st:
             for c in sorted(st):
-                rows.append((f, c, st[c]))
-        else:
-            rows.append((f, None, None))
+                rows.append((f, c, None, st[c]))
     return rows
 
 
@@ -473,11 +520,12 @@ def write_manifest(root: str, manifest: Manifest) -> None:
                     covered |= fs
         delta = sorted(nset - covered)
         inline = dict(manifest._file_stats or {})
-        # Delta files whose stats the producer didn't hand us inline
-        # (carried-forward survivors of broken shards) recover their
-        # stats from the shards that still hold them — O(broken
+        inline_rows = dict(manifest._file_rows or {})
+        # Delta files whose stats/row counts the producer didn't hand
+        # us inline (carried-forward survivors of broken shards)
+        # recover them from the shards that still hold them — O(broken
         # shards), never a full-table stats load.
-        need = {f for f in delta if f not in inline}
+        need = {f for f in delta if f not in inline or f not in inline_rows}
         if need:
             import pyarrow as pa
             import pyarrow.compute as pc
@@ -493,9 +541,14 @@ def write_manifest(root: str, manifest: Manifest) -> None:
                 cols = {c: sub[c].to_pylist() for c in _SHARD_SCHEMA_COLS}
                 for k in range(sub.num_rows):
                     c = cols["col"][k]
+                    f = cols["file"][k]
                     if c is None:
+                        if cols["rows"][k] is not None and f not in inline_rows:
+                            inline_rows[f] = cols["rows"][k]
                         continue
-                    inline.setdefault(cols["file"][k], {})[c] = [
+                    if f in inline:
+                        continue  # producer-supplied stats win
+                    inline.setdefault(f, {})[c] = [
                         _decode(
                             cols["min_i"][k], cols["min_f"][k], cols["min_s"][k]
                         ),
@@ -513,15 +566,18 @@ def write_manifest(root: str, manifest: Manifest) -> None:
             if prev is not None and prev.shards is None:
                 for f in sorted(need):
                     st = prev.file_stats.get(f)
-                    if st:
+                    if st and f not in inline:
                         inline[f] = st
 
         def stats_of(f: str):
             return inline.get(f)
 
+        def rows_of(f: str):
+            return inline_rows.get(f)
+
         for k, group in enumerate(_group_delta(delta)):
             name = f"{manifest.commit_id}-{k:04d}.parquet"
-            _write_shard(root, name, _stats_rows(group, stats_of))
+            _write_shard(root, name, _stats_rows(group, stats_of, rows_of))
             chosen.append(name)
         manifest.shards = sorted(chosen)
         manifest._n_files = len(new_files)

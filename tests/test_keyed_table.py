@@ -1017,3 +1017,36 @@ def test_rollback_across_partition_evolution_restores_layout(spark, tmp_path):
     out = t.read(spark)
     assert out.count() == 20
     assert out.filter(F_col("k") == 3).collect()[0].v == 99.0
+
+
+def test_predicate_dml_index_carry(spark, tmp_path):
+    """Predicate DML and the vector index: delete_where always carries
+    the index (removing rows can't invalidate survivors' assignments);
+    update_where carries it iff the SET doesn't touch the index's
+    vector/assignment columns, and honestly drops it when it does."""
+    import random
+
+    from hudi_glue_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    rows = [
+        Row(pk=i, label=i % 3, update_ts=ts(10),
+            embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(48)
+    ]
+    t = KeyedTable(str(tmp_path / "dmlvidx"), key="pk", precombine="update_ts")
+    t.bulk_insert(spark.createDataFrame(rows))
+    cents = S.ivf_centroids(t.read(spark), "pk", "embedding", n_centroids=4)
+    t.build_ivf_index(spark, "embedding", centroids=cents)
+
+    t.delete_where(spark, "pk % 13 = 0")
+    assert t.vector_index() is not None
+
+    t.update_where(spark, {"label": "label + 1"}, "pk % 7 = 0")
+    assert t.vector_index() is not None
+    # the maintained index still searches
+    q = t.read(spark).limit(2)
+    assert S.ivf_search_indexed(spark, t, q, "pk", k=3).count() > 0
+
+    t.update_where(spark, {"embedding": "embedding"}, "pk % 5 = 0")
+    assert t.vector_index() is None  # vector column rewritten → drop

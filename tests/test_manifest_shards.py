@@ -204,3 +204,75 @@ def test_incremental_read_uses_shard_diff(spark, tmp_path):
     assert all(day in ("a", "c") for (_, day) in
                [(r.id, r.day) for r in inc.collect()] for day in ())  # shape
     assert {r.day for r in inc.collect()} == {"a", "c"}
+
+
+def test_metadata_row_counts_and_aggregates(spark, tmp_path):
+    """Per-file row counts ride in the shards; COUNT(*)/MIN/MAX answer
+    from metadata alone and track every mutation exactly."""
+    t = _mk(spark, str(tmp_path / "t"))
+    assert t.count_rows_metadata() == 12
+    assert t.minmax_metadata("v") == (0, 11)
+    # upsert: 1 update (no count change) + 1 insert
+    t.upsert(_batch(spark, [(0, "a", 100, None), (50, "b", 50, None)]))
+    assert t.count_rows_metadata() == 13
+    assert t.minmax_metadata("v") == (1, 100)
+    # delete two keys
+    t.delete(spark.createDataFrame([(0,), (50,)], "id int"))
+    assert t.count_rows_metadata() == 11
+    # counts survive shard reuse + time travel
+    assert t.count_rows_metadata(at=t.commits()[0]) == 12
+    # and agree with the engine
+    assert t.read(spark).count() == 11
+
+
+def test_legacy_shards_without_rows_still_read(spark, tmp_path):
+    """Shards written before row counts (no 'rows' column) null-fill on
+    load; total_rows() reports None instead of undercounting."""
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, str(tmp_path / "t"))
+    mdir = M.manifests_dir(t.path)
+    for s in _shards(t):
+        p = os.path.join(mdir, s)
+        tab = pq.read_table(p)
+        pq.write_table(tab.drop_columns(["rows"]), p)
+    M._SHARD_CACHE.clear()
+    man = M.read_manifest(t.path)
+    assert man.total_rows() is None
+    assert t.count_rows_metadata() is None
+    assert t.minmax_metadata("v") == (0, 11)  # stats unaffected
+    assert {r.v for r in t.read(spark).collect()} == set(range(12))
+    # the next commit re-records counts for its delta only
+    t.upsert(_batch(spark, [(0, "a", 100, None)]))
+    assert t.count_rows_metadata() is None  # carried files still lack counts
+    fr = M.read_manifest(t.path).file_rows
+    assert fr and all(v > 0 for v in fr.values())
+
+
+def test_drop_partitions_metadata_only(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    man0 = M.read_manifest(t.path)
+    ddir = M.data_dir(t.path)
+    files_on_disk = set()
+    for dp, _dn, fs in os.walk(ddir):
+        files_on_disk |= {os.path.join(dp, f) for f in fs}
+    t.drop_partitions(["day=b"])
+    man1 = M.read_manifest(t.path)
+    # no data file touched; nothing new written anywhere
+    after = set()
+    for dp, _dn, fs in os.walk(ddir):
+        after |= {os.path.join(dp, f) for f in fs}
+    assert after == files_on_disk
+    assert man1.files == [
+        f for f in man0.files if M.partition_of(f) != "day=b"
+    ]
+    assert {r.day for r in t.read(spark).collect()} == {"a", "c"}
+    # counts track the drop; time travel still sees the full table
+    assert t.count_rows_metadata() == 8
+    assert t.read(spark, at=man0.commit_id).count() == 12
+    # bytes reclaimed only by clean()
+    t.clean(retain_commits=1)
+    assert t.validate() == []
+    assert not any("day=b" in f for f in M.read_manifest(t.path).files)
+    with pytest.raises(ValueError, match="unknown partition"):
+        t.drop_partitions(["day=zz"])

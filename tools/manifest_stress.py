@@ -1,0 +1,125 @@
+"""Metadata-scale stress for the v2 sharded manifests (driver-only, no
+Spark, no data files — commit metadata is the object under test).
+
+Simulates the shape VERDICT r5 flagged as the 100 TB metadata hazard:
+a table of N files across P partitions taking partition-scoped upserts.
+Measures, per commit:
+
+- wall seconds spent in ``write_manifest`` (shard reuse + delta write
+  + atomic publish),
+- metadata bytes WRITTEN by the commit (new shard files + JSON header)
+  vs the bytes a v1 inline manifest would rewrite wholesale,
+- head-snapshot pruning latency (vectorized ``prune_range`` over the
+  shard table).
+
+Usage: python tools/manifest_stress.py [n_files] [n_parts] [n_commits]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hudi_glue_spark.table import manifest as M  # noqa: E402
+
+SCHEMA = '{"type":"struct","fields":[]}'
+
+
+def _mk_files(part: int, commit: int, n: int) -> dict[str, dict]:
+    return {
+        f"day={part:04d}/{commit:08d}-{i:05d}.parquet": {
+            "ts": [part * 1000 + i, part * 1000 + i + 1]
+        }
+        for i in range(n)
+    }
+
+
+def main(n_files: int = 100_000, n_parts: int = 1_000, n_commits: int = 10):
+    root = "/tmp/hgs_manifest_stress"
+    shutil.rmtree(root, ignore_errors=True)
+    per_part = n_files // n_parts
+    live: dict[str, dict] = {}
+    for p in range(n_parts):
+        live.update(_mk_files(p, 1, per_part))
+
+    def commit(op: str, files_stats: dict[str, dict], delta_stats: dict):
+        cid = M.next_commit_id(root)
+        man = M.Manifest(
+            commit_id=cid,
+            op=op,
+            ts=M.utc_now_iso(),
+            files=sorted(files_stats),
+            schema_json=SCHEMA,
+            stats={"rows_written": 0},
+            file_stats=delta_stats,
+        )
+        mdir = M.manifests_dir(root)
+        before = (
+            {f: os.path.getsize(os.path.join(mdir, f)) for f in os.listdir(mdir)}
+            if os.path.isdir(mdir)
+            else {}
+        )
+        t0 = time.time()
+        M.write_manifest(root, man)
+        dt = time.time() - t0
+        new_bytes = sum(
+            os.path.getsize(os.path.join(mdir, f))
+            for f in os.listdir(mdir)
+            if f not in before
+        ) + os.path.getsize(os.path.join(M.commits_dir(root), cid + ".json"))
+        return dt, new_bytes, len(man.shards)
+
+    # v1 comparison: what one inline manifest of the full table weighs
+    v1_bytes = len(
+        json.dumps({"files": sorted(live), "file_stats": live})
+    )
+
+    dt, nb, ns = commit("bulk_insert", live, live)
+    print(
+        f"initial commit  {n_files} files/{n_parts} parts: "
+        f"{dt:6.2f}s  {nb/1e6:8.2f} MB written  ({ns} shards); "
+        f"v1 inline manifest would be {v1_bytes/1e6:.2f} MB"
+    )
+
+    for c in range(2, n_commits + 2):
+        part = (c * 37) % n_parts  # deterministic spread of touched parts
+        stale = {f for f in live if f.startswith(f"day={part:04d}/")}
+        for f in stale:
+            del live[f]
+        delta = _mk_files(part, c, per_part)
+        live.update(delta)
+        dt, nb, ns = commit("upsert", live, delta)
+        print(
+            f"upsert commit {c:3d} (1 part, {per_part} new files): "
+            f"{dt:6.3f}s  {nb/1e3:8.1f} KB written  ({ns} shards)"
+            f"  vs v1 rewrite {v1_bytes/1e6:.2f} MB"
+        )
+
+    man = M.read_manifest(root)
+    t0 = time.time()
+    kept = man.prune_range("ts", 500_000, 500_500)
+    dt = time.time() - t0
+    print(
+        f"prune_range over {man.n_files} files ({len(man.shards)} shards): "
+        f"{dt*1000:.0f} ms cold (shard opens) → {len(kept)} files kept"
+    )
+    t0 = time.time()
+    kept = man.prune_range("ts", 600_000, 600_500)
+    print(
+        f"prune_range warm (shard table cached): "
+        f"{(time.time()-t0)*1000:.0f} ms → {len(kept)} files kept"
+    )
+    t0 = time.time()
+    _ = man.files
+    print(f"full file-list load: {(time.time()-t0)*1000:.0f} ms")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
