@@ -725,6 +725,29 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def upsert_with_retry(
+        self, batch: DataFrame, retries: int = 5, extra_stats: dict | None = None
+    ) -> str:
+        """Optimistic-concurrency upsert: on a commit-id collision
+        (another writer published the same id first —
+        :class:`manifest.ConcurrentCommitError`), re-run the ENTIRE
+        read-merge-write against the new head snapshot, up to
+        ``retries`` times. Re-running the whole merge (not just the
+        publish) is what makes the retry correct: the rival commit may
+        have changed exactly the keys this batch carries. Data files
+        staged by a failed attempt are orphaned, flagged by
+        :meth:`validate`, and reclaimed by :meth:`clean` — the manifest
+        protocol never references them, so they cost bytes, not
+        correctness. This is the loop a multi-writer 100 TB deployment
+        runs; single-writer pipelines can call :meth:`upsert` directly."""
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            try:
+                return self.upsert(batch, extra_stats=extra_stats)
+            except M.ConcurrentCommitError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     def delete(self, keys: DataFrame) -> str:
         """Tombstone-free delete (§2a #9 ↦ EmptyHoodieRecordPayload,
         glue/HudiJarGlueJob.py:85): rewrite partitions holding the keys,

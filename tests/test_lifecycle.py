@@ -171,3 +171,57 @@ def test_torn_write_invisible_to_readers(spark, tmp_path):
     assert not os.path.exists(torn)
     assert t.validate() == []
     assert {(r.id, r.amount) for r in t.read(spark).collect()} == before
+
+
+def test_upsert_with_retry_rereads_rival_snapshot(spark, tmp_path, monkeypatch):
+    """A writer losing the commit race must re-run the WHOLE merge
+    against the rival's head (the rival may have touched the same
+    keys), and the failed attempt's staged files stay orphaned —
+    flagged by validate(), reclaimed by clean(), never read."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "race")
+    t = KeyedTable(root, key="pk", precombine="v")
+    t.bulk_insert(
+        spark.createDataFrame([Row(pk=1, v=1.0), Row(pk=2, v=1.0)])
+    )
+    base = M.read_manifest(root)
+
+    orig = M.write_manifest
+    fired = {}
+
+    def rival_once(r, man):
+        if r == root and man.op == "upsert" and not fired:
+            fired["x"] = 1
+            # a concurrent writer claims this commit id first with a
+            # metadata-only commit carrying the same live files
+            orig(
+                r,
+                M.Manifest(
+                    commit_id=man.commit_id,
+                    op="rival_noop",
+                    ts=M.utc_now_iso(),
+                    files=base.files,
+                    schema_json=base.schema_json,
+                    stats={"rows_written": 0},
+                ),
+            )
+        return orig(r, man)
+
+    monkeypatch.setattr(M, "write_manifest", rival_once)
+    t.upsert_with_retry(spark.createDataFrame([Row(pk=2, v=9.0), Row(pk=3, v=3.0)]))
+
+    ops = [M.read_manifest(root, c).op for c in t.commits()]
+    assert ops == ["bulk_insert", "rival_noop", "upsert"]
+    got = {r.pk: r.v for r in t.read(spark).collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 3.0}
+    # the losing attempt's staged files are orphans until clean()
+    monkeypatch.setattr(M, "write_manifest", orig)
+    orphans = [p for p in t.validate() if "orphan file" in p]
+    assert orphans
+    t.clean(retain_commits=1)
+    assert [p for p in t.validate() if "orphan" in p] == []
+    assert {r.pk for r in t.read(spark).collect()} == {1, 2, 3}

@@ -433,3 +433,60 @@ def test_hashed_feature_logit_contract(spark):
         .collect()
     }
     assert got2[1] == got[1]
+
+
+def test_minhash_band_index_incremental_maintenance(spark, tmp_path):
+    """The persisted band index supports CONTINUOUS ingest: appending a
+    batch = upsert of the batch's own band rows (keyed (bk, doc_id), so
+    re-ingesting a doc replaces its bands, never duplicates them). A
+    later batch's probe then finds near-dups of BOTH the original
+    corpus and the previously appended batch — without either ever
+    being re-shingled."""
+    from hudi_glue_spark.table import KeyedTable
+
+    def bands(df):
+        return D.minhash_band_rows(
+            df, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+        ).withColumn(
+            "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("bh"))
+        )
+
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="pack my box with five dozen liquor jugs now"),
+        ]
+    )
+    idx = KeyedTable(
+        str(tmp_path / "mhidx"), key=["bk", "doc_id"], precombine="doc_id",
+        stats_cols=["bk"],
+    )
+    idx.bulk_insert(bands(base))
+
+    # day-1 batch: a fresh doc — appended to the index incrementally
+    day1 = spark.createDataFrame(
+        [Row(doc_id=10, text="she sells sea shells by the sea shore daily")]
+    )
+    idx.upsert(bands(day1))
+
+    # re-ingesting the same doc must not duplicate its band rows
+    idx.upsert(bands(day1))
+    n_bands = idx.read(spark).filter(F.col("doc_id") == 10).count()
+    assert n_bands == 4
+
+    # day-2 batch: near-dups of doc 1 (corpus) AND doc 10 (day-1 batch)
+    day2 = spark.createDataFrame(
+        [
+            Row(doc_id=21, text="the quick brown fox jumps over the lazy dog yy"),
+            Row(doc_id=22, text="she sells sea shells by the sea shore daily zz"),
+        ]
+    )
+    probe = bands(day2)
+    hits = (
+        idx.read(spark)
+        .join(probe.select(F.col("doc_id").alias("new_id"), "bk"), "bk")
+        .select("new_id", F.col("doc_id").alias("dup_of"))
+        .distinct()
+    )
+    got = {(r.new_id, r.dup_of) for r in hits.collect()}
+    assert (21, 1) in got and (22, 10) in got

@@ -71,12 +71,59 @@ def main() -> int:
         ng = D.segment_dedup(bdf, "doc_id", "text").count()
         tg = time.perf_counter() - t0
 
+        # persisted-band-index incremental dedup (r6): ONE index build
+        # per corpus size, then a 2% batch probes it — build cost is
+        # the amortized pass, probe cost is what continuous ingest pays
+        # per micro-batch (and must NOT grow like the corpus×corpus
+        # pair family above).
+        import shutil
+
+        from hudi_glue_spark.table import KeyedTable
+
+        idx_root = f"/tmp/hudi_glue_spark_growth_mhidx_{mult}x"
+        shutil.rmtree(idx_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        tbl = KeyedTable(
+            idx_root, key=["bk", "doc_id"], precombine="doc_id",
+            stats_cols=["bk"],
+        )
+        band = (
+            D.minhash_band_rows(bdf, "doc_id", "text", num_hashes=16, bands=4)
+            .withColumn(
+                "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("bh"))
+            )
+        )
+        tbl.bulk_insert(
+            band.repartitionByRange(32, "bk").sortWithinPartitions("bk", "doc_id")
+        )
+        tib = time.perf_counter() - t0
+
+        batch = bdf.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(900_000_000)
+        )
+        t0 = time.perf_counter()
+        bb = (
+            D.minhash_band_rows(batch, "doc_id", "text", num_hashes=16, bands=4)
+            .withColumn(
+                "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("bh"))
+            )
+        )
+        cand = (
+            tbl.read(spark)
+            .join(bb.select(F.col("doc_id").alias("new_id"), "bk"), "bk")
+            .select(F.col("doc_id").alias("dup_of"), "new_id")
+            .dropDuplicates()
+        )
+        npairs = cand.count()
+        tip = time.perf_counter() - t0
+
         rows.append((mult, n0 * mult, tw, tm, nm, ts, ns, te, tg, ng))
         print(
             f"mult={mult:>2} rows={n0 * mult:>7}  winnow={tw:6.2f}s  "
             f"minhash={tm:6.2f}s ({nm} pairs)  simhash={ts:6.2f}s "
             f"({ns} pairs)  exact_dedup={te:5.2f}s  "
-            f"segment_dedup={tg:5.2f}s ({ng} survivors)"
+            f"segment_dedup={tg:5.2f}s ({ng} survivors)  "
+            f"idx_build={tib:6.2f}s  idx_probe={tip:5.2f}s ({npairs} cands)"
         )
     return 0
 
