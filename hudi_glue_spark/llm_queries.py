@@ -263,9 +263,17 @@ def _mh_index(spark: SparkSession, sf_dir: str):
     ).withColumn(
         "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("bh"))
     )
-    tbl.bulk_insert(
-        rows.repartitionByRange(8, "bk").sortWithinPartitions("bk", "doc_id")
-    )
+    # persist before the range-clustered write: repartitionByRange runs
+    # a SAMPLING job over its input first, which would otherwise
+    # re-evaluate the whole shingling+minhash fold a second time —
+    # measured at ~2x the build cost
+    rows = rows.persist()
+    try:
+        tbl.bulk_insert(
+            rows.repartitionByRange(8, "bk").sortWithinPartitions("bk", "doc_id")
+        )
+    finally:
+        rows.unpersist()
     _MHIDX_CACHE[root] = tbl
     return tbl
 

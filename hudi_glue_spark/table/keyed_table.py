@@ -583,7 +583,10 @@ class KeyedTable:
         On an unpartitioned table this replaces the whole table (Hudi
         ``insert_overwrite_table``). Prior commits stay time-travelable
         until :meth:`clean`. ``dedupe`` runs the precombine pass so the
-        batch itself can carry late duplicates."""
+        batch itself can carry late duplicates. Table columns absent
+        from the batch are NULL-filled (matching upsert's conform); a
+        registered vector index is MAINTAINED — the replacement rows
+        get assignments from the index's stored parameters."""
         if not self.exists():
             return self.bulk_insert(batch, dedupe=dedupe)
         self._require_columns(batch, "insert_overwrite batch")
@@ -591,13 +594,24 @@ class KeyedTable:
         if dedupe:
             batch = self._precombine(batch)
         existing = self.read(spark)
+        batch_names = set(batch.columns)
         batch = batch.select(
-            [F.col(f.name).cast(f.dataType) for f in existing.schema.fields]
+            [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in batch_names
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in existing.schema.fields
+            ]
         )
         man = M.read_manifest(self.path)
         assert man is not None
+        batch, maintained = self._maintain_vector_index(
+            batch, (man.stats or {}).get("vector_index")
+        )
         cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(batch, cid)
+        new_files, nrows = self._write_index_aware(batch, cid, maintained)
         if self.partition_by:
             replaced = {
                 self._dirname(r)
@@ -613,6 +627,9 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(replaced) if replaced is not None else ["<all>"],
+            extra_stats=(
+                {"vector_index": maintained} if maintained is not None else None
+            ),
         )
         return self.commits()[-1]
 
@@ -1194,6 +1211,9 @@ class KeyedTable:
             if missing:
                 raise ValueError(f"unknown partition columns {missing}")
         old_pb = self.partition_by
+        # re-layout moves rows, never changes them — carry the index
+        man0 = M.read_manifest(self.path)
+        vidx = ((man0.stats or {}) if man0 else {}).get("vector_index")
         cid = M.next_commit_id(self.path)
         self.partition_by = new_pb
         # The restore guard covers the COMMIT too: if the manifest write
@@ -1202,7 +1222,7 @@ class KeyedTable:
         # describes the old one — later upserts would mis-scope their
         # partition rewrites and duplicate rows.
         try:
-            files, n = self._write_files(snap, cid)
+            files, n = self._write_index_aware(snap, cid, vidx)
             self._commit(
                 "change_partitioning",
                 files,
@@ -1211,6 +1231,7 @@ class KeyedTable:
                 extra_stats={
                     "partition_by": new_pb or [],
                     "previous_partition_by": old_pb or [],
+                    **({"vector_index": vidx} if vidx is not None else {}),
                 },
             )
         except Exception:
@@ -1252,6 +1273,13 @@ class KeyedTable:
                 "rows_written": 0,
                 "rolled_back_to": to_commit,
                 "partition_by": resolved_pb,
+                # restoring a commit restores ITS index registration
+                # (or its absence) — the files are the target's files
+                **(
+                    {"vector_index": (man.stats or {}).get("vector_index")}
+                    if (man.stats or {}).get("vector_index") is not None
+                    else {}
+                ),
             },
             # a sharded target's shards are reused wholesale (file sets
             # identical) — the rollback copies ZERO per-file metadata;
@@ -1298,8 +1326,16 @@ class KeyedTable:
         spark = source.sparkSession
         existing = self.read(spark)
         cols = existing.columns
+        src_names = set(source.columns)
         source = self._precombine(source).select(
-            [F.col(f.name).cast(f.dataType) for f in existing.schema.fields]
+            [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in src_names
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in existing.schema.fields
+            ]
         )
         man = M.read_manifest(self.path)
         assert man is not None
@@ -1338,8 +1374,11 @@ class KeyedTable:
                 for c in cols
             ]
         )
+        merged, maintained = self._maintain_vector_index(
+            merged, (man.stats or {}).get("vector_index")
+        )
         cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(merged, cid)
+        new_files, nrows = self._write_index_aware(merged, cid, maintained)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
             if touched is not None
@@ -1351,6 +1390,9 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
+            extra_stats=(
+                {"vector_index": maintained} if maintained is not None else None
+            ),
         )
         return self.commits()[-1]
 
@@ -1477,8 +1519,14 @@ class KeyedTable:
                 .repartition(*(self.partition_by or []), "__bin")
                 .drop("__bin")
             )
+        # compaction moves rows between files but never changes them —
+        # a registered vector index stays valid (and the index-aware
+        # write keeps per-file cell stats on the compacted files)
+        vidx = (man.stats or {}).get("vector_index")
         cid = M.next_commit_id(self.path)
-        new_files, nrows = self._write_files(binned, cid, repartition=False)
+        new_files, nrows = self._write_index_aware(
+            binned, cid, vidx, repartition=False
+        )
         carried = [f for f in man.files if M.partition_of(f) not in todo]
         self._commit(
             "optimize",
@@ -1486,6 +1534,7 @@ class KeyedTable:
             full.schema,
             rows=nrows,
             rewritten=sorted(str(p) for p in todo),
+            extra_stats={"vector_index": vidx} if vidx is not None else None,
         )
         return self.commits()[-1]
 
@@ -1517,12 +1566,24 @@ class KeyedTable:
         if missing:
             raise ValueError(f"no such column(s) {sorted(missing)}")
         new_schema = StructType([f for f in schema.fields if f.name not in set(cols)])
+        # dropping a non-index column leaves the index valid; dropping
+        # the vector/assignment columns kills it honestly
+        vidx = (man.stats or {}).get("vector_index")
+        if vidx is not None:
+            icols = {vidx.get("vec_col"), vidx.get("cell_col")} | set(
+                vidx.get("bucket_cols") or []
+            )
+            if icols & set(cols):
+                vidx = None
         self._commit(
             "drop_columns",
             man.files,
             new_schema,
             rows=0,
-            extra_stats={"dropped_cols": sorted(set(cols))},
+            extra_stats={
+                "dropped_cols": sorted(set(cols)),
+                **({"vector_index": vidx} if vidx is not None else {}),
+            },
         )
         return self.commits()[-1]
 
@@ -1763,7 +1824,7 @@ class KeyedTable:
         return df, None
 
     def _write_index_aware(
-        self, df: DataFrame, cid: str, vidx: dict | None
+        self, df: DataFrame, cid: str, vidx: dict | None, repartition: bool = True
     ) -> tuple[list[str], int]:
         """:meth:`_write_files`, recording per-file cell stats when an
         IVF index is being carried so the indexed search keeps its
@@ -1773,18 +1834,23 @@ class KeyedTable:
         if cell and cell not in prev_sc:
             self.stats_cols = prev_sc + [cell]
         try:
-            return self._write_files(df, cid)
+            return self._write_files(df, cid, repartition=repartition)
         finally:
             self.stats_cols = prev_sc
 
     def vector_index(self) -> dict | None:
         """The vector index registered by the LATEST commit, or None.
-        Not blindly inherited across commits: a mutating commit either
-        MAINTAINS the index (upsert assigns new rows with the stored
-        parameters and carries the registration — see
-        :meth:`_maintain_vector_index`; delete carries it untouched) or
-        drops the registration, so a stale index reads as absent, not
-        silently wrong."""
+        Not blindly inherited across commits: EVERY mutating commit
+        either MAINTAINS the index or honestly drops the registration,
+        so a stale index always reads as absent, never silently wrong.
+        The contract per operation: upsert / insert_overwrite /
+        merge_into assign incoming rows with the stored parameters
+        (:meth:`_maintain_vector_index`); delete / delete_where /
+        drop_partitions carry it untouched (removing rows can't
+        invalidate survivors); optimize / change_partitioning carry it
+        (rows move, never change); rollback restores the target
+        commit's registration; update_where and drop_columns carry it
+        unless they touch the index's vector/assignment columns."""
         man = M.read_manifest(self.path)
         if man is None:
             return None

@@ -1050,3 +1050,61 @@ def test_predicate_dml_index_carry(spark, tmp_path):
 
     t.update_where(spark, {"embedding": "embedding"}, "pk % 5 = 0")
     assert t.vector_index() is None  # vector column rewritten → drop
+
+
+def test_vector_index_full_lifecycle_contract(spark, tmp_path):
+    """EVERY mutating commit maintains or honestly drops the index —
+    the full contract in one flow: overwrite/merge assign new rows,
+    compaction and re-layout carry, rollback restores the target's
+    registration, drop_columns of an unrelated column carries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hudi_glue_spark.operators import similarity as S
+
+    rng = random.Random(3)
+
+    def rows(ids, part="a"):
+        return spark.createDataFrame(
+            [Row(pk=i, part=part, note=f"n{i}", update_ts=ts(10),
+                 embedding=[rng.uniform(-1, 1) for _ in range(8)])
+             for i in ids]
+        )
+
+    t = KeyedTable(str(tmp_path / "vl"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    t.bulk_insert(rows(range(12)))
+    cents = S.ivf_centroids(t.read(spark), "pk", "embedding", n_centroids=4)
+    t.build_ivf_index(spark, "embedding", centroids=cents)
+    c_indexed = t.commits()[-1]
+
+    # insert_overwrite: replacement rows get assignments
+    t.insert_overwrite(rows(range(4), part="a"))
+    assert t.vector_index() is not None
+    snap = t.read(spark)
+    assert snap.filter(F.col("__cid").isNull()).count() == 0
+
+    # merge_into: inserted source rows get assignments
+    t.merge_into(rows([50, 51], part="b"))
+    assert t.vector_index() is not None
+    assert t.read(spark).filter(F.col("__cid").isNull()).count() == 0
+
+    # optimize: carry (rows move, never change)
+    if t.optimize(spark, target_file_mb=128) is not None:
+        assert t.vector_index() is not None
+
+    # change_partitioning: carry through the re-layout
+    t.change_partitioning(spark, None)
+    assert t.vector_index() is not None
+
+    # drop_columns of an unrelated column: carry
+    t.drop_columns(["note"])
+    assert t.vector_index() is not None
+
+    # rollback to the index commit restores its registration
+    t.rollback(c_indexed)
+    assert t.vector_index() is not None
+    # the maintained/carried index searches at every step
+    q = t.read(spark).limit(2)
+    assert S.ivf_search_indexed(spark, t, q, "pk", k=3).count() > 0

@@ -92,10 +92,12 @@ def main() -> int:
             .withColumn(
                 "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("bh"))
             )
+            .persist()  # range-sampling would re-run the minhash fold
         )
         tbl.bulk_insert(
             band.repartitionByRange(32, "bk").sortWithinPartitions("bk", "doc_id")
         )
+        band.unpersist()
         tib = time.perf_counter() - t0
 
         batch = bdf.filter(F.col("doc_id") % 50 == 0).withColumn(
