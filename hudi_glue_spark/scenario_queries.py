@@ -297,8 +297,9 @@ def q_range_read_time_slice(spark, sf_dir):
 
 #: The driver's oracle gate runs at sf0.01; the physical-read oracle
 #: embeds that table path (data-dependent oracles are sf-bound, like
-#: the IVF centroid literals in llm_queries).
-_EXT_ROOT = "/tmp/hudi_glue_spark_scn_ext_sf0.01"
+#: the IVF centroid literals in llm_queries). Must use the same
+#: sf_tag (basename + full-path hash) the engine-side root uses.
+_EXT_ROOT = "/tmp/hudi_glue_spark_scn_ext_" + sf_tag("/root/testdata/sf0.01")
 
 
 @query(
@@ -948,11 +949,14 @@ def q_cdf_incremental_agg(spark, sf_dir):
     CDF_FINAL_CTE
     + """
     SELECT 0 AS seq, 'bulk_insert' AS op,
-           CAST((SELECT count(*) FROM b0) AS BIGINT) AS n_rows
+           CAST((SELECT count(*) FROM b0) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM b0) AS BIGINT) AS n_rows_meta
     UNION ALL
-    SELECT 1, 'upsert', CAST((SELECT count(*) FROM final) AS BIGINT)
+    SELECT 1, 'upsert', CAST((SELECT count(*) FROM final) AS BIGINT),
+           CAST((SELECT count(*) FROM final) AS BIGINT)
     UNION ALL
     SELECT 2, 'delete_where',
+           CAST((SELECT count(*) FROM final WHERE user_id % 7 <> 0) AS BIGINT),
            CAST((SELECT count(*) FROM final WHERE user_id % 7 <> 0) AS BIGINT)
     """,
 )
@@ -967,10 +971,17 @@ def q_table_history_audit(spark, sf_dir):
     tbl = _cdf_table(spark, sf_dir)
     hist = tbl.history(spark).select("seq", "op", "commit_id").collect()
     counts = [
-        (r["seq"], r["op"], tbl.read(spark, at=r["commit_id"]).count())
+        (
+            r["seq"],
+            r["op"],
+            tbl.read(spark, at=r["commit_id"]).count(),
+            tbl.count_rows_metadata(at=r["commit_id"]),
+        )
         for r in hist
     ]
-    return spark.createDataFrame(counts, "seq int, op string, n_rows long")
+    return spark.createDataFrame(
+        counts, "seq int, op string, n_rows long, n_rows_meta long"
+    )
 
 
 @query(

@@ -1175,13 +1175,14 @@ class KeyedTable:
                     len(cur),
                     len(cur - prev),
                     len(prev - cur),
+                    man.total_rows(),  # metadata-only; None pre-r6 shards
                 )
             )
             prev = cur
         return spark.createDataFrame(
             rows,
             "seq int, commit_id string, op string, ts string, "
-            "n_files int, files_added int, files_removed int",
+            "n_files int, files_added int, files_removed int, n_rows long",
         )
 
     def change_partitioning(

@@ -953,6 +953,8 @@ def test_history_timeline(spark, tmp_path):
     assert [r["seq"] for r in h] == [0, 1, 2]
     assert all(r["n_files"] >= 1 for r in h)
     assert h[0]["files_removed"] == 0 and h[0]["files_added"] == h[0]["n_files"]
+    # metadata-only per-commit row counts ride along
+    assert [r["n_rows"] for r in h] == [2, 3, 2]
 
 
 def test_partition_evolution(spark, tmp_path):
