@@ -50,6 +50,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "manifest_metadata_table",         # engine-readable manifest shards
     "metadata_only_aggregates",        # count/min/max with zero data I/O
     "drop_partition_retention",        # metadata-only partition expiry
+    "constraint_quarantine_flow",      # CHECK constraints + quarantine
     "incremental_near_dup_vs_index",   # batch vs persisted MinHash index
     "ann_index_maintained_upsert",     # IVF maintained through upsert
     # -- r5 first-row set (all green r5; re-confirmations) ---------------

@@ -793,6 +793,64 @@ def q_drop_partition_retention(spark, sf_dir):
 
 
 @query(
+    "constraint_quarantine_flow",
+    """
+    SELECT CAST((SELECT count(*) FROM events
+                 WHERE coalesce(value >= 50, TRUE)) AS BIGINT) AS n_accepted,
+           CAST((SELECT count(*) FROM events
+                 WHERE NOT coalesce(value >= 50, TRUE)) AS BIGINT)
+             AS n_quarantined,
+           TRUE AS quarantine_readable,
+           TRUE AS table_clean
+    """,
+)
+def q_constraint_quarantine_flow(spark, sf_dir):
+    """CHECK constraints with quarantine (Delta ``ADD CONSTRAINT`` /
+    DLT-expectation parity): the table declares ``value >= 50`` with
+    ``on_violation='quarantine'``; ingest admits only satisfying rows,
+    routes violators to ``_quarantine/`` with a ``__violated`` column
+    naming the failed constraint, and records the count in the commit
+    stats. Driver-checked facts: the accepted row count and the
+    quarantined row count both equal the oracle's data-side partition
+    of events (so enforcement is exactly the SQL CHECK semantics, NULL
+    passes); ``quarantine_readable`` proves the quarantined rows read
+    back with the right violation labels and match the commit-stats
+    count; ``table_clean`` proves no violator leaked into the table.
+    At 100 TB this is the ingest gate that keeps one bad upstream day
+    from poisoning the corpus — violations are preserved for triage,
+    never silently dropped."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from hudi_glue_spark.table import manifest as M
+
+    root = f"/tmp/hudi_glue_spark_scn_cq_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        constraints={"min_value": "value >= 50"},
+        on_violation="quarantine",
+    )
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    acc = tbl.read(spark)
+    n_acc = acc.count()
+    q = tbl.read_quarantine(spark)
+    nq = q.count() if q is not None else 0
+    stats_q = tbl.latest_stats().get("quarantined", 0)
+    quarantine_readable = nq == stats_q and (
+        q is None
+        or q.filter(~F.array_contains("__violated", "min_value")).count() == 0
+    )
+    table_clean = acc.filter(~F.coalesce(F.col("value") >= 50, F.lit(True))).count() == 0
+    return spark.createDataFrame(
+        [(n_acc, nq, bool(quarantine_readable), bool(table_clean))],
+        "n_accepted long, n_quarantined long, quarantine_readable boolean, "
+        "table_clean boolean",
+    )
+
+
+@query(
     "metadata_only_aggregates",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -52,6 +52,12 @@ from hudi_glue_spark.table import manifest as M
 ARRIVAL_WINS = "arrival_wins"
 EVENT_TIME_WINS = "event_time_wins"
 
+
+class ConstraintViolation(ValueError):
+    """A batch failed the table's CHECK constraints under
+    ``on_violation='fail'``; the message carries per-constraint
+    violation counts."""
+
 #: Lossless numeric widenings the parquet reader performs in place
 #: (Spark 4 type-widening reads): integer ladder + float→double.
 _INT_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
@@ -145,6 +151,17 @@ class KeyedTable:
     #: files that may hold the key. Opt-in: costs one key-column read
     #: per written file at commit time.
     key_bloom: bool = False
+    #: CHECK constraints enforced on every incoming batch (Delta
+    #: ``ADD CONSTRAINT`` / DLT-expectation parity): name → SQL boolean
+    #: expression. SQL CHECK semantics — a row violates only when the
+    #: expression is FALSE (NULL passes). See ``on_violation``.
+    constraints: dict | None = None
+    #: what happens to violating rows: "fail" (reject the whole batch
+    #: with per-constraint counts), "drop" (silently exclude), or
+    #: "quarantine" (write them to ``_quarantine/<commit>/`` with a
+    #: ``__violated`` column naming the failed constraints, and record
+    #: the count in the commit stats — the DLT expectations pattern).
+    on_violation: str = "fail"
 
     def __post_init__(self):
         if isinstance(self.key, str):
@@ -159,6 +176,8 @@ class KeyedTable:
             raise ValueError(f"unknown policy {self.policy!r}")
         if self.key_scope not in ("global", "partition"):
             raise ValueError(f"unknown key_scope {self.key_scope!r}")
+        if self.on_violation not in ("fail", "drop", "quarantine"):
+            raise ValueError(f"unknown on_violation {self.on_violation!r}")
         if self.stats_cols is None:
             self.stats_cols = [self.precombine]
         elif isinstance(self.stats_cols, str):
@@ -199,6 +218,8 @@ class KeyedTable:
                     "key_scope": self.key_scope,
                     "stats_cols": self.stats_cols,
                     "key_bloom": self.key_bloom,
+                    "constraints": self.constraints,
+                    "on_violation": self.on_violation,
                 },
                 f,
                 indent=1,
@@ -556,6 +577,87 @@ class KeyedTable:
             # ↦ MSCK REPAIR / hive_sync partition registration
             spark.sql(f"MSCK REPAIR TABLE {name}")
 
+    # -- CHECK constraints -------------------------------------------------
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Register a CHECK constraint (Delta ``ALTER TABLE ADD
+        CONSTRAINT`` parity): every FUTURE incoming batch must satisfy
+        the SQL boolean ``expr`` (NULL passes — SQL CHECK semantics);
+        handling of violating rows follows ``on_violation``. Existing
+        rows are not re-validated (constraints gate ingest, they don't
+        audit history — run a filter for that)."""
+        self.constraints = {**(self.constraints or {}), name: expr}
+        if self.exists():
+            self.save_meta()
+
+    def drop_constraint(self, name: str) -> None:
+        cons = dict(self.constraints or {})
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}; have {sorted(cons)}")
+        del cons[name]
+        self.constraints = cons or None
+        if self.exists():
+            self.save_meta()
+
+    def _enforce(self, batch: DataFrame, what: str):
+        """Apply the table's CHECK constraints to an incoming batch.
+        Returns ``(clean_rows, quarantine_stats | None)``. Modes:
+        fail → raise :class:`ConstraintViolation` with per-constraint
+        counts; drop → lazily exclude violators (no extra action);
+        quarantine → violators land under ``_quarantine/`` with a
+        ``__violated`` column and the count is recorded in the commit
+        stats. Map-side only except the fail/quarantine counting pass;
+        tables without constraints pay nothing."""
+        cons = self.constraints or {}
+        if not cons:
+            return batch, None
+        checks = [
+            (n, F.coalesce(F.expr(e), F.lit(True))) for n, e in sorted(cons.items())
+        ]
+        ok = checks[0][1]
+        for _, c in checks[1:]:
+            ok = ok & c
+        if self.on_violation == "fail":
+            row = batch.select(
+                [F.sum((~c).cast("long")).alias(n) for n, c in checks]
+            ).collect()[0]
+            bad = {n: row[n] for n, _ in checks if row[n]}
+            if bad:
+                raise ConstraintViolation(
+                    f"{what} rejected by CHECK constraint(s) {bad} "
+                    f"(on_violation='fail'; use 'drop' or 'quarantine' "
+                    f"to admit the clean rows)"
+                )
+            return batch, None
+        if self.on_violation == "drop":
+            return batch.filter(ok), None
+        viol = F.array_compact(
+            F.array(*[F.when(~c, F.lit(n)) for n, c in checks])
+        )
+        bad = batch.filter(~ok).withColumn("__violated", viol)
+        n_bad = bad.count()
+        if not n_bad:
+            return batch, None
+        qname = f"{M.next_commit_id(self.path)}-{what}"
+        qdir = os.path.join(self.path, "_quarantine", qname)
+        bad.write.mode("overwrite").parquet(qdir)
+        return batch.filter(ok), {
+            "quarantined": n_bad,
+            "quarantine_dir": f"_quarantine/{qname}",
+            "violated_constraints": sorted(cons),
+        }
+
+    def read_quarantine(self, spark: SparkSession) -> DataFrame | None:
+        """All quarantined rows (every batch's violators, with their
+        ``__violated`` constraint names), or None if nothing was ever
+        quarantined."""
+        qroot = os.path.join(self.path, "_quarantine")
+        if not os.path.isdir(qroot) or not os.listdir(qroot):
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(qroot, d) for d in sorted(os.listdir(qroot))]
+        )
+
     # -- write side --------------------------------------------------------
 
     def bulk_insert(self, df: DataFrame, dedupe: bool = False) -> str:
@@ -565,11 +667,14 @@ class KeyedTable:
         if self.exists():
             raise ValueError(f"table already exists at {self.path}; use upsert()")
         self._require_columns(df, "bulk_insert batch")
+        df, qstats = self._enforce(df, "bulk_insert")
         if dedupe:
             df = self._precombine(df)
         self.save_meta()
         files, nrows = self._write_files(df, M.next_commit_id(self.path))
-        self._commit("bulk_insert", files, df.schema, rows=nrows)
+        self._commit(
+            "bulk_insert", files, df.schema, rows=nrows, extra_stats=qstats
+        )
         return self.commits()[-1]
 
     def insert_overwrite(self, batch: DataFrame, dedupe: bool = True) -> str:
@@ -590,6 +695,7 @@ class KeyedTable:
         if not self.exists():
             return self.bulk_insert(batch, dedupe=dedupe)
         self._require_columns(batch, "insert_overwrite batch")
+        batch, qstats = self._enforce(batch, "insert_overwrite")
         spark = batch.sparkSession
         if dedupe:
             batch = self._precombine(batch)
@@ -628,7 +734,11 @@ class KeyedTable:
             rows=nrows,
             rewritten=sorted(replaced) if replaced is not None else ["<all>"],
             extra_stats=(
-                {"vector_index": maintained} if maintained is not None else None
+                {
+                    **(qstats or {}),
+                    **({"vector_index": maintained} if maintained is not None else {}),
+                }
+                or None
             ),
         )
         return self.commits()[-1]
@@ -646,6 +756,9 @@ class KeyedTable:
         if not self.exists():
             return self.bulk_insert(batch, dedupe=True)
         self._require_columns(batch, "upsert batch")
+        batch, qstats = self._enforce(batch, "upsert")
+        if qstats is not None:
+            extra_stats = {**(extra_stats or {}), **qstats}
         spark = batch.sparkSession
         batch = self._precombine(batch)
         existing = self.read(spark)
@@ -1325,6 +1438,7 @@ class KeyedTable:
             return F.expr(c) if isinstance(c, str) else c
 
         spark = source.sparkSession
+        source, qstats = self._enforce(source, "merge_into")
         existing = self.read(spark)
         cols = existing.columns
         src_names = set(source.columns)
@@ -1392,7 +1506,11 @@ class KeyedTable:
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats=(
-                {"vector_index": maintained} if maintained is not None else None
+                {
+                    **(qstats or {}),
+                    **({"vector_index": maintained} if maintained is not None else {}),
+                }
+                or None
             ),
         )
         return self.commits()[-1]

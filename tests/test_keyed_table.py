@@ -1110,3 +1110,55 @@ def test_vector_index_full_lifecycle_contract(spark, tmp_path):
     # the maintained/carried index searches at every step
     q = t.read(spark).limit(2)
     assert S.ivf_search_indexed(spark, t, q, "pk", k=3).count() > 0
+
+
+def test_check_constraints_modes(spark, tmp_path):
+    """CHECK constraints: fail rejects the whole batch (no commit),
+    drop excludes lazily, quarantine preserves violators with labels
+    and commit-stats counts; NULL passes (SQL CHECK semantics);
+    constraints round-trip through _meta.json."""
+    from hudi_glue_spark.table.keyed_table import ConstraintViolation
+
+    rows = [
+        Row(pk=1, v=10.0, ok_ts=ts(1)),
+        Row(pk=2, v=-5.0, ok_ts=ts(1)),
+        Row(pk=3, v=None, ok_ts=ts(1)),  # NULL → passes
+    ]
+    batch = spark.createDataFrame(rows)
+
+    # fail mode: batch rejected, table never created
+    t = KeyedTable(str(tmp_path / "f"), key="pk", precombine="ok_ts",
+                   constraints={"nonneg": "v >= 0"})
+    with pytest.raises(ConstraintViolation, match="nonneg"):
+        t.bulk_insert(batch)
+    assert not t.exists()
+
+    # drop mode: violator excluded, NULL admitted
+    t2 = KeyedTable(str(tmp_path / "d"), key="pk", precombine="ok_ts",
+                    constraints={"nonneg": "v >= 0"}, on_violation="drop")
+    t2.bulk_insert(batch)
+    assert {r.pk for r in t2.read(spark).collect()} == {1, 3}
+
+    # quarantine mode across bulk_insert + upsert
+    t3 = KeyedTable(str(tmp_path / "q"), key="pk", precombine="ok_ts",
+                    constraints={"nonneg": "v >= 0"},
+                    on_violation="quarantine")
+    t3.bulk_insert(batch)
+    assert {r.pk for r in t3.read(spark).collect()} == {1, 3}
+    assert t3.latest_stats()["quarantined"] == 1
+    t3.upsert(spark.createDataFrame([Row(pk=4, v=-1.0, ok_ts=ts(2)),
+                                     Row(pk=5, v=5.0, ok_ts=ts(2))]))
+    assert {r.pk for r in t3.read(spark).collect()} == {1, 3, 5}
+    q = t3.read_quarantine(spark)
+    got = {(r.pk, tuple(r["__violated"])) for r in q.collect()}
+    assert got == {(2, ("nonneg",)), (4, ("nonneg",))}
+
+    # constraints survive load(); add/drop update meta
+    t3b = KeyedTable.load(t3.path)
+    assert t3b.constraints == {"nonneg": "v >= 0"}
+    t3b.add_constraint("big", "v >= 1")
+    assert KeyedTable.load(t3.path).constraints == {
+        "nonneg": "v >= 0", "big": "v >= 1"
+    }
+    t3b.drop_constraint("big")
+    assert KeyedTable.load(t3.path).constraints == {"nonneg": "v >= 0"}
