@@ -51,6 +51,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "metadata_only_aggregates",        # count/min/max with zero data I/O
     "drop_partition_retention",        # metadata-only partition expiry
     "constraint_quarantine_flow",      # CHECK constraints + quarantine
+    "derived_day_partition_ingest",    # generated partition column
     "incremental_near_dup_vs_index",   # batch vs persisted MinHash index
     "ann_index_maintained_upsert",     # IVF maintained through upsert
     # -- r5 first-row set (all green r5; re-confirmations) ---------------

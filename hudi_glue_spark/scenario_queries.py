@@ -793,6 +793,47 @@ def q_drop_partition_retention(spark, sf_dir):
 
 
 @query(
+    "derived_day_partition_ingest",
+    """
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS generated_consistent
+    FROM events GROUP BY 1
+    """,
+)
+def q_derived_day_partition_ingest(spark, sf_dir):
+    """GENERATED partition column (Delta generated-column parity): the
+    table declares ``day = to_date(ts)`` and partitions by it; the
+    batch arrives WITHOUT a day column and the engine materializes it
+    from the rule on ingest — writers never hand-maintain the partition
+    key, so the Hive layout can't drift from the data. Driver-checked:
+    the per-day row counts equal the oracle's data-side grouping, and
+    ``generated_consistent`` proves to_date(ts) == day holds for every
+    stored row (a drift between the rule and the stored column fails
+    the hash). At 100 TB this is the standard time-partitioned ingest:
+    the generation rule lives in table metadata, every writer gets the
+    same layout, and day-scoped queries prune on the directory."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_gen_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="day",
+        derived_cols={"day": "to_date(ts)"},
+    )
+    tbl.bulk_insert(table(spark, sf_dir, "events").select(_COLS))
+    snap = tbl.read(spark)
+    mismatches = snap.filter(F.expr("to_date(ts) <> day")).count()
+    return (
+        snap.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("generated_consistent", F.lit(mismatches == 0))
+    )
+
+
+@query(
     "constraint_quarantine_flow",
     """
     SELECT CAST((SELECT count(*) FROM events

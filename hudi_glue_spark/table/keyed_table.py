@@ -162,6 +162,16 @@ class KeyedTable:
     #: ``__violated`` column naming the failed constraints, and record
     #: the count in the commit stats — the DLT expectations pattern).
     on_violation: str = "fail"
+    #: GENERATED columns (Delta generated-column parity): name → SQL
+    #: expression over the batch's columns, ALWAYS recomputed on every
+    #: incoming batch (a caller-supplied value is overwritten — the
+    #: generation rule is the source of truth, so the column can never
+    #: drift from its definition). The canonical use: a ``day`` column
+    #: derived from an event timestamp to drive Hive partitioning —
+    #: ``derived_cols={"day": "to_date(ts)"}, partition_by="day"`` —
+    #: so writers never hand-maintain the partition key and every
+    #: partition dir provably matches its rows.
+    derived_cols: dict | None = None
 
     def __post_init__(self):
         if isinstance(self.key, str):
@@ -220,6 +230,7 @@ class KeyedTable:
                     "key_bloom": self.key_bloom,
                     "constraints": self.constraints,
                     "on_violation": self.on_violation,
+                    "derived_cols": self.derived_cols,
                 },
                 f,
                 indent=1,
@@ -599,6 +610,16 @@ class KeyedTable:
         if self.exists():
             self.save_meta()
 
+    def _derive(self, batch: DataFrame) -> DataFrame:
+        """Materialize the table's GENERATED columns on an incoming
+        batch — always recomputed from their defining expressions, so
+        a caller-supplied value can never drift from the rule. Runs
+        before column-requirement checks: a generated partition key
+        does not need to arrive with the batch."""
+        for name, expr in (self.derived_cols or {}).items():
+            batch = batch.withColumn(name, F.expr(expr))
+        return batch
+
     def _enforce(self, batch: DataFrame, what: str):
         """Apply the table's CHECK constraints to an incoming batch.
         Returns ``(clean_rows, quarantine_stats | None)``. Modes:
@@ -666,6 +687,7 @@ class KeyedTable:
         called out at glue/HudiConnectorGlueJob.py:85-87)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}; use upsert()")
+        df = self._derive(df)
         self._require_columns(df, "bulk_insert batch")
         df, qstats = self._enforce(df, "bulk_insert")
         if dedupe:
@@ -694,6 +716,7 @@ class KeyedTable:
         get assignments from the index's stored parameters."""
         if not self.exists():
             return self.bulk_insert(batch, dedupe=dedupe)
+        batch = self._derive(batch)
         self._require_columns(batch, "insert_overwrite batch")
         batch, qstats = self._enforce(batch, "insert_overwrite")
         spark = batch.sparkSession
@@ -755,6 +778,7 @@ class KeyedTable:
         """
         if not self.exists():
             return self.bulk_insert(batch, dedupe=True)
+        batch = self._derive(batch)
         self._require_columns(batch, "upsert batch")
         batch, qstats = self._enforce(batch, "upsert")
         if qstats is not None:
@@ -1438,6 +1462,7 @@ class KeyedTable:
             return F.expr(c) if isinstance(c, str) else c
 
         spark = source.sparkSession
+        source = self._derive(source)
         source, qstats = self._enforce(source, "merge_into")
         existing = self.read(spark)
         cols = existing.columns

@@ -1162,3 +1162,38 @@ def test_check_constraints_modes(spark, tmp_path):
     }
     t3b.drop_constraint("big")
     assert KeyedTable.load(t3.path).constraints == {"nonneg": "v >= 0"}
+
+
+def test_derived_partition_column(spark, tmp_path):
+    """GENERATED columns: materialized from the rule on every ingest
+    path, caller-supplied values overwritten (no drift), upserts whose
+    recomputed key MOVES a row between partitions leave no ghost, and
+    the rule round-trips through _meta.json."""
+    t = KeyedTable(str(tmp_path / "g"), key="pk", precombine="ets",
+                   partition_by="day", derived_cols={"day": "to_date(ets)"})
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, ets=ts(1)), Row(pk=2, ets=ts(2))]
+    ))
+    got = {r.pk: str(r.day) for r in t.read(spark).collect()}
+    assert got == {1: "2026-01-01", 2: "2026-01-02"}
+
+    # a WRONG caller-supplied day is overwritten by the rule
+    import datetime as _dt
+    t.upsert(spark.createDataFrame(
+        [Row(pk=3, ets=ts(3), day=_dt.date(1999, 1, 1))]
+    ))
+    got = {r.pk: str(r.day) for r in t.read(spark).collect()}
+    assert got[3] == "2026-01-03"
+
+    # ts update moves pk=1 to a new derived partition — no ghost row
+    t.upsert(spark.createDataFrame([Row(pk=1, ets=ts(9))]))
+    snap = t.read(spark).collect()
+    assert {r.pk: str(r.day) for r in snap}[1] == "2026-01-09"
+    assert len(snap) == 3
+
+    t2 = KeyedTable.load(t.path)
+    assert t2.derived_cols == {"day": "to_date(ets)"}
+    t2.upsert(spark.createDataFrame([Row(pk=4, ets=ts(4))]))
+    assert {str(r.day) for r in t2.read(spark).filter("pk = 4").collect()} == {
+        "2026-01-04"
+    }
