@@ -1540,14 +1540,56 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    # -- savepoints (↦ Hudi savepoint/restore) -----------------------------
+
+    @property
+    def _savepoints_path(self) -> str:
+        return os.path.join(self.path, "_savepoints.json")
+
+    def savepoints(self) -> list[str]:
+        if not os.path.isfile(self._savepoints_path):
+            return []
+        with open(self._savepoints_path) as f:
+            return sorted(json.load(f))
+
+    def savepoint(self, commit_id: str | None = None) -> str:
+        """Pin a commit (default: the head) against the cleaner — Hudi
+        savepoint parity. A savepointed commit's manifest and files
+        survive :meth:`clean` regardless of the retention window, so
+        time travel to it (and :meth:`rollback` onto it — Hudi's
+        restore) keeps working. Metadata-only: one JSON list."""
+        ids = self.commits()
+        if not ids:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        cid = commit_id or ids[-1]
+        if cid not in ids:
+            raise ValueError(f"unknown commit {cid!r}; have {ids}")
+        sp = set(self.savepoints()) | {cid}
+        with open(self._savepoints_path, "w") as f:
+            json.dump(sorted(sp), f)
+        return cid
+
+    def release_savepoint(self, commit_id: str) -> None:
+        sp = set(self.savepoints())
+        if commit_id not in sp:
+            raise ValueError(
+                f"no savepoint on {commit_id!r}; have {sorted(sp)}"
+            )
+        sp.discard(commit_id)
+        with open(self._savepoints_path, "w") as f:
+            json.dump(sorted(sp), f)
+
     def clean(self, retain_commits: int = 10) -> list[str]:
         """Cleaner (↦ KEEP_LATEST_COMMITS, commits.retained=10,
         glue/HudiJarGlueJob.py:83): drop manifests older than the last
         ``retain_commits`` and physically delete data files no retained
-        manifest references. Time travel further back stops working —
-        same trade as Hudi's cleaner."""
+        manifest references — except commits pinned by
+        :meth:`savepoint`, which are retained (manifest, shards, and
+        files) regardless of the window. Time travel further back stops
+        working — same trade as Hudi's cleaner."""
         ids = self.commits()
-        keep = ids[-retain_commits:]
+        pinned = set(self.savepoints())
+        keep = [c for c in ids if c in set(ids[-retain_commits:]) | pinned]
         drop = [c for c in ids if c not in keep]
         referenced: set[str] = set()
         for cid in keep:

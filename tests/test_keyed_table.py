@@ -1197,3 +1197,24 @@ def test_derived_partition_column(spark, tmp_path):
     assert {str(r.day) for r in t2.read(spark).filter("pk = 4").collect()} == {
         "2026-01-04"
     }
+
+
+def test_savepoint_survives_clean(spark, tmppath):
+    """Hudi savepoint parity: a pinned commit's manifest and files
+    survive clean() outside the retention window; time travel and
+    rollback onto it keep working; releasing the pin lets the next
+    clean reclaim it."""
+    tbl = run_scenario(spark, tmppath, EVENT_TIME_WINS)
+    c0 = tbl.commits()[0]
+    tbl.savepoint(c0)
+    tbl.clean(retain_commits=1)
+    assert c0 in tbl.commits()  # pinned commit retained
+    assert tbl.read(spark, at=c0).count() == 4  # files intact
+    tbl.rollback(c0)  # Hudi restore
+    assert tbl.read(spark).count() == 4
+    tbl.release_savepoint(c0)
+    tbl.clean(retain_commits=1)
+    assert c0 not in tbl.commits()
+    assert tbl.validate() == []
+    with pytest.raises(ValueError):
+        tbl.release_savepoint("00000042")
