@@ -922,7 +922,11 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             parent.select(pk_col), F.col(fk_col) == F.col(pk_col), "left"
         )
         return j.agg(
-            F.sum(F.col(pk_col).isNull().cast("long")).alias("orphans"),
+            # coalesce: SUM over zero rows is NULL, but an empty child
+            # table has 0 orphans, not unknown
+            F.coalesce(
+                F.sum(F.col(pk_col).isNull().cast("long")), F.lit(0)
+            ).alias("orphans"),
             F.count_distinct(F.col(fk_col)).alias("distinct_keys"),
         ).select(F.lit(fk_name).alias("fk"), "orphans", "distinct_keys")
 

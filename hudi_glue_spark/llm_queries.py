@@ -231,6 +231,7 @@ def q_minhash_near_dup(spark, sf_dir):
 _MH_HASHES, _MH_BANDS, _MH_ROWS, _MH_THR = 16, 4, 4, 0.8
 
 _MHIDX_CACHE: dict[str, object] = {}
+_INC_BB_CACHE: list = []
 
 
 def _mh_index(spark: SparkSession, sf_dir: str):
@@ -368,6 +369,13 @@ def q_incremental_near_dup_vs_index(spark, sf_dir):
     ).withColumn(
         "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("bh"))
     ).persist()
+    # bounded cache: release the PREVIOUS invocation's persisted batch
+    # bands (the returned plan still references bb, so this call's
+    # block is freed on the NEXT invocation, never mid-flight)
+    for old_bb in _INC_BB_CACHE:
+        old_bb.unpersist()
+    _INC_BB_CACHE.clear()
+    _INC_BB_CACHE.append(bb)
 
     man = M_.read_manifest(idx.path)
     # pruning proof on a deterministic single-doc probe: ≤bands point

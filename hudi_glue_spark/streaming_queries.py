@@ -364,11 +364,13 @@ def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after the upsert but before the checkpoint commits the offset
         # replays this batch on restart. Each applied batch stamps its
         # version into the view's COMMIT STATS (metadata-only, via
-        # upsert extra_stats), so a replay is detected by one manifest
-        # read — not by re-aggregating the materialized view, which at
-        # large view cardinality would be a per-batch table scan for
-        # one scalar. The rows still carry ver for auditability.
-        applied = view.latest_stats().get("applied_ver", 0)
+        # upsert extra_stats), so a replay is detected by metadata
+        # reads — not by re-aggregating the materialized view, which
+        # at large view cardinality would be a per-batch table scan
+        # for one scalar. max_stat scans ALL retained commits, so an
+        # interleaved non-stamping commit (optimize, delete) cannot
+        # reset the ledger. The rows still carry ver for audit.
+        applied = view.max_stat("applied_ver")
         if batch_id + 1 <= applied:
             return
         pos = F.col("_change_type").isin("insert", "update_postimage")

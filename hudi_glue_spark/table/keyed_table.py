@@ -253,6 +253,20 @@ class KeyedTable:
             d["partition_by"] = man.stats["partition_by"] or None
         return cls(path=path, **d)
 
+    def max_stat(self, key: str, default=0):
+        """Max of a numeric commit-stats value over ALL retained
+        commits (metadata-only). The robust read side of a commit-stats
+        ledger: a non-stamping commit on the table (optimize, delete,
+        change_partitioning) must not reset the ledger to zero, which
+        reading only the head's stats would."""
+        vals = [
+            v
+            for cid in self.commits()
+            if (v := (M.read_manifest(self.path, cid).stats or {}).get(key))
+            is not None
+        ]
+        return max(vals) if vals else default
+
     def latest_stats(self) -> dict:
         """The latest commit's stats dict (metadata-only read) — e.g. a
         streaming maintainer's idempotency ledger stamped via the
@@ -656,7 +670,11 @@ class KeyedTable:
             F.array(*[F.when(~c, F.lit(n)) for n, c in checks])
         )
         bad = batch.filter(~ok).withColumn("__violated", viol)
-        n_bad = bad.count()
+        row = bad.select(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum((~c).cast("long")).alias(n) for n, c in checks],
+        ).collect()[0]
+        n_bad = row["__n"]
         if not n_bad:
             return batch, None
         qname = f"{M.next_commit_id(self.path)}-{what}"
@@ -665,7 +683,8 @@ class KeyedTable:
         return batch.filter(ok), {
             "quarantined": n_bad,
             "quarantine_dir": f"_quarantine/{qname}",
-            "violated_constraints": sorted(cons),
+            # only the constraints that actually fired
+            "violated_constraints": sorted(n for n, _ in checks if row[n]),
         }
 
     def read_quarantine(self, spark: SparkSession) -> DataFrame | None:
@@ -681,7 +700,9 @@ class KeyedTable:
 
     # -- write side --------------------------------------------------------
 
-    def bulk_insert(self, df: DataFrame, dedupe: bool = False) -> str:
+    def bulk_insert(
+        self, df: DataFrame, dedupe: bool = False, extra_stats: dict | None = None
+    ) -> str:
         """First/full load, no merge pass (§2a #8). ``dedupe=True`` adds
         the precombine pass that plain bulk_insert skips (the pitfall
         called out at glue/HudiConnectorGlueJob.py:85-87)."""
@@ -693,9 +714,15 @@ class KeyedTable:
         if dedupe:
             df = self._precombine(df)
         self.save_meta()
-        files, nrows = self._write_files(df, M.next_commit_id(self.path))
+        cid = M.next_commit_id(self.path)
+        files, nrows = self._write_files(df, cid)
         self._commit(
-            "bulk_insert", files, df.schema, rows=nrows, extra_stats=qstats
+            "bulk_insert",
+            files,
+            df.schema,
+            rows=nrows,
+            extra_stats={**(extra_stats or {}), **(qstats or {})} or None,
+            cid=cid,
         )
         return self.commits()[-1]
 
@@ -739,7 +766,7 @@ class KeyedTable:
         batch, maintained = self._maintain_vector_index(
             batch, (man.stats or {}).get("vector_index")
         )
-        cid = M.next_commit_id(self.path)
+        cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(batch, cid, maintained)
         if self.partition_by:
             replaced = {
@@ -756,6 +783,7 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(replaced) if replaced is not None else ["<all>"],
+            cid=cid,
             extra_stats=(
                 {
                     **(qstats or {}),
@@ -777,7 +805,10 @@ class KeyedTable:
         carries every untouched file forward.
         """
         if not self.exists():
-            return self.bulk_insert(batch, dedupe=True)
+            # the fallback must not drop the caller's commit stats —
+            # a streaming maintainer's idempotency ledger stamps its
+            # applied version on the FIRST batch too
+            return self.bulk_insert(batch, dedupe=True, extra_stats=extra_stats)
         batch = self._derive(batch)
         self._require_columns(batch, "upsert batch")
         batch, qstats = self._enforce(batch, "upsert")
@@ -862,7 +893,7 @@ class KeyedTable:
         )
         if maintained is not None:
             extra_stats = {**(extra_stats or {}), "vector_index": maintained}
-        cid = M.next_commit_id(self.path)
+        cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
@@ -876,6 +907,7 @@ class KeyedTable:
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats=extra_stats,
+            cid=cid,
         )
         return self.commits()[-1]
 
@@ -892,8 +924,12 @@ class KeyedTable:
         staged by a failed attempt are orphaned, flagged by
         :meth:`validate`, and reclaimed by :meth:`clean` — the manifest
         protocol never references them, so they cost bytes, not
-        correctness. This is the loop a multi-writer 100 TB deployment
-        runs; single-writer pipelines can call :meth:`upsert` directly."""
+        correctness. Under ``on_violation='quarantine'`` a lost race
+        re-quarantines the same violators under the retry's commit id
+        (the quarantine is an append-only audit log, not transactional
+        state — triage on distinct keys). This is the loop a
+        multi-writer 100 TB deployment runs; single-writer pipelines
+        can call :meth:`upsert` directly."""
         last: Exception | None = None
         for _ in range(max(1, retries + 1)):
             try:
@@ -929,7 +965,7 @@ class KeyedTable:
         # deleting rows never invalidates the survivors' index
         # assignments — carry the vector index forward untouched
         vidx = (man.stats or {}).get("vector_index")
-        cid = M.next_commit_id(self.path)
+        cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(remaining, cid, vidx)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
@@ -943,6 +979,7 @@ class KeyedTable:
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats={"vector_index": vidx} if vidx is not None else None,
+            cid=cid,
         )
         return self.commits()[-1]
 
@@ -989,6 +1026,7 @@ class KeyedTable:
                 "dropped_partitions": sorted(drop),
                 **({"vector_index": vidx} if vidx is not None else {}),
             },
+            cid=M.child_id(man.commit_id),
         )
         return self.commits()[-1]
 
@@ -1013,6 +1051,13 @@ class KeyedTable:
                 f"cannot SET key/partition column(s) {sorted(bad)}; "
                 "use delete + upsert to move or re-key rows"
             )
+        gen = set(self.derived_cols or {}) & set(set_exprs)
+        if gen:
+            raise ValueError(
+                f"cannot SET generated column(s) {sorted(gen)}: they are "
+                "owned by their generation rule — SET the rule's inputs "
+                "and the column recomputes"
+            )
 
         man = M.read_manifest(self.path)
         if man is not None:
@@ -1028,7 +1073,7 @@ class KeyedTable:
                 )
 
         def transform(rows: DataFrame, hit, schema) -> DataFrame:
-            return rows.select(
+            out = rows.select(
                 *[
                     (
                         F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
@@ -1040,6 +1085,15 @@ class KeyedTable:
                     for f in schema.fields
                 ]
             )
+            # generated columns recompute for the updated rows (a SET
+            # of a rule INPUT — e.g. ts under day=to_date(ts) — must
+            # not leave the stored column drifted from its rule; a
+            # recomputed partition key relocates the row on write)
+            for name, rule in (self.derived_cols or {}).items():
+                out = out.withColumn(
+                    name, F.when(hit, F.expr(rule)).otherwise(F.col(name))
+                )
+            return out
 
         # a SET that doesn't touch the index's vector/assignment
         # columns can't invalidate any assignment → carry the index
@@ -1052,7 +1106,8 @@ class KeyedTable:
             if icols & set(set_exprs):
                 vidx = None  # index columns rewritten → honest drop
         return self._rewrite_where(
-            spark, predicate, transform, "update_where", vidx=vidx
+            spark, predicate, transform, "update_where", vidx=vidx,
+            enforce_updated=True,
         )
 
     def delete_where(self, spark: SparkSession, predicate) -> str:
@@ -1073,7 +1128,13 @@ class KeyedTable:
         )
 
     def _rewrite_where(
-        self, spark, predicate, transform, op: str, vidx: dict | None = None
+        self,
+        spark,
+        predicate,
+        transform,
+        op: str,
+        vidx: dict | None = None,
+        enforce_updated: bool = False,
     ) -> str:
         """Shared predicate-DML scaffold: find partitions holding rows
         the predicate selects (NULL = not selected), rewrite ONLY those
@@ -1108,7 +1169,27 @@ class KeyedTable:
             existing_touched = existing
 
         rewritten = transform(existing_touched, hit, existing.schema)
-        cid = M.next_commit_id(self.path)
+        if enforce_updated and self.constraints:
+            # UPDATE must not write constraint-violating rows (Delta
+            # CHECK-on-update semantics) — mode-independent: dropping
+            # or quarantining an UPDATED row would delete data
+            checks = [
+                (n, F.coalesce(F.expr(e), F.lit(True)))
+                for n, e in sorted(self.constraints.items())
+            ]
+            preview = transform(
+                existing_touched.filter(hit), F.lit(True), existing.schema
+            )
+            row = preview.select(
+                [F.sum((~c).cast("long")).alias(n) for n, c in checks]
+            ).collect()[0]
+            bad = {n: row[n] for n, _ in checks if row[n]}
+            if bad:
+                raise ConstraintViolation(
+                    f"{op} would write rows violating CHECK "
+                    f"constraint(s) {bad}"
+                )
+        cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(rewritten, cid, vidx)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
@@ -1122,6 +1203,7 @@ class KeyedTable:
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats={"vector_index": vidx} if vidx is not None else None,
+            cid=cid,
         )
         return self.commits()[-1]
 
@@ -1352,7 +1434,7 @@ class KeyedTable:
         # re-layout moves rows, never changes them — carry the index
         man0 = M.read_manifest(self.path)
         vidx = ((man0.stats or {}) if man0 else {}).get("vector_index")
-        cid = M.next_commit_id(self.path)
+        cid = M.child_id(man0.commit_id) if man0 else M.next_commit_id(self.path)
         self.partition_by = new_pb
         # The restore guard covers the COMMIT too: if the manifest write
         # fails after the data write, the in-memory/metadata layout must
@@ -1371,6 +1453,7 @@ class KeyedTable:
                     "previous_partition_by": old_pb or [],
                     **({"vector_index": vidx} if vidx is not None else {}),
                 },
+                cid=cid,
             )
         except Exception:
             self.partition_by = old_pb
@@ -1390,6 +1473,7 @@ class KeyedTable:
         man = M.read_manifest(self.path, to_commit)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
+        head = M.read_manifest(self.path)
         # restore the layout the target commit's files were written
         # under (recorded in every manifest's stats since partition
         # evolution landed; a pre-evolution target without the stat
@@ -1402,7 +1486,7 @@ class KeyedTable:
             target_pb if target_pb is not None else (self.partition_by or [])
         )
         new = M.Manifest(
-            commit_id=M.next_commit_id(self.path),
+            commit_id=M.child_id(head.commit_id),
             op="rollback",
             ts=M.utc_now_iso(),
             files=man.files,
@@ -1517,7 +1601,7 @@ class KeyedTable:
         merged, maintained = self._maintain_vector_index(
             merged, (man.stats or {}).get("vector_index")
         )
-        cid = M.next_commit_id(self.path)
+        cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
         carried = (
             [f for f in man.files if M.partition_of(f) not in touched]
@@ -1537,6 +1621,7 @@ class KeyedTable:
                 }
                 or None
             ),
+            cid=cid,
         )
         return self.commits()[-1]
 
@@ -1579,14 +1664,33 @@ class KeyedTable:
         with open(self._savepoints_path, "w") as f:
             json.dump(sorted(sp), f)
 
-    def clean(self, retain_commits: int = 10) -> list[str]:
+    def clean(
+        self, retain_commits: int = 10, orphan_grace_s: float = 0.0
+    ) -> list[str]:
         """Cleaner (↦ KEEP_LATEST_COMMITS, commits.retained=10,
         glue/HudiJarGlueJob.py:83): drop manifests older than the last
         ``retain_commits`` and physically delete data files no retained
         manifest references — except commits pinned by
         :meth:`savepoint`, which are retained (manifest, shards, and
         files) regardless of the window. Time travel further back stops
-        working — same trade as Hudi's cleaner."""
+        working — same trade as Hudi's cleaner.
+
+        CONCURRENCY: an in-flight writer's staged data files and shards
+        look like orphans until its commit JSON links — run clean from
+        the single table-service process (Hudi's cleaner has the same
+        contract without a lock provider), or set ``orphan_grace_s``
+        beyond your longest write: unreferenced files younger than the
+        grace are kept (the Delta VACUUM retention idiom)."""
+        import time as _time
+
+        now = _time.time()
+
+        def _grace(p: str) -> bool:
+            return (
+                orphan_grace_s > 0
+                and now - os.path.getmtime(p) < orphan_grace_s
+            )
+
         ids = self.commits()
         pinned = set(self.savepoints())
         keep = [c for c in ids if c in set(ids[-retain_commits:]) | pinned]
@@ -1601,13 +1705,17 @@ class KeyedTable:
         for dirpath, _dirs, files in os.walk(ddir):
             for fn in files:
                 rel = os.path.relpath(os.path.join(dirpath, fn), ddir)
+                p = os.path.join(dirpath, fn)
                 if rel.endswith(B.SIDECAR_SUFFIX):
                     # a bloom sidecar lives and dies with its data file
-                    if rel[: -len(B.SIDECAR_SUFFIX)] not in referenced:
-                        os.unlink(os.path.join(dirpath, fn))
+                    if (
+                        rel[: -len(B.SIDECAR_SUFFIX)] not in referenced
+                        and not _grace(p)
+                    ):
+                        os.unlink(p)
                     continue
-                if rel not in referenced:
-                    os.unlink(os.path.join(dirpath, fn))
+                if rel not in referenced and not _grace(p):
+                    os.unlink(p)
                     removed.append(rel)
         for cid in drop:
             os.unlink(os.path.join(M.commits_dir(self.path), cid + ".json"))
@@ -1617,8 +1725,9 @@ class KeyedTable:
         mdir = M.manifests_dir(self.path)
         if os.path.isdir(mdir):
             for fn in os.listdir(mdir):
-                if fn not in live_shards:
-                    os.unlink(os.path.join(mdir, fn))
+                p = os.path.join(mdir, fn)
+                if fn not in live_shards and not _grace(p):
+                    os.unlink(p)
         # prune now-empty partition dirs
         for dirpath, dirs, files in os.walk(ddir, topdown=False):
             if dirpath != ddir and not dirs and not files:
@@ -1709,7 +1818,7 @@ class KeyedTable:
         # a registered vector index stays valid (and the index-aware
         # write keeps per-file cell stats on the compacted files)
         vidx = (man.stats or {}).get("vector_index")
-        cid = M.next_commit_id(self.path)
+        cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(
             binned, cid, vidx, repartition=False
         )
@@ -1721,6 +1830,7 @@ class KeyedTable:
             rows=nrows,
             rewritten=sorted(str(p) for p in todo),
             extra_stats={"vector_index": vidx} if vidx is not None else None,
+            cid=cid,
         )
         return self.commits()[-1]
 
@@ -1770,6 +1880,7 @@ class KeyedTable:
                 "dropped_cols": sorted(set(cols)),
                 **({"vector_index": vidx} if vidx is not None else {}),
             },
+            cid=M.child_id(man.commit_id),
         )
         return self.commits()[-1]
 
@@ -1845,13 +1956,14 @@ class KeyedTable:
         if cell not in prev_stats:
             self.stats_cols = prev_stats + [cell]
         try:
-            cid = M.next_commit_id(self.path)
+            cid = M.child_id(M.read_manifest(self.path).commit_id)
             files, nrows = self._write_files(clustered, cid, repartition=False)
             self._commit(
                 "index",
                 files,
                 clustered.schema,
                 rows=nrows,
+                cid=cid,
                 extra_stats={
                     "vector_index": {
                         "kind": "ivf",
@@ -1922,13 +2034,14 @@ class KeyedTable:
         clustered = indexed.repartitionByRange(
             max(2, min(2**n_planes, 64)), F.col(bucket_cols[0])
         ).sortWithinPartitions(bucket_cols[0])
-        cid = M.next_commit_id(self.path)
+        cid = M.child_id(M.read_manifest(self.path).commit_id)
         files, nrows = self._write_files(clustered, cid, repartition=False)
         self._commit(
             "index",
             files,
             clustered.schema,
             rows=nrows,
+            cid=cid,
             extra_stats={
                 "vector_index": {
                     "kind": "lsh",
@@ -2133,8 +2246,17 @@ class KeyedTable:
         in :meth:`_commit` is the publish point).
 
         ``repartition=False`` trusts the caller's partitioning (used by
-        :meth:`optimize`, which bins rows by target file size first)."""
-        stage = os.path.join(self.path, ".tmp", commit_id)
+        :meth:`optimize`, which bins rows by target file size first).
+
+        File names carry a per-writer random token: two writers racing
+        the SAME planned commit id must never overwrite each other's
+        staged bytes, or the link-race winner could publish a manifest
+        referencing the loser's contents. The loser's uniquely-named
+        files stay orphaned (never referenced) until clean()."""
+        import uuid
+
+        token = uuid.uuid4().hex[:8]
+        stage = os.path.join(self.path, ".tmp", f"{commit_id}-{token}")
         shutil.rmtree(stage, ignore_errors=True)
         # INT96 (Spark's default parquet timestamp encoding) carries no
         # min/max statistics — write MICROS so timestamp stats_cols can
@@ -2164,7 +2286,7 @@ class KeyedTable:
                 rel_dir = "" if rel_dir == "." else rel_dir
                 dest_dir = os.path.join(ddir, rel_dir)
                 os.makedirs(dest_dir, exist_ok=True)
-                new_name = f"{commit_id}-{i:05d}.parquet"
+                new_name = f"{commit_id}-{token}-{i:05d}.parquet"
                 dest = os.path.join(dest_dir, new_name)
                 os.replace(os.path.join(dirpath, fn), dest)
                 rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
@@ -2192,7 +2314,7 @@ class KeyedTable:
                     )
                 moved.append(rel)
                 i += 1
-        shutil.rmtree(os.path.join(self.path, ".tmp"), ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
         return moved, nrows
 
     def _commit(
@@ -2203,6 +2325,7 @@ class KeyedTable:
         rows: int,
         rewritten=None,
         extra_stats: dict | None = None,
+        cid: str | None = None,
     ) -> None:
         # Inline stats cover ONLY the files this commit just wrote;
         # carried-forward files keep their stats inside the manifest
@@ -2233,8 +2356,13 @@ class KeyedTable:
         }
         if retired:
             stats["retired_cols"] = sorted(retired)
+        # Publish under the PLANNED id (child of the snapshot this
+        # commit was computed against) when the caller provides it:
+        # re-reading the head here would let a rival's interleaved
+        # commit be silently clobbered out of the new snapshot instead
+        # of raising ConcurrentCommitError (lost update).
         man = M.Manifest(
-            commit_id=M.next_commit_id(self.path),
+            commit_id=cid or M.next_commit_id(self.path),
             op=op,
             ts=M.utc_now_iso(),
             files=sorted(files),

@@ -371,6 +371,17 @@ def next_commit_id(root: str) -> str:
     return f"{nxt:08d}"
 
 
+def child_id(commit_id: str) -> str:
+    """The commit id that must FOLLOW ``commit_id`` — what a writer that
+    planned against that snapshot publishes under. Publishing under the
+    planned parent's child (instead of re-reading the head at publish
+    time) is what makes the optimistic-concurrency check sound: if a
+    rival committed meanwhile, the child id is taken and the hard-link
+    publish raises ConcurrentCommitError instead of silently clobbering
+    the rival's files out of the new snapshot (lost update)."""
+    return f"{int(commit_id) + 1:08d}"
+
+
 def read_manifest(root: str, commit_id: str | None = None) -> Manifest | None:
     ids = list_commit_ids(root)
     if not ids:
@@ -420,9 +431,11 @@ def shard_file_set(root: str, name: str) -> frozenset:
 
 def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
     """rows: (file, col|None, rows|None, stats-[min,max]|None) → typed
-    parquet. Written to a temp name then renamed; an orphan from a
-    crashed commit is GC'd by clean() and may be safely overwritten by
-    the retry of the same commit id (the JSON link is the real lock)."""
+    parquet. Written to a temp name then renamed; shard names are
+    unique per writer attempt (commit id + random token), so racers
+    and retries never overwrite each other's staged shards — orphans
+    from crashed/lost attempts are GC'd by clean(); the JSON link is
+    the real lock."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -575,8 +588,15 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         def rows_of(f: str):
             return inline_rows.get(f)
 
+        # shard names carry a per-writer random token (same reason as
+        # data files: two writers racing one commit id must not
+        # overwrite each other's staged shards; the loser's stay
+        # orphaned until clean())
+        import uuid
+
+        token = uuid.uuid4().hex[:8]
         for k, group in enumerate(_group_delta(delta)):
-            name = f"{manifest.commit_id}-{k:04d}.parquet"
+            name = f"{manifest.commit_id}-{token}-{k:04d}.parquet"
             _write_shard(root, name, _stats_rows(group, stats_of, rows_of))
             chosen.append(name)
         manifest.shards = sorted(chosen)

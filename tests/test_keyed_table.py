@@ -1218,3 +1218,36 @@ def test_savepoint_survives_clean(spark, tmppath):
     assert tbl.validate() == []
     with pytest.raises(ValueError):
         tbl.release_savepoint("00000042")
+
+
+def test_update_where_respects_rules_and_constraints(spark, tmp_path):
+    """update_where participates in the ingest-gate invariants: a SET
+    of a generated column's INPUT recomputes the column (and relocates
+    the row's partition); SET of the generated column itself is
+    refused; an update that would write constraint-violating rows
+    raises instead of landing them."""
+    from hudi_glue_spark.table.keyed_table import ConstraintViolation
+
+    t = KeyedTable(str(tmp_path / "ur"), key="pk", precombine="ets",
+                   partition_by="day",
+                   derived_cols={"day": "to_date(ets)"},
+                   constraints={"nonneg": "v >= 0"})
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, v=1.0, ets=ts(1)), Row(pk=2, v=2.0, ets=ts(2))]
+    ))
+
+    # day is refused twice over: partition column AND generated column
+    with pytest.raises(ValueError, match="day"):
+        t.update_where(spark, {"day": "to_date(ets)"}, "pk = 1")
+
+    with pytest.raises(ConstraintViolation, match="nonneg"):
+        t.update_where(spark, {"v": "-9.0"}, "pk = 1")
+    assert {r.v for r in t.read(spark).collect()} == {1.0, 2.0}  # nothing landed
+
+    # SET ts moves pk=1 to a recomputed day partition, no drift, no ghost
+    t.update_where(spark, {"ets": "ets + interval 7 days"}, "pk = 1")
+    snap = t.read(spark)
+    assert snap.filter("to_date(ets) <> day").count() == 0
+    got = {r.pk: str(r.day) for r in snap.collect()}
+    assert got == {1: "2026-01-08", 2: "2026-01-02"}
+    assert snap.count() == 2

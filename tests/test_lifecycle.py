@@ -225,3 +225,49 @@ def test_upsert_with_retry_rereads_rival_snapshot(spark, tmp_path, monkeypatch):
     t.clean(retain_commits=1)
     assert [p for p in t.validate() if "orphan" in p] == []
     assert {r.pk for r in t.read(spark).collect()} == {1, 2, 3}
+
+
+def test_rival_commit_during_merge_window_detected(spark, tmp_path, monkeypatch):
+    """The lost-update guard: a rival that publishes BETWEEN the
+    writer's snapshot read and its publish must surface as
+    ConcurrentCommitError (writer publishes under the PLANNED child id,
+    which the rival has taken) — never be silently clobbered out of
+    the next snapshot. The retry then re-merges against the rival's
+    head, so the rival's rows survive."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "racewin")
+    t = KeyedTable(root, key="pk", precombine="v")
+    t.bulk_insert(spark.createDataFrame([Row(pk=1, v=1.0)]))
+
+    orig = KeyedTable._write_files
+    fired = {}
+
+    def write_with_rival(self, df, cid, repartition=True):
+        out = orig(self, df, cid, repartition)
+        if self.path == root and not fired:
+            fired["x"] = 1
+            # rival: a full writer that read the SAME head and
+            # publishes first (adds pk=99)
+            rival = KeyedTable(root, key="pk", precombine="v")
+            monkeypatch.setattr(KeyedTable, "_write_files", orig)
+            try:
+                rival.upsert(spark.createDataFrame([Row(pk=99, v=9.0)]))
+            finally:
+                monkeypatch.setattr(KeyedTable, "_write_files", write_with_rival)
+        return out
+
+    monkeypatch.setattr(KeyedTable, "_write_files", write_with_rival)
+    t.upsert_with_retry(spark.createDataFrame([Row(pk=2, v=2.0)]))
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    # BOTH writers' rows present — the rival was not clobbered
+    got = {r.pk: r.v for r in t.read(spark).collect()}
+    assert got == {1: 1.0, 2: 2.0, 99: 9.0}
+    ops = [M.read_manifest(root, c).op for c in t.commits()]
+    assert ops.count("upsert") == 2
+    t.clean(retain_commits=1)
+    assert t.validate() == []
