@@ -223,3 +223,71 @@ def test_stream_ingest_checkpoint_idempotent(spark, workdir):
     q2.awaitTermination(120)
     assert len(tbl.commits()) == n_commits
     assert tbl.read(spark).count() == n_rows
+
+
+def test_streaming_ivm_crash_replay_idempotent(spark, workdir):
+    """At-least-once replay safety of the commit-stats idempotency
+    ledger (the stream_cdf_agg_maintenance pattern): the maintainer
+    CRASHES after its upsert lands but before the checkpoint commits
+    the offset, so the restart REPLAYS that micro-batch — and the
+    ledger must skip it instead of double-applying. An interleaved
+    NON-stamping commit (a rollback here) must not reset the ledger:
+    max_stat scans all retained commits, not just the head."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    staging = f"{workdir}/deltas"
+    os.makedirs(staging)
+    for i, rows in enumerate([[(1, 10.0), (2, 5.0)], [(1, 3.0)]]):
+        tmp = f"{workdir}/d{i}"
+        spark.createDataFrame(rows, "user_id int, v double").coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{staging}/f{i}.parquet")
+        os.utime(f"{staging}/f{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    view = KeyedTable(f"{workdir}/view", key="user_id", precombine="ver")
+    view.bulk_insert(
+        spark.createDataFrame([(1, 0.0, 0)], "user_id int, s double, ver long")
+    )
+    crash = {"armed": True}
+
+    def apply(batch, bid):
+        applied = view.max_stat("applied_ver")
+        if bid + 1 <= applied:
+            return
+        delta = batch.groupBy("user_id").agg(F.sum("v").alias("dv"))
+        cur = view.read(spark).select("user_id", "s")
+        merged = delta.join(cur, "user_id", "left").select(
+            "user_id",
+            (F.coalesce("s", F.lit(0.0)) + F.col("dv")).alias("s"),
+            F.lit(bid + 1).cast("long").alias("ver"),
+        )
+        view.upsert(merged, extra_stats={"applied_ver": bid + 1})
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after commit, before checkpoint")
+
+    def run():
+        return (
+            stream_parquet(spark, staging, max_files_per_trigger=1)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = run()
+    with pytest.raises(Exception, match="injected crash"):
+        q1.awaitTermination(120)
+
+    # interleaved non-stamping maintenance commit on the view
+    view.rollback(view.commits()[-1])
+    assert view.latest_stats().get("applied_ver") is None  # head unstamped
+    assert view.max_stat("applied_ver") == 1  # ledger still visible
+
+    q2 = run()
+    assert q2.awaitTermination(180)
+    got = {r.user_id: r.s for r in view.read(spark).collect()}
+    assert got == {1: 13.0, 2: 5.0}  # batch0 applied ONCE, batch1 applied
