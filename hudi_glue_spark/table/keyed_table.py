@@ -532,6 +532,23 @@ class KeyedTable:
         )
         return df.select(self._conform(df, schema)).filter(cond)
 
+    def partitions_df(self, spark: SparkSession, at: str | None = None) -> DataFrame:
+        """Per-partition rollup of the snapshot's metadata — the
+        Iceberg ``table.partitions`` metadata table: one row per Hive
+        partition dir with its live file count and metadata row count,
+        computed entirely from the manifest shards (zero data I/O).
+        The operational "is this partition skewed / tiny-filed /
+        oversized" question as one SQL-able DataFrame."""
+        meta = self.files_df(spark, at)
+        return (
+            meta.filter(F.col("col").isNull())
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum("rows").cast("long").alias("n_rows"),
+            )
+        )
+
     def count_rows_metadata(self, at: str | None = None) -> int | None:
         """Exact ``SELECT count(*)`` from manifest metadata alone — no
         data-file I/O, the Iceberg metadata-aggregate pushdown. Every

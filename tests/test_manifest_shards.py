@@ -353,3 +353,21 @@ def test_shard_protocol_invariants_random_ops(spark, tmp_path):
         snapshots[head] = dict(model)
         check()
     assert t.validate() == [] or all("orphan" in p for p in t.validate())
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """partitions_df: per-partition file/row rollup straight from the
+    manifest shards, tracking mutations, with zero data-file I/O."""
+    t = _mk(spark, str(tmp_path / "t"))
+    got = {
+        r.partition: (r.n_files, r.n_rows)
+        for r in t.partitions_df(spark).collect()
+    }
+    assert set(got) == {"day=a", "day=b", "day=c"}
+    assert sum(v[1] for v in got.values()) == 12
+    t.upsert(_batch(spark, [(50, "b", 50, None)]))
+    got2 = {r.partition: r.n_rows for r in t.partitions_df(spark).collect()}
+    assert got2["day=b"] == 5 and got2["day=a"] == 4
+    # metadata-only: the plan reads shards, not data
+    meta = t.partitions_df(spark)
+    assert all(f"{os.sep}_manifests{os.sep}" in p for p in meta.inputFiles())
