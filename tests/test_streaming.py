@@ -291,3 +291,55 @@ def test_streaming_ivm_crash_replay_idempotent(spark, workdir):
     assert q2.awaitTermination(180)
     got = {r.user_id: r.s for r in view.read(spark).collect()}
     assert got == {1: 13.0, 2: 5.0}  # batch0 applied ONCE, batch1 applied
+
+
+def test_streaming_ingest_maintains_vector_index(spark, workdir):
+    """A file stream upserting into an INDEXED table inherits index
+    maintenance per micro-batch (foreachBatch → upsert assigns each
+    batch's rows from the stored centroids and carries the
+    registration), so after the stream drains, indexed search equals a
+    from-scratch rebuild — the standing-ingest ANN story, end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hudi_glue_spark.operators import similarity as S
+    from hudi_glue_spark.queries import table as read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    late = emb.filter(F.col("vec_id") % 5 == 3)
+
+    tbl = KeyedTable(f"{workdir}/vtbl", key="vec_id", precombine="vec_id")
+    tbl.bulk_insert(base)
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", n_centroids=4)
+    tbl.build_ivf_index(spark, "embedding", centroids=cents)
+
+    # stage the late rows as two stream files
+    staging = f"{workdir}/vstage"
+    os.makedirs(staging)
+    halves = [late.filter(F.col("vec_id") % 2 == k) for k in (0, 1)]
+    for i, h in enumerate(halves):
+        tmp = f"{workdir}/vh{i}"
+        h.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{staging}/f{i}.parquet")
+        os.utime(f"{staging}/f{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    q = stream_ingest(
+        tbl,
+        stream_parquet(spark, staging, max_files_per_trigger=1),
+        f"{workdir}/vckpt",
+    )
+    assert q.awaitTermination(180)
+
+    # maintained through BOTH micro-batches: registration live, every
+    # row assigned, search == rebuild
+    assert tbl.vector_index() is not None
+    assert tbl.read(spark).filter(F.col("__cid").isNull()).count() == 0
+    queries = emb.filter(F.col("vec_id") < 3)
+    maintained = S.ivf_search_indexed(spark, tbl, queries, "vec_id", k=5)
+    m_rows = sorted(map(tuple, maintained.collect()))
+    tbl.build_ivf_index(spark, "embedding", centroids=cents)
+    rebuilt = S.ivf_search_indexed(spark, tbl, queries, "vec_id", k=5)
+    assert m_rows == sorted(map(tuple, rebuilt.collect()))
