@@ -2172,6 +2172,45 @@ class KeyedTable:
             return None
         return (man.stats or {}).get("vector_index")
 
+    def index_staleness(self, max_cells_per_file: int = 2) -> dict | None:
+        """Clustering-quality signal for a maintained IVF index
+        (metadata-only): maintenance keeps the index CORRECT but each
+        maintaining commit's files mix cells (wide ``__cid`` ranges),
+        which loosens the manifest file skipping ``build_ivf_index``'s
+        range-clustering provides. Returns, from the manifest alone:
+
+        - ``files_total`` / ``files_wide`` — live files whose recorded
+          cell range spans more than ``max_cells_per_file`` cells (or
+          lacks cell stats entirely),
+        - ``stale_fraction`` — files_wide / files_total,
+        - ``recommend_recluster`` — True when a probe would open more
+          than ~2x the fraction of files a fresh clustering would.
+
+        None when no vector index (or a non-IVF one) is registered.
+        The scheduling loop at 100 TB: upsert freely, watch this
+        number, re-run ``build_ivf_index`` when it crosses the line —
+        the same trade as Delta's OPTIMIZE cadence."""
+        vidx = self.vector_index()
+        if vidx is None or vidx.get("kind") != "ivf":
+            return None
+        man = M.read_manifest(self.path)
+        assert man is not None
+        cell = vidx["cell_col"]
+        fs = man.file_stats
+        total = len(man.files)
+        wide = 0
+        for f in man.files:
+            st = fs.get(f, {}).get(cell)
+            if st is None or (st[1] - st[0] + 1) > max_cells_per_file:
+                wide += 1
+        frac = (wide / total) if total else 0.0
+        return {
+            "files_total": total,
+            "files_wide": wide,
+            "stale_fraction": frac,
+            "recommend_recluster": frac > 0.5,
+        }
+
     # -- internals ---------------------------------------------------------
 
     def _precombine(self, df: DataFrame) -> DataFrame:

@@ -1251,3 +1251,42 @@ def test_update_where_respects_rules_and_constraints(spark, tmp_path):
     got = {r.pk: str(r.day) for r in snap.collect()}
     assert got == {1: "2026-01-08", 2: "2026-01-02"}
     assert snap.count() == 2
+
+
+def test_index_staleness_signal(spark, tmp_path):
+    """index_staleness: fresh build reads tight (no recluster), a
+    maintaining upsert widens the new files' cell ranges and moves the
+    signal, and a rebuild resets it — the metadata-only scheduling
+    loop for re-clustering."""
+    import random
+
+    from hudi_glue_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    rows = [
+        Row(pk=i, update_ts=ts(10),
+            embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(64)
+    ]
+    t = KeyedTable(str(tmp_path / "st"), key="pk", precombine="update_ts")
+    t.bulk_insert(spark.createDataFrame(rows))
+    assert t.index_staleness() is None  # no index yet
+    cents = S.ivf_centroids(t.read(spark), "pk", "embedding", n_centroids=4)
+    t.build_ivf_index(spark, "embedding", centroids=cents)
+    fresh = t.index_staleness()
+    assert fresh is not None and fresh["stale_fraction"] <= 0.5
+
+    # unpartitioned maintaining upsert rewrites everything mixed-cell
+    t.upsert(spark.createDataFrame(
+        [Row(pk=100 + i, update_ts=ts(11),
+             embedding=[rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(8)]
+    ))
+    stale = t.index_staleness()
+    assert stale["stale_fraction"] >= fresh["stale_fraction"]
+    assert stale["recommend_recluster"] is True
+
+    t.build_ivf_index(spark, "embedding", centroids=cents)
+    again = t.index_staleness()
+    assert again["stale_fraction"] <= 0.5
+    assert again["recommend_recluster"] is False
