@@ -116,7 +116,28 @@ def build(keys: list[str]) -> dict:
 
 
 def _decode(bloom: dict) -> np.ndarray:
+    if "arr" in bloom:  # already-decoded bits (manifest-shard path)
+        return bloom["arr"]
     return np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+
+
+def to_bytes(bloom: dict) -> bytes:
+    """Compact binary form for manifest-shard storage: 8-byte header
+    (m uint32, k uint16, pad) + raw filter bits — no base64 overhead."""
+    import struct
+
+    return struct.pack("<IHH", bloom["m"], bloom["k"], 0) + _decode(bloom).tobytes()
+
+
+def from_bytes(raw: bytes) -> dict:
+    import struct
+
+    m, k, _pad = struct.unpack("<IHH", raw[:8])
+    return {
+        "m": m,
+        "k": k,
+        "arr": np.frombuffer(raw[8:], dtype=np.uint8),
+    }
 
 
 def contains_any(bloom: dict, keys: list[str]) -> bool:

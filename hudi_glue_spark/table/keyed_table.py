@@ -197,6 +197,7 @@ class KeyedTable:
         # field: per-instance transient)
         self._pending_stats: dict = {}
         self._pending_rows: dict = {}
+        self._pending_blooms: dict = {}
         # decoded bloom sidecars by data-file name. Data files are
         # immutable once committed (rewrites produce NEW names), so a
         # decoded sidecar never goes stale; caching turns repeated
@@ -449,19 +450,19 @@ class KeyedTable:
             lambda f: man.file_rows.get(f),
         )
         enc = [
-            (f, c, n, *(M._encode(mm[0]) if mm else (None, None, None)),
+            (f, c, n, bl, *(M._encode(mm[0]) if mm else (None, None, None)),
              *(M._encode(mm[1]) if mm else (None, None, None)))
-            for f, c, n, mm in rows
+            for f, c, n, bl, mm in rows
         ]
         df = spark.createDataFrame(
             enc,
-            "file string, col string, rows long, "
+            "file string, col string, rows long, bloom binary, "
             "min_i long, min_f double, min_s string, "
             "max_i long, max_f double, max_s string",
         )
         return df.select(
-            "file", "col", "rows", "min_i", "max_i", "min_f", "max_f",
-            "min_s", "max_s", part,
+            "file", "col", "rows", "bloom", "min_i", "max_i", "min_f",
+            "max_f", "min_s", "max_s", part,
         )
 
     def read_isin(self, spark: SparkSession, col: str, values: list) -> DataFrame:
@@ -494,9 +495,13 @@ class KeyedTable:
         assert man is not None
         ddir = M.data_dir(self.path)
         want = [B.key_string((k,)) for k in keys]
+        # fast path: blooms from the manifest shards — ONE columnar
+        # metadata load for the whole snapshot, no per-file sidecar
+        # opens (at 800k files the sidecar walk is 800k tiny reads)
+        shard_blooms = man.file_blooms if man.shards is not None else {}
         keep: list[str] = []
         for f in man.files:
-            bl = self._bloom_cache.get(f)
+            bl = shard_blooms.get(f) or self._bloom_cache.get(f)
             if bl is None:
                 bl = B.read_sidecar(os.path.join(ddir, f))
                 if bl is not None:
@@ -2355,19 +2360,27 @@ class KeyedTable:
                 if self.key_bloom:
                     # one key-column read of the just-written LOCAL file;
                     # on a real cluster this belongs executor-side at
-                    # write time (Hudi keeps it in the parquet footer)
+                    # write time (Hudi keeps it in the parquet footer).
+                    # The filter is built ONCE and lands in BOTH the
+                    # sidecar (legacy/compat) and the manifest shard
+                    # (the fast path: one columnar metadata load per
+                    # lookup instead of a tiny file open per data file).
+                    import json as _json
+
                     import pyarrow.parquet as pq
 
                     kt = pq.read_table(dest, columns=self.key)
-                    B.write_sidecar(
-                        dest,
+                    bl = B.build(
                         [
                             B.key_string(vals)
                             for vals in zip(
                                 *[kt.column(c).to_pylist() for c in self.key]
                             )
-                        ],
+                        ]
                     )
+                    with open(dest + B.SIDECAR_SUFFIX, "w") as bf:
+                        _json.dump(bl, bf)
+                    self._pending_blooms[rel] = B.to_bytes(bl)
                 moved.append(rel)
                 i += 1
         shutil.rmtree(stage, ignore_errors=True)
@@ -2390,8 +2403,10 @@ class KeyedTable:
         prev = M.read_manifest(self.path)
         pending = self._pending_stats
         pending_rows = self._pending_rows
+        pending_blooms = self._pending_blooms
         self._pending_stats = {}
         self._pending_rows = {}
+        self._pending_blooms = {}
         # Retired (dropped) column names are carried forward into EVERY
         # subsequent manifest: the guard must survive clean() aging out
         # the drop_columns commit itself, because pre-drop files in
@@ -2426,6 +2441,9 @@ class KeyedTable:
             stats=stats,
             file_stats={f: pending[f] for f in files if f in pending},
             file_rows={f: pending_rows[f] for f in files if f in pending_rows},
+            file_blooms={
+                f: pending_blooms[f] for f in files if f in pending_blooms
+            },
         )
         M.write_manifest(self.path, man)
 

@@ -61,6 +61,7 @@ _SHARD_SCHEMA_COLS = [
     "file",
     "col",
     "rows",
+    "bloom",
     "min_i",
     "max_i",
     "min_f",
@@ -78,6 +79,7 @@ def _shard_schema():
             ("file", pa.string()),
             ("col", pa.string()),
             ("rows", pa.int64()),
+            ("bloom", pa.binary()),
             ("min_i", pa.int64()),
             ("max_i", pa.int64()),
             ("min_f", pa.float64()),
@@ -129,6 +131,7 @@ class Manifest:
         root: str | None = None,
         n_files: int | None = None,
         file_rows: dict | None = None,
+        file_blooms: dict | None = None,
     ):
         self.commit_id = commit_id
         self.op = op
@@ -140,6 +143,7 @@ class Manifest:
         self._files = files
         self._file_stats = file_stats
         self._file_rows = file_rows
+        self._file_blooms = file_blooms
         self._n_files = n_files
         self._shard_tbl = None  # cached concatenated arrow table
 
@@ -201,6 +205,31 @@ class Manifest:
                         out[f] = n
             self._file_rows = out
         return self._file_rows
+
+    @property
+    def file_blooms(self) -> dict:
+        """{rel_file: decoded key-bloom dict} from the shards' per-file
+        ``bloom`` bytes (the Hudi footer-bloom idiom moved into the
+        columnar manifest): a point lookup probes ONE metadata load
+        instead of opening a tiny sidecar per data file. Files written
+        without blooms (key_bloom off, legacy shards) are absent —
+        callers fall back to the sidecar, then to never-skip."""
+        if self._file_blooms is None:
+            from hudi_glue_spark.table import bloom as B
+
+            out: dict = {}
+            t = self.shard_table()
+            if t is not None:
+                import pyarrow.compute as pc
+
+                sub = t.filter(pc.is_null(t["col"]))
+                for f, raw in zip(
+                    sub["file"].to_pylist(), sub["bloom"].to_pylist()
+                ):
+                    if raw is not None:
+                        out[f] = B.from_bytes(raw)
+            self._file_blooms = out
+        return self._file_blooms
 
     def total_rows(self) -> int | None:
         """Exact snapshot row count from metadata alone — the
@@ -410,15 +439,21 @@ def _load_shard(root: str, name: str):
         if len(_SHARD_CACHE) > 1024:
             _SHARD_CACHE.clear()
         hit = pq.read_table(path)
+        import pyarrow as pa
+
         if "rows" not in hit.column_names:
             # shard written before per-file row counts: null-fill so
             # snapshots mixing shard generations still concat
-            import pyarrow as pa
-
             hit = hit.add_column(
                 2,
                 pa.field("rows", pa.int64()),
                 pa.nulls(len(hit), pa.int64()),
+            )
+        if "bloom" not in hit.column_names:
+            hit = hit.add_column(
+                3,
+                pa.field("bloom", pa.binary()),
+                pa.nulls(len(hit), pa.binary()),
             )
         _SHARD_CACHE[key] = hit
     return hit
@@ -475,10 +510,11 @@ def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
     mdir = manifests_dir(root)
     os.makedirs(mdir, exist_ok=True)
     cols: dict[str, list] = {c: [] for c in _SHARD_SCHEMA_COLS}
-    for f, c, n, mm in rows:
+    for f, c, n, bl, mm in rows:
         cols["file"].append(f)
         cols["col"].append(c)
         cols["rows"].append(n)
+        cols["bloom"].append(bl)
         lo = _encode(mm[0]) if mm is not None else (None, None, None)
         hi = _encode(mm[1]) if mm is not None else (None, None, None)
         for slot, v in zip(("min_i", "min_f", "min_s"), lo):
@@ -496,16 +532,24 @@ def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
             os.unlink(tmp)
 
 
-def _stats_rows(files: list[str], stats_of, rows_of=None) -> list[tuple]:
-    """One ``col IS NULL`` row per file carrying its footer row count,
-    plus one row per stats column."""
+def _stats_rows(files: list[str], stats_of, rows_of=None, bloom_of=None) -> list[tuple]:
+    """One ``col IS NULL`` row per file carrying its footer row count
+    and (optional) key-bloom bytes, plus one row per stats column."""
     rows: list[tuple] = []
     for f in files:
-        rows.append((f, None, rows_of(f) if rows_of else None, None))
+        rows.append(
+            (
+                f,
+                None,
+                rows_of(f) if rows_of else None,
+                bloom_of(f) if bloom_of else None,
+                None,
+            )
+        )
         st = stats_of(f)
         if st:
             for c in sorted(st):
-                rows.append((f, c, None, st[c]))
+                rows.append((f, c, None, None, st[c]))
     return rows
 
 
@@ -607,6 +651,7 @@ def write_manifest(root: str, manifest: Manifest) -> None:
 
         inline = dict(manifest._file_stats or {})
         inline_rows = dict(manifest._file_rows or {})
+        inline_blooms = dict(manifest._file_blooms or {})
         # Delta files whose stats/row counts the producer didn't hand
         # us inline (carried-forward survivors of broken shards)
         # recover them from the shards that still hold them — O(broken
@@ -631,6 +676,11 @@ def write_manifest(root: str, manifest: Manifest) -> None:
                     if c is None:
                         if cols["rows"][k] is not None and f not in inline_rows:
                             inline_rows[f] = cols["rows"][k]
+                        if (
+                            cols["bloom"][k] is not None
+                            and f not in inline_blooms
+                        ):
+                            inline_blooms[f] = cols["bloom"][k]
                         continue
                     if f in inline:
                         continue  # producer-supplied stats win
@@ -661,6 +711,16 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         def rows_of(f: str):
             return inline_rows.get(f)
 
+        def bloom_of(f: str):
+            b = inline_blooms.get(f)
+            if b is None:
+                return None
+            if isinstance(b, (bytes, bytearray)):
+                return bytes(b)
+            from hudi_glue_spark.table import bloom as B
+
+            return B.to_bytes(b)
+
         # shard names carry a per-writer random token (same reason as
         # data files: two writers racing one commit id must not
         # overwrite each other's staged shards; the loser's stay
@@ -670,7 +730,9 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         token = uuid.uuid4().hex[:8]
         for k, group in enumerate(_group_delta(delta)):
             name = f"{manifest.commit_id}-{token}-{k:04d}.parquet"
-            _write_shard(root, name, _stats_rows(group, stats_of, rows_of))
+            _write_shard(
+                root, name, _stats_rows(group, stats_of, rows_of, bloom_of)
+            )
             chosen.append(name)
         manifest.shards = sorted(chosen)
         manifest._n_files = len(new_files)

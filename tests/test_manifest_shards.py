@@ -371,3 +371,45 @@ def test_partitions_metadata_table(spark, tmp_path):
     # metadata-only: the plan reads shards, not data
     meta = t.partitions_df(spark)
     assert all(f"{os.sep}_manifests{os.sep}" in p for p in meta.inputFiles())
+
+
+def test_key_blooms_ride_manifest_shards(spark, tmp_path):
+    """Key blooms fold into the manifest shards (Hudi footer-bloom
+    idiom, §9 item 1): a point lookup probes one columnar metadata
+    load — deleting every sidecar must not change the pruned file set
+    — and carried-forward files keep their bloom bytes through shard
+    recovery on later commits."""
+    t = KeyedTable(
+        str(tmp_path / "b"), key="id", precombine="ts", partition_by="day",
+        stats_cols=["v"], key_bloom=True,
+    )
+    rows = [(d * 4 + i, day, d * 4 + i, None)
+            for d, day in enumerate("abc") for i in range(4)]
+    t.bulk_insert(_batch(spark, rows))
+    with_sidecars = t.files_with_keys([5])
+    assert len(with_sidecars) < len(M.read_manifest(t.path).files)
+
+    # nuke every sidecar: the manifest blooms alone must prune the same
+    ddir = M.data_dir(t.path)
+    n_side = 0
+    for dp, _dn, fs in os.walk(ddir):
+        for fn in fs:
+            if fn.endswith(".bloom"):
+                os.unlink(os.path.join(dp, fn))
+                n_side += 1
+    assert n_side > 0
+    t2 = KeyedTable.load(t.path)  # fresh instance: no sidecar cache
+    assert t2.files_with_keys([5]) == with_sidecars
+    got = {r.id for r in t2.read_keys(spark, [5]).collect()}
+    assert got == {5}
+
+    # an upsert breaks day=a's shard; survivors' blooms recover into
+    # the delta shard and still prune
+    t2.upsert(_batch(spark, [(0, "a", 100, None)]))
+    man = M.read_manifest(t.path)
+    fb = man.file_blooms
+    carried = [f for f in man.files if M.partition_of(f) != "day=a"]
+    assert carried and all(f in fb for f in carried)
+    keep = t2.files_with_keys([5])
+    assert len(keep) < len(man.files)
+    assert {r.id for r in t2.read_keys(spark, [5]).collect()} == {5}
