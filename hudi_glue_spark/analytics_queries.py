@@ -973,8 +973,9 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*))
              AS skew_factor,
            CAST((SELECT count(*) FROM k
-                 WHERE n > 2 * (SELECT CAST(sum(n) AS DOUBLE) / count(*)
-                                FROM k)) AS BIGINT) AS n_heavy,
+                 WHERE CAST(n AS HUGEINT) * (SELECT count(*) FROM k)
+                       > 2 * (SELECT CAST(sum(n) AS HUGEINT) FROM k))
+             AS BIGINT) AS n_heavy,
            CAST((SELECT min(user_id) FROM k
                  WHERE n = (SELECT max(n) FROM k)) AS BIGINT) AS top_key
     FROM k
@@ -985,38 +986,49 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether a key needs salting BEFORE the join runs — rows, distinct
     keys, max and mean rows-per-key, their ratio (skew factor), the
     count of heavy keys (>2× mean) and the heaviest key itself (min key
-    on ties, so the answer is deterministic). One shuffle on the key,
-    then metadata-scale aggregates; at 100 TB you run this on the join
-    column once and route the output into operators/skew.py's salted
-    join instead of discovering the straggler task at 3 a.m. All
-    derived ratios are single IEEE divisions over exact integers, so
-    both engines agree bit-for-bit."""
+    on ties, so the answer is deterministic). ONE action end to end:
+    the global stats are a 1-row aggregate broadcast back onto the
+    per-key counts, so the heavy-key test and the passthrough stats
+    fold into a single final aggregate — no driver collect between
+    jobs, and the groupBy exchange under both branches is identical so
+    AQE reuses it instead of recomputing the shuffle (the old version
+    ran three sequential actions, each re-running the groupBy). The
+    heavy test is exact integer arithmetic (n·n_keys > 2·n_rows in
+    decimal, HUGEINT on the oracle side) — no float-threshold edge.
+    At 100 TB you run this on the join column once and route the
+    output into operators/skew.py's salted join instead of
+    discovering the straggler task at 3 a.m."""
     ev = table(spark, sf_dir, "events")
     k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # max(struct(n, -user_id)) = (max n, -(min user_id among max-n
+    # keys)) — the deterministic top-key pick in the same pass
     stats = k.agg(
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("n").cast("long").alias("max_per_key"),
-    ).collect()[0]
-    avg = stats["n_rows"] / stats["n_keys"]
-    n_heavy = k.filter(F.col("n") > 2 * avg).count()
-    top_key = (
-        k.filter(F.col("n") == stats["max_per_key"])
-        .agg(F.min("user_id"))
-        .collect()[0][0]
-    )
-    return spark.createDataFrame(
-        [
-            (
-                stats["n_rows"],
-                stats["n_keys"],
-                stats["max_per_key"],
-                avg,
-                stats["max_per_key"] / avg,
-                n_heavy,
-                top_key,
+        F.max(
+            F.struct(
+                F.col("n").alias("n"),
+                (-F.col("user_id")).cast("long").alias("neg_id"),
             )
-        ],
-        "n_rows long, n_keys long, max_per_key long, avg_per_key double, "
-        "skew_factor double, n_heavy long, top_key long",
+        ).alias("__top"),
+    )
+    joined = k.crossJoin(F.broadcast(stats))
+    return joined.agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("n_keys").alias("n_keys"),
+        F.first("max_per_key").alias("max_per_key"),
+        (F.first("n_rows") / F.first("n_keys")).alias("avg_per_key"),
+        (
+            F.first("max_per_key") / (F.first("n_rows") / F.first("n_keys"))
+        ).alias("skew_factor"),
+        F.sum(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("n_keys")
+                > F.lit(2) * F.col("n_rows").cast("decimal(38,0)")
+            ).cast("long")
+        ).alias("n_heavy"),
+        (-F.first(F.col("__top").getField("neg_id"))).cast("long").alias(
+            "top_key"
+        ),
     )

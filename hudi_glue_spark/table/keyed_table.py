@@ -375,11 +375,20 @@ class KeyedTable:
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
         nlo, nhi = _stat_value(lo), _stat_value(hi)
-        keep = []
-        for f in man.files:
-            st = man.file_stats.get(f, {}).get(col)
-            if st is None or not (st[1] < nlo or st[0] > nhi):
-                keep.append(f)
+        # Vectorized shard prune (one arrow compute over the columnar
+        # shard table) — the same fast path files_in_range/files_isin
+        # use. The dict-walk fallback (legacy inline manifests only)
+        # materializes every file's stats into Python, which on an
+        # ~800k-file table is exactly the O(table) driver cost the
+        # shards exist to avoid.
+        keep = man.prune_range(col, nlo, nhi)
+        if keep is None:
+            keep = [
+                f
+                for f in man.files
+                if (st := man.file_stats.get(f, {}).get(col)) is None
+                or not (st[1] < nlo or st[0] > nhi)
+            ]
         schema = StructType.fromJson(json.loads(man.schema_json))
         cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not keep:
@@ -699,9 +708,20 @@ class KeyedTable:
         n_bad = row["__n"]
         if not n_bad:
             return batch, None
-        qname = f"{M.next_commit_id(self.path)}-{what}"
+        # Per-writer random token, like _write_files/_write_shard: two
+        # writers racing the same planned commit id must not target the
+        # same quarantine dir — with a shared name + overwrite, the
+        # loser's violator rows would be silently clobbered, breaking
+        # the "violations are preserved for triage" contract.
+        # mode('error') so any residual collision surfaces loudly
+        # instead of overwriting.
+        import uuid as _uuid
+
+        qname = (
+            f"{M.next_commit_id(self.path)}-{what}-{_uuid.uuid4().hex[:8]}"
+        )
         qdir = os.path.join(self.path, "_quarantine", qname)
-        bad.write.mode("overwrite").parquet(qdir)
+        bad.write.mode("error").parquet(qdir)
         return batch.filter(ok), {
             "quarantined": n_bad,
             "quarantine_dir": f"_quarantine/{qname}",
@@ -816,6 +836,21 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def _refresh_layout(self) -> None:
+        """Adopt the HEAD manifest's partition layout before scoping a
+        partition rewrite. The live manifest is the single source of
+        truth for ``partition_by`` (see :meth:`load`); a rival
+        ``change_partitioning`` landing between this writer's load()
+        and its mutation (e.g. between upsert_with_retry attempts)
+        would otherwise leave the touched/carried partition split
+        scoped against the OLD layout — the duplicate-row hazard the
+        load() comment warns about. One small commit-JSON read."""
+        man = M.read_manifest(self.path)
+        if man is not None and "partition_by" in (man.stats or {}):
+            live = man.stats["partition_by"] or None
+            if live != (self.partition_by or None):
+                self.partition_by = live
+
     def upsert(self, batch: DataFrame, extra_stats: dict | None = None) -> str:
         """Incremental merge (§2a #23, the flagship).
 
@@ -831,6 +866,7 @@ class KeyedTable:
             # a streaming maintainer's idempotency ledger stamps its
             # applied version on the FIRST batch too
             return self.bulk_insert(batch, dedupe=True, extra_stats=extra_stats)
+        self._refresh_layout()
         batch = self._derive(batch)
         self._require_columns(batch, "upsert batch")
         batch, qstats = self._enforce(batch, "upsert")
@@ -966,6 +1002,7 @@ class KeyedTable:
         minus those keys."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
+        self._refresh_layout()
         spark = keys.sparkSession
         existing = self.read(spark)
         keys = keys.select(self.key).dropDuplicates()
@@ -1167,6 +1204,7 @@ class KeyedTable:
         into the new commit's stats."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
+        self._refresh_layout()
         existing = self.read(spark)
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(cond, F.lit(False))
