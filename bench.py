@@ -155,6 +155,35 @@ def main() -> int:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # MEDIANS for the heavy tail: single-sample timings on the ~20
+    # slowest queries have shown ±15-25% rig variance round-over-round,
+    # repeatedly mis-reading as regressions until re-timed by hand. Two
+    # extra runs per heavy query → median-of-3 replaces the single
+    # sample everywhere downstream (stdout line, BENCH_FULL, diffs);
+    # the raw per-run samples are kept in BENCH_FULL for audit. The
+    # non-heavy tail stays single-sample: it's fast and variance there
+    # is absolute-small.
+    import statistics
+
+    heavy = sorted(
+        (n for n in timings if not n.startswith("commit:")),
+        key=lambda n: -timings[n],
+    )[:20]
+    samples: dict[str, list[float]] = {n: [timings[n]] for n in heavy}
+    for rep in range(2):
+        for name in heavy:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            samples[name].append(round(dt, 3))
+            print(
+                f"# median-rep{rep + 1} {name}: {dt:.3f}s", file=sys.stderr
+            )
+    for name, ss in samples.items():
+        med = round(statistics.median(ss), 3)
+        total += med - timings[name]
+        timings[name] = med
+
     # The full per-query map once made the stdout JSON line long enough
     # that the driver's capture truncated it (BENCH_r03: parsed=null).
     # Emit a COMPACT line the driver can always parse — totals + the 10
@@ -170,12 +199,17 @@ def main() -> int:
         "unit": "sec",
         "n_queries": len(timings),
         "sec_per_query": round(total / max(len(timings), 1), 3),
+        "medians": "median-of-3 for the 20 slowest queries",
         "queries": slowest,
         "queries_full_file": os.path.basename(full_path),
         "sf": sf_val,
     }
     with open(full_path, "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1)
+        json.dump(
+            {**summary, "queries": timings, "heavy_samples": samples},
+            f,
+            indent=1,
+        )
     print(json.dumps(summary))
     return 0
 

@@ -233,6 +233,13 @@ _MH_HASHES, _MH_BANDS, _MH_ROWS, _MH_THR = 16, 4, 4, 0.8
 _MHIDX_CACHE: dict[str, object] = {}
 _INC_BB_CACHE: list = []
 
+#: Above this many distinct batch band-keys, incremental-dedup
+#: candidate-file selection switches from the driver IN-list (arrow
+#: vectorized, cheapest for micro-batches) to a Spark-side range join
+#: against the shard-stats metadata — the driver then only ever
+#: collects candidate FILE NAMES (O(index files)), never batch keys.
+_INC_BK_INLIST_CAP = 20_000
+
 
 def _mh_index(spark: SparkSession, sf_dir: str):
     """documents' MinHash band signatures persisted as a KeyedTable —
@@ -389,9 +396,45 @@ def q_incremental_near_dup_vs_index(spark, sf_dir):
     ) < man.n_files
 
     # candidate generation: open only the index files whose bk range
-    # may hold one of the batch's hashes, then join on bk (band:hash)
-    batch_bks = [r.bk for r in bb.select("bk").distinct().collect()]
-    keep = idx.files_isin("bk", batch_bks)
+    # may hold one of the batch's hashes, then join on bk (band:hash).
+    # File selection is SPARK-SIDE beyond a small-batch cap: the
+    # batch's distinct band keys range-join the engine-readable shard
+    # stats (files_df — metadata-scale, broadcast) and only the
+    # candidate FILE NAMES come back to the driver (O(index files),
+    # never O(batch)). A micro-batch below the cap uses the vectorized
+    # arrow IN-list prune instead — cheaper than a join for a few
+    # thousand keys. This closes the 1M-doc-backfill hazard of
+    # collecting ~16M bk strings through the driver hot path.
+    bks = bb.select("bk").distinct()
+    n_bks = bks.count()
+    if n_bks <= _INC_BK_INLIST_CAP:
+        batch_bks = [r.bk for r in bks.collect()]
+        keep = idx.files_isin("bk", batch_bks)
+    else:
+        fmeta = idx.files_df(spark)
+        bk_stats = fmeta.filter(
+            (F.col("col") == "bk")
+            & F.col("min_s").isNotNull()
+            & F.col("max_s").isNotNull()
+        ).select("file", "min_s", "max_s")
+        # files without usable bk stats are NEVER skipped
+        nostats = (
+            fmeta.select("file")
+            .distinct()
+            .join(bk_stats.select("file"), "file", "left_anti")
+        )
+        cand_files = (
+            bks.join(
+                F.broadcast(bk_stats),
+                (F.col("min_s") <= F.col("bk"))
+                & (F.col("bk") <= F.col("max_s")),
+            )
+            .select("file")
+            .distinct()
+            .union(nostats)
+            .distinct()
+        )
+        keep = [r.file for r in cand_files.collect()]
     schema = StructType.fromJson(_json.loads(man.schema_json))
     ddir = M_.data_dir(idx.path)
     if keep:

@@ -1725,7 +1725,10 @@ class KeyedTable:
             json.dump(sorted(sp), f)
 
     def clean(
-        self, retain_commits: int = 10, orphan_grace_s: float = 0.0
+        self,
+        retain_commits: int = 10,
+        orphan_grace_s: float = 0.0,
+        plan_grace_s: float = 0.0,
     ) -> list[str]:
         """Cleaner (↦ KEEP_LATEST_COMMITS, commits.retained=10,
         glue/HudiJarGlueJob.py:83): drop manifests older than the last
@@ -1735,12 +1738,43 @@ class KeyedTable:
         files) regardless of the window. Time travel further back stops
         working — same trade as Hudi's cleaner.
 
-        CONCURRENCY: an in-flight writer's staged data files and shards
-        look like orphans until its commit JSON links — run clean from
-        the single table-service process (Hudi's cleaner has the same
-        contract without a lock provider), or set ``orphan_grace_s``
-        beyond your longest write: unreferenced files younger than the
-        grace are kept (the Delta VACUUM retention idiom)."""
+        TWO-PHASE, coordinated through the log (Hudi clean-plan / Delta
+        VACUUM-protocol parity): phase 1 PUBLISHES ``_cleanplan.json``
+        naming the commits to drop and every file/shard claimed for
+        deletion; phase 2 executes it. Writers refuse claimed shards as
+        reuse candidates once the plan is visible
+        (manifest.write_manifest), and execution re-checks every claim
+        against the commits live at delete time — a writer that raced
+        the plan keeps its snapshot readable (its references are
+        un-claimed); a writer whose base commit was dropped loses the
+        commit-id race (OCC) and re-merges against the new head. A
+        crashed clean is RE-ENTRANT: the plan survives, the next
+        clean() resumes it (idempotent unlinks), and only then do new
+        retention arguments apply.
+
+        ``orphan_grace_s``: unreferenced files/shards younger than this
+        are not claimed — protects a concurrent writer's freshly STAGED
+        artifacts, whose commit JSON hasn't linked yet (their mtimes
+        are by definition recent). ``plan_grace_s``: wall-clock pause
+        between plan publish and execution, bounding the window in
+        which a writer that listed reuse candidates just before the
+        plan appeared could still publish (the execute-phase re-check
+        then un-claims whatever that writer referenced)."""
+        import time as _time
+
+        plan = M.read_clean_plan(self.path)
+        if plan is None:
+            plan = self._plan_clean(retain_commits, orphan_grace_s)
+            if plan is None:
+                return []
+            M.write_clean_plan(self.path, plan)
+            if plan_grace_s > 0:
+                _time.sleep(plan_grace_s)
+        return self._execute_clean(plan)
+
+    def _plan_clean(
+        self, retain_commits: int, orphan_grace_s: float
+    ) -> dict | None:
         import time as _time
 
         now = _time.time()
@@ -1756,42 +1790,95 @@ class KeyedTable:
         keep = [c for c in ids if c in set(ids[-retain_commits:]) | pinned]
         drop = [c for c in ids if c not in keep]
         referenced: set[str] = set()
+        kept_shards: set[str] = set()
         for cid in keep:
             man = M.read_manifest(self.path, cid)
             assert man is not None
             referenced.update(man.files)
-        removed = []
+            kept_shards.update(man.shards or [])
+        files: list[str] = []
         ddir = M.data_dir(self.path)
-        for dirpath, _dirs, files in os.walk(ddir):
-            for fn in files:
-                rel = os.path.relpath(os.path.join(dirpath, fn), ddir)
+        for dirpath, _dirs, fns in os.walk(ddir):
+            for fn in fns:
                 p = os.path.join(dirpath, fn)
-                if rel.endswith(B.SIDECAR_SUFFIX):
-                    # a bloom sidecar lives and dies with its data file
-                    if (
-                        rel[: -len(B.SIDECAR_SUFFIX)] not in referenced
-                        and not _grace(p)
-                    ):
-                        os.unlink(p)
-                    continue
-                if rel not in referenced and not _grace(p):
-                    os.unlink(p)
-                    removed.append(rel)
-        for cid in drop:
-            os.unlink(os.path.join(M.commits_dir(self.path), cid + ".json"))
-        # GC manifest shards no retained commit references (including
-        # orphans from crashed commits — their JSON never published)
-        live_shards = M.referenced_shards(self.path)
+                rel = os.path.relpath(p, ddir)
+                base = (
+                    rel[: -len(B.SIDECAR_SUFFIX)]
+                    if rel.endswith(B.SIDECAR_SUFFIX)
+                    else rel
+                )
+                if base not in referenced and not _grace(p):
+                    files.append(rel)
+        shards: list[str] = []
         mdir = M.manifests_dir(self.path)
         if os.path.isdir(mdir):
             for fn in os.listdir(mdir):
-                p = os.path.join(mdir, fn)
-                if fn not in live_shards and not _grace(p):
-                    os.unlink(p)
+                if fn not in kept_shards and not _grace(
+                    os.path.join(mdir, fn)
+                ):
+                    shards.append(fn)
+        if not (drop or files or shards):
+            return None
+        return {
+            "planned_at": M.utc_now_iso(),
+            "drop": drop,
+            "files": sorted(files),
+            "shards": sorted(shards),
+        }
+
+    def _execute_clean(self, plan: dict) -> list[str]:
+        # RE-CHECK at delete time: un-claim anything referenced by a
+        # commit that is live NOW and not in the plan's drop set (a
+        # writer that published after the plan was computed), and keep
+        # any planned-drop commit that was savepointed since.
+        drop = [
+            c for c in plan.get("drop", []) if c not in set(self.savepoints())
+        ]
+        live_now = [c for c in self.commits() if c not in set(drop)]
+        referenced: set[str] = set()
+        live_shards: set[str] = set()
+        for cid in live_now:
+            man = M.read_manifest(self.path, cid)
+            if man is None:
+                continue  # dropped by a previous (crashed) execution
+            referenced.update(man.files)
+            live_shards.update(man.shards or [])
+        removed: list[str] = []
+        ddir = M.data_dir(self.path)
+        for rel in plan.get("files", []):
+            base = (
+                rel[: -len(B.SIDECAR_SUFFIX)]
+                if rel.endswith(B.SIDECAR_SUFFIX)
+                else rel
+            )
+            if base in referenced:
+                continue
+            try:
+                os.unlink(os.path.join(ddir, rel))
+            except FileNotFoundError:
+                continue  # crash-replay: already deleted
+            if base == rel:
+                removed.append(rel)
+        for cid in drop:
+            try:
+                os.unlink(
+                    os.path.join(M.commits_dir(self.path), cid + ".json")
+                )
+            except FileNotFoundError:
+                pass
+        mdir = M.manifests_dir(self.path)
+        for fn in plan.get("shards", []):
+            if fn in live_shards:
+                continue
+            try:
+                os.unlink(os.path.join(mdir, fn))
+            except FileNotFoundError:
+                pass
         # prune now-empty partition dirs
-        for dirpath, dirs, files in os.walk(ddir, topdown=False):
-            if dirpath != ddir and not dirs and not files:
+        for dirpath, dirs, fns in os.walk(ddir, topdown=False):
+            if dirpath != ddir and not dirs and not fns:
                 os.rmdir(dirpath)
+        M.clear_clean_plan(self.path)
         return removed
 
     def optimize(

@@ -596,13 +596,32 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         # biggest first so one intact historical shard beats fragments
         seen: set[str] = set()
         cands: list[str] = []
+        # Shards a published clean plan claims are OFF LIMITS for
+        # reuse-by-name even if a to-be-dropped commit still references
+        # them: the cleaner may unlink them between our selection and
+        # our publish (the unreadable-snapshot race the plan protocol
+        # closes). They remain usable as read-only STATS-RECOVERY
+        # sources below (best-effort; a racing delete there degrades
+        # pruning stats, never correctness) — the delta path
+        # re-serializes those files' stats into fresh shards.
+        claimed_shards = set(
+            (read_clean_plan(root) or {}).get("shards", [])
+        )
         for cid in list_commit_ids(root):
             prior = read_manifest(root, cid)
             for s in prior.shards or []:
                 if s not in seen:
                     seen.add(s)
                     cands.append(s)
-        cand_arrs = {s: shard_file_array(root, s) for s in cands}
+        # A claimed shard may vanish between listing and read (the
+        # cleaner executing its plan) — drop it from candidacy instead
+        # of crashing the commit; it was reuse-excluded anyway.
+        cand_arrs = {}
+        for s in list(cands):
+            try:
+                cand_arrs[s] = shard_file_array(root, s)
+            except FileNotFoundError:
+                cands.remove(s)
         force_compact = len(cands) > MAX_TOTAL_SHARDS
         # Vectorized reuse selection: subset/overlap tests run as ONE
         # arrow index_in per candidate shard against the new file list
@@ -616,13 +635,20 @@ def write_manifest(root: str, manifest: Manifest) -> None:
             # file list builds once and every candidate's files probe
             # it together (per-candidate calls would rebuild the 1M-
             # entry index 64 times over)
-            order = sorted(cands, key=lambda s: -len(cand_arrs[s]))
+            order = sorted(
+                (s for s in cands if s not in claimed_shards),
+                key=lambda s: -len(cand_arrs[s]),
+            )
 
             def _flat(a):
                 return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
             arrs = [_flat(cand_arrs[s]) for s in order]
-            big = pa.concat_arrays(arrs)
+            big = (
+                pa.concat_arrays(arrs)
+                if arrs
+                else pa.array([], type=pa.string())
+            )
             pos_all = pc.index_in(big, value_set=new_arr).to_numpy(
                 zero_copy_only=False
             )
@@ -660,12 +686,21 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         if need:
             # frozenset views built lazily — only the recovery path
             # (broken shards) pays for them
-            cand_sets = {s: shard_file_set(root, s) for s in cands}
+            cand_sets = {}
+            for s in cands:
+                try:
+                    cand_sets[s] = shard_file_set(root, s)
+                except FileNotFoundError:
+                    cand_sets[s] = frozenset()
             for s in cands:
                 hit = cand_sets[s] & need
                 if not hit:
                     continue
-                t = _load_shard(root, s)
+                try:
+                    t = _load_shard(root, s)
+                except FileNotFoundError:
+                    continue  # cleaner reclaimed it mid-recovery
+
                 sub = t.filter(
                     pc.is_in(t["file"], value_set=pa.array(sorted(hit)))
                 )
@@ -764,6 +799,53 @@ def referenced_shards(root: str) -> set[str]:
         man = read_manifest(root, cid)
         out.update(man.shards or [])
     return out
+
+
+# -- clean plan (cleaner ⇄ writer coordination through the log) ----------
+#
+# ``KeyedTable.clean`` is two-phase: it PUBLISHES a plan (the commits it
+# will drop and the files/shards it claims for deletion) before touching
+# anything, then executes it. The plan is the coordination point:
+# :func:`write_manifest` refuses to reuse a shard the plan claims, so a
+# writer that starts after the plan is visible can never publish a
+# manifest naming a file the cleaner is about to delete — the Hudi
+# clean-plan / Delta VACUUM-protocol idiom. Execution re-checks every
+# claim against the commits actually live at delete time, so a writer
+# that raced the plan's publication wins (its references are un-claimed)
+# rather than being broken. A crashed clean leaves the plan in place and
+# the next clean() resumes it (re-entrant; unlinks are idempotent).
+
+
+def clean_plan_path(root: str) -> str:
+    return os.path.join(root, "_cleanplan.json")
+
+
+def read_clean_plan(root: str) -> dict | None:
+    try:
+        with open(clean_plan_path(root)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def write_clean_plan(root: str, plan: dict) -> None:
+    """Atomic publish (tmp + rename): writers either see the whole plan
+    or no plan, never a torn one."""
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(plan, f, indent=1)
+        os.replace(tmp, clean_plan_path(root))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def clear_clean_plan(root: str) -> None:
+    try:
+        os.unlink(clean_plan_path(root))
+    except FileNotFoundError:
+        pass
 
 
 class ConcurrentCommitError(RuntimeError):

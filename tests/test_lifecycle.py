@@ -5,6 +5,7 @@ per-operation unit tests."""
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -270,4 +271,310 @@ def test_rival_commit_during_merge_window_detected(spark, tmp_path, monkeypatch)
     ops = [M.read_manifest(root, c).op for c in t.commits()]
     assert ops.count("upsert") == 2
     t.clean(retain_commits=1)
+    assert t.validate() == []
+
+
+def test_clean_plan_blocks_shard_reuse(spark, tmp_path):
+    """Once a clean plan is published, write_manifest must not reuse a
+    shard the plan claims — the cleaner may unlink it between the
+    writer's selection and its publish. The writer re-serializes those
+    files' stats into fresh shards instead."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "noreuse")
+    t = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 4}", ts=_ts(1)) for i in range(40)]
+        )
+    )
+    head = M.read_manifest(root)
+    claimed = list(head.shards or [])
+    assert claimed, "expected sharded manifest"
+    # plan claiming every current shard (as if they were all aging out)
+    M.write_clean_plan(
+        root,
+        {"planned_at": M.utc_now_iso(), "drop": [], "files": [],
+         "shards": claimed},
+    )
+    try:
+        t.upsert(
+            spark.createDataFrame([Row(id=0, grp="g0", ts=_ts(2))])
+        )
+        new_head = M.read_manifest(root)
+        assert not set(new_head.shards or []) & set(claimed)
+        # and the snapshot is fully readable with correct content
+        assert t.read(spark).count() == 40
+    finally:
+        M.clear_clean_plan(root)
+
+
+def test_clean_race_writer_reference_unclaimed_at_execute(spark, tmp_path):
+    """A writer that selected a reuse shard BEFORE the plan became
+    visible and published after it: execution's re-check sees the new
+    commit referencing the claimed shard and must NOT delete it — the
+    racing writer's snapshot stays readable."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "racewin2")
+    t = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    for day in (1, 2, 3):
+        t.upsert(
+            spark.createDataFrame(
+                [Row(id=i, grp=f"g{i % 2}", ts=_ts(day)) for i in range(20)]
+            )
+        )
+    # plan: retain only the head commit
+    plan = t._plan_clean(retain_commits=1, orphan_grace_s=0.0)
+    assert plan is not None and plan["drop"]
+    M.write_clean_plan(root, plan)
+    # rival writer publishes a manifest that reuses a CLAIMED shard
+    # (simulating selection completed before the plan appeared)
+    head = M.read_manifest(root)
+    dropped_man = M.read_manifest(root, plan["drop"][0])
+    racing_shard = next(
+        (s for s in (dropped_man.shards or []) if s in set(plan["shards"])),
+        None,
+    )
+    if racing_shard is None:
+        # every dropped shard also referenced by head — claim is empty
+        # for shards; nothing to race on. Still execute + validate.
+        t.clean(retain_commits=1)
+        assert t.validate() == []
+        return
+    rival_files = sorted(
+        set(head.files) | set(M.shard_file_set(root, racing_shard))
+    )
+    rival = M.Manifest(
+        commit_id=M.next_commit_id(root),
+        op="rival_reuse",
+        ts=M.utc_now_iso(),
+        files=rival_files,
+        schema_json=head.schema_json,
+        stats={"rows_written": 0, "partition_by": ["grp"]},
+    )
+    rival.shards = sorted(set(head.shards or []) | {racing_shard})
+    rival._files = rival_files
+    rival._n_files = len(rival_files)
+    rival.root = root
+    M.write_manifest(root, rival)
+    # resume the published plan: the racing shard — and every data file
+    # the rival's live commit references — must survive execution
+    t.clean(retain_commits=1)
+    assert os.path.isfile(os.path.join(M.manifests_dir(root), racing_shard))
+    ddir = M.data_dir(root)
+    for f in rival_files:
+        assert os.path.isfile(os.path.join(ddir, f)), f
+    assert t.read(spark).count() >= 20  # snapshot fully readable
+    missing = [p for p in t.validate() if "missing" in p]
+    assert missing == []
+
+
+def test_clean_crash_replay_reentrant(spark, tmp_path):
+    """A clean that crashes mid-execution leaves its plan behind; the
+    next clean() RESUMES that plan (idempotent unlinks) and the table
+    stays sound throughout — no retained commit ever references a
+    deleted file."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "crashclean")
+    t = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    for day in (1, 2, 3, 4):
+        t.upsert(
+            spark.createDataFrame(
+                [Row(id=i, grp=f"g{i % 2}", ts=_ts(day), v=float(day))
+                 for i in range(20)]
+            )
+        )
+    plan = t._plan_clean(retain_commits=1, orphan_grace_s=0.0)
+    assert plan is not None and (plan["files"] or plan["drop"])
+    M.write_clean_plan(root, plan)
+    # simulated crash: half the claimed files and one dropped commit
+    # JSON are gone, the plan file remains
+    ddir = M.data_dir(root)
+    for rel in plan["files"][: max(1, len(plan["files"]) // 2)]:
+        os.unlink(os.path.join(ddir, rel))
+    if plan["drop"]:
+        os.unlink(
+            os.path.join(M.commits_dir(root), plan["drop"][0] + ".json")
+        )
+    # mid-crash: snapshot still readable; only PLANNED-DROP commits may
+    # reference the already-deleted files — every surviving commit's
+    # references are intact
+    assert t.read(spark).count() == 20
+    broken = [
+        p
+        for p in t.validate()
+        if "missing file" in p
+        and not any(f"commit {c}:" in p for c in plan["drop"])
+    ]
+    assert broken == []
+    # resume — different args are IGNORED while a plan is pending
+    t.clean(retain_commits=99)
+    assert M.read_clean_plan(root) is None
+    assert t.commits() == [
+        c for c in t.commits() if c not in set(plan["drop"])
+    ]
+    assert t.read(spark).count() == 20
+    assert t.validate() == []
+
+
+def test_savepoint_after_plan_pins_commit(spark, tmp_path):
+    """A savepoint taken between plan publication and execution wins:
+    the planned-drop commit survives execution (re-checked against
+    savepoints at delete time)."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "spwin")
+    t = KeyedTable(root, key="id", precombine="ts")
+    for day in (1, 2, 3):
+        t.upsert(
+            spark.createDataFrame([Row(id=i, ts=_ts(day)) for i in range(5)])
+        )
+    plan = t._plan_clean(retain_commits=1, orphan_grace_s=0.0)
+    M.write_clean_plan(root, plan)
+    pinned = plan["drop"][0]
+    t.savepoint(pinned)
+    t.clean(retain_commits=1)
+    assert pinned in t.commits()
+    assert t.read(spark, at=pinned).count() == 5
+
+
+def test_retry_adopts_rival_partition_layout(spark, tmp_path, monkeypatch):
+    """A rival change_partitioning landing between a writer's attempts
+    must not leave the retry scoping partition rewrites against the old
+    layout: upsert re-reads the head manifest's partition_by before
+    scoping (``_refresh_layout``), so the merged table holds no
+    duplicate keys and lands in the NEW layout."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "layoutrace")
+    t = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", region=f"r{i % 3}", ts=_ts(1))
+             for i in range(30)]
+        )
+    )
+
+    orig = KeyedTable._write_files
+    fired = {}
+
+    def write_with_rival(self, df, cid, repartition=True):
+        out = orig(self, df, cid, repartition)
+        if self.path == root and not fired:
+            fired["x"] = 1
+            rival = KeyedTable.load(root)
+            monkeypatch.setattr(KeyedTable, "_write_files", orig)
+            try:
+                rival.change_partitioning(spark, "region")
+            finally:
+                monkeypatch.setattr(
+                    KeyedTable, "_write_files", write_with_rival
+                )
+        return out
+
+    monkeypatch.setattr(KeyedTable, "_write_files", write_with_rival)
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", region=f"r{i % 3}", ts=_ts(2))
+             for i in range(25, 35)]
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    snap = t.read(spark)
+    assert snap.count() == 35
+    # no duplicate keys — the mis-scoped-rewrite hazard
+    assert snap.select("id").distinct().count() == 35
+    # retry adopted the rival's layout: new files live under region=
+    man = M.read_manifest(root)
+    assert (man.stats or {}).get("partition_by") == ["region"]
+    assert t.partition_by == ["region"]
+    assert all(f.startswith("region=") for f in man.files)
+    # the lost attempt's staged files are orphans until clean()
+    t.clean(retain_commits=1)
+    assert t.validate() == []
+
+
+def test_multi_writer_randomized_serializability(spark, tmp_path):
+    """≥4 concurrent writers (upsert_with_retry) racing each other plus
+    an interleaved optimize + clean: the final snapshot is a
+    serializable outcome — every writer's final batch survives in
+    full, no duplicate keys, validate() sound. Randomized interleaving
+    with a fixed seed."""
+    import random
+    import threading
+
+    from hudi_glue_spark.table import KeyedTable
+
+    root = str(tmp_path / "nwriters")
+    t0 = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    t0.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1)) for i in range(60)]
+        )
+    )
+
+    N, BATCHES = 4, 3
+    errors: list[Exception] = []
+
+    def writer(w: int):
+        rng = random.Random(1000 + w)
+        try:
+            t = KeyedTable.load(root)
+            for b in range(BATCHES):
+                batch = spark.createDataFrame(
+                    [
+                        Row(
+                            id=1000 * (w + 1) + i,
+                            grp=f"g{i % 3}",
+                            v=float(b),
+                            ts=_ts(2, b),
+                        )
+                        for i in range(15)
+                    ]
+                )
+                t.upsert_with_retry(batch, retries=30)
+                if rng.random() < 0.5:
+                    threading.Event().wait(rng.random() * 0.2)
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    def service():
+        rng = random.Random(99)
+        try:
+            t = KeyedTable.load(root)
+            for _ in range(2):
+                threading.Event().wait(0.5 + rng.random())
+                t.optimize(spark, target_file_mb=64, small_file_mb=32)
+                t.clean(retain_commits=5, orphan_grace_s=300.0)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
+    threads.append(threading.Thread(target=service))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == [], errors
+
+    t = KeyedTable.load(root)
+    snap = t.read(spark)
+    rows = {r.id: r.v for r in snap.collect()}
+    # every writer's keys present with the LAST batch's value
+    for w in range(N):
+        for i in range(15):
+            assert rows[1000 * (w + 1) + i] == float(BATCHES - 1), (w, i)
+    # base rows survive, no duplicates
+    assert len(rows) == 60 + N * 15
+    assert snap.count() == snap.select("id").distinct().count()
+    # final clean from a quiesced table leaves it sound
+    t.clean(retain_commits=2)
     assert t.validate() == []

@@ -490,3 +490,23 @@ def test_minhash_band_index_incremental_maintenance(spark, tmp_path):
     )
     got = {(r.new_id, r.dup_of) for r in hits.collect()}
     assert (21, 1) in got and (22, 10) in got
+
+
+def test_incremental_dedup_join_path_matches_inlist(spark, monkeypatch):
+    """Candidate-file selection for the incremental near-dup probe has
+    two paths — driver IN-list (micro-batch) and Spark-side range join
+    against the shard-stats metadata (backfill-scale, no O(batch)
+    collect). They must select the same survivors."""
+    import hudi_glue_spark.llm_queries as L
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        (r.new_id, r.dup_of, round(r.jaccard, 9))
+        for r in L.q_incremental_near_dup_vs_index(spark, sf).collect()
+    )
+    monkeypatch.setattr(L, "_INC_BK_INLIST_CAP", 0)
+    b = sorted(
+        (r.new_id, r.dup_of, round(r.jaccard, 9))
+        for r in L.q_incremental_near_dup_vs_index(spark, sf).collect()
+    )
+    assert a == b
