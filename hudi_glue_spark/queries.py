@@ -37,27 +37,168 @@ NON_SQL_QUERIES: set[str] = set()
 
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
-#: round (~50). After r2∪r3∪r4∪r5 every registered query holds a strict
-#: driver-green row, so r6's window leads with this round's NEW queries
-#: (the only possible first rows: metadata/manifest, incremental
-#: dedup-vs-index, maintained ANN, partition expiry), then re-confirms
-#: the r5 first-row set and the reworked approx sketches, then rotates
-#: staleness-ordered re-confirmations (r2-only green rows first). If
-#: the cap lands mid-list, what misses is a re-confirmation of an
-#: already-green row, never a first row.
+#: round (~50). Every registered query holds a strict driver-green row
+#: (cumulative r2–r6), so the r7 window is built for STALENESS, per
+#: VERDICT r6 ask #1: (a) new queries first (first rows), then (b) the
+#: 46 rows whose last green dates from r3 — before two table-layer
+#: rewrites — with the table-layer-dependent ones leading, then (c)
+#: everything else oldest-green-first (r5-impl-changed, r4, r6). No
+#: row green in both r5 and r6 sits ahead of an r3-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new in r6 (first rows) -------------------------------------------
-    "manifest_metadata_table",         # engine-readable manifest shards
-    "metadata_only_aggregates",        # count/min/max with zero data I/O
-    "drop_partition_retention",        # metadata-only partition expiry
-    "constraint_quarantine_flow",      # CHECK constraints + quarantine
-    "derived_day_partition_ingest",    # generated partition column
-    "incremental_near_dup_vs_index",   # batch vs persisted MinHash index
-    "ann_index_maintained_upsert",     # IVF maintained through upsert
-    # -- r5 first-row set (all green r5; re-confirmations) ---------------
-    "stream_text_pipeline",            # only composed streaming+text row
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
+    # -- (a) new in r7: first rows -----------------------------------
+    "savepoint_pinned_time_travel",    # pinned commit survives clean
+    # -- (b)+(c) staleness rotation (VERDICT r6 ask #1): every row
+    # below whose last driver-green dates from r3 — three rounds and
+    # two table-layer rewrites ago. Table-layer-dependent rows lead
+    # (their implementation files changed most since r3); the r5/r6
+    # re-confirmations come AFTER every r3-stale row, so the ~50-row
+    # window re-greens the stale set instead of last round's rows.
+    "time_travel_first_commit",
+    "incremental_read_since_first",
+    "external_engine_read",
+    "csv_ingest_roundtrip",
+    "hive_partition_paths",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_bruteforce",
+    # r3-stale, remaining (oldest-green-first within formula (c))
+    "anti_join_new_keys",
+    "asof_last_view_before_purchase",
+    "bm25_scores",
+    "count_rows",
+    "cube_returnflag_status",
+    "customer_name_features",
+    "customer_orders_full_outer",
+    "dim_broadcast_join",
+    "docs_quality_by_source",
+    "embedding_near_dup",
+    "events_value_band_join",
+    "exact_dedup",
+    "except_nations_without_suppliers",
+    "fact_join_agg",
+    "filter_project_rewrite",
+    "image_decode_meta",
+    "intersect_customer_supplier_nations",
+    "lang_id_accuracy",
+    "lineitem_pricing_summary",
+    "media_meta_extract",
+    "minhash_near_dup",
+    "orders_date_functions",
+    "rollup_returnflag",
+    "scan_limit_sorted",
+    "semi_join_touched_keys",
+    "simhash_near_dup",
+    "stream_running_totals",
+    "stream_tumbling_counts",
+    "text_stats_per_doc",
+    "tf_idf_top_terms",
+    "topk_orders_per_segment",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "union_tagged_batches",
+    "video_frame_sample",
+    "window_functions_suite",
+    "window_latest_event",
+    "word_jaccard_pairs",
+    # r5-green rows whose impl files changed since (upsert family)
+    "upsert_event_time_wins",
+    "upsert_arrival_wins",
+    "upsert_then_delete",
+    "merge_into_scenario",
+    "stream_session_windows",
+    "stream_stream_interval_join",
+    "train_val_test_split",
+    # r4-green rotation
+    "benchmark_decontamination",
+    "curation_pipeline_end_to_end",
+    "decontaminated_corpus",
+    "dedup_chain_fixpoint",
+    "docs_repetition_signals",
+    "domain_mix_resample",
+    "dual_path_read_agreement",
+    "events_moment_stats",
+    "events_value_histogram",
+    "fixed_size_eval_sample",
+    "global_shuffle_order",
+    "incremental_dedup_vs_corpus",
+    "insert_overwrite_partition",
+    "json_props_extract",
+    "jsonl_ingest_roundtrip",
+    "jsonl_shard_export",
+    "kmeans_embedding_clusters",
+    "knn_ivf_indexed",
+    "knn_lsh_indexed",
+    "null_handling_suite",
+    "orc_ingest_roundtrip",
+    "orders_above_avg_price",
+    "orders_price_quantiles",
+    "pii_redaction",
+    "pivot_user_event_matrix",
+    "point_lookup_keys",
+    "predicate_dml_scenario",
+    "quality_quantile_filter",
+    "salted_distinct_users_per_type",
+    "salted_join_user_activity",
+    "schema_widen_drop_scenario",
+    "sequence_pack_chunks",
+    "sequence_pack_greedy",
+    "sessions_batch",
+    "sliding_token_windows",
+    "source_median_tokens_udaf",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "user_event_type_sets",
+    "vocab_top_terms",
+    # r6-green (most recently confirmed — lowest priority)
+    "ann_index_maintained_upsert",
+    "ann_recall_audit",
+    "approx_distinct_users",
+    "bucketed_colocated_join",
+    "c4_rule_filters",
+    "cdf_incremental_agg",
+    "change_feed_clicks",
+    "compaction_scenario",
+    "constraint_quarantine_flow",
+    "curated_pruned_scan",
+    "derived_day_partition_ingest",
+    "distinct_pairs",
+    "doc_winnowing_fingerprints",
+    "drop_partition_retention",
+    "embedding_quantize_int8",
+    "events_value_stats",
+    "fk_integrity_audit",
+    "forget_user_flow",
+    "hypertable_rollup_hierarchy",
+    "incremental_near_dup_vs_index",
+    "jaccard_dedup_survivors",
+    "join_key_skew_profile",
+    "keyword_search_indexed",
+    "knn_l2_bruteforce",
+    "manifest_metadata_table",
+    "metadata_only_aggregates",
+    "near_dup_components",
+    "orders_price_quantiles_approx",
+    "partition_evolution_scenario",
+    "quality_model_filter",
+    "range_read_time_slice",
+    "rollback_scenario",
+    "segment_dedup_reassembled",
+    "sql_pruned_point_range",
+    "stratified_split_exact",
+    "stream_cdf_agg_maintenance",
+    "stream_dedup_exact",
+    "stream_dim_join_windowed",
+    "stream_keyed_ingest",
+    "stream_text_pipeline",
+    "table_history_audit",
     "tpch_q11_important_stock",
     "tpch_q12_shipment_priority_classes",
     "tpch_q17_small_quantity_revenue",
@@ -65,68 +206,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
-    # -- reworked this round: bounds-oracle approx sketches ---------------
-    "orders_price_quantiles_approx",
-    "approx_distinct_users",
-    # -- new in r5 --------------------------------------------------------
-    "sql_pruned_point_range",          # SQL-path pruned point/range reads
-    "curated_pruned_scan",             # range-clustered pipeline output
-    "c4_rule_filters",                 # rule-matrix document filtering
-    "segment_dedup_reassembled",       # paragraph-level dedup + rebuild
-    "stratified_split_exact",          # exact-proportion per-source split
-    "bucketed_colocated_join",         # exchange-free bucketed fact join
-    "quality_model_filter",            # feature-hashed linear scorer
-    "cdf_incremental_agg",             # IVM off pre/post-image feed
-    "keyword_search_indexed",          # pruned inverted-index search
-    "fk_integrity_audit",              # referential-integrity orphans
-    "join_key_skew_profile",           # salting-decision skew stats
-    "stream_cdf_agg_maintenance",      # streaming IVM off the CDF feed
-    "hypertable_rollup_hierarchy",     # one-pass multi-grain rollup
-    "table_history_audit",             # DESCRIBE HISTORY + time travel
-    "forget_user_flow",                # delete + clean purge, byte-proven
-    "partition_evolution_scenario",    # re-layout + post-migration merge
-    "ann_recall_audit",                # measured recall@5 of IVF/LSH
-    "compaction_scenario",             # small-file optimize, data-proven
-    "rollback_scenario",               # metadata-only undo commit
-    # -- rotation: r2-only green rows (two rounds stale) ------------------
-    "change_feed_clicks",
-    "distinct_pairs",
-    "doc_winnowing_fingerprints",
-    "embedding_quantize_int8",
-    "events_value_stats",
-    "jaccard_dedup_survivors",
-    "knn_l2_bruteforce",
-    "near_dup_components",
-    "range_read_time_slice",
-    "stream_dedup_exact",
-    "stream_dim_join_windowed",
-    "stream_keyed_ingest",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    "train_val_test_split",
-    # -- rotation: capability-diverse r3-green picks ----------------------
-    "upsert_event_time_wins",
-    "upsert_arrival_wins",
-    "upsert_then_delete",
-    "merge_into_scenario",
-    "time_travel_first_commit",
-    "incremental_read_since_first",
-    "external_engine_read",
-    "csv_ingest_roundtrip",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "exact_dedup",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "bm25_scores",
-    "tf_idf_top_terms",
-    "lang_id_accuracy",
-    "text_stats_per_doc",
-    "stream_tumbling_counts",
-    "stream_running_totals",
-    "lineitem_pricing_summary",
-    "window_functions_suite",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
 ]
 
 

@@ -1337,3 +1337,66 @@ def q_rollback_scenario(spark, sf_dir):
     ingest(tbl, b1)
     tbl.rollback(c0)
     return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "savepoint_pinned_time_travel",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS savepoint_survived_clean,
+           TRUE AS unpinned_history_purged
+    FROM events GROUP BY event_type
+    """,
+)
+def q_savepoint_pinned_time_travel(spark, sf_dir):
+    """Savepoint lifecycle (Hudi savepoint/restore parity), proven
+    through the cleaner: the FIRST commit is savepointed, two more
+    upserts land, then ``clean(retain_commits=1)`` runs. The pinned
+    commit must survive the clean — manifest, shards, and data files —
+    so time travel to it still returns the exact initial snapshot
+    (the oracle recomputes it from the raw batch), while the UNPINNED
+    middle commit is purged from the timeline. Flags are computed from
+    the real on-disk state, and the per-partition aggregate of the
+    at-savepoint read is what the driver hash-checks — a clean that
+    dropped (or a read path that lost) any pinned file would change
+    the numbers. Metadata-only pinning: one JSON list, no file copies
+    (keyed_table.py:1678; ↦ Hudi savepoint, cleaner policy at
+    glue/HudiJarGlueJob.py:83)."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_savepoint_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    b0, b1, b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0)
+    pinned = tbl.savepoint()  # pin the initial snapshot
+    tbl.upsert(b1)
+    mid = tbl.commits()[-1]
+    tbl.upsert(b2)
+    tbl.clean(retain_commits=1)
+    survived = pinned in tbl.commits()
+    try:
+        M.read_manifest(tbl.path, mid)
+        purged = False
+    except ValueError:
+        purged = True
+    return (
+        tbl.read(spark, at=pinned)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(survived).alias("savepoint_survived_clean"),
+            F.lit(purged).alias("unpinned_history_purged"),
+        )
+    )

@@ -815,17 +815,22 @@ class KeyedTable:
                 self._dirname(r)
                 for r in batch.select(self.partition_by).distinct().collect()
             }
-            carried = [f for f in man.files if M.partition_of(f) not in replaced]
+            files = M.with_new_files(
+                M.carried_files_arrow(man, replaced), new_files
+            )
         else:
             replaced = None
-            carried = []
+            files = new_files
         self._commit(
             "insert_overwrite",
-            carried + new_files,
+            files,
             existing.schema,
             rows=nrows,
             rewritten=sorted(replaced) if replaced is not None else ["<all>"],
             cid=cid,
+            base=man if replaced is not None else None,
+            touched=replaced,
+            new_files=new_files,
             extra_stats=(
                 {
                     **(qstats or {}),
@@ -953,19 +958,22 @@ class KeyedTable:
             extra_stats = {**(extra_stats or {}), "vector_index": maintained}
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
-        carried = (
-            [f for f in man.files if M.partition_of(f) not in touched]
+        files = (
+            M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
-            else []
+            else new_files
         )
         self._commit(
             "upsert",
-            carried + new_files,
+            files,
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats=extra_stats,
             cid=cid,
+            base=man if touched is not None else None,
+            touched=touched,
+            new_files=new_files,
         )
         return self.commits()[-1]
 
@@ -1026,19 +1034,22 @@ class KeyedTable:
         vidx = (man.stats or {}).get("vector_index")
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(remaining, cid, vidx)
-        carried = (
-            [f for f in man.files if M.partition_of(f) not in touched]
+        files = (
+            M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
-            else []
+            else new_files
         )
         self._commit(
             "delete",
-            carried + new_files,
+            files,
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats={"vector_index": vidx} if vidx is not None else None,
             cid=cid,
+            base=man if touched is not None else None,
+            touched=touched,
+            new_files=new_files,
         )
         return self.commits()[-1]
 
@@ -1066,14 +1077,14 @@ class KeyedTable:
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
         drop = set(dirnames)
-        have = {M.partition_of(f) for f in man.files}
+        have = M.partition_dirs(man)
         unknown = drop - have
         if unknown:
             raise ValueError(
                 f"unknown partition(s) {sorted(unknown)}; "
                 f"table has {sorted(p for p in have if p)}"
             )
-        keep = [f for f in man.files if M.partition_of(f) not in drop]
+        keep = M.carried_files_arrow(man, drop)
         vidx = (man.stats or {}).get("vector_index")
         self._commit(
             "drop_partitions",
@@ -1081,6 +1092,9 @@ class KeyedTable:
             StructType.fromJson(json.loads(man.schema_json)),
             rows=0,
             rewritten=sorted(drop),
+            base=man,
+            touched=drop,
+            new_files=[],
             extra_stats={
                 "dropped_partitions": sorted(drop),
                 **({"vector_index": vidx} if vidx is not None else {}),
@@ -1251,19 +1265,22 @@ class KeyedTable:
                 )
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(rewritten, cid, vidx)
-        carried = (
-            [f for f in man.files if M.partition_of(f) not in touched]
+        files = (
+            M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
-            else []
+            else new_files
         )
         self._commit(
             op,
-            carried + new_files,
+            files,
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats={"vector_index": vidx} if vidx is not None else None,
             cid=cid,
+            base=man if touched is not None else None,
+            touched=touched,
+            new_files=new_files,
         )
         return self.commits()[-1]
 
@@ -1663,15 +1680,18 @@ class KeyedTable:
         )
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
-        carried = (
-            [f for f in man.files if M.partition_of(f) not in touched]
+        files = (
+            M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
-            else []
+            else new_files
         )
         self._commit(
             "merge_into",
-            carried + new_files,
+            files,
             existing.schema,
+            base=man if touched is not None else None,
+            touched=touched,
+            new_files=new_files,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats=(
@@ -1969,11 +1989,15 @@ class KeyedTable:
         new_files, nrows = self._write_index_aware(
             binned, cid, vidx, repartition=False
         )
-        carried = [f for f in man.files if M.partition_of(f) not in todo]
         self._commit(
             "optimize",
-            carried + new_files,
+            M.with_new_files(
+                M.carried_files_arrow(man, set(todo)), new_files
+            ),
             full.schema,
+            base=man,
+            touched=set(todo),
+            new_files=new_files,
             rows=nrows,
             rewritten=sorted(str(p) for p in todo),
             extra_stats={"vector_index": vidx} if vidx is not None else None,
@@ -2520,6 +2544,9 @@ class KeyedTable:
         rewritten=None,
         extra_stats: dict | None = None,
         cid: str | None = None,
+        base=None,
+        touched: set | None = None,
+        new_files: list[str] | None = None,
     ) -> None:
         # Inline stats cover ONLY the files this commit just wrote;
         # carried-forward files keep their stats inside the manifest
@@ -2557,20 +2584,51 @@ class KeyedTable:
         # re-reading the head here would let a rival's interleaved
         # commit be silently clobbered out of the new snapshot instead
         # of raising ConcurrentCommitError (lost update).
+        if isinstance(files, list):
+            files_in = sorted(files)
+            fstats = {f: pending[f] for f in files if f in pending}
+            frows = {
+                f: pending_rows[f] for f in files if f in pending_rows
+            }
+            fblooms = {
+                f: pending_blooms[f] for f in files if f in pending_blooms
+            }
+        else:
+            # arrow file array (partition-scoped commits): Python cost
+            # here is O(pending) = O(delta); membership of the few
+            # freshly written names is one C-side is_in
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            files_in = files
+            keys = sorted({*pending, *pending_rows, *pending_blooms})
+            live = set()
+            if keys:
+                mask = pc.is_in(
+                    pa.array(keys, type=pa.string()), value_set=files
+                ).to_pylist()
+                live = {k for k, m in zip(keys, mask) if m}
+            fstats = {f: v for f, v in pending.items() if f in live}
+            frows = {f: v for f, v in pending_rows.items() if f in live}
+            fblooms = {f: v for f, v in pending_blooms.items() if f in live}
         man = M.Manifest(
             commit_id=cid or M.next_commit_id(self.path),
             op=op,
             ts=M.utc_now_iso(),
-            files=sorted(files),
+            files=files_in,
             schema_json=schema.json(),
             stats=stats,
-            file_stats={f: pending[f] for f in files if f in pending},
-            file_rows={f: pending_rows[f] for f in files if f in pending_rows},
-            file_blooms={
-                f: pending_blooms[f] for f in files if f in pending_blooms
-            },
+            file_stats=fstats,
+            file_rows=frows,
+            file_blooms=fblooms,
         )
-        M.write_manifest(self.path, man)
+        M.write_manifest(
+            self.path,
+            man,
+            base=base,
+            touched_dirs=touched,
+            new_files=new_files,
+        )
 
 
 def ingest(table: KeyedTable, batch: DataFrame) -> str:

@@ -146,21 +146,32 @@ class Manifest:
         self._file_blooms = file_blooms
         self._n_files = n_files
         self._shard_tbl = None  # cached concatenated arrow table
+        self._files_arr = None  # cached arrow file-name array
+        # producers may hand the file list as an arrow array (the
+        # O(delta)-Python commit path); the python-list view stays lazy
+        if files is not None and not isinstance(files, list):
+            self._files_arr = files
+            self._files = None
 
     # -- lazy views --------------------------------------------------------
 
     @property
     def files(self) -> list[str]:
         if self._files is None:
-            t = self.shard_table()
-            names = t["file"].to_pylist() if t is not None else []
-            self._files = sorted(set(names))
+            if self._files_arr is not None:
+                self._files = self._files_arr.to_pylist()
+            else:
+                t = self.shard_table()
+                names = t["file"].to_pylist() if t is not None else []
+                self._files = sorted(set(names))
         return self._files
 
     @property
     def n_files(self) -> int:
         if self._n_files is not None:
             return self._n_files
+        if self._files_arr is not None:
+            return len(self._files_arr)
         return len(self.files)
 
     @property
@@ -241,6 +252,31 @@ class Manifest:
         if any(f not in fr for f in files):
             return None
         return sum(fr[f] for f in files)
+
+    def files_arrow(self):
+        """The snapshot's DISTINCT, SORTED file names as one arrow
+        string array — the zero-Python-loop view the commit path
+        carries end to end. Backed by (in order): an array a previous
+        ``write_manifest`` left on this instance, the concatenated
+        shard table (one C-side unique+sort), or the inline v1 list."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self._files_arr is not None:
+            return self._files_arr
+        if self._files is not None:
+            arr = pa.array(sorted(set(self._files)), type=pa.string())
+        else:
+            t = self.shard_table()
+            if t is None:
+                arr = pa.array([], type=pa.string())
+            else:
+                u = pc.unique(t["file"])
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
+                arr = u.take(pc.sort_indices(u))
+        self._files_arr = arr
+        return arr
 
     def shard_table(self):
         """All shard rows as ONE arrow table (None for v1/inline
@@ -532,6 +568,58 @@ def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
             os.unlink(tmp)
 
 
+def _write_shard_table(root: str, name: str, tbl) -> None:
+    """Write an already-columnar shard table (recovered survivor rows
+    of broken shards) — the zero-re-encode path: rows move from the
+    old shard's parquet to the new one as arrow columns, never through
+    Python tuples."""
+    import pyarrow.parquet as pq
+
+    mdir = manifests_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    tbl = tbl.select(_SHARD_SCHEMA_COLS).cast(_shard_schema())
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(mdir, name))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+_SHARD_DIRS_CACHE: dict = {}
+
+
+def _shard_dirs(root: str, name: str) -> frozenset:
+    """Distinct partition dirs covered by a shard (None for rootless
+    files). One regex+unique kernel per shard, cached — shards are
+    immutable, so a long-lived writer pays this once per shard ever."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    path = os.path.join(manifests_dir(root), name)
+    st = os.stat(path)
+    key = (os.path.abspath(root), name, st.st_mtime_ns, st.st_size)
+    hit = _SHARD_DIRS_CACHE.get(key)
+    if hit is None:
+        if len(_SHARD_DIRS_CACHE) > 4096:
+            _SHARD_DIRS_CACHE.clear()
+        arr = shard_file_array(root, name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        dirs = pc.replace_substring_regex(
+            arr, pattern="/[^/]*$", replacement=""
+        )
+        has_dir = pc.match_substring_regex(arr, "/")
+        out = set(pc.unique(pc.filter(dirs, has_dir)).to_pylist())
+        if len(arr) and not pc.all(has_dir).as_py():
+            out.add(None)
+        hit = frozenset(out)
+        _SHARD_DIRS_CACHE[key] = hit
+    return hit
+
+
 def _stats_rows(files: list[str], stats_of, rows_of=None, bloom_of=None) -> list[tuple]:
     """One ``col IS NULL`` row per file carrying its footer row count
     and (optional) key-bloom bytes, plus one row per stats column."""
@@ -568,8 +656,141 @@ def _group_delta(files: list[str]) -> list[list[str]]:
     return [folded[k] for k in sorted(folded)]
 
 
-def write_manifest(root: str, manifest: Manifest) -> None:
+def _fast_shards(
+    root: str,
+    manifest: Manifest,
+    base: Manifest,
+    touched: set,
+    new_files: list[str],
+) -> bool:
+    """O(delta) shard plan for a PARTITION-SCOPED commit: the producer
+    declares its base snapshot, the partition dirs it rewrote, and its
+    new files — so reuse is decided per BASE SHARD from that shard's
+    (cached) partition-dir set, with zero kernels over the full file
+    list. Base shards disjoint from the touched dirs are referenced
+    as-is; overlapping ("broken") shards have their surviving rows
+    filtered C-side and rewritten as one recovered shard — columnar in,
+    columnar out, no per-row Python. Falls back (returns False) to the
+    generic path when the shard census wants compaction, a shard
+    vanished mid-read, or the reuse+recovery count disagrees with the
+    producer's file list (safety net: the generic path recomputes
+    ground truth)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not base.shards:
+        return False
+    # compaction-trigger parity with the generic path: when the census
+    # of shards across retained commits is large, let the generic path
+    # rewrite them into partition-grouped form
+    all_shards: set[str] = set()
+    for cid in list_commit_ids(root):
+        m = read_manifest(root, cid)
+        all_shards.update(m.shards or [])
+    if len(all_shards) > MAX_TOTAL_SHARDS:
+        return False
+    claimed = set((read_clean_plan(root) or {}).get("shards", []))
+    touched_named = sorted(d for d in touched if d is not None)
+    touched_arr = pa.array(touched_named, type=pa.string())
+    drop_rootless = None in touched
+    chosen: list[str] = []
+    rec_tables = []
+    n_covered = 0
+    try:
+        for s in base.shards:
+            dirs = _shard_dirs(root, s)
+            overlap = (
+                s in claimed
+                or bool(dirs & set(touched_named))
+                or (drop_rootless and None in dirs)
+            )
+            if not overlap:
+                chosen.append(s)
+                n_covered += len(shard_file_array(root, s))
+                continue
+            t = _load_shard(root, s)
+            farr = t["file"]
+            if isinstance(farr, pa.ChunkedArray):
+                farr = farr.combine_chunks()
+            fdirs = pc.replace_substring_regex(
+                farr, pattern="/[^/]*$", replacement=""
+            )
+            has_dir = pc.match_substring_regex(farr, "/")
+            dead = pc.and_(
+                has_dir, pc.is_in(fdirs, value_set=touched_arr)
+            )
+            if drop_rootless:
+                dead = pc.or_(dead, pc.invert(has_dir))
+            sub = t.filter(pc.invert(dead))
+            if sub.num_rows:
+                rec_tables.append(sub)
+                n_covered += len(pc.unique(sub["file"]))
+    except FileNotFoundError:
+        return False
+    # invariant guard, O(1): reused+recovered must cover exactly the
+    # producer's carried files (its file array minus its new files)
+    carried_n = (
+        len(manifest._files_arr)
+        if manifest._files_arr is not None
+        else len(set(manifest.files))
+    ) - len(new_files)
+    if n_covered != carried_n:
+        return False
+    inline = dict(manifest._file_stats or {})
+    inline_rows = dict(manifest._file_rows or {})
+    inline_blooms = dict(manifest._file_blooms or {})
+
+    def bloom_of(f: str):
+        b = inline_blooms.get(f)
+        if b is None:
+            return None
+        if isinstance(b, (bytes, bytearray)):
+            return bytes(b)
+        from hudi_glue_spark.table import bloom as B
+
+        return B.to_bytes(b)
+
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    names: list[str] = []
+    for k, group in enumerate(_group_delta(sorted(set(new_files)))):
+        name = f"{manifest.commit_id}-{token}-{k:04d}.parquet"
+        _write_shard(
+            root,
+            name,
+            _stats_rows(group, inline.get, inline_rows.get, bloom_of),
+        )
+        names.append(name)
+    if rec_tables:
+        rec = pa.concat_tables(rec_tables)
+        name = f"{manifest.commit_id}-{token}-rec0.parquet"
+        _write_shard_table(root, name, rec)
+        names.append(name)
+    manifest.shards = sorted(chosen + names)
+    manifest._n_files = n_covered + len(set(new_files))
+    manifest._files = None
+    manifest._files_arr = None
+    manifest.root = root
+    manifest._shard_tbl = None
+    return True
+
+
+def write_manifest(
+    root: str,
+    manifest: Manifest,
+    base: Manifest | None = None,
+    touched_dirs: set | None = None,
+    new_files: list[str] | None = None,
+) -> None:
     """Shard-ize (with cross-commit shard reuse) and atomically publish.
+
+    When the producer supplies its commit SCOPE (``base`` snapshot,
+    ``touched_dirs`` partition dirs rewritten, ``new_files``), the
+    O(delta) fast path (:func:`_fast_shards`) plans shards from
+    per-shard partition metadata alone — commit metadata cost is
+    O(delta) in both Python AND kernel terms, so commit wall stays
+    flat as the table grows 100k→1M files.
 
     Reuse: every shard referenced by any RETAINED commit whose file set
     (a) survives intact in this commit and (b) doesn't overlap an
@@ -585,12 +806,29 @@ def write_manifest(root: str, manifest: Manifest) -> None:
     commit id, so two writers can never both believe they published
     commit N (the loser retries with the next id; its orphan shards
     are GC'd by clean())."""
+    if (
+        manifest.shards is None
+        and base is not None
+        and touched_dirs is not None
+    ):
+        _fast_shards(root, manifest, base, touched_dirs, new_files or [])
     if manifest.shards is None:
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        new_files = sorted(set(manifest.files))
+        # the file list stays an arrow array end to end: sorted+unique
+        # as one C kernel, never a Python sort of every name
+        new_arr = manifest.files_arrow()
+        new_arr = (
+            new_arr.combine_chunks()
+            if isinstance(new_arr, pa.ChunkedArray)
+            else new_arr
+        )
+        u = pc.unique(new_arr)
+        if len(u) != len(new_arr):
+            new_arr = u
+        new_arr = new_arr.take(pc.sort_indices(new_arr))
         chosen: list[str] = []
         # candidate shards from every retained commit (tiny JSONs),
         # biggest first so one intact historical shard beats fragments
@@ -628,8 +866,10 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         # (C string hashing) plus numpy mask ops — not a Python
         # hash-set walk over every file name. At 1M files this is the
         # difference between ~3 s and sub-second commit metadata cost.
-        new_arr = pa.array(new_files, type=pa.string())
-        covered_np = np.zeros(len(new_files), dtype=bool)
+        def _flat(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        covered_np = np.zeros(len(new_arr), dtype=bool)
         if not force_compact and cands:
             # ONE index_in call: the value-set hash index over the new
             # file list builds once and every candidate's files probe
@@ -639,10 +879,6 @@ def write_manifest(root: str, manifest: Manifest) -> None:
                 (s for s in cands if s not in claimed_shards),
                 key=lambda s: -len(cand_arrs[s]),
             )
-
-            def _flat(a):
-                return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-
             arrs = [_flat(cand_arrs[s]) for s in order]
             big = (
                 pa.concat_arrays(arrs)
@@ -666,14 +902,14 @@ def write_manifest(root: str, manifest: Manifest) -> None:
                     continue
                 covered_np[idx] = True
                 chosen.append(s)
+        # the uncovered delta drops to a Python list only AFTER the
+        # C-side filter — O(delta) names materialized, not O(table)
         if covered_np.any():
-            delta = [
-                f
-                for f, c in zip(new_files, covered_np.tolist())
-                if not c
-            ]
+            delta = pc.filter(
+                new_arr, pa.array(~covered_np)
+            ).to_pylist()
         else:
-            delta = list(new_files)
+            delta = new_arr.to_pylist()
 
         inline = dict(manifest._file_stats or {})
         inline_rows = dict(manifest._file_rows or {})
@@ -684,18 +920,32 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         # shards), never a full-table stats load.
         need = {f for f in delta if f not in inline or f not in inline_rows}
         if need:
-            # frozenset views built lazily — only the recovery path
-            # (broken shards) pays for them
-            cand_sets = {}
-            for s in cands:
-                try:
-                    cand_sets[s] = shard_file_set(root, s)
-                except FileNotFoundError:
-                    cand_sets[s] = frozenset()
-            for s in cands:
-                hit = cand_sets[s] & need
-                if not hit:
+            # Which broken shards hold the needed files: ONE C-side
+            # membership pass over the concatenated candidate names —
+            # never a Python frozenset of every shard's names (that
+            # walk was O(table) strings per commit, the last 1M-file
+            # hot spot), and no per-candidate hash-index rebuilds.
+            need_arr = pa.array(sorted(need), type=pa.string())
+            probe = [
+                (s, _flat(cand_arrs[s]))
+                for s in cands
+                if cand_arrs.get(s) is not None and len(cand_arrs[s]) > 0
+            ]
+            hitmask = (
+                pc.is_in(
+                    pa.concat_arrays([a for _, a in probe]),
+                    value_set=need_arr,
+                ).to_numpy(zero_copy_only=False)
+                if probe
+                else None
+            )
+            off = 0
+            for s, a in probe:
+                m = hitmask[off : off + len(a)]
+                off += len(a)
+                if not m.any():
                     continue
+                hit = set(pc.filter(a, pa.array(m)).to_pylist())
                 try:
                     t = _load_shard(root, s)
                 except FileNotFoundError:
@@ -770,8 +1020,9 @@ def write_manifest(root: str, manifest: Manifest) -> None:
             )
             chosen.append(name)
         manifest.shards = sorted(chosen)
-        manifest._n_files = len(new_files)
-        manifest._files = new_files
+        manifest._n_files = len(new_arr)
+        manifest._files = None
+        manifest._files_arr = new_arr
         manifest.root = root
         manifest._shard_tbl = None
 
@@ -893,3 +1144,66 @@ def partition_of(rel_file: str) -> str | None:
     """Partition directory of a manifest-relative file path, or None."""
     head = os.path.dirname(rel_file)
     return head or None
+
+
+def carried_files_arrow(man: Manifest, exclude_dirs: set[str]):
+    """The snapshot's file names MINUS those living in ``exclude_dirs``
+    (partition dirs being rewritten), as an arrow array — the
+    vectorized replacement for ``[f for f in man.files if
+    partition_of(f) not in touched]``. On an ~800k-file table that
+    Python loop (regex dirname per file) was the last O(files)
+    per-commit driver cost; here dirname extraction, membership, and
+    filtering are three C-side kernels over the columnar name array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = man.files_arrow()
+    if not exclude_dirs:
+        return arr
+    dirs = pc.replace_substring_regex(arr, pattern="/[^/]*$", replacement="")
+    has_dir = pc.match_substring_regex(arr, "/")
+    named = sorted(d for d in exclude_dirs if d is not None)
+    drop = (
+        pc.and_(
+            has_dir,
+            pc.is_in(dirs, value_set=pa.array(named, type=pa.string())),
+        )
+        if named
+        else pa.array([False] * len(arr), type=pa.bool_())
+    )
+    if None in exclude_dirs:  # rootless files of an unpartitioned table
+        drop = pc.or_(drop, pc.invert(has_dir))
+    return pc.filter(arr, pc.invert(drop))
+
+
+def partition_dirs(man: Manifest) -> set:
+    """Distinct partition dirs of the snapshot (None for rootless
+    files) — vectorized over the columnar name array."""
+    import pyarrow.compute as pc
+
+    arr = man.files_arrow()
+    if len(arr) == 0:
+        return set()
+    dirs = pc.replace_substring_regex(arr, pattern="/[^/]*$", replacement="")
+    has_dir = pc.match_substring_regex(arr, "/")
+    out = set(pc.unique(pc.filter(dirs, has_dir)).to_pylist())
+    if not pc.all(has_dir).as_py():
+        out.add(None)
+    return out
+
+
+def with_new_files(carried, new_files: list[str]):
+    """Concatenate a carried arrow file array with this commit's new
+    file names — the commit path's O(delta)-Python file-list builder."""
+    import pyarrow as pa
+
+    flat = (
+        carried.combine_chunks()
+        if isinstance(carried, pa.ChunkedArray)
+        else carried
+    )
+    if not new_files:
+        return flat
+    return pa.concat_arrays(
+        [flat, pa.array(sorted(new_files), type=pa.string())]
+    )

@@ -194,7 +194,7 @@ def test_upsert_with_retry_rereads_rival_snapshot(spark, tmp_path, monkeypatch):
     orig = M.write_manifest
     fired = {}
 
-    def rival_once(r, man):
+    def rival_once(r, man, **kw):
         if r == root and man.op == "upsert" and not fired:
             fired["x"] = 1
             # a concurrent writer claims this commit id first with a
@@ -210,7 +210,7 @@ def test_upsert_with_retry_rereads_rival_snapshot(spark, tmp_path, monkeypatch):
                     stats={"rows_written": 0},
                 ),
             )
-        return orig(r, man)
+        return orig(r, man, **kw)
 
     monkeypatch.setattr(M, "write_manifest", rival_once)
     t.upsert_with_retry(spark.createDataFrame([Row(pk=2, v=9.0), Row(pk=3, v=3.0)]))

@@ -413,3 +413,73 @@ def test_key_blooms_ride_manifest_shards(spark, tmp_path):
     keep = t2.files_with_keys([5])
     assert len(keep) < len(man.files)
     assert {r.id for r in t2.read_keys(spark, [5]).collect()} == {5}
+
+
+def test_fast_shard_plan_matches_generic(spark, tmp_path, monkeypatch):
+    """The O(delta) fast shard plan (producer-declared commit scope)
+    must publish snapshots EQUIVALENT to the generic reuse path: same
+    live files, same per-file stats/rows, same reads, validate()
+    sound — only the shard layout may differ."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    def build(root, fast: bool):
+        if not fast:
+            monkeypatch.setattr(M, "_fast_shards", lambda *a, **k: False)
+        t = KeyedTable(
+            str(root), key="id", precombine="ts", partition_by="grp",
+            stats_cols=["ts", "v"],
+        )
+        import datetime
+        ts = lambda d: datetime.datetime(2026, 4, d)  # noqa: E731
+        t.bulk_insert(
+            spark.createDataFrame(
+                [Row(id=i, grp=f"g{i % 5}", v=float(i), ts=ts(1))
+                 for i in range(100)]
+            )
+        )
+        t.upsert(
+            spark.createDataFrame(
+                [Row(id=i, grp=f"g{i % 5}", v=float(i) + 0.5, ts=ts(2))
+                 for i in range(0, 100, 10)]
+            )
+        )
+        t.delete(spark.createDataFrame([Row(id=3), Row(id=7)]))
+        t.drop_partitions(["grp=g4"])
+        monkeypatch.undo()
+        return t
+
+    tf = build(tmp_path / "fast", fast=True)
+    tg = build(tmp_path / "gen", fast=False)
+
+    mf, mg = M.read_manifest(tf.path), M.read_manifest(tg.path)
+    # same file COUNT and same per-file stats multiset (names differ by
+    # random writer tokens, so compare stats keyed by partition+stats)
+    assert mf.n_files == mg.n_files
+    assert len(mf.files) == mf.n_files
+    assert len(mg.files) == mg.n_files
+
+    def stat_sig(man):
+        out = []
+        for f in man.files:
+            st = man.file_stats.get(f, {})
+            out.append(
+                (M.partition_of(f), tuple(sorted(
+                    (c, tuple(v)) for c, v in st.items()
+                )), man.file_rows.get(f))
+            )
+        return sorted(out, key=str)
+
+    assert stat_sig(mf) == stat_sig(mg)
+    a = {(r.id, r.grp, r.v) for r in tf.read(spark).collect()}
+    b = {(r.id, r.grp, r.v) for r in tg.read(spark).collect()}
+    assert a == b
+    assert tf.validate() == []
+    # and pruning agrees between the two layouts
+    assert sorted(
+        M.partition_of(f) for f in tf.files_in_range("v", 50.0, 60.0)
+    ) == sorted(
+        M.partition_of(f) for f in tg.files_in_range("v", 50.0, 60.0)
+    )

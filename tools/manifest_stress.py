@@ -47,13 +47,18 @@ def main(n_files: int = 100_000, n_parts: int = 1_000, n_commits: int = 10):
     for p in range(n_parts):
         live.update(_mk_files(p, 1, per_part))
 
-    def commit(op: str, files_stats: dict[str, dict], delta_stats: dict):
+    def commit(op: str, files, delta_stats: dict, scope: dict | None = None):
+        # ``files`` is a python list (initial load) or an arrow array
+        # (the O(delta)-Python carried+new path the engine now uses);
+        # ``scope`` carries base/touched_dirs/new_files — the commit
+        # scope KeyedTable._commit declares, which unlocks the O(delta)
+        # fast shard plan
         cid = M.next_commit_id(root)
         man = M.Manifest(
             commit_id=cid,
             op=op,
             ts=M.utc_now_iso(),
-            files=sorted(files_stats),
+            files=files if not isinstance(files, dict) else sorted(files),
             schema_json=SCHEMA,
             stats={"rows_written": 0},
             file_stats=delta_stats,
@@ -65,7 +70,7 @@ def main(n_files: int = 100_000, n_parts: int = 1_000, n_commits: int = 10):
             else {}
         )
         t0 = time.time()
-        M.write_manifest(root, man)
+        M.write_manifest(root, man, **(scope or {}))
         dt = time.time() - t0
         new_bytes = sum(
             os.path.getsize(os.path.join(mdir, f))
@@ -93,7 +98,23 @@ def main(n_files: int = 100_000, n_parts: int = 1_000, n_commits: int = 10):
             del live[f]
         delta = _mk_files(part, c, per_part)
         live.update(delta)
-        dt, nb, ns = commit("upsert", live, delta)
+        # the REAL engine commit path: vectorized carried-file filter
+        # over the previous snapshot + arrow concat of the delta —
+        # driver Python cost is O(delta), never an O(table) name loop
+        prev = M.read_manifest(root)
+        files_arr = M.with_new_files(
+            M.carried_files_arrow(prev, {f"day={part:04d}"}), sorted(delta)
+        )
+        dt, nb, ns = commit(
+            "upsert",
+            files_arr,
+            delta,
+            scope={
+                "base": prev,
+                "touched_dirs": {f"day={part:04d}"},
+                "new_files": sorted(delta),
+            },
+        )
         print(
             f"upsert commit {c:3d} (1 part, {per_part} new files): "
             f"{dt:6.3f}s  {nb/1e3:8.1f} KB written  ({ns} shards)"
