@@ -1400,3 +1400,97 @@ def q_savepoint_pinned_time_travel(spark, sf_dir):
             F.lit(purged).alias("unpinned_history_purged"),
         )
     )
+
+
+@query(
+    "clean_plan_protocol",
+    """
+    WITH b0 AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), b1 AS (
+      SELECT event_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+      FROM events WHERE event_type = 'click'
+    ), u AS (
+      SELECT *, 0 AS src FROM b0
+      UNION ALL SELECT *, 1 AS src FROM b1
+    ), final AS (
+      SELECT event_id, event_type, value FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC, src DESC) AS rn
+        FROM u
+      ) WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS reuse_refused_under_plan,
+           TRUE AS writer_published_during_plan,
+           TRUE AS plan_cleared,
+           TRUE AS validate_sound
+    FROM final GROUP BY event_type
+    """,
+)
+def q_clean_plan_protocol(spark, sf_dir):
+    """Cleaner ⇄ writer coordination through the commit log, driver-
+    proven: clean() publishes ``_cleanplan.json`` (commits to drop +
+    claimed files/shards) BEFORE deleting anything; a writer that
+    commits while the plan is pending must refuse every claimed shard
+    as a reuse candidate (its head manifest shares no shard with the
+    claim set), and clean's execute phase re-checks claims against the
+    commits live at delete time — so the interleaved writer's snapshot
+    stays fully readable and the per-partition aggregate of the FINAL
+    state (bulk load + one upsert merged under the pending plan) hash-
+    matches the oracle's recomputation. The flags assert the protocol
+    state transitions from the real on-disk artifacts. This is the
+    object-store-correct closure of the cleaner-vs-in-flight-writer
+    race (Hudi clean-plan / Delta VACUUM-protocol parity;
+    keyed_table.py:1793, manifest.py write_manifest)."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_cleanplan_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    cols = ["event_id", "event_type", "value", "ts"]
+    tbl.bulk_insert(b0.select(cols))
+    # churn so retain=1 has commits to drop: rewrite one partition twice
+    aux = b0.select(cols).filter(F.col("event_type") == "view").limit(50)
+    tbl.upsert(aux)
+    tbl.upsert(aux)
+
+    plan = tbl._plan_clean(retain_commits=1, orphan_grace_s=0.0)
+    assert plan is not None
+    M.write_clean_plan(root, plan)
+    claimed = set(plan["shards"])
+    # writer commits WHILE the plan is pending
+    tbl.upsert(b1.select(cols))
+    head = M.read_manifest(root)
+    reuse_refused = not (set(head.shards or []) & claimed)
+    writer_published = head.op == "upsert"
+    # cleaner resumes its published plan
+    tbl.clean(retain_commits=1)
+    plan_cleared = M.read_clean_plan(root) is None
+    validate_sound = tbl.validate() == []
+
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(reuse_refused).alias("reuse_refused_under_plan"),
+            F.lit(writer_published).alias("writer_published_during_plan"),
+            F.lit(plan_cleared).alias("plan_cleared"),
+            F.lit(validate_sound).alias("validate_sound"),
+        )
+    )
