@@ -287,6 +287,23 @@ class Manifest:
         if self._shard_tbl is None:
             import pyarrow as pa
 
+            uncached = [
+                s
+                for s in self.shards
+                if not _shard_cached(self.root, s)
+            ]
+            if len(uncached) > 4:
+                # cold snapshot: open shards concurrently — parquet
+                # footer reads are I/O-bound, and a 1M-file snapshot's
+                # 64 sequential opens were ~3.4 s of pure latency
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    list(
+                        ex.map(
+                            lambda s: _load_shard(self.root, s), uncached
+                        )
+                    )
             parts = [_load_shard(self.root, s) for s in self.shards]
             self._shard_tbl = (
                 pa.concat_tables(parts)
@@ -309,8 +326,22 @@ class Manifest:
         t = self.shard_table()
         if t is None:
             return None
-        skipped = self._skip_mask_range(t, col, nlo, nhi)
-        return sorted(set(self.files) - skipped)
+        import pyarrow.compute as pc
+
+        keep, skipped = self._range_masks(t, col, nlo, nhi)
+        if keep is not None:
+            # every file carries stats for ``col``: emit the keep list
+            # directly — O(kept) names materialized, no membership pass
+            u = pc.unique(keep)
+            return sorted(u.to_pylist())
+        all_arr = self.files_arrow()
+        if skipped is None or len(skipped) == 0:
+            return all_arr.to_pylist()
+        # keep-list materializes O(kept) Python strings — never the
+        # full snapshot (a time-slice probe on a 1M-file table keeps
+        # ~100 names; the old set-difference built 1M)
+        mask = pc.is_in(all_arr, value_set=skipped)
+        return pc.filter(all_arr, pc.invert(mask)).to_pylist()
 
     def prune_isin(self, col: str, nvalues: list) -> list[str] | None:
         """Files that may hold ANY of ``nvalues`` — skip iff every
@@ -324,35 +355,106 @@ class Manifest:
         t = self.shard_table()
         if t is None:
             return None
-        import bisect
-
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.compute as pc
 
-        sub = t.filter(pc.equal(t["col"], col))
-        cols = {c: sub[c].to_pylist() for c in _SHARD_SCHEMA_COLS}
-        vals = sorted(nvalues)
-        skipped: set[str] = set()
-        for k in range(sub.num_rows):
-            mn = _decode(cols["min_i"][k], cols["min_f"][k], cols["min_s"][k])
-            mx = _decode(cols["max_i"][k], cols["max_f"][k], cols["max_s"][k])
-            if mn is None or mx is None:
-                continue
-            try:
-                i = bisect.bisect_left(vals, mn)
-                if not (i < len(vals) and vals[i] <= mx):
-                    skipped.add(cols["file"][k])
-            except TypeError:  # probe/stat type mismatch → keep
-                continue
-        return sorted(set(self.files) - skipped)
-
-    @staticmethod
-    def _skip_mask_range(t, col: str, nlo, nhi) -> set[str]:
-        """The set of files PROVABLY outside [nlo, nhi] on ``col``."""
-        import pyarrow.compute as pc
-
-        sub = t.filter(pc.equal(t["col"], col))
+        slim = t.select(
+            ["file", "col", "min_i", "max_i", "min_f", "max_f",
+             "min_s", "max_s"]
+        )
+        sub = slim.filter(pc.equal(slim["col"], col))
         if sub.num_rows == 0:
-            return set()
+            return self.files_arrow().to_pylist()
+        complete = sub.num_rows == self.n_files
+        vals = sorted(nvalues)
+        # Vectorized "∃ v ∈ vals: min ≤ v ≤ max" per stats row: one
+        # numpy searchsorted over the typed min column + one comparison
+        # against max — O(rows · log vals) in C, replacing the Python
+        # bisect-per-file loop that dominated 1M-file point probes.
+        # Exact typed comparisons where types line up; anything that
+        # doesn't compare cleanly is KEPT (never wrongly skipped).
+        skip_np = np.zeros(sub.num_rows, dtype=bool)
+        if all(isinstance(v, str) for v in vals):
+            mn = sub["min_s"].to_numpy(zero_copy_only=False)
+            mx = sub["max_s"].to_numpy(zero_copy_only=False)
+            have = np.array(
+                [a is not None and b is not None for a, b in zip(mn, mx)]
+            )
+            if have.any():
+                # fixed-width unicode arrays: C-speed lexicographic
+                # searchsorted/compare (object dtype would fall back
+                # to per-element Python compares)
+                va = np.array([str(v) for v in vals])
+                mnh = np.array(mn[have].tolist())
+                mxh = np.array(mx[have].tolist())
+                idx = np.searchsorted(va, mnh, side="left")
+                hit = np.zeros(len(mnh), dtype=bool)
+                inb = idx < len(va)
+                hit[inb] = va[idx[inb]] <= mxh[inb]
+                skip_np[have] = ~hit
+        elif all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                 for v in vals):
+            mni = sub["min_i"].to_numpy(zero_copy_only=False)
+            mxi = sub["max_i"].to_numpy(zero_copy_only=False)
+            mnf = sub["min_f"].to_numpy(zero_copy_only=False)
+            mxf = sub["max_f"].to_numpy(zero_copy_only=False)
+            # float64 comparison plane with a 2-ULP guard band on the
+            # stats (int64 beyond 2^53 rounds; widening min down / max
+            # up makes rounding strictly conservative — kept, never
+            # wrongly skipped)
+            mn = np.where(np.isnan(mni.astype("float64")), mnf, mni)
+            mx = np.where(np.isnan(mxi.astype("float64")), mxf, mxi)
+            mn = mn.astype("float64")
+            mx = mx.astype("float64")
+            have = ~(np.isnan(mn) | np.isnan(mx))
+            if have.any():
+                va = np.array([float(v) for v in vals], dtype="float64")
+                lo = np.nextafter(np.nextafter(mn[have], -np.inf), -np.inf)
+                hi = np.nextafter(np.nextafter(mx[have], np.inf), np.inf)
+                idx = np.searchsorted(va, lo, side="left")
+                hit = np.zeros(len(lo), dtype=bool)
+                inb = idx < len(va)
+                hit[inb] = va[idx[inb]] <= hi[inb]
+                skip_np[have] = ~hit
+        else:
+            # mixed/unknown probe types: keep everything
+            return self.files_arrow().to_pylist()
+        if not skip_np.any():
+            return self.files_arrow().to_pylist()
+        farr = sub["file"]
+        if isinstance(farr, pa.ChunkedArray):
+            farr = farr.combine_chunks()
+        if complete:
+            # every file has stats for ``col``: emit kept names
+            # directly — O(kept), no 1M-name membership pass
+            u = pc.unique(pc.filter(farr, pa.array(~skip_np)))
+            return sorted(u.to_pylist())
+        all_arr = self.files_arrow()
+        skipped = pc.unique(pc.filter(farr, pa.array(skip_np)))
+        mask = pc.is_in(all_arr, value_set=skipped)
+        return pc.filter(all_arr, pc.invert(mask)).to_pylist()
+
+    def _range_masks(self, t, col: str, nlo, nhi):
+        """(keep_files, skipped_files) for [nlo, nhi] on ``col``, both
+        arrow name arrays, C-side end to end. Exactly one is non-None:
+        ``keep`` when EVERY live file has a stats row for ``col`` (the
+        stats_cols fast path — emit kept names directly), else
+        ``skipped`` (files without stats must be united in by the
+        caller). The stats filter SELECTS AWAY the bloom column first —
+        filtering the full shard table would copy every file's bloom
+        bytes per probe."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        slim = t.select(
+            ["file", "col", "min_i", "max_i", "min_f", "max_f",
+             "min_s", "max_s"]
+        )
+        sub = slim.filter(pc.equal(slim["col"], col))
+        if sub.num_rows == 0:
+            return None, pa.array([], type=pa.string())
+        complete = sub.num_rows == self.n_files
         if isinstance(nlo, str):
             below = pc.less(sub["max_s"], nlo)
             above = pc.greater(sub["min_s"], nhi)
@@ -371,7 +473,12 @@ class Manifest:
             below = pc.less(mx, lo_g)
             above = pc.greater(mn, hi_g)
         skip = pc.fill_null(pc.or_kleene(below, above), False)
-        return set(sub.filter(skip)["file"].to_pylist())
+        if complete:
+            return sub.filter(pc.invert(skip))["file"], None
+        u = pc.unique(sub.filter(skip)["file"])
+        return None, (
+            u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+        )
 
     # -- (de)serialization -------------------------------------------------
 
@@ -462,6 +569,20 @@ def read_manifest(root: str, commit_id: str | None = None) -> Manifest | None:
 # -- shard I/O (immutable once published → safely cached) ------------------
 
 _SHARD_CACHE: dict = {}
+
+
+def _shard_cached(root: str, name: str) -> bool:
+    """Whether :func:`_load_shard` would be a cache hit (no I/O)."""
+    try:
+        st = os.stat(os.path.join(manifests_dir(root), name))
+    except FileNotFoundError:
+        return False
+    return (
+        os.path.abspath(root),
+        name,
+        st.st_mtime_ns,
+        st.st_size,
+    ) in _SHARD_CACHE
 
 
 def _load_shard(root: str, name: str):
