@@ -1494,3 +1494,108 @@ def q_clean_plan_protocol(spark, sf_dir):
             F.lit(validate_sound).alias("validate_sound"),
         )
     )
+
+
+@query(
+    "occ_disjoint_rebase",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+    ), a AS (  -- victim writer: doubles every 'click' value
+      SELECT event_id, event_type, value * 2 AS value
+      FROM base WHERE event_type = 'click'
+    ), b AS (  -- rival writer: +1000 on every 'view' value
+      SELECT event_id, event_type, value + 1000 AS value
+      FROM base WHERE event_type = 'view'
+    ), merged AS (
+      SELECT * FROM base
+      WHERE event_type NOT IN ('click', 'view')
+      UNION ALL SELECT * FROM a
+      UNION ALL SELECT * FROM b
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS loser_rebased,
+           TRUE AS both_writers_present
+    FROM merged GROUP BY event_type
+    """,
+)
+def q_occ_disjoint_rebase(spark, sf_dir):
+    """Optimistic-concurrency DISJOINT-COMMIT REBASE, driver-proven
+    (Hudi/Delta conflict-resolution parity): two writers race the same
+    commit id against the same base snapshot — the rival rewrites the
+    'view' partition, the victim the 'click' partition. Under
+    ``key_scope='partition'`` the loser must NOT re-run its merge: it
+    audits the rival chain (disjoint partitions, same schema/layout/
+    index) and re-publishes its ALREADY-STAGED files against the
+    rival's head, stamping ``rebased_onto``. Both writers' rewrites
+    land; the per-partition aggregate of the final snapshot
+    hash-matches the oracle's independent recomputation of both
+    updates applied to base. At 100 TB this is what lets N
+    partition-disjoint writers commit at merge-once cost instead of
+    serializing re-merges (keyed_table.py:_rebase_commit)."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_rebase_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type",
+        key_scope="partition",
+    )
+    cols = ["event_id", "event_type", "value", "ts"]
+    b0, _b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(cols))
+    base_man = M.read_manifest(root)
+
+    # VICTIM stages its 'click' rewrite against the base snapshot…
+    victim_rows = (
+        tbl.read(spark)
+        .filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+    )
+    cid = M.child_id(base_man.commit_id)
+    staged, nrows = tbl._write_index_aware(victim_rows, cid, None)
+
+    # …meanwhile the RIVAL publishes its 'view' rewrite first
+    rival = KeyedTable.load(root)
+    rival.update_where(
+        spark, {"value": "value + 1000"}, "event_type = 'view'"
+    )
+
+    # victim's publish under the planned child id now collides; the
+    # rebase path must re-publish the staged files against the head
+    touched = {"event_type=click"}
+    tbl._commit(
+        "upsert",
+        M.with_new_files(M.carried_files_arrow(base_man, touched), staged),
+        tbl.read(spark).schema,
+        rows=nrows,
+        rewritten=sorted(touched),
+        cid=cid,
+        base=base_man,
+        touched=touched,
+        new_files=staged,
+    )
+    head = M.read_manifest(root)
+    rebased = "rebased_onto" in (head.stats or {})
+    ops = [M.read_manifest(root, c).op for c in tbl.commits()]
+    both = ops.count("upsert") == 1 and ops.count("update_where") == 1
+
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(rebased).alias("loser_rebased"),
+            F.lit(both).alias("both_writers_present"),
+        )
+    )

@@ -2622,13 +2622,105 @@ class KeyedTable:
             file_rows=frows,
             file_blooms=fblooms,
         )
-        M.write_manifest(
-            self.path,
-            man,
-            base=base,
-            touched_dirs=touched,
-            new_files=new_files,
-        )
+        try:
+            M.write_manifest(
+                self.path,
+                man,
+                base=base,
+                touched_dirs=touched,
+                new_files=new_files,
+            )
+            return
+        except M.ConcurrentCommitError:
+            if not self._rebase_commit(
+                op, man, base, touched, new_files or [], fstats, frows,
+                fblooms,
+            ):
+                raise
+
+    # Ops whose rebase is key-safe regardless of key_scope: they never
+    # introduce or remove keys, only re-arrange existing rows/files.
+    _REBASE_SAFE_OPS = frozenset({"optimize", "drop_partitions"})
+
+    def _rebase_commit(
+        self, op, man, base, touched, new_files, fstats, frows, fblooms
+    ) -> bool:
+        """DISJOINT-COMMIT REBASE (Hudi/Delta OCC conflict-resolution
+        parity): a writer that loses the commit race re-publishes its
+        ALREADY-STAGED files against the rival's head — skipping the
+        full read-merge-rewrite — when that is provably sound:
+
+        - every interleaved rival commit rewrote only partitions
+          DISJOINT from this writer's touched set (no ``<all>``
+          markers), with the same schema, partition layout, and vector
+          index as this writer's base — so the base rows this writer's
+          merge consumed are bit-identical in the rival's head;
+        - key reasoning cannot leak across partitions: either the
+          table's ``key_scope`` is ``"partition"`` (a key lives only in
+          its own partition, so a disjoint rival cannot hold this
+          writer's keys), or the op is data-preserving
+          (optimize/drop_partitions). GLOBAL-key tables fall back to
+          the full re-merge — a disjoint rival may still have inserted
+          one of this writer's keys elsewhere, which only the re-merge
+          can see.
+
+        At 100 TB this is what lets N writers on N different partitions
+        commit concurrently at merge-once cost instead of serializing
+        re-merges. Returns True when a rebase published."""
+        if base is None or touched is None:
+            return False
+        if op not in self._REBASE_SAFE_OPS and self.key_scope != "partition":
+            return False
+        my_schema = man.schema_json
+        my_stats = man.stats
+        for _ in range(5):
+            head = M.read_manifest(self.path)
+            assert head is not None
+            # audit every rival commit between my base and the head
+            chain = [
+                c
+                for c in self.commits()
+                if int(c) > int(base.commit_id)
+            ]
+            for c in chain:
+                r = M.read_manifest(self.path, c)
+                rs = r.stats or {}
+                rw = rs.get("partitions_rewritten")
+                if (
+                    not isinstance(rw, list)
+                    or "<all>" in rw
+                    or set(rw) & set(touched)
+                    or r.schema_json != base.schema_json
+                    or rs.get("partition_by") != my_stats.get("partition_by")
+                    or rs.get("vector_index")
+                    != (base.stats or {}).get("vector_index")
+                ):
+                    return False
+            rebased = M.Manifest(
+                commit_id=M.child_id(head.commit_id),
+                op=op,
+                ts=M.utc_now_iso(),
+                files=M.with_new_files(
+                    M.carried_files_arrow(head, touched), new_files
+                ),
+                schema_json=my_schema,
+                stats={**my_stats, "rebased_onto": head.commit_id},
+                file_stats=fstats,
+                file_rows=frows,
+                file_blooms=fblooms,
+            )
+            try:
+                M.write_manifest(
+                    self.path,
+                    rebased,
+                    base=head,
+                    touched_dirs=touched,
+                    new_files=new_files,
+                )
+                return True
+            except M.ConcurrentCommitError:
+                continue  # another rival landed; re-audit and retry
+        return False
 
 
 def ingest(table: KeyedTable, batch: DataFrame) -> str:

@@ -578,3 +578,140 @@ def test_multi_writer_randomized_serializability(spark, tmp_path):
     # final clean from a quiesced table leaves it sound
     t.clean(retain_commits=2)
     assert t.validate() == []
+
+
+def _rival_during_write(monkeypatch, spark, root, rival_batch):
+    """Monkeypatch _write_files so a rival KeyedTable writer publishes
+    between the victim's snapshot read and its publish."""
+    from hudi_glue_spark.table import KeyedTable
+
+    orig = KeyedTable._write_files
+    fired = {}
+
+    def write_with_rival(self, df, cid, repartition=True):
+        out = orig(self, df, cid, repartition)
+        if self.path == root and not fired:
+            fired["x"] = 1
+            rival = KeyedTable.load(root)
+            monkeypatch.setattr(KeyedTable, "_write_files", orig)
+            try:
+                rival.upsert(rival_batch)
+            finally:
+                monkeypatch.setattr(
+                    KeyedTable, "_write_files", write_with_rival
+                )
+        return out
+
+    monkeypatch.setattr(KeyedTable, "_write_files", write_with_rival)
+    return orig
+
+
+def test_disjoint_rival_rebases_without_remerge(spark, tmp_path, monkeypatch):
+    """key_scope='partition' + rival touching a DISJOINT partition: the
+    losing writer re-publishes its staged files against the rival's
+    head (stats carry rebased_onto) instead of re-running the merge —
+    both writers' rows land, no duplicates, validate() sound."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "rebase")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="partition",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 4}", v=0.0, ts=_ts(1)) for i in range(40)]
+        )
+    )
+    rival_batch = spark.createDataFrame(
+        [Row(id=100 + i, grp="g1", v=9.0, ts=_ts(2)) for i in range(5)]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    # victim upserts ONLY g0 — disjoint from the rival's g1
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [Row(id=200 + i, grp="g0", v=5.0, ts=_ts(2)) for i in range(5)]
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    head = M.read_manifest(root)
+    assert head.op == "upsert"
+    assert "rebased_onto" in (head.stats or {}), "expected rebase path"
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(range(40)) | {100 + i for i in range(5)} | {
+        200 + i for i in range(5)
+    }
+    snap = t.read(spark)
+    assert snap.count() == snap.select("id").distinct().count()
+    t.clean(retain_commits=1)
+    assert t.validate() == []
+
+
+def test_overlapping_rival_forces_full_remerge(spark, tmp_path, monkeypatch):
+    """Same interleaving but the rival touches the SAME partition: the
+    rebase must refuse (conflicting base rows) and the retry re-merges,
+    so the precombine policy resolves the key both writers touched."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "remerge")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="partition",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", v=0.0, ts=_ts(1)) for i in range(10)]
+        )
+    )
+    # rival updates id=0 in g0 with a NEWER ts
+    rival_batch = spark.createDataFrame([Row(id=0, grp="g0", v=7.0, ts=_ts(5))])
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    # victim updates the same id=0 with an OLDER ts — must lose
+    t.upsert_with_retry(
+        spark.createDataFrame([Row(id=0, grp="g0", v=3.0, ts=_ts(3))])
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    head = M.read_manifest(root)
+    assert "rebased_onto" not in (head.stats or {})
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[0] == 7.0  # newest event time survived the re-merge
+    assert len(got) == 10
+    t.clean(retain_commits=1)  # reclaim the lost attempt's staged files
+    assert t.validate() == []
+
+
+def test_global_key_scope_never_rebases(spark, tmp_path, monkeypatch):
+    """GLOBAL key scope: even a partition-disjoint rival forces the
+    full re-merge — a rival may have inserted this writer's key in
+    another partition, which only the re-merge can detect. (Here the
+    rival does exactly that: same key, different partition.)"""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "globalscope")
+    t = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", v=0.0, ts=_ts(1)) for i in range(10)]
+        )
+    )
+    # rival inserts NEW key 500 into g1
+    rival_batch = spark.createDataFrame([Row(id=500, grp="g1", v=1.0, ts=_ts(2))])
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    # victim upserts the SAME key 500 into g0 with newer ts
+    t.upsert_with_retry(
+        spark.createDataFrame([Row(id=500, grp="g0", v=2.0, ts=_ts(3))])
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    head = M.read_manifest(root)
+    assert "rebased_onto" not in (head.stats or {})
+    rows = [r for r in t.read(spark).collect() if r.id == 500]
+    # GLOBAL scope: exactly one survivor for the key, newest ts wins
+    assert len(rows) == 1 and rows[0].v == 2.0
+    t.clean(retain_commits=1)  # reclaim the lost attempt's staged files
+    assert t.validate() == []
