@@ -715,3 +715,113 @@ def test_global_key_scope_never_rebases(spark, tmp_path, monkeypatch):
     assert len(rows) == 1 and rows[0].v == 2.0
     t.clean(retain_commits=1)  # reclaim the lost attempt's staged files
     assert t.validate() == []
+
+
+def test_schema_evolving_rival_forces_remerge(spark, tmp_path, monkeypatch):
+    """A rival that evolves the schema (adds a column) — even in a
+    DISJOINT partition — must block the rebase: re-publishing the
+    victim's staged files would commit a schema missing the rival's
+    column. The retry re-merges and the final schema carries both."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "schemarival")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="partition",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", v=0.0, ts=_ts(1)) for i in range(10)]
+        )
+    )
+    rival_batch = spark.createDataFrame(
+        [Row(id=100, grp="g1", v=1.0, ts=_ts(2), extra="new-col")]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    t.upsert_with_retry(
+        spark.createDataFrame([Row(id=200, grp="g0", v=2.0, ts=_ts(2))])
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    head = M.read_manifest(root)
+    assert "rebased_onto" not in (head.stats or {})
+    snap = t.read(spark)
+    assert "extra" in snap.columns  # rival's evolution survived
+    got = {r.id: r["extra"] for r in snap.collect()}
+    assert got[100] == "new-col" and got[200] is None
+    assert len(got) == 12
+
+
+def test_multi_writer_stress_with_rebase(spark, tmp_path):
+    """The 4-writer randomized stress again, but on a
+    key_scope='partition' table where each writer owns its own
+    partition — the interleavings exercise the disjoint-commit REBASE
+    path under true concurrency. Serializability must hold exactly as
+    in the global variant: every writer's final batch survives, no
+    duplicates, validate() sound."""
+    import random
+    import threading
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "nwriters2")
+    t0 = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="partition",
+    )
+    t0.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"w{i % 4}", v=0.0, ts=_ts(1)) for i in range(40)]
+        )
+    )
+    N, BATCHES = 4, 3
+    errors: list[Exception] = []
+
+    def writer(w: int):
+        rng = random.Random(2000 + w)
+        try:
+            t = KeyedTable.load(root)
+            t.key_scope = "partition"
+            for b in range(BATCHES):
+                batch = spark.createDataFrame(
+                    [
+                        Row(
+                            id=1000 * (w + 1) + i,
+                            grp=f"w{w}",  # each writer owns its partition
+                            v=float(b),
+                            ts=_ts(2, b),
+                        )
+                        for i in range(10)
+                    ]
+                )
+                t.upsert_with_retry(batch, retries=30)
+                if rng.random() < 0.5:
+                    threading.Event().wait(rng.random() * 0.1)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == [], errors
+
+    t = KeyedTable.load(root)
+    snap = t.read(spark)
+    rows = {r.id: r.v for r in snap.collect()}
+    for w in range(N):
+        for i in range(10):
+            assert rows[1000 * (w + 1) + i] == float(BATCHES - 1), (w, i)
+    assert len(rows) == 40 + N * 10
+    assert snap.count() == snap.select("id").distinct().count()
+    rebased = sum(
+        1
+        for c in t.commits()
+        if "rebased_onto" in (M.read_manifest(root, c).stats or {})
+    )
+    print(f"rebased commits: {rebased}")
+    t.clean(retain_commits=1)
+    assert t.validate() == []
