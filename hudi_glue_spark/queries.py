@@ -49,6 +49,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "savepoint_pinned_time_travel",    # pinned commit survives clean
     "clean_plan_protocol",             # cleaner ⇄ writer via commit log
     "occ_disjoint_rebase",             # OCC loser rebases, no re-merge
+    "compaction_advisor",              # metadata-only optimize scheduling
     # -- (b)+(c) staleness rotation (VERDICT r6 ask #1): every row
     # below whose last driver-green dates from r3 — three rounds and
     # two table-layer rewrites ago. Table-layer-dependent rows lead

@@ -1599,3 +1599,65 @@ def q_occ_disjoint_rebase(spark, sf_dir):
             F.lit(both).alias("both_writers_present"),
         )
     )
+
+
+@query(
+    "compaction_advisor",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS advisor_flagged_fragmented,
+           TRUE AS advisor_metadata_only,
+           TRUE AS advisor_clear_after_optimize
+    FROM events GROUP BY event_type
+    """,
+)
+def q_compaction_advisor(spark, sf_dir):
+    """Metadata-only compaction SCHEDULING (``compaction_report`` —
+    the optimize() twin of ``index_staleness``): a 32-way-fragmented
+    bulk load must be flagged (file count ≫ ideal at the target file
+    size), the report must physically read ONLY ``_manifests/``
+    parquet (asserted from the plan's input files — polling it per
+    table per hour at 100 TB costs no data I/O), and after optimize()
+    the same report must come back clean. Data integrity across the
+    flag→compact→re-check loop is hash-proven by the per-type
+    aggregates against the raw fixture. This is the cadence loop that
+    keeps scan cost tracking bytes instead of file count
+    (keyed_table.py:compaction_report; ↦ the small-file handling the
+    reference disabled, hoodie.parquet.small.file.limit: 0,
+    glue/HudiJarGlueJob.py:77)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_advisor_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev.repartition(32), dedupe=False)
+
+    rep = tbl.compaction_report(spark, target_rows_per_file=10_000_000)
+    metadata_only = bool(rep.inputFiles()) and all(
+        f"{os.sep}_manifests{os.sep}" in p for p in rep.inputFiles()
+    )
+    before = rep.collect()
+    flagged = len(before) == 1 and bool(before[0]["recommend_compact"])
+
+    tbl.optimize(spark, target_file_mb=1024, small_file_mb=1 << 20)
+    after = tbl.compaction_report(spark, target_rows_per_file=10_000_000)
+    clear = all(not r["recommend_compact"] for r in after.collect())
+
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(flagged).alias("advisor_flagged_fragmented"),
+            F.lit(metadata_only).alias("advisor_metadata_only"),
+            F.lit(clear).alias("advisor_clear_after_optimize"),
+        )
+    )

@@ -563,6 +563,45 @@ class KeyedTable:
             )
         )
 
+    def compaction_report(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+    ) -> DataFrame:
+        """METADATA-ONLY compaction advisor (the :meth:`optimize`
+        scheduling twin of :meth:`index_staleness`): per partition,
+        the live file count, row total, mean rows per file, the ideal
+        file count at ``target_rows_per_file``, and a
+        ``recommend_compact`` flag (file count more than 2x ideal and
+        >1 — the small-file debt worth an optimize()). Computed
+        entirely from the manifest shards via :meth:`files_df` — zero
+        data-file I/O, so a 100 TB deployment can poll it per table
+        per hour and route only flagged partitions into optimize(),
+        the same cadence loop Delta runs OPTIMIZE on. Scan cost tracks
+        file count, not just bytes: this is the number that decays
+        read performance while every byte-level metric still looks
+        healthy."""
+        meta = self.files_df(spark).filter(F.col("col").isNull())
+        rep = meta.groupBy("partition").agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("rows").cast("long").alias("rows"),
+            (F.sum("rows") / F.count(F.lit(1))).alias("avg_rows_per_file"),
+        )
+        ideal = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("rows") / F.lit(target_rows_per_file)).cast("long"),
+        )
+        return rep.select(
+            "partition",
+            "n_files",
+            "rows",
+            "avg_rows_per_file",
+            ideal.alias("ideal_files"),
+            (
+                (F.col("n_files") > 2 * ideal) & (F.col("n_files") > 1)
+            ).alias("recommend_compact"),
+        )
+
     def count_rows_metadata(self, at: str | None = None) -> int | None:
         """Exact ``SELECT count(*)`` from manifest metadata alone — no
         data-file I/O, the Iceberg metadata-aggregate pushdown. Every

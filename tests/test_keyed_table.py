@@ -1290,3 +1290,37 @@ def test_index_staleness_signal(spark, tmp_path):
     again = t.index_staleness()
     assert again["stale_fraction"] <= 0.5
     assert again["recommend_recluster"] is False
+
+
+def test_compaction_report_flags_fragmented_partitions(spark, tmp_path):
+    """compaction_report: a fragmented table is flagged, the numbers
+    come from the manifest alone (zero data I/O), and optimize()
+    clears the flag."""
+    import datetime
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+
+    t = KeyedTable(str(tmp_path / "advisor"), key="id", precombine="ts")
+    ts = datetime.datetime(2026, 5, 1)
+    df = spark.createDataFrame([Row(id=i, ts=ts) for i in range(800)])
+    # unpartitioned tables keep the caller's partitioning → 8 fragments
+    t.bulk_insert(df.repartition(8), dedupe=False)
+
+    rep = t.compaction_report(spark, target_rows_per_file=1_000_000).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_files"] == 8
+    assert r["rows"] == 800
+    assert r["ideal_files"] == 1
+    assert r["recommend_compact"]
+    # metadata-only: the report's plan reads only _manifests parquet
+    files = t.compaction_report(spark).inputFiles()
+    assert files and all(f"{_os.sep}_manifests{_os.sep}" in p for p in files)
+
+    t.optimize(spark, target_file_mb=1024, small_file_mb=1 << 20)
+    after = t.compaction_report(spark, target_rows_per_file=1_000_000).collect()
+    assert not any(x["recommend_compact"] for x in after)
+    assert sum(x["rows"] for x in after) == 800
