@@ -315,9 +315,10 @@ def test_shard_protocol_invariants_random_ops(spark, tmp_path):
         got = {r.id: r.v for r in t.read(spark).collect()}
         assert got == model
 
-    for step in range(14):
+    for step in range(16):
         op = rng.choice(["upsert", "delete", "overwrite", "rollback",
-                         "optimize", "clean", "upsert", "upsert"])
+                         "optimize", "clean", "upsert", "upsert",
+                         "savepoint", "half_clean"])
         if op == "upsert":
             ids = rng.sample(range(16), rng.randint(1, 3))
             rows = [(i, day_of(i), 100 * step + i, None) for i in ids]
@@ -349,9 +350,22 @@ def test_shard_protocol_invariants_random_ops(spark, tmp_path):
             snapshots = {
                 c: m for c, m in snapshots.items() if c in t.commits()
             }
+        elif op == "savepoint":
+            t.savepoint(rng.choice(t.commits()))
+        elif op == "half_clean":
+            # crash-interrupted clean: publish the plan, DON'T execute.
+            # Readers/writers must stay correct with the plan pending
+            # (reuse refusal + later ops), and a subsequent "clean" op
+            # resumes it re-entrantly.
+            plan = t._plan_clean(retain_commits=3, orphan_grace_s=0.0)
+            if plan is not None:
+                M.write_clean_plan(t.path, plan)
         head = t.commits()[-1]
         snapshots[head] = dict(model)
         check()
+    # settle any pending half-executed clean, then final audit
+    M.clear_clean_plan(t.path)
+    t.clean(retain_commits=len(t.commits()))
     assert t.validate() == [] or all("orphan" in p for p in t.validate())
 
 
