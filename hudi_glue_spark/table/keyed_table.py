@@ -1947,6 +1947,7 @@ class KeyedTable:
         small_file_mb: float | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        partitions: list[str | None] | None = None,
     ) -> str | None:
         """Small-file compaction (↦ ``hoodie.parquet.small.file.limit``,
         which the reference carries but disables —
@@ -1958,9 +1959,13 @@ class KeyedTable:
         write is pre-partitioned by (partition cols, bin), so one
         oversized partition compacts across MANY tasks — the property
         that matters when a 100 TB table has a handful of hot
-        partitions. Data is unchanged; prior commits stay time-travelable
-        until :meth:`clean`. Returns the new commit id, or None if
-        nothing qualified."""
+        partitions. ``partitions`` restricts candidacy to the named
+        partition dirs (the :meth:`compaction_report` →
+        :meth:`run_maintenance` wiring: only flagged partitions are
+        even size-probed, so a maintenance pass on a 100 TB table
+        stats a handful of dirs, not every file). Data is unchanged;
+        prior commits stay time-travelable until :meth:`clean`.
+        Returns the new commit id, or None if nothing qualified."""
         man = M.read_manifest(self.path)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
@@ -1970,6 +1975,9 @@ class KeyedTable:
         by_part: dict[str | None, list[str]] = {}
         for f in man.files:
             by_part.setdefault(M.partition_of(f), []).append(f)
+        if partitions is not None:
+            allowed = set(partitions)
+            by_part = {p: fs for p, fs in by_part.items() if p in allowed}
         todo: dict[str | None, int] = {}
         for part, fs in by_part.items():
             total = sum(os.path.getsize(os.path.join(ddir, f)) for f in fs)
@@ -2043,6 +2051,72 @@ class KeyedTable:
             cid=cid,
         )
         return self.commits()[-1]
+
+    # -- table service -------------------------------------------------------
+
+    def run_maintenance(
+        self,
+        spark: SparkSession,
+        retain_commits: int = 10,
+        target_file_mb: float = 128,
+        small_file_mb: float | None = None,
+        target_rows_per_file: int = 1_000_000,
+        orphan_grace_s: float = 0.0,
+    ) -> dict:
+        """ONE pass of the table-service policy loop — the cadence a
+        100 TB deployment runs per table per hour, composed from the
+        metadata-only advisors so the pass COSTS metadata unless work
+        is actually due:
+
+        1. :meth:`compaction_report` (zero data I/O) → only FLAGGED
+           partitions go into a scoped :meth:`optimize`;
+        2. :meth:`index_staleness` (metadata-only) → re-cluster the
+           IVF index with its stored parameters only when maintenance
+           has loosened the range-clustered layout past the line;
+        3. :meth:`clean` (plan-published, re-entrant) reclaims
+           unreferenced files past the retention window.
+
+        Returns a summary dict of what ran. Safe to run alongside
+        writers: optimize/rebuild commit through OCC (disjoint rivals
+        rebase), clean coordinates through the published plan."""
+        summary: dict = {}
+        rep = self.compaction_report(
+            spark, target_rows_per_file=target_rows_per_file
+        )
+        flagged = [
+            r["partition"] or None
+            for r in rep.collect()
+            if r["recommend_compact"]
+        ]
+        if flagged:
+            cid = self.optimize(
+                spark,
+                target_file_mb=target_file_mb,
+                small_file_mb=small_file_mb,
+                partitions=flagged,
+            )
+            if cid is not None:
+                summary["optimized"] = {
+                    "partitions": sorted(str(p) for p in flagged),
+                    "commit": cid,
+                }
+        st = self.index_staleness()
+        if st is not None and st.get("recommend_recluster"):
+            vidx = self.vector_index()
+            cid = self.build_ivf_index(
+                spark,
+                vidx["vec_col"],
+                n_centroids=len(vidx.get("centroids") or []) or 16,
+            )
+            summary["reclustered"] = {
+                "commit": cid,
+                "stale_fraction": st.get("stale_fraction"),
+            }
+        removed = self.clean(
+            retain_commits=retain_commits, orphan_grace_s=orphan_grace_s
+        )
+        summary["cleaned_files"] = len(removed)
+        return summary
 
     # -- schema evolution ----------------------------------------------------
 

@@ -825,3 +825,74 @@ def test_multi_writer_stress_with_rebase(spark, tmp_path):
     print(f"rebased commits: {rebased}")
     t.clean(retain_commits=1)
     assert t.validate() == []
+
+
+def test_run_maintenance_policy_loop(spark, tmp_path):
+    """run_maintenance composes the metadata-only advisors into one
+    table-service pass: fragmented table → scoped optimize fires;
+    second pass on a healthy table does nothing but clean; data
+    byte-identical throughout; maintained IVF index triggers a
+    re-cluster only when stale."""
+    from hudi_glue_spark.table import KeyedTable
+
+    root = str(tmp_path / "svc")
+    t = KeyedTable(root, key="id", precombine="ts")
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i), ts=_ts(1)) for i in range(600)]
+    )
+    t.bulk_insert(df.repartition(16), dedupe=False)
+    before = {(r.id, r.v) for r in t.read(spark).collect()}
+
+    s1 = t.run_maintenance(
+        spark, retain_commits=1, target_file_mb=1024,
+        small_file_mb=1 << 20, target_rows_per_file=10_000_000,
+    )
+    assert "optimized" in s1, s1
+    assert {(r.id, r.v) for r in t.read(spark).collect()} == before
+    assert t.validate() == []
+
+    # healthy table: second pass is a no-op except clean
+    s2 = t.run_maintenance(
+        spark, retain_commits=1, target_file_mb=1024,
+        small_file_mb=1 << 20, target_rows_per_file=10_000_000,
+    )
+    assert "optimized" not in s2 and "reclustered" not in s2
+    assert {(r.id, r.v) for r in t.read(spark).collect()} == before
+
+
+def test_run_maintenance_reclusters_stale_index(spark, tmp_path):
+    """run_maintenance fires the IVF re-cluster when (and only when)
+    index_staleness recommends it, and the maintained search equals a
+    fresh search afterwards."""
+    import random
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    t = KeyedTable(str(tmp_path / "svcidx"), key="pk", precombine="ts")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(pk=i, ts=_ts(1),
+                 embedding=[rng.uniform(-1, 1) for _ in range(8)])
+             for i in range(64)]
+        )
+    )
+    cents = S.ivf_centroids(t.read(spark), "pk", "embedding", n_centroids=4)
+    t.build_ivf_index(spark, "embedding", centroids=cents)
+    # maintaining upsert mixes cells in the rewritten files → stale
+    t.upsert(
+        spark.createDataFrame(
+            [Row(pk=100 + i, ts=_ts(2),
+                 embedding=[rng.uniform(-1, 1) for _ in range(8)])
+             for i in range(8)]
+        )
+    )
+    assert t.index_staleness()["recommend_recluster"] is True
+
+    s = t.run_maintenance(spark, retain_commits=1)
+    assert "reclustered" in s, s
+    after = t.index_staleness()
+    assert after["recommend_recluster"] is False
+    assert t.read(spark).count() == 72
+    assert t.validate() == []
