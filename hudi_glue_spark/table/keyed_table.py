@@ -198,6 +198,7 @@ class KeyedTable:
         self._pending_stats: dict = {}
         self._pending_rows: dict = {}
         self._pending_blooms: dict = {}
+        self._pending_bytes: dict = {}
         # decoded bloom sidecars by data-file name. Data files are
         # immutable once committed (rewrites produce NEW names), so a
         # decoded sidecar never goes stale; caching turns repeated
@@ -451,7 +452,13 @@ class KeyedTable:
         part = F.regexp_extract("file", r"^(.*)/[^/]+$", 1).alias("partition")
         if man.shards:
             mdir = M.manifests_dir(self.path)
-            df = spark.read.parquet(*[os.path.join(mdir, s) for s in man.shards])
+            # mergeSchema: snapshots can mix shard generations (pre-
+            # and post-``bytes``-column shards)
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(mdir, s) for s in man.shards]
+            )
+            if "bytes" not in df.columns:
+                df = df.withColumn("bytes", F.lit(None).cast("long"))
             return df.select("*", part)
         rows = M._stats_rows(
             man.files,
@@ -459,19 +466,20 @@ class KeyedTable:
             lambda f: man.file_rows.get(f),
         )
         enc = [
-            (f, c, n, bl, *(M._encode(mm[0]) if mm else (None, None, None)),
+            (f, c, n, by, bl,
+             *(M._encode(mm[0]) if mm else (None, None, None)),
              *(M._encode(mm[1]) if mm else (None, None, None)))
-            for f, c, n, bl, mm in rows
+            for f, c, n, by, bl, mm in rows
         ]
         df = spark.createDataFrame(
             enc,
-            "file string, col string, rows long, bloom binary, "
-            "min_i long, min_f double, min_s string, "
+            "file string, col string, rows long, bytes long, "
+            "bloom binary, min_i long, min_f double, min_s string, "
             "max_i long, max_f double, max_s string",
         )
         return df.select(
-            "file", "col", "rows", "bloom", "min_i", "max_i", "min_f",
-            "max_f", "min_s", "max_s", part,
+            "file", "col", "rows", "bytes", "bloom", "min_i", "max_i",
+            "min_f", "max_f", "min_s", "max_s", part,
         )
 
     def read_isin(self, spark: SparkSession, col: str, values: list) -> DataFrame:
@@ -586,6 +594,10 @@ class KeyedTable:
             F.count(F.lit(1)).cast("long").alias("n_files"),
             F.sum("rows").cast("long").alias("rows"),
             (F.sum("rows") / F.count(F.lit(1))).alias("avg_rows_per_file"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            (F.sum("bytes") / F.count(F.lit(1)) / F.lit(1024 * 1024)).alias(
+                "avg_file_mb"
+            ),
         )
         ideal = F.greatest(
             F.lit(1).cast("long"),
@@ -596,6 +608,8 @@ class KeyedTable:
             "n_files",
             "rows",
             "avg_rows_per_file",
+            "bytes",
+            "avg_file_mb",
             ideal.alias("ideal_files"),
             (
                 (F.col("n_files") > 2 * ideal) & (F.col("n_files") > 1)
@@ -1978,9 +1992,18 @@ class KeyedTable:
         if partitions is not None:
             allowed = set(partitions)
             by_part = {p: fs for p, fs in by_part.items() if p in allowed}
+        # size candidates from the manifest's per-file byte column —
+        # metadata, not 1M stat syscalls (HEAD requests, on an object
+        # store); only files from pre-``bytes`` shards fall back
+        fbytes = man.file_bytes
         todo: dict[str | None, int] = {}
         for part, fs in by_part.items():
-            total = sum(os.path.getsize(os.path.join(ddir, f)) for f in fs)
+            total = sum(
+                fbytes[f]
+                if f in fbytes
+                else os.path.getsize(os.path.join(ddir, f))
+                for f in fs
+            )
             if len(fs) > 1 and total / len(fs) < small * 1024 * 1024:
                 todo[part] = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
         if not todo:
@@ -2617,6 +2640,7 @@ class KeyedTable:
                 n, st = _parquet_footer_stats(dest, self.stats_cols or [])
                 nrows += n
                 self._pending_rows[rel] = n
+                self._pending_bytes[rel] = os.path.getsize(dest)
                 if st:
                     self._pending_stats[rel] = st
                 if self.key_bloom:
@@ -2669,9 +2693,11 @@ class KeyedTable:
         pending = self._pending_stats
         pending_rows = self._pending_rows
         pending_blooms = self._pending_blooms
+        pending_bytes = self._pending_bytes
         self._pending_stats = {}
         self._pending_rows = {}
         self._pending_blooms = {}
+        self._pending_bytes = {}
         # Retired (dropped) column names are carried forward into EVERY
         # subsequent manifest: the guard must survive clean() aging out
         # the drop_columns commit itself, because pre-drop files in
@@ -2706,6 +2732,9 @@ class KeyedTable:
             fblooms = {
                 f: pending_blooms[f] for f in files if f in pending_blooms
             }
+            fbytes = {
+                f: pending_bytes[f] for f in files if f in pending_bytes
+            }
         else:
             # arrow file array (partition-scoped commits): Python cost
             # here is O(pending) = O(delta); membership of the few
@@ -2714,7 +2743,9 @@ class KeyedTable:
             import pyarrow.compute as pc
 
             files_in = files
-            keys = sorted({*pending, *pending_rows, *pending_blooms})
+            keys = sorted(
+                {*pending, *pending_rows, *pending_blooms, *pending_bytes}
+            )
             live = set()
             if keys:
                 mask = pc.is_in(
@@ -2724,6 +2755,7 @@ class KeyedTable:
             fstats = {f: v for f, v in pending.items() if f in live}
             frows = {f: v for f, v in pending_rows.items() if f in live}
             fblooms = {f: v for f, v in pending_blooms.items() if f in live}
+            fbytes = {f: v for f, v in pending_bytes.items() if f in live}
         man = M.Manifest(
             commit_id=cid or M.next_commit_id(self.path),
             op=op,
@@ -2734,6 +2766,7 @@ class KeyedTable:
             file_stats=fstats,
             file_rows=frows,
             file_blooms=fblooms,
+            file_bytes=fbytes,
         )
         try:
             M.write_manifest(
@@ -2747,7 +2780,7 @@ class KeyedTable:
         except M.ConcurrentCommitError:
             if not self._rebase_commit(
                 op, man, base, touched, new_files or [], fstats, frows,
-                fblooms,
+                fblooms, fbytes,
             ):
                 raise
 
@@ -2756,7 +2789,8 @@ class KeyedTable:
     _REBASE_SAFE_OPS = frozenset({"optimize", "drop_partitions"})
 
     def _rebase_commit(
-        self, op, man, base, touched, new_files, fstats, frows, fblooms
+        self, op, man, base, touched, new_files, fstats, frows, fblooms,
+        fbytes,
     ) -> bool:
         """DISJOINT-COMMIT REBASE (Hudi/Delta OCC conflict-resolution
         parity): a writer that loses the commit race re-publishes its
@@ -2821,6 +2855,7 @@ class KeyedTable:
                 file_stats=fstats,
                 file_rows=frows,
                 file_blooms=fblooms,
+                file_bytes=fbytes,
             )
             try:
                 M.write_manifest(

@@ -61,6 +61,7 @@ _SHARD_SCHEMA_COLS = [
     "file",
     "col",
     "rows",
+    "bytes",
     "bloom",
     "min_i",
     "max_i",
@@ -79,6 +80,7 @@ def _shard_schema():
             ("file", pa.string()),
             ("col", pa.string()),
             ("rows", pa.int64()),
+            ("bytes", pa.int64()),
             ("bloom", pa.binary()),
             ("min_i", pa.int64()),
             ("max_i", pa.int64()),
@@ -132,6 +134,7 @@ class Manifest:
         n_files: int | None = None,
         file_rows: dict | None = None,
         file_blooms: dict | None = None,
+        file_bytes: dict | None = None,
     ):
         self.commit_id = commit_id
         self.op = op
@@ -144,6 +147,7 @@ class Manifest:
         self._file_stats = file_stats
         self._file_rows = file_rows
         self._file_blooms = file_blooms
+        self._file_bytes = file_bytes
         self._n_files = n_files
         self._shard_tbl = None  # cached concatenated arrow table
         self._files_arr = None  # cached arrow file-name array
@@ -216,6 +220,28 @@ class Manifest:
                         out[f] = n
             self._file_rows = out
         return self._file_rows
+
+    @property
+    def file_bytes(self) -> dict:
+        """{rel_file: on-disk byte size} from the shards' per-file
+        rows — what lets optimize()/compaction_report size-probe a
+        1M-file table from metadata instead of 1M stat syscalls (HEAD
+        requests, on an object store). Files from legacy shards
+        without the column are absent; callers fall back to stat."""
+        if self._file_bytes is None:
+            out: dict = {}
+            t = self.shard_table()
+            if t is not None:
+                import pyarrow.compute as pc
+
+                sub = t.filter(pc.is_null(t["col"]))
+                for f, b in zip(
+                    sub["file"].to_pylist(), sub["bytes"].to_pylist()
+                ):
+                    if b is not None:
+                        out[f] = b
+            self._file_bytes = out
+        return self._file_bytes
 
     @property
     def file_blooms(self) -> dict:
@@ -606,9 +632,15 @@ def _load_shard(root: str, name: str):
                 pa.field("rows", pa.int64()),
                 pa.nulls(len(hit), pa.int64()),
             )
-        if "bloom" not in hit.column_names:
+        if "bytes" not in hit.column_names:
             hit = hit.add_column(
                 3,
+                pa.field("bytes", pa.int64()),
+                pa.nulls(len(hit), pa.int64()),
+            )
+        if "bloom" not in hit.column_names:
+            hit = hit.add_column(
+                4,
                 pa.field("bloom", pa.binary()),
                 pa.nulls(len(hit), pa.binary()),
             )
@@ -667,10 +699,11 @@ def _write_shard(root: str, name: str, rows: list[tuple]) -> None:
     mdir = manifests_dir(root)
     os.makedirs(mdir, exist_ok=True)
     cols: dict[str, list] = {c: [] for c in _SHARD_SCHEMA_COLS}
-    for f, c, n, bl, mm in rows:
+    for f, c, n, by, bl, mm in rows:
         cols["file"].append(f)
         cols["col"].append(c)
         cols["rows"].append(n)
+        cols["bytes"].append(by)
         cols["bloom"].append(bl)
         lo = _encode(mm[0]) if mm is not None else (None, None, None)
         hi = _encode(mm[1]) if mm is not None else (None, None, None)
@@ -741,9 +774,12 @@ def _shard_dirs(root: str, name: str) -> frozenset:
     return hit
 
 
-def _stats_rows(files: list[str], stats_of, rows_of=None, bloom_of=None) -> list[tuple]:
-    """One ``col IS NULL`` row per file carrying its footer row count
-    and (optional) key-bloom bytes, plus one row per stats column."""
+def _stats_rows(
+    files: list[str], stats_of, rows_of=None, bloom_of=None, bytes_of=None
+) -> list[tuple]:
+    """One ``col IS NULL`` row per file carrying its footer row count,
+    on-disk byte size, and (optional) key-bloom bytes, plus one row per
+    stats column."""
     rows: list[tuple] = []
     for f in files:
         rows.append(
@@ -751,6 +787,7 @@ def _stats_rows(files: list[str], stats_of, rows_of=None, bloom_of=None) -> list
                 f,
                 None,
                 rows_of(f) if rows_of else None,
+                bytes_of(f) if bytes_of else None,
                 bloom_of(f) if bloom_of else None,
                 None,
             )
@@ -758,7 +795,7 @@ def _stats_rows(files: list[str], stats_of, rows_of=None, bloom_of=None) -> list
         st = stats_of(f)
         if st:
             for c in sorted(st):
-                rows.append((f, c, None, None, st[c]))
+                rows.append((f, c, None, None, None, st[c]))
     return rows
 
 
@@ -860,6 +897,7 @@ def _fast_shards(
     inline = dict(manifest._file_stats or {})
     inline_rows = dict(manifest._file_rows or {})
     inline_blooms = dict(manifest._file_blooms or {})
+    inline_bytes = dict(manifest._file_bytes or {})
 
     def bloom_of(f: str):
         b = inline_blooms.get(f)
@@ -880,7 +918,10 @@ def _fast_shards(
         _write_shard(
             root,
             name,
-            _stats_rows(group, inline.get, inline_rows.get, bloom_of),
+            _stats_rows(
+                group, inline.get, inline_rows.get, bloom_of,
+                inline_bytes.get,
+            ),
         )
         names.append(name)
     if rec_tables:
@@ -1035,6 +1076,7 @@ def write_manifest(
         inline = dict(manifest._file_stats or {})
         inline_rows = dict(manifest._file_rows or {})
         inline_blooms = dict(manifest._file_blooms or {})
+        inline_bytes = dict(manifest._file_bytes or {})
         # Delta files whose stats/row counts the producer didn't hand
         # us inline (carried-forward survivors of broken shards)
         # recover them from the shards that still hold them — O(broken
@@ -1083,6 +1125,11 @@ def write_manifest(
                         if cols["rows"][k] is not None and f not in inline_rows:
                             inline_rows[f] = cols["rows"][k]
                         if (
+                            cols["bytes"][k] is not None
+                            and f not in inline_bytes
+                        ):
+                            inline_bytes[f] = cols["bytes"][k]
+                        if (
                             cols["bloom"][k] is not None
                             and f not in inline_blooms
                         ):
@@ -1117,6 +1164,9 @@ def write_manifest(
         def rows_of(f: str):
             return inline_rows.get(f)
 
+        def bytes_of(f: str):
+            return inline_bytes.get(f)
+
         def bloom_of(f: str):
             b = inline_blooms.get(f)
             if b is None:
@@ -1137,7 +1187,9 @@ def write_manifest(
         for k, group in enumerate(_group_delta(delta)):
             name = f"{manifest.commit_id}-{token}-{k:04d}.parquet"
             _write_shard(
-                root, name, _stats_rows(group, stats_of, rows_of, bloom_of)
+                root,
+                name,
+                _stats_rows(group, stats_of, rows_of, bloom_of, bytes_of),
             )
             chosen.append(name)
         manifest.shards = sorted(chosen)

@@ -497,3 +497,25 @@ def test_fast_shard_plan_matches_generic(spark, tmp_path, monkeypatch):
     ) == sorted(
         M.partition_of(f) for f in tg.files_in_range("v", 50.0, 60.0)
     )
+
+
+def test_file_bytes_in_shards(spark, tmp_path):
+    """Per-file byte sizes ride the manifest shards: recorded at write
+    time, carried through partition-scoped commits and shard recovery,
+    and equal to the on-disk truth — so optimize()/compaction_report
+    size-probe from metadata instead of per-file stat calls."""
+    t = _mk(spark, str(tmp_path / "b"))
+    man = M.read_manifest(t.path)
+    fb = man.file_bytes
+    assert set(fb) == set(man.files)
+    ddir = M.data_dir(t.path)
+    for f, b in fb.items():
+        assert b == os.path.getsize(os.path.join(ddir, f)), f
+    # survives a partition-scoped upsert (carried files keep bytes,
+    # new files record theirs)
+    t.upsert(_batch(spark, [(0, "a", 999, None)]))
+    man2 = M.read_manifest(t.path)
+    fb2 = man2.file_bytes
+    assert set(fb2) == set(man2.files)
+    for f, b in fb2.items():
+        assert b == os.path.getsize(os.path.join(ddir, f)), f
