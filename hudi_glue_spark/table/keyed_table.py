@@ -1510,11 +1510,30 @@ class KeyedTable:
         count, and the file delta vs the previous retained commit.
         Driver-side metadata only — the timeline is thousands of JSON
         sidecars at most, never data-scale."""
+        import pyarrow.compute as pc
+
         rows = []
-        prev: set[str] = set()
+        prev = None  # previous commit's arrow name array
         for seq, cid in enumerate(M.list_commit_ids(self.path)):
             man = M.read_manifest(self.path, cid)
-            cur = set(man.files)
+            cur = man.files_arrow()
+            if prev is None:
+                added, removed = len(cur), 0
+            else:
+                # file-set delta as two C-side membership passes — a
+                # 1M-file timeline walk stays out of Python sets
+                added = len(cur) - (
+                    pc.sum(
+                        pc.is_in(cur, value_set=prev).cast("int64")
+                    ).as_py()
+                    or 0
+                )
+                removed = len(prev) - (
+                    pc.sum(
+                        pc.is_in(prev, value_set=cur).cast("int64")
+                    ).as_py()
+                    or 0
+                )
             rows.append(
                 (
                     seq,
@@ -1522,8 +1541,8 @@ class KeyedTable:
                     man.op,
                     man.ts,
                     len(cur),
-                    len(cur - prev),
-                    len(prev - cur),
+                    added,
+                    removed,
                     man.total_rows(),  # metadata-only; None pre-r6 shards
                 )
             )
