@@ -782,6 +782,32 @@ class KeyedTable:
             "violated_constraints": sorted(n for n, _ in checks if row[n]),
         }
 
+    def purge_quarantine(self, before_commit: str | None = None) -> int:
+        """Physically delete quarantined violator batches — the GC for
+        the append-only quarantine audit log, and the right-to-be-
+        forgotten closure for it: quarantined rows hold RAW rejected
+        data, so a purge pipeline (see ``forget_user_flow``) must
+        clear them too, not just the table files. ``before_commit``
+        prunes only batches quarantined under an earlier commit id
+        (triage-then-expire); None purges everything. Returns the
+        number of batch dirs removed. Driver-side metadata-scale I/O
+        only."""
+        import shutil as _shutil
+
+        qroot = os.path.join(self.path, "_quarantine")
+        if not os.path.isdir(qroot):
+            return 0
+        removed = 0
+        for d in sorted(os.listdir(qroot)):
+            cid = d.split("-", 1)[0]
+            if before_commit is not None and cid >= before_commit:
+                continue
+            _shutil.rmtree(os.path.join(qroot, d), ignore_errors=True)
+            removed += 1
+        if not os.listdir(qroot):
+            os.rmdir(qroot)
+        return removed
+
     def read_quarantine(self, spark: SparkSession) -> DataFrame | None:
         """All quarantined rows (every batch's violators, with their
         ``__violated`` constraint names), or None if nothing was ever

@@ -1324,3 +1324,38 @@ def test_compaction_report_flags_fragmented_partitions(spark, tmp_path):
     after = t.compaction_report(spark, target_rows_per_file=1_000_000).collect()
     assert not any(x["recommend_compact"] for x in after)
     assert sum(x["rows"] for x in after) == 800
+
+
+def test_purge_quarantine(spark, tmp_path):
+    """purge_quarantine: the quarantine audit log is GC-able —
+    before_commit expires only older batches, full purge removes the
+    raw violator bytes entirely (the RTBF closure for rejected rows)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+
+    t = KeyedTable(
+        str(tmp_path / "q"), key="id", precombine="ts",
+        constraints={"pos": "v > 0"}, on_violation="quarantine",
+    )
+    ts0 = datetime.datetime(2026, 5, 1)
+    t.bulk_insert(spark.createDataFrame(
+        [Row(id=1, v=1.0, ts=ts0), Row(id=2, v=-1.0, ts=ts0)]
+    ))
+    t.upsert(spark.createDataFrame(
+        [Row(id=3, v=2.0, ts=ts0), Row(id=4, v=-4.0, ts=ts0)]
+    ))
+    q = t.read_quarantine(spark)
+    assert q is not None and q.count() == 2
+
+    # expire only the first commit's batch
+    assert t.purge_quarantine(before_commit=t.commits()[-1]) == 1
+    assert t.read_quarantine(spark).count() == 1
+    # full purge: no quarantined bytes remain on disk
+    assert t.purge_quarantine() == 1
+    assert t.read_quarantine(spark) is None
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(t.path, "_quarantine"))
