@@ -575,6 +575,7 @@ class KeyedTable:
         self,
         spark: SparkSession,
         target_rows_per_file: int = 1_000_000,
+        target_file_mb: float | None = None,
     ) -> DataFrame:
         """METADATA-ONLY compaction advisor (the :meth:`optimize`
         scheduling twin of :meth:`index_staleness`): per partition,
@@ -599,10 +600,22 @@ class KeyedTable:
                 "avg_file_mb"
             ),
         )
-        ideal = F.greatest(
-            F.lit(1).cast("long"),
-            F.ceil(F.col("rows") / F.lit(target_rows_per_file)).cast("long"),
-        )
+        # Byte-based ideal when requested AND every file carries a
+        # recorded size (post-r7 shards) — the same unit optimize()'s
+        # target_file_mb uses, so advisor and executor can never
+        # disagree about "small". Row-based math is the fallback for
+        # tables still holding pre-bytes shard generations.
+        ideal_rows = F.ceil(
+            F.col("rows") / F.lit(target_rows_per_file)
+        ).cast("long")
+        if target_file_mb is not None:
+            ideal_bytes = F.ceil(
+                F.col("bytes") / F.lit(int(target_file_mb * 1024 * 1024))
+            ).cast("long")
+            ideal_expr = F.coalesce(ideal_bytes, ideal_rows)
+        else:
+            ideal_expr = ideal_rows
+        ideal = F.greatest(F.lit(1).cast("long"), ideal_expr)
         return rep.select(
             "partition",
             "n_files",
@@ -2149,7 +2162,9 @@ class KeyedTable:
         rebase), clean coordinates through the published plan."""
         summary: dict = {}
         rep = self.compaction_report(
-            spark, target_rows_per_file=target_rows_per_file
+            spark,
+            target_rows_per_file=target_rows_per_file,
+            target_file_mb=target_file_mb,
         )
         flagged = [
             r["partition"] or None
@@ -2833,6 +2848,84 @@ class KeyedTable:
     # introduce or remove keys, only re-arrange existing rows/files.
     _REBASE_SAFE_OPS = frozenset({"optimize", "drop_partitions"})
 
+    def _staged_key_span(self, fstats: dict, new_files: list[str]):
+        """(lo, hi) normalized key span of this commit's STAGED files,
+        or None when unprovable (composite key, or any staged file
+        lacking key min/max — the key column must be in ``stats_cols``
+        for the global-scope rebase proof). An empty staged set proves
+        trivially (no keys to collide)."""
+        if len(self.key) != 1:
+            return None
+        if not new_files:
+            return ("__empty__", "__empty__")
+        k = self.key[0]
+        lo = hi = None
+        for f in new_files:
+            st = (fstats.get(f) or {}).get(k)
+            if st is None or st[0] is None or st[1] is None:
+                return None
+            a, b = _stat_value(st[0]), _stat_value(st[1])
+            lo = a if lo is None or a < lo else lo
+            hi = b if hi is None or b > hi else hi
+        return (lo, hi)
+
+    def _chain_key_disjoint(self, r, parent, span) -> bool:
+        """True iff EVERY file the rival commit ``r`` added or removed
+        (vs ``parent``) carries key min/max stats provably disjoint
+        from ``span`` — the metadata-only proof that the rival can
+        neither have introduced nor deleted any key this writer's
+        batch touches. Conservative: any missing stat, type mismatch,
+        or overlap → False (full re-merge)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if span[0] == "__empty__":
+            return True
+        lo, hi = span
+        k = self.key[0]
+        cur, prv = r.files_arrow(), parent.files_arrow()
+        added = pc.filter(cur, pc.invert(pc.is_in(cur, value_set=prv)))
+        removed = pc.filter(prv, pc.invert(pc.is_in(prv, value_set=cur)))
+        for man_side, changed in ((r, added), (parent, removed)):
+            if len(changed) == 0:
+                continue
+            t = man_side.shard_table()
+            if t is None:
+                return False
+            slim = t.select(
+                ["file", "col", "min_i", "max_i", "min_f", "max_f",
+                 "min_s", "max_s"]
+            )
+            sub = slim.filter(
+                pc.and_(
+                    pc.equal(slim["col"], k),
+                    pc.is_in(slim["file"], value_set=changed),
+                )
+            )
+            # every changed file must carry a key-stats row
+            if len(pc.unique(sub["file"])) != len(pc.unique(changed)):
+                return False
+            cols = {
+                c: sub[c].to_pylist()
+                for c in ("min_i", "max_i", "min_f", "max_f",
+                          "min_s", "max_s")
+            }
+            for i in range(sub.num_rows):
+                mn = M._decode(
+                    cols["min_i"][i], cols["min_f"][i], cols["min_s"][i]
+                )
+                mx = M._decode(
+                    cols["max_i"][i], cols["max_f"][i], cols["max_s"][i]
+                )
+                if mn is None or mx is None:
+                    return False
+                try:
+                    if not (mx < lo or mn > hi):
+                        return False  # may overlap my key span
+                except TypeError:
+                    return False
+        return True
+
     def _rebase_commit(
         self, op, man, base, touched, new_files, fstats, frows, fblooms,
         fbytes,
@@ -2861,8 +2954,21 @@ class KeyedTable:
         re-merges. Returns True when a rebase published."""
         if base is None or touched is None:
             return False
+        key_span = None  # set ⇒ global-scope rebase via key-range proof
         if op not in self._REBASE_SAFE_OPS and self.key_scope != "partition":
-            return False
+            # GLOBAL key scope: a rebase is still sound for a plain
+            # upsert when every rival-CHANGED file's key range is
+            # provably disjoint from this writer's staged key span —
+            # staged files hold the merged touched partitions, so
+            # their span ⊇ the batch's keys (conservative). Sound only
+            # for upsert (its staged output contains every batch row;
+            # delete/merge-with-delete drop keys from the staged span,
+            # which would unprove exactly the collisions that matter).
+            if op != "upsert":
+                return False
+            key_span = self._staged_key_span(fstats, new_files)
+            if key_span is None:
+                return False  # no provable span → full re-merge
         my_schema = man.schema_json
         my_stats = man.stats
         for _ in range(5):
@@ -2874,6 +2980,7 @@ class KeyedTable:
                 for c in self.commits()
                 if int(c) > int(base.commit_id)
             ]
+            parent = base
             for c in chain:
                 r = M.read_manifest(self.path, c)
                 rs = r.stats or {}
@@ -2888,6 +2995,11 @@ class KeyedTable:
                     != (base.stats or {}).get("vector_index")
                 ):
                     return False
+                if key_span is not None and not self._chain_key_disjoint(
+                    r, parent, key_span
+                ):
+                    return False
+                parent = r
             rebased = M.Manifest(
                 commit_id=M.child_id(head.commit_id),
                 op=op,

@@ -896,3 +896,86 @@ def test_run_maintenance_reclusters_stale_index(spark, tmp_path):
     assert after["recommend_recluster"] is False
     assert t.read(spark).count() == 72
     assert t.validate() == []
+
+
+def test_global_scope_rebases_when_key_ranges_disjoint(spark, tmp_path, monkeypatch):
+    """GLOBAL key scope + key column in stats_cols: an OCC loser whose
+    staged key span is provably disjoint from every file the rival
+    added/removed rebases without re-merging — the metadata-only
+    key-range proof."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "gkr")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        stats_cols=["ts", "id"],
+    )
+    # KEY-CLUSTERED layout: g0 holds ids 0-19, g1 holds 1000-1019 —
+    # the shape where partition rewrites have provably disjoint key
+    # ranges (any mod-interleaved layout would overlap and re-merge)
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp="g0", v=0.0, ts=_ts(1)) for i in range(20)]
+            + [Row(id=1000 + i, grp="g1", v=0.0, ts=_ts(1))
+               for i in range(20)]
+        )
+    )
+    # rival inserts keys 5000+ into g1 (its rewritten files span
+    # [1000, 5004]); victim keys 200+ into g0 (staged span [0, 204])
+    rival_batch = spark.createDataFrame(
+        [Row(id=5000 + i, grp="g1", v=9.0, ts=_ts(2)) for i in range(5)]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [Row(id=200 + i, grp="g0", v=5.0, ts=_ts(2)) for i in range(5)]
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    head = M.read_manifest(root)
+    assert "rebased_onto" in (head.stats or {}), "expected key-range rebase"
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(range(20)) | {1000 + i for i in range(20)} | {
+        5000 + i for i in range(5)
+    } | {200 + i for i in range(5)}
+    snap = t.read(spark)
+    assert snap.count() == snap.select("id").distinct().count()
+    t.clean(retain_commits=1)
+    assert t.validate() == []
+
+
+def test_global_scope_overlapping_key_span_remerges(spark, tmp_path, monkeypatch):
+    """Same setup but the rival's inserted key falls INSIDE the
+    victim's staged key span (it even inserts the same key in another
+    partition): the proof fails and the full re-merge runs, leaving
+    exactly one survivor for the contested key."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "gkr2")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        stats_cols=["ts", "id"],
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", v=0.0, ts=_ts(1)) for i in range(10)]
+        )
+    )
+    rival_batch = spark.createDataFrame(
+        [Row(id=500, grp="g1", v=1.0, ts=_ts(2))]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    t.upsert_with_retry(
+        spark.createDataFrame([Row(id=500, grp="g0", v=2.0, ts=_ts(3))])
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    head = M.read_manifest(root)
+    assert "rebased_onto" not in (head.stats or {})
+    rows = [r for r in t.read(spark).collect() if r.id == 500]
+    assert len(rows) == 1 and rows[0].v == 2.0
+    t.clean(retain_commits=1)
+    assert t.validate() == []
