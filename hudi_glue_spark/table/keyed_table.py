@@ -1927,7 +1927,20 @@ class KeyedTable:
             assert man is not None
             referenced.update(man.files)
             kept_shards.update(man.shards or [])
-        files: list[str] = []
+        # Files referenced by the DROPPED commits are NOT listed in the
+        # plan — they are derivable at execute time from the dropped
+        # manifests themselves (which survive until execution, and
+        # execution deletes files BEFORE commit JSONs, so crash-replay
+        # can always re-derive). The plan lists only true ORPHANS
+        # (referenced by no commit at all) — at a 1M-file table this
+        # keeps the plan O(dropped commits + orphans), not an MB-scale
+        # JSON of every reclaimed name.
+        dropped_refs: set[str] = set()
+        for cid in drop:
+            man = M.read_manifest(self.path, cid)
+            if man is not None:
+                dropped_refs.update(man.files)
+        orphans: list[str] = []
         ddir = M.data_dir(self.path)
         for dirpath, _dirs, fns in os.walk(ddir):
             for fn in fns:
@@ -1938,8 +1951,12 @@ class KeyedTable:
                     if rel.endswith(B.SIDECAR_SUFFIX)
                     else rel
                 )
-                if base not in referenced and not _grace(p):
-                    files.append(rel)
+                if (
+                    base not in referenced
+                    and base not in dropped_refs
+                    and not _grace(p)
+                ):
+                    orphans.append(rel)
         shards: list[str] = []
         mdir = M.manifests_dir(self.path)
         if os.path.isdir(mdir):
@@ -1948,12 +1965,12 @@ class KeyedTable:
                     os.path.join(mdir, fn)
                 ):
                     shards.append(fn)
-        if not (drop or files or shards):
+        if not (drop or orphans or shards):
             return None
         return {
             "planned_at": M.utc_now_iso(),
             "drop": drop,
-            "files": sorted(files),
+            "orphans": sorted(orphans),
             "shards": sorted(shards),
         }
 
@@ -1974,9 +1991,31 @@ class KeyedTable:
                 continue  # dropped by a previous (crashed) execution
             referenced.update(man.files)
             live_shards.update(man.shards or [])
+        # claim set: explicit orphans (+ legacy v1 "files" lists) plus
+        # the files referenced by the planned-drop commits, DERIVED
+        # from their still-present manifests — execution deletes files
+        # before commit JSONs, so a crash-replay can always re-derive
+        # what remains
+        claims: list[str] = list(plan.get("files", []))
+        claims += plan.get("orphans", [])
+        claimed_data: set[str] = set()
+        for cid in plan.get("drop", []):
+            if cid in set(self.savepoints()):
+                continue
+            try:
+                man = M.read_manifest(self.path, cid)
+            except ValueError:
+                continue  # JSON already dropped by a prior replay
+            if man is not None:
+                claimed_data.update(man.files)
+        claims += sorted(claimed_data)
         removed: list[str] = []
         ddir = M.data_dir(self.path)
-        for rel in plan.get("files", []):
+        seen_claims: set[str] = set()
+        for rel in claims:
+            if rel in seen_claims:
+                continue
+            seen_claims.add(rel)
             base = (
                 rel[: -len(B.SIDECAR_SUFFIX)]
                 if rel.endswith(B.SIDECAR_SUFFIX)
@@ -1984,6 +2023,14 @@ class KeyedTable:
             )
             if base in referenced:
                 continue
+            if base == rel:
+                # a data file's bloom sidecar lives and dies with it
+                try:
+                    os.unlink(
+                        os.path.join(ddir, rel + B.SIDECAR_SUFFIX)
+                    )
+                except FileNotFoundError:
+                    pass
             try:
                 os.unlink(os.path.join(ddir, rel))
             except FileNotFoundError:

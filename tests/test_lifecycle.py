@@ -390,17 +390,28 @@ def test_clean_crash_replay_reentrant(spark, tmp_path):
             )
         )
     plan = t._plan_clean(retain_commits=1, orphan_grace_s=0.0)
-    assert plan is not None and (plan["files"] or plan["drop"])
+    assert plan is not None and plan["drop"]
     M.write_clean_plan(root, plan)
-    # simulated crash: half the claimed files and one dropped commit
-    # JSON are gone, the plan file remains
+    # derive the claimed data files the way execution does (the plan
+    # itself lists only orphans — dropped-commit claims are derived
+    # from the still-present manifests)
+    head_files = set(M.read_manifest(root).files)
+    claimed = sorted(
+        {
+            f
+            for c in plan["drop"]
+            for f in M.read_manifest(root, c).files
+            if f not in head_files
+        }
+    ) + list(plan.get("orphans", []))
+    assert claimed
+    # simulated crash #1 (file phase): half the claimed files are
+    # gone, all commit JSONs and the plan remain — the only file-vs-
+    # JSON state a real crash can leave, because execution deletes
+    # files BEFORE commit JSONs (the derived-claims invariant)
     ddir = M.data_dir(root)
-    for rel in plan["files"][: max(1, len(plan["files"]) // 2)]:
+    for rel in claimed[: max(1, len(claimed) // 2)]:
         os.unlink(os.path.join(ddir, rel))
-    if plan["drop"]:
-        os.unlink(
-            os.path.join(M.commits_dir(root), plan["drop"][0] + ".json")
-        )
     # mid-crash: snapshot still readable; only PLANNED-DROP commits may
     # reference the already-deleted files — every surviving commit's
     # references are intact
@@ -418,6 +429,38 @@ def test_clean_crash_replay_reentrant(spark, tmp_path):
     assert t.commits() == [
         c for c in t.commits() if c not in set(plan["drop"])
     ]
+    assert t.read(spark).count() == 20
+    assert t.validate() == []
+
+    # simulated crash #2 (commit-JSON phase): every claimed file is
+    # already gone and ONE dropped commit's JSON was unlinked before
+    # the crash — replay drops the remaining JSONs and shards
+    for day in (5, 6, 7):
+        t.upsert(
+            spark.createDataFrame(
+                [Row(id=i, grp=f"g{i % 2}", ts=_ts(day), v=float(day))
+                 for i in range(20)]
+            )
+        )
+    plan2 = t._plan_clean(retain_commits=1, orphan_grace_s=0.0)
+    assert plan2 is not None and len(plan2["drop"]) >= 2
+    M.write_clean_plan(root, plan2)
+    head_files2 = set(M.read_manifest(root).files)
+    claimed2 = {
+        f
+        for c in plan2["drop"]
+        for f in M.read_manifest(root, c).files
+        if f not in head_files2
+    }
+    for rel in sorted(claimed2):
+        p = os.path.join(ddir, rel)
+        if os.path.exists(p):
+            os.unlink(p)
+    os.unlink(
+        os.path.join(M.commits_dir(root), plan2["drop"][0] + ".json")
+    )
+    t.clean(retain_commits=99)
+    assert M.read_clean_plan(root) is None
     assert t.read(spark).count() == 20
     assert t.validate() == []
 
