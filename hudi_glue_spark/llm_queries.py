@@ -443,20 +443,38 @@ def q_incremental_near_dup_vs_index(spark, sf_dir):
         )
     else:
         corpus_bands = spark.createDataFrame([], schema)
+    # candidates are TINY relative to the corpus (bounded by matches,
+    # not batch size) and feed THREE consumers (corpus shingling, the
+    # verify join, the output) — persist once via the bounded cache so
+    # the band join never recomputes per consumer
     cand = (
         corpus_bands.join(bb.select(F.col("doc_id").alias("new_id"), "bk"), "bk")
         .select(F.col("doc_id").alias("dup_of"), "new_id")
         .dropDuplicates()
+        .persist()
     )
+    _INC_BB_CACHE.append(cand)
+    n_cand = cand.count()
 
     docs = table(spark, sf_dir, "documents")
-    c_sh = (
-        docs.join(
+    # candidate corpus docs: an IN-filter under the same size cap
+    # pushes into the parquet scan (row-group skipping, no shuffle) —
+    # the semi-join fallback keeps a huge candidate set distributed
+    if n_cand <= _INC_BK_INLIST_CAP:
+        ids = [
+            r.dup_of for r in cand.select("dup_of").distinct().collect()
+        ]
+        c_docs = docs.filter(F.col("doc_id").isin(ids))
+    else:
+        c_docs = docs.join(
             cand.select(F.col("dup_of").alias("doc_id")).distinct(),
             "doc_id",
             "left_semi",
         )
-        .select(F.col("doc_id").alias("dup_of"), D.shingles("text", 3).alias("__sa"))
+    c_sh = (
+        c_docs.select(
+            F.col("doc_id").alias("dup_of"), D.shingles("text", 3).alias("__sa")
+        )
         .filter(F.size("__sa") > 0)
     )
     b_sh = batch.select(
