@@ -278,7 +278,11 @@ def test_drop_partitions_metadata_only(spark, tmp_path):
         t.drop_partitions(["day=zz"])
 
 
-def test_shard_protocol_invariants_random_ops(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("seed", [20260814, 777])
+def test_shard_protocol_invariants_random_ops(spark, tmp_path, seed):
     """Property check over randomized op sequences: after ANY mix of
     upsert / delete / insert_overwrite / rollback / optimize / clean,
     every retained snapshot's shards form a DISJOINT EXACT COVER of its
@@ -289,7 +293,7 @@ def test_shard_protocol_invariants_random_ops(spark, tmp_path):
     rewrites, the shapes that break shard reuse if anything does.)"""
     import random
 
-    rng = random.Random(20260814)
+    rng = random.Random(seed)
     t = _mk(spark, str(tmp_path / "p"))
     model = {i: i for i in range(12)}  # id -> v
     days = "abc"
