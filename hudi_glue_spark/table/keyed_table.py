@@ -2219,12 +2219,21 @@ class KeyedTable:
             if r["recommend_compact"]
         ]
         if flagged:
-            cid = self.optimize(
-                spark,
-                target_file_mb=target_file_mb,
-                small_file_mb=small_file_mb,
-                partitions=flagged,
-            )
+            # a maintenance commit losing an OCC race to an overlapping
+            # writer is NOT an error for a service loop — disjoint
+            # rivals rebase automatically; overlapping ones mean the
+            # partition just got rewritten anyway, so skip and let the
+            # next cycle re-evaluate
+            try:
+                cid = self.optimize(
+                    spark,
+                    target_file_mb=target_file_mb,
+                    small_file_mb=small_file_mb,
+                    partitions=flagged,
+                )
+            except M.ConcurrentCommitError:
+                cid = None
+                summary["optimize_skipped"] = "lost commit race"
             if cid is not None:
                 summary["optimized"] = {
                     "partitions": sorted(str(p) for p in flagged),
@@ -2233,15 +2242,18 @@ class KeyedTable:
         st = self.index_staleness()
         if st is not None and st.get("recommend_recluster"):
             vidx = self.vector_index()
-            cid = self.build_ivf_index(
-                spark,
-                vidx["vec_col"],
-                n_centroids=len(vidx.get("centroids") or []) or 16,
-            )
-            summary["reclustered"] = {
-                "commit": cid,
-                "stale_fraction": st.get("stale_fraction"),
-            }
+            try:
+                cid = self.build_ivf_index(
+                    spark,
+                    vidx["vec_col"],
+                    n_centroids=len(vidx.get("centroids") or []) or 16,
+                )
+                summary["reclustered"] = {
+                    "commit": cid,
+                    "stale_fraction": st.get("stale_fraction"),
+                }
+            except M.ConcurrentCommitError:
+                summary["recluster_skipped"] = "lost commit race"
         removed = self.clean(
             retain_commits=retain_commits, orphan_grace_s=orphan_grace_s
         )
