@@ -1066,6 +1066,9 @@ class KeyedTable:
             base=man if touched is not None else None,
             touched=touched,
             new_files=new_files,
+            # lazy: evaluated only on an OCC conflict whose range
+            # proof fails (global-scope bloom rebase)
+            probe_keys_df=batch.select(*self.key),
         )
         return self.commits()[-1]
 
@@ -2803,6 +2806,7 @@ class KeyedTable:
         base=None,
         touched: set | None = None,
         new_files: list[str] | None = None,
+        probe_keys_df=None,
     ) -> None:
         # Inline stats cover ONLY the files this commit just wrote;
         # carried-forward files keep their stats inside the manifest
@@ -2899,7 +2903,7 @@ class KeyedTable:
         except M.ConcurrentCommitError:
             if not self._rebase_commit(
                 op, man, base, touched, new_files or [], fstats, frows,
-                fblooms, fbytes,
+                fblooms, fbytes, probe_keys_df,
             ):
                 raise
 
@@ -2927,6 +2931,54 @@ class KeyedTable:
             lo = a if lo is None or a < lo else lo
             hi = b if hi is None or b > hi else hi
         return (lo, hi)
+
+    def _collect_probe_keys(self, probe_keys_df) -> list[str]:
+        """The batch's canonical key strings for bloom probing, or []
+        when unprovable (no df, or batch bigger than the cap — a
+        backfill should re-merge rather than collect millions of keys
+        through the driver). Runs ONLY on an OCC conflict whose
+        range proof failed."""
+        cap = 20_000
+        if probe_keys_df is None:
+            return []
+        rows = probe_keys_df.distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            return []
+        return [B.key_string(tuple(r)) for r in rows]
+
+    def _chain_bloom_disjoint(self, r, parent, keys: list[str]) -> bool:
+        """True iff EVERY file the rival commit added/removed carries a
+        manifest key bloom reporting NO possible hit for any of
+        ``keys`` — bloom false positives re-merge (conservative), false
+        negatives are impossible, so a True is a sound disjointness
+        proof even on layouts where key RANGES interleave."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cur, prv = r.files_arrow(), parent.files_arrow()
+        added = pc.filter(cur, pc.invert(pc.is_in(cur, value_set=prv)))
+        removed = pc.filter(prv, pc.invert(pc.is_in(prv, value_set=cur)))
+        for man_side, changed in ((r, added), (parent, removed)):
+            if len(changed) == 0:
+                continue
+            t = man_side.shard_table()
+            if t is None:
+                return False
+            sub = t.select(["file", "col", "bloom"]).filter(
+                pc.and_(
+                    pc.is_null(t["col"]),
+                    pc.is_in(t["file"], value_set=changed),
+                )
+            )
+            if len(pc.unique(sub["file"])) != len(changed):
+                return False  # a changed file has no metadata row
+            blooms = sub["bloom"].to_pylist()
+            for raw in blooms:
+                if raw is None:
+                    return False  # no bloom recorded → unprovable
+                if B.contains_any(B.from_bytes(raw), keys):
+                    return False  # possible key hit → re-merge
+        return True
 
     def _chain_key_disjoint(self, r, parent, span) -> bool:
         """True iff EVERY file the rival commit ``r`` added or removed
@@ -2987,7 +3039,7 @@ class KeyedTable:
 
     def _rebase_commit(
         self, op, man, base, touched, new_files, fstats, frows, fblooms,
-        fbytes,
+        fbytes, probe_keys_df=None,
     ) -> bool:
         """DISJOINT-COMMIT REBASE (Hudi/Delta OCC conflict-resolution
         parity): a writer that loses the commit race re-publishes its
@@ -3014,22 +3066,36 @@ class KeyedTable:
         if base is None or touched is None:
             return False
         key_span = None  # set ⇒ global-scope rebase via key-range proof
-        if op not in self._REBASE_SAFE_OPS and self.key_scope != "partition":
+        need_key_proof = (
+            op not in self._REBASE_SAFE_OPS
+            and self.key_scope != "partition"
+        )
+        if need_key_proof:
             # GLOBAL key scope: a rebase is still sound for a plain
-            # upsert when every rival-CHANGED file's key range is
-            # provably disjoint from this writer's staged key span —
-            # staged files hold the merged touched partitions, so
-            # their span ⊇ the batch's keys (conservative). Sound only
-            # for upsert (its staged output contains every batch row;
-            # delete/merge-with-delete drop keys from the staged span,
-            # which would unprove exactly the collisions that matter).
+            # upsert when every rival-CHANGED file provably holds NONE
+            # of this writer's keys. Two proofs, tried in order per
+            # rival commit: (a) key-RANGE disjointness — the staged
+            # key span (⊇ batch keys) vs the changed files' key
+            # min/max; (b) key-BLOOM probes — the batch's actual keys
+            # (collected only on conflict, only under the size cap)
+            # against the changed files' manifest blooms, which also
+            # proves interleaved-key layouts where ranges overlap but
+            # keys don't. Bloom false positives → re-merge
+            # (conservative); false negatives impossible by
+            # construction. Sound only for upsert (its staged output
+            # contains every batch row; delete-bearing ops drop keys
+            # from the span/probe set, unproving exactly the
+            # collisions that matter).
             if op != "upsert":
                 return False
             key_span = self._staged_key_span(fstats, new_files)
-            if key_span is None:
-                return False  # no provable span → full re-merge
+            if key_span is None and (
+                probe_keys_df is None or not self.key_bloom
+            ):
+                return False  # no provable span and no bloom probe
         my_schema = man.schema_json
         my_stats = man.stats
+        probe_keys: list | None = None  # lazy; [] = unprovable
         for _ in range(5):
             head = M.read_manifest(self.path)
             assert head is not None
@@ -3054,10 +3120,19 @@ class KeyedTable:
                     != (base.stats or {}).get("vector_index")
                 ):
                     return False
-                if key_span is not None and not self._chain_key_disjoint(
-                    r, parent, key_span
-                ):
-                    return False
+                if need_key_proof:
+                    ok = key_span is not None and self._chain_key_disjoint(
+                        r, parent, key_span
+                    )
+                    if not ok:
+                        if probe_keys is None:
+                            probe_keys = self._collect_probe_keys(
+                                probe_keys_df
+                            )
+                        if not probe_keys or not self._chain_bloom_disjoint(
+                            r, parent, probe_keys
+                        ):
+                            return False
                 parent = r
             rebased = M.Manifest(
                 commit_id=M.child_id(head.commit_id),

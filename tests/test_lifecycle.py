@@ -1022,3 +1022,63 @@ def test_global_scope_overlapping_key_span_remerges(spark, tmp_path, monkeypatch
     assert len(rows) == 1 and rows[0].v == 2.0
     t.clean(retain_commits=1)
     assert t.validate() == []
+
+
+def test_global_scope_bloom_rebase_on_interleaved_keys(spark, tmp_path, monkeypatch):
+    """GLOBAL scope + interleaved key layout (ranges overlap across
+    partitions, so the range proof fails): the bloom proof probes the
+    batch's keys against every rival-changed file's manifest bloom and
+    rebases when none can hold them — and re-merges when the rival
+    actually touches one of the batch's keys."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    def build(root):
+        t = KeyedTable(
+            root, key="id", precombine="ts", partition_by="grp",
+            stats_cols=["ts", "id"], key_bloom=True,
+        )
+        # interleaved: evens in g0, odds in g1 — ranges overlap
+        t.bulk_insert(
+            spark.createDataFrame(
+                [Row(id=i, grp=f"g{i % 2}", v=0.0, ts=_ts(1))
+                 for i in range(40)]
+            )
+        )
+        return t
+
+    # disjoint keys: rival upserts odd ids in g1, victim new evens in g0
+    root = str(tmp_path / "bloomreb")
+    t = build(root)
+    rival_batch = spark.createDataFrame(
+        [Row(id=101, grp="g1", v=9.0, ts=_ts(2))]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [Row(id=200 + 2 * i, grp="g0", v=5.0, ts=_ts(2))
+             for i in range(3)]
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+    head = M.read_manifest(root)
+    assert "rebased_onto" in (head.stats or {}), "expected bloom rebase"
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(range(40)) | {101, 200, 202, 204}
+    snap = t.read(spark)
+    assert snap.count() == snap.select("id").distinct().count()
+
+    # colliding key: rival writes id=3 (g1) while victim's batch also
+    # carries id=3 — bloom hit → full re-merge, newest ts wins
+    root2 = str(tmp_path / "bloomreb2")
+    t2 = build(root2)
+    rb2 = spark.createDataFrame([Row(id=3, grp="g1", v=7.0, ts=_ts(5))])
+    orig = _rival_during_write(monkeypatch, spark, root2, rb2)
+    t2.upsert_with_retry(
+        spark.createDataFrame([Row(id=3, grp="g1", v=1.0, ts=_ts(3))])
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+    head2 = M.read_manifest(root2)
+    assert "rebased_onto" not in (head2.stats or {})
+    rows = [r for r in t2.read(spark).collect() if r.id == 3]
+    assert len(rows) == 1 and rows[0].v == 7.0  # newest event time
