@@ -1919,16 +1919,22 @@ class KeyedTable:
                 and now - os.path.getmtime(p) < orphan_grace_s
             )
 
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ids = self.commits()
         pinned = set(self.savepoints())
         keep = [c for c in ids if c in set(ids[-retain_commits:]) | pinned]
         drop = [c for c in ids if c not in keep]
-        referenced: set[str] = set()
+        # referenced-name membership stays ARROW-side: at 1M files the
+        # Python set unions over every commit's names were the plan
+        # phase's dominant cost (~15 s measured by the stress tool)
+        ref_arrs = []
         kept_shards: set[str] = set()
         for cid in keep:
             man = M.read_manifest(self.path, cid)
             assert man is not None
-            referenced.update(man.files)
+            ref_arrs.append(man.files_arrow())
             kept_shards.update(man.shards or [])
         # Files referenced by the DROPPED commits are NOT listed in the
         # plan — they are derivable at execute time from the dropped
@@ -1938,28 +1944,42 @@ class KeyedTable:
         # (referenced by no commit at all) — at a 1M-file table this
         # keeps the plan O(dropped commits + orphans), not an MB-scale
         # JSON of every reclaimed name.
-        dropped_refs: set[str] = set()
         for cid in drop:
             man = M.read_manifest(self.path, cid)
             if man is not None:
-                dropped_refs.update(man.files)
-        orphans: list[str] = []
+                ref_arrs.append(man.files_arrow())
+        any_ref = (
+            pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in ref_arrs]
+            )
+            if ref_arrs
+            else pa.array([], type=pa.string())
+        )
+        walked: list[str] = []
+        bases: list[str] = []
         ddir = M.data_dir(self.path)
         for dirpath, _dirs, fns in os.walk(ddir):
             for fn in fns:
-                p = os.path.join(dirpath, fn)
-                rel = os.path.relpath(p, ddir)
-                base = (
+                rel = os.path.relpath(os.path.join(dirpath, fn), ddir)
+                walked.append(rel)
+                bases.append(
                     rel[: -len(B.SIDECAR_SUFFIX)]
                     if rel.endswith(B.SIDECAR_SUFFIX)
                     else rel
                 )
-                if (
-                    base not in referenced
-                    and base not in dropped_refs
-                    and not _grace(p)
-                ):
-                    orphans.append(rel)
+        orphans: list[str] = []
+        if walked:
+            unref = pc.invert(
+                pc.is_in(
+                    pa.array(bases, type=pa.string()), value_set=any_ref
+                )
+            ).to_pylist()
+            orphans = [
+                rel
+                for rel, u in zip(walked, unref)
+                if u and not _grace(os.path.join(ddir, rel))
+            ]
         shards: list[str] = []
         mdir = M.manifests_dir(self.path)
         if os.path.isdir(mdir):
@@ -1982,26 +2002,35 @@ class KeyedTable:
         # commit that is live NOW and not in the plan's drop set (a
         # writer that published after the plan was computed), and keep
         # any planned-drop commit that was savepointed since.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         drop = [
             c for c in plan.get("drop", []) if c not in set(self.savepoints())
         ]
         live_now = [c for c in self.commits() if c not in set(drop)]
-        referenced: set[str] = set()
+        ref_arrs = []
         live_shards: set[str] = set()
         for cid in live_now:
             man = M.read_manifest(self.path, cid)
             if man is None:
                 continue  # dropped by a previous (crashed) execution
-            referenced.update(man.files)
+            ref_arrs.append(man.files_arrow())
             live_shards.update(man.shards or [])
+        referenced_arr = (
+            pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in ref_arrs]
+            )
+            if ref_arrs
+            else pa.array([], type=pa.string())
+        )
         # claim set: explicit orphans (+ legacy v1 "files" lists) plus
         # the files referenced by the planned-drop commits, DERIVED
         # from their still-present manifests — execution deletes files
         # before commit JSONs, so a crash-replay can always re-derive
         # what remains
-        claims: list[str] = list(plan.get("files", []))
-        claims += plan.get("orphans", [])
-        claimed_data: set[str] = set()
+        claim_arrs = []
         for cid in plan.get("drop", []):
             if cid in set(self.savepoints()):
                 continue
@@ -2010,22 +2039,62 @@ class KeyedTable:
             except ValueError:
                 continue  # JSON already dropped by a prior replay
             if man is not None:
-                claimed_data.update(man.files)
-        claims += sorted(claimed_data)
+                a = man.files_arrow()
+                claim_arrs.append(
+                    a.combine_chunks()
+                    if isinstance(a, pa.ChunkedArray)
+                    else a
+                )
+        # the live-reference re-check runs as ONE C-side membership
+        # pass per claim group, and ONLY the dead claims ever become
+        # Python strings — the walk below is O(dead files), each with
+        # the unlink syscall that is irreducible in any file-deleting
+        # GC. Explicit claims (v1 file lists + orphans, may include
+        # sidecar names whose verdict follows their base) stay a small
+        # Python list; manifest-derived claims (potentially the whole
+        # dropped snapshot) stay arrow end to end.
+        explicit = list(
+            dict.fromkeys(
+                list(plan.get("files", [])) + list(plan.get("orphans", []))
+            )
+        )
+        names: list[str] = []
+        if explicit:
+            ebases = [
+                n[: -len(B.SIDECAR_SUFFIX)]
+                if n.endswith(B.SIDECAR_SUFFIX)
+                else n
+                for n in explicit
+            ]
+            emask = pc.invert(
+                pc.is_in(
+                    pa.array(ebases, type=pa.string()),
+                    value_set=referenced_arr,
+                )
+            ).to_pylist()
+            names += [n for n, d in zip(explicit, emask) if d]
+        if claim_arrs:
+            derived = pc.unique(pa.concat_arrays(claim_arrs))
+            if len(derived):
+                dead = pc.filter(
+                    derived,
+                    pc.invert(
+                        pc.is_in(derived, value_set=referenced_arr)
+                    ),
+                )
+                names += dead.to_pylist()
         removed: list[str] = []
         ddir = M.data_dir(self.path)
-        seen_claims: set[str] = set()
-        for rel in claims:
-            if rel in seen_claims:
+        seen: set[str] = set()
+        for rel in names:
+            if rel in seen:
                 continue
-            seen_claims.add(rel)
+            seen.add(rel)
             base = (
                 rel[: -len(B.SIDECAR_SUFFIX)]
                 if rel.endswith(B.SIDECAR_SUFFIX)
                 else rel
             )
-            if base in referenced:
-                continue
             if base == rel:
                 # a data file's bloom sidecar lives and dies with it
                 try:

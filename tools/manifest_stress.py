@@ -138,6 +138,36 @@ def main(n_files: int = 100_000, n_parts: int = 1_000, n_commits: int = 10):
     t0 = time.time()
     _ = man.files
     print(f"full file-list load: {(time.time()-t0)*1000:.0f} ms")
+
+    # clean tier: plan + execute at this metadata scale. The plan must
+    # stay SMALL (dropped commit ids + orphans + shards — never a name
+    # list of every reclaimed file), execution derives dropped-commit
+    # claims from their manifests. NOTE: data files don't exist on disk
+    # in this metadata-only stress, so the unlink loop measures claim
+    # DERIVATION + metadata I/O, which is the part that scales.
+    from hudi_glue_spark.table import KeyedTable
+
+    kt = KeyedTable.__new__(KeyedTable)
+    kt.path = root
+    t0 = time.time()
+    plan = kt._plan_clean(retain_commits=2, orphan_grace_s=0.0)
+    dt_plan = time.time() - t0
+    if plan is not None:
+        import json as _json
+
+        plan_bytes = len(_json.dumps(plan))
+        M.write_clean_plan(root, plan)
+        t0 = time.time()
+        removed = kt._execute_clean(plan)
+        dt_exec = time.time() - t0
+        print(
+            f"clean plan: {dt_plan:5.2f}s ({plan_bytes/1e3:.1f} KB, "
+            f"{len(plan['drop'])} commits dropped, "
+            f"{len(plan.get('orphans', []))} orphans listed)  "
+            f"execute: {dt_exec:5.2f}s "
+            f"({len(removed)} physical removals; 0 expected here — "
+            f"no data files exist in this metadata-only stress)"
+        )
     shutil.rmtree(root, ignore_errors=True)
 
 
