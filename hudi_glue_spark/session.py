@@ -31,6 +31,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Honor DataSourceReader.pushFilters on Python data sources (the
+    # manifest-backed snapshot relation prunes files from pushed filters).
+    "spark.sql.python.filterPushdown.enabled": "true",
+    # Explicit-path reads below MANIFEST_READ_MIN_FILES stay on the
+    # native scan; above Spark's default threshold (32 paths) that scan
+    # launches a one-task-per-path listing JOB whose scheduling overhead
+    # (~3 ms/task) dwarfs a driver-side stat at these counts. List
+    # sequentially up to the manifest-relation crossover instead; tables
+    # past the crossover never take the native path at all.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "8192",
     # Kryo kept for parity with the reference session (harmless under
     # Tungsten for pure-SQL plans; see glue/HudiJarGlueJob.py:21).
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

@@ -1,0 +1,425 @@
+"""Manifest-backed snapshot relation (Python Data Source API).
+
+Full-snapshot ``KeyedTable.read()`` used to hand Spark an explicit
+path list; correct (orphans invisible, time travel exact) but at ~1M
+files the driver pays InMemoryFileIndex construction — Path parsing,
+file-status population, and partition discovery over every live file —
+before the first task launches. This module serves the scan straight
+from the table's own columnar metadata instead (the Hudi
+metadata-table/file-index idiom, cf. the reference's reliance on
+``hoodie.metadata.enable``-style listing avoidance; SURVEY.md §4):
+
+- The file list, per-file byte sizes, per-file column stats, and
+  partition values all come from the arrow shard table
+  (``manifest.shard_table()``) — ZERO filesystem listing or stat calls
+  against the data directory, at any file count.
+- Planning cost is O(live files) in vectorized arrow/numpy (bin-pack
+  by recorded bytes), flat-ish 100k→1M (tools/manifest_stress.py,
+  docs/SCALING.md) — vs the native path's per-path driver work.
+- Predicate pushdown: Spark hands the scan its filters
+  (``DataSourceReader.pushFilters``); file skipping runs against
+  manifest min/max stats (``prune_range``/``prune_isin``, the same
+  vectorized kernels ``read_range``/``read_isin`` use) and against
+  hive partition-dir values C-side. All filters are RETURNED to Spark
+  (re-applied above the scan), so pruning is purely an optimization —
+  a file wrongly kept costs I/O, never correctness.
+- Executors read their file group with pyarrow (C++ parquet) and ship
+  Arrow RecordBatches — the committed-schema conform (NULL-fill
+  dropped/added columns, upcast widened types) happens per batch, so
+  schema evolution behaves exactly like the native path.
+
+Known trade-off (documented, deliberate): the Python Data Source API
+in Spark 4.1 has no column-pruning hook, so this relation decodes all
+committed columns. It is therefore the FULL-snapshot path — projected
+and key/range-pruned reads keep using the native JVM scan over the
+(already small) pruned path list, which column-prunes and
+whole-stage-codegens. ``KeyedTable.read(engine="auto")`` routes on
+live-file count: below the threshold the native scan's setup is
+negligible and its decode is faster; above it, driver setup dominates
+and the manifest relation wins (crossover measured in
+tools/manifest_stress.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from hudi_glue_spark.table import manifest as M
+
+#: Practical lexical top for one-sided string ranges: no real value
+#: compares above it, so using it as the missing bound can only KEEP
+#: files (min_s > hi is never true), never wrongly skip.
+_S_HI = "\U0010ffff" * 8
+
+FORMAT_NAME = "keyed_manifest"
+
+
+def _norm(v):
+    """Filter literal → the manifest's stats-value domain (timestamps
+    and dates to ISO strings whose lexical order is time order) —
+    mirrors ``keyed_table._stat_value`` without importing it (cycle)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _range_for(f: Filter):
+    """(col, nlo, nhi) pruning range for a supported filter on a
+    top-level column, else None. One-sided ranges use ±inf / ""-to-top
+    sentinels; strictness is dropped (conservative for skipping)."""
+    if isinstance(f, (EqualTo,)):
+        col, v = f.attribute, _norm(f.value)
+    elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+        col, v = f.attribute, _norm(f.value)
+    elif isinstance(f, (LessThan, LessThanOrEqual)):
+        col, v = f.attribute, _norm(f.value)
+    else:
+        return None
+    if len(col) != 1 or v is None:
+        return None
+    name = col[0]
+    if isinstance(f, EqualTo):
+        return name, v, v
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+        return (name, v, _S_HI) if isinstance(v, str) else (name, v, math.inf)
+    return (name, "", v) if isinstance(v, str) else (name, -math.inf, v)
+
+
+class _FileGroup(InputPartition):
+    """One executor task's worth of live files (relative names)."""
+
+    def __init__(self, files: tuple):
+        self.value = files
+
+
+class ManifestSnapshotReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.root = options["path"]
+        self.at = options.get("at") or None
+        self.schema = schema
+        self.partition_by: list[str] = json.loads(
+            options.get("partition_by") or "[]"
+        )
+        self.target_bytes = int(
+            options.get("target_partition_bytes", 128 * 1024 * 1024)
+        )
+        self.parallelism_hint = int(options.get("parallelism_hint", "32"))
+        self._pushed: list[Filter] = []
+
+    # -- planning (driver side) -------------------------------------------
+
+    def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
+        """Record filters usable for manifest/partition pruning; return
+        ALL of them (Spark re-applies above the scan), so pruning stays
+        advisory and exactness never depends on it."""
+        self._pushed = [
+            f
+            for f in filters
+            if _range_for(f) is not None
+            or (isinstance(f, In) and len(f.attribute) == 1)
+        ]
+        return filters
+
+    def _partition_dir_mask(self, files_arr, f: Filter):
+        """C-side mask over relative file names for an EqualTo/In filter
+        on a partition column: a live file's path carries
+        ``col=value/`` exactly when it holds that partition's rows.
+        Only value types whose ``str()`` matches the hive dir encoding
+        (int/str/date — what the write path's ``hive_dirname`` emits)
+        participate; anything else keeps every file."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        name = f.attribute[0]
+        values = [f.value] if isinstance(f, EqualTo) else list(f.value)
+        mask = None
+        for v in values:
+            if v is None or not isinstance(
+                v, (int, str, datetime.date)
+            ) or isinstance(v, bool):
+                return None  # unprunable value type: keep all
+            seg = M.hive_dirname(name, v) + "/"
+            m = pc.match_substring(files_arr, seg)
+            mask = m if mask is None else pc.or_(mask, m)
+        return mask
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        man = M.read_manifest(self.root, self.at)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+
+        # live files + recorded bytes, one columnar pass
+        t = man.shard_table()
+        if t is not None:
+            sub = t.filter(pc.is_null(t["col"])).select(["file", "bytes"])
+            files_arr = sub["file"]
+            if isinstance(files_arr, pa.ChunkedArray):
+                files_arr = files_arr.combine_chunks()
+            bytes_arr = sub["bytes"].to_numpy(zero_copy_only=False)
+        else:  # legacy inline manifest
+            files_arr = man.files_arrow()
+            fb = man.file_bytes
+            bytes_arr = np.array(
+                [fb.get(f) for f in files_arr.to_pylist()], dtype=object
+            )
+
+        # file skipping from pushed filters: stats ranges + partition dirs
+        part_set = set(self.partition_by)
+        keep_sets = []
+        dir_mask = None
+        for f in self._pushed:
+            if isinstance(f, In):
+                name = f.attribute[0]
+                if name in part_set:
+                    m = self._partition_dir_mask(files_arr, f)
+                    if m is not None:
+                        dir_mask = (
+                            m if dir_mask is None else pc.and_(dir_mask, m)
+                        )
+                    continue
+                vals = [_norm(v) for v in f.value if v is not None]
+                if vals:
+                    kept = man.prune_isin(name, vals)
+                    if kept is not None:
+                        keep_sets.append(set(kept))
+                continue
+            rng = _range_for(f)
+            if rng is None:
+                continue
+            name, nlo, nhi = rng
+            if name in part_set and isinstance(f, EqualTo):
+                m = self._partition_dir_mask(files_arr, f)
+                if m is not None:
+                    dir_mask = m if dir_mask is None else pc.and_(dir_mask, m)
+                continue
+            kept = man.prune_range(name, nlo, nhi)
+            if kept is not None:
+                keep_sets.append(set(kept))
+
+        if dir_mask is not None:
+            sel = dir_mask.to_numpy(zero_copy_only=False).astype(bool)
+        else:
+            sel = np.ones(len(files_arr), dtype=bool)
+        if keep_sets:
+            keep = set.intersection(*keep_sets)
+            in_keep = pc.is_in(
+                files_arr, value_set=pa.array(sorted(keep), type=pa.string())
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            sel &= in_keep
+
+        names = np.asarray(files_arr.to_pylist(), dtype=object)[sel]
+        # files without a recorded size (legacy shards) get a nominal
+        # 32 MB so bin-packing still spreads them
+        sz = np.asarray(bytes_arr[sel], dtype="float64")
+        sz[np.isnan(sz)] = 32 * 1024 * 1024
+        sizes = sz.astype("int64")
+        if len(names) == 0:
+            return []
+        # sort by name: commit-prefixed names under hive dirs group one
+        # partition's files into contiguous runs → task-local locality
+        order = np.argsort(names)
+        names, sizes = names[order], sizes[order]
+        total = int(sizes.sum())
+        # enough groups to use the cluster, capped so tiny files don't
+        # explode the task count; ≥1 file per group
+        n_groups = max(
+            1,
+            min(
+                len(names),
+                max(
+                    self.parallelism_hint,
+                    math.ceil(total / max(1, self.target_bytes)),
+                ),
+            ),
+        )
+        bounds = np.searchsorted(
+            np.cumsum(sizes),
+            np.linspace(0, total, n_groups, endpoint=False)[1:],
+            side="right",
+        )
+        groups = [
+            tuple(chunk)
+            for chunk in np.split(names, bounds)
+            if len(chunk)
+        ]
+        return [_FileGroup(g) for g in groups]
+
+    # -- execution (worker side) ------------------------------------------
+
+    def read(self, partition: _FileGroup):
+        """One pyarrow **dataset** scan per hive-partition run of the
+        group's files — the multi-file read, schema conform (NULL-fill
+        pre-evolution gaps, upcast widened types, drop removed
+        columns), and batch assembly all happen C++-side; Python only
+        attaches the per-run constant partition columns. ``use_threads``
+        off: tasks are already the parallelism unit (32 concurrent
+        python workers each spawning an arrow pool would
+        oversubscribe)."""
+        import itertools
+
+        import pyarrow as pa
+        import pyarrow.dataset as pds
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        ddir = M.data_dir(self.root)
+        part_cols = set(self.partition_by)
+        phys = pa.schema(
+            [f for f in target if f.name not in part_cols]
+        )
+        # files sort by name, so one partition dir forms a contiguous run
+        for pdir, run in itertools.groupby(
+            partition.value, key=lambda rel: os.path.dirname(rel)
+        ):
+            paths = [os.path.join(ddir, rel) for rel in run]
+            pvals: dict[str, str | None] = {}
+            for seg in pdir.split("/") if pdir else []:
+                col, _, raw = seg.partition("=")
+                pvals[col] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else M.hive_unescape(raw)
+                )
+            scan = pds.dataset(paths, format="parquet", schema=phys)
+            for batch in scan.to_batches(use_threads=False):
+                n = batch.num_rows
+                cols = []
+                for field in target:
+                    if field.name in part_cols:
+                        raw = pvals.get(field.name)
+                        cols.append(
+                            pa.nulls(n, field.type)
+                            if raw is None
+                            else pa.array(
+                                [raw] * n, type=pa.string()
+                            ).cast(field.type)
+                        )
+                    else:
+                        cols.append(batch.column(field.name))
+                yield pa.RecordBatch.from_arrays(
+                    cols, schema=target
+                )
+
+
+class ManifestSnapshotDataSource(DataSource):
+    """``spark.read.format("keyed_manifest")`` — options: ``path``
+    (table root), ``at`` (commit id, optional), ``schema_json``
+    (committed schema), ``partition_by`` (JSON list)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        return StructType.fromJson(json.loads(self.options["schema_json"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ManifestSnapshotReader(dict(self.options), schema)
+
+
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark) -> None:
+    """Make ``hudi_glue_spark`` importable in Spark's python workers.
+
+    The DataSource class is pickled BY REFERENCE: the planner worker
+    (partitions()/pushFilters) and every read task must import this
+    package. When the driver's cwd is the repo that works implicitly;
+    for any other launch dir, ship the package source as a zip via the
+    standard ``addPyFile`` mechanism (one small zip per process)."""
+    global _PKG_ZIP
+    import tempfile
+    import zipfile
+
+    import hudi_glue_spark
+
+    if _PKG_ZIP is None:
+        pkg_root = os.path.dirname(os.path.abspath(hudi_glue_spark.__file__))
+        fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="hgs_pkg_")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(
+                            full,
+                            os.path.relpath(full, os.path.dirname(pkg_root)),
+                        )
+        _PKG_ZIP = zpath
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        # connect-style session (no SparkContext) or duplicate add —
+        # fall back to the implicit-path case
+        pass
+
+
+def ensure_registered(spark) -> None:
+    """Idempotently register the data source on this session."""
+    flag = "_hgs_manifest_ds_registered"
+    if getattr(spark, flag, False):
+        return
+    _ship_package(spark)
+    spark.dataSource.register(ManifestSnapshotDataSource)
+    setattr(spark, flag, True)
+
+
+def read_snapshot(
+    spark,
+    root: str,
+    schema: StructType,
+    partition_by: list[str] | None,
+    at: str | None = None,
+):
+    """Build the manifest-relation DataFrame for a table snapshot."""
+    ensure_registered(spark)
+    # Required for pushFilters to be honored; runtime-settable, and the
+    # driver's session may not carry engine defaults (same pattern as
+    # nanosAsLong in queries.table).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        hint = spark.sparkContext.defaultParallelism
+    except Exception:  # connect-style sessions: no SparkContext handle
+        hint = 32
+    return (
+        spark.read.format(FORMAT_NAME)
+        .schema(schema)
+        .option("path", root)
+        .option("at", at or "")
+        .option("schema_json", schema.json())
+        .option("partition_by", json.dumps(partition_by or []))
+        .option("parallelism_hint", str(hint))
+        .load()
+    )

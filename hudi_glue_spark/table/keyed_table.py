@@ -52,6 +52,16 @@ from hudi_glue_spark.table import manifest as M
 ARRIVAL_WINS = "arrival_wins"
 EVENT_TIME_WINS = "event_time_wins"
 
+#: Live-file count at which full-snapshot ``read()`` switches from the
+#: native JVM scan (explicit path list) to the manifest-backed Python
+#: Data Source relation. Below it, the native path's driver setup is
+#: negligible and its column-pruning/codegen decode wins; above it, the
+#: per-path InMemoryFileIndex cost dominates read setup (measured
+#: crossover in docs/SCALING.md; tools/manifest_stress.py full-read tier).
+MANIFEST_READ_MIN_FILES = int(
+    os.environ.get("HGS_MANIFEST_READ_MIN_FILES", "4096")
+)
+
 
 class ConstraintViolation(ValueError):
     """A batch failed the table's CHECK constraints under
@@ -282,17 +292,50 @@ class KeyedTable:
 
     # -- read side ---------------------------------------------------------
 
-    def read(self, spark: SparkSession, at: str | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        at: str | None = None,
+        engine: str = "auto",
+    ) -> DataFrame:
         """Snapshot read: latest (or ``at=``time-travel) committed state.
 
         Reads exactly the manifest's live files — the native equivalent
         of Hudi resolving latest file slices from the timeline
         (glue/MockCuratedGlueJob.py:23, SURVEY.md §4 file-skipping).
+
+        ``engine`` picks the physical scan:
+
+        - ``"native"`` — JVM parquet scan over the explicit live-path
+          list. Fastest decode (column pruning + whole-stage codegen),
+          but the driver pays InMemoryFileIndex construction over every
+          path — fine to ~10^5 files, dominant at 10^6.
+        - ``"manifest"`` — the Python-DataSource relation
+          (sources/manifest_relation.py) served straight from the arrow
+          shard table: no path-list handoff, no file-status population,
+          planning flat-ish 100k→1M files, pushdown-pruned from
+          manifest stats. Decodes all committed columns (the Spark 4.1
+          Python DS API has no column-pruning hook).
+        - ``"auto"`` — ``manifest`` iff the snapshot's live-file count
+          ≥ ``MANIFEST_READ_MIN_FILES`` (measured crossover,
+          docs/SCALING.md); else ``native``.
         """
         man = M.read_manifest(self.path, at)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
         schema = StructType.fromJson(json.loads(man.schema_json))
+        if engine == "auto":
+            engine = (
+                "manifest"
+                if man.n_files >= MANIFEST_READ_MIN_FILES
+                else "native"
+            )
+        if engine == "manifest":
+            from hudi_glue_spark.sources import manifest_relation as MR
+
+            return MR.read_snapshot(
+                spark, self.path, schema, self.partition_by, at
+            )
         if not man.files:
             return spark.createDataFrame([], schema)
         ddir = M.data_dir(self.path)

@@ -39,7 +39,12 @@ def _mk_files(part: int, commit: int, n: int) -> dict[str, dict]:
     }
 
 
-def main(n_files: int = 100_000, n_parts: int = 1_000, n_commits: int = 10):
+def main(
+    n_files: int = 100_000,
+    n_parts: int = 1_000,
+    n_commits: int = 10,
+    fullread: bool = False,
+):
     root = "/tmp/hgs_manifest_stress"
     shutil.rmtree(root, ignore_errors=True)
     per_part = n_files // n_parts
@@ -168,9 +173,75 @@ def main(n_files: int = 100_000, n_parts: int = 1_000, n_commits: int = 10):
             f"({len(removed)} physical removals; 0 expected here — "
             f"no data files exist in this metadata-only stress)"
         )
+    if fullread:
+        _fullread_tier(root, man)
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _fullread_tier(root: str, man) -> None:
+    """Full-snapshot READ-SETUP cost at this file count (VERDICT r7 #1):
+
+    - native  = ``spark.read.schema(..).parquet(*live_paths)`` DataFrame
+      construction — pays driver-side InMemoryFileIndex over every path
+      (empty placeholder files are touched so listing succeeds; no scan
+      runs, so footers are never read).
+    - manifest = ``ManifestSnapshotReader.partitions()`` — the planning
+      work Spark performs on the manifest-backed relation: file list +
+      bytes from the arrow shard table, bin-packed into file groups.
+      No filesystem contact at all.
+    """
+    t0 = time.time()
+    ddir = M.data_dir(root)
+    made_dirs: set[str] = set()
+    for f in man.files:
+        d = os.path.join(ddir, os.path.dirname(f))
+        if d not in made_dirs:
+            os.makedirs(d, exist_ok=True)
+            made_dirs.add(d)
+        open(os.path.join(ddir, f), "a").close()
+    print(f"[fullread] touched {man.n_files} placeholder files "
+          f"({time.time()-t0:.1f}s)")
+
+    from pyspark.sql.types import StructType
+
+    from hudi_glue_spark.sources.manifest_relation import (
+        ManifestSnapshotReader,
+    )
+
+    schema = StructType.fromJson(json.loads(man.schema_json))
+    reader = ManifestSnapshotReader(
+        {"path": root, "at": "", "schema_json": man.schema_json,
+         "partition_by": json.dumps([]), "parallelism_hint": "32"},
+        schema,
+    )
+    t0 = time.time()
+    parts = reader.partitions()
+    dt_man = time.time() - t0
+    print(
+        f"[fullread] manifest-relation planning (partitions()): "
+        f"{dt_man:6.3f}s → {len(parts)} file groups, zero fs calls"
+    )
+
+    try:
+        from hudi_glue_spark.session import get_spark
+
+        spark = get_spark("manifest-stress", master="local[4]")
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception as e:  # no JVM in this environment: manifest-only
+        print(f"[fullread] native comparison skipped (no Spark: {e})")
+        return
+    paths = [os.path.join(ddir, f) for f in man.files]
+    t0 = time.time()
+    spark.read.option("basePath", ddir).schema(schema).parquet(*paths)
+    dt_nat = time.time() - t0
+    print(
+        f"[fullread] native explicit-path DataFrame construction "
+        f"(InMemoryFileIndex): {dt_nat:6.3f}s "
+        f"({dt_nat/max(dt_man,1e-9):.1f}x the manifest relation)"
+    )
+
+
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*args)
+    fr = "fullread" in sys.argv[1:]
+    args = [int(a) for a in sys.argv[1:] if a != "fullread"]
+    main(*args, fullread=fr)
