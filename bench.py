@@ -24,6 +24,35 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Cross-round comparator (VERDICT r7 #5): the 50 queries of the ROUND-2
+#: driver window, membership FROZEN forever. The suite's headline
+#: sec/query drifts as the registry grows (index-build scenarios, new
+#: operators), so round-over-round speed claims compare this pinned
+#: subset instead — same queries, same count, every round.
+PINNED_SUBSET: tuple[str, ...] = (
+    "anti_join_new_keys", "asof_last_view_before_purchase",
+    "change_feed_clicks", "count_rows", "dim_broadcast_join",
+    "distinct_pairs", "doc_winnowing_fingerprints",
+    "docs_quality_by_source", "embedding_near_dup",
+    "embedding_quantize_int8", "events_value_stats", "exact_dedup",
+    "fact_join_agg", "filter_project_rewrite", "hive_partition_paths",
+    "incremental_read_since_first", "jaccard_dedup_survivors",
+    "knn_bruteforce", "knn_ivf", "knn_l2_bruteforce", "knn_lsh",
+    "lang_id_accuracy", "lineitem_pricing_summary", "media_meta_extract",
+    "merge_into_scenario", "minhash_near_dup", "near_dup_components",
+    "range_read_time_slice", "rollup_returnflag", "scan_limit_sorted",
+    "semi_join_touched_keys", "simhash_near_dup", "stream_dedup_exact",
+    "stream_dim_join_windowed", "stream_keyed_ingest",
+    "stream_running_totals", "stream_session_windows",
+    "stream_stream_interval_join", "stream_tumbling_counts",
+    "text_stats_per_doc", "time_travel_first_commit",
+    "topk_orders_per_segment", "train_val_test_split",
+    "union_tagged_batches", "upsert_arrival_wins",
+    "upsert_event_time_wins", "upsert_then_delete", "video_frame_sample",
+    "window_latest_event", "word_jaccard_pairs",
+)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -189,6 +218,9 @@ def main() -> int:
     # Emit a COMPACT line the driver can always parse — totals + the 10
     # slowest queries — and write the complete map to a sidecar file for
     # inter-round diffing (tools/diff_rounds.py reads it).
+    pinned = [n for n in PINNED_SUBSET if n in timings]
+    pinned_total = sum(timings[n] for n in pinned)
+
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -200,6 +232,12 @@ def main() -> int:
         "n_queries": len(timings),
         "sec_per_query": round(total / max(len(timings), 1), 3),
         "medians": "median-of-3 for the 20 slowest queries",
+        "pinned_subset": {
+            "n": len(pinned),
+            "wall_seconds": round(pinned_total, 3),
+            "sec_per_query": round(pinned_total / max(len(pinned), 1), 3),
+            "membership": "r2 driver window, frozen",
+        },
         "queries": slowest,
         "queries_full_file": os.path.basename(full_path),
         "sf": sf_val,

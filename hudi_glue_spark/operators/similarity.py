@@ -73,15 +73,23 @@ def lsh_bucket(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    infer_dim: bool = False,
 ) -> DataFrame:
     """Attach a random-hyperplane LSH bucket id (0..2^n_planes-1):
     bit i = sign(vec · plane_i). JVM-side dot products against literal
     plane arrays — no Python, no shuffle.
 
-    Pass ``dim`` (callers know their embedding width) to avoid the
-    fallback probe job that reads one row just to learn the vector
-    length — one extra scan stage at scale if the input isn't cached."""
+    ``dim`` is REQUIRED (callers know their embedding width): bucketing
+    must be a pure plan transformation — plan construction running a
+    Spark job is exactly the hidden extra scan stage that hurts at
+    scale. ``infer_dim=True`` opts into the one-row probe job for
+    interactive use where the width genuinely isn't known."""
     if dim is None:
+        if not infer_dim:
+            raise ValueError(
+                "lsh_bucket requires dim= (embedding width); pass "
+                "infer_dim=True to explicitly allow a one-row probe job"
+            )
         first = df.select(F.first(vec_col)).first()
         dim = len(first[0]) if first else 0
     planes = _hyperplanes(dim, n_planes, seed)

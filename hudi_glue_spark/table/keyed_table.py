@@ -1850,6 +1850,12 @@ class KeyedTable:
             touched=touched,
             new_files=new_files,
             rows=nrows,
+            # delete-free merges qualify for the global-scope disjoint
+            # rebase; the proof runs against the SOURCE keys (lazy,
+            # conflict-only) because the staged files may omit
+            # source-only keys whose insert condition failed
+            probe_keys_df=source.select(*self.key),
+            delete_free=delete_condition is None,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats=(
                 {
@@ -2919,6 +2925,7 @@ class KeyedTable:
         touched: set | None = None,
         new_files: list[str] | None = None,
         probe_keys_df=None,
+        delete_free: bool = False,
     ) -> None:
         # Inline stats cover ONLY the files this commit just wrote;
         # carried-forward files keep their stats inside the manifest
@@ -3015,7 +3022,7 @@ class KeyedTable:
         except M.ConcurrentCommitError:
             if not self._rebase_commit(
                 op, man, base, touched, new_files or [], fstats, frows,
-                fblooms, fbytes, probe_keys_df,
+                fblooms, fbytes, probe_keys_df, delete_free,
             ):
                 raise
 
@@ -3044,19 +3051,33 @@ class KeyedTable:
             hi = b if hi is None or b > hi else hi
         return (lo, hi)
 
-    def _collect_probe_keys(self, probe_keys_df) -> list[str]:
-        """The batch's canonical key strings for bloom probing, or []
-        when unprovable (no df, or batch bigger than the cap — a
-        backfill should re-merge rather than collect millions of keys
-        through the driver). Runs ONLY on an OCC conflict whose
-        range proof failed."""
+    def _collect_probe_keys(self, probe_keys_df):
+        """(canonical key strings for bloom probing, typed key span) of
+        the BATCH's keys, or ``([], None)`` when unprovable (no df, or
+        batch bigger than the cap — a backfill should re-merge rather
+        than collect millions of keys through the driver). The span is
+        derived only for single-column keys and lives in the
+        ``_stat_value`` domain, so it compares exactly against the
+        manifest's typed key stats — unlike the STAGED span it covers
+        every batch key even when the op's output dropped some (a
+        merge_into source row whose insert condition failed). Runs ONLY
+        on an OCC conflict whose staged-range proof failed."""
         cap = 20_000
         if probe_keys_df is None:
-            return []
+            return [], None
         rows = probe_keys_df.distinct().limit(cap + 1).collect()
         if len(rows) > cap:
-            return []
-        return [B.key_string(tuple(r)) for r in rows]
+            return [], None
+        strings = [B.key_string(tuple(r)) for r in rows]
+        span = None
+        if len(self.key) == 1:
+            if not rows:
+                span = ("__empty__", "__empty__")
+            else:
+                vals = [_stat_value(r[0]) for r in rows if r[0] is not None]
+                if len(vals) == len(rows):
+                    span = (min(vals), max(vals))
+        return strings, span
 
     def _chain_bloom_disjoint(self, r, parent, keys: list[str]) -> bool:
         """True iff EVERY file the rival commit added/removed carries a
@@ -3151,7 +3172,7 @@ class KeyedTable:
 
     def _rebase_commit(
         self, op, man, base, touched, new_files, fstats, frows, fblooms,
-        fbytes, probe_keys_df=None,
+        fbytes, probe_keys_df=None, delete_free=False,
     ) -> bool:
         """DISJOINT-COMMIT REBASE (Hudi/Delta OCC conflict-resolution
         parity): a writer that loses the commit race re-publishes its
@@ -3194,20 +3215,27 @@ class KeyedTable:
             # proves interleaved-key layouts where ranges overlap but
             # keys don't. Bloom false positives → re-merge
             # (conservative); false negatives impossible by
-            # construction. Sound only for upsert (its staged output
-            # contains every batch row; delete-bearing ops drop keys
-            # from the span/probe set, unproving exactly the
-            # collisions that matter).
-            if op != "upsert":
+            # construction. Sound for upsert (its staged output
+            # contains every batch row, so the STAGED span covers the
+            # batch) and for delete-free merge_into — matched-update /
+            # insert-only merges never remove a key, but a source-only
+            # key whose insert condition failed is ABSENT from the
+            # staged files while its match outcome still depended on
+            # the base, so the staged span is unsound there: those
+            # merges prove via the SOURCE keys instead (typed span
+            # derived on conflict, then bloom probe). Delete-bearing
+            # ops drop keys from every provable set — exactly the
+            # collisions that matter — and always re-merge.
+            if op == "upsert":
+                key_span = self._staged_key_span(fstats, new_files)
+            elif not (op == "merge_into" and delete_free):
                 return False
-            key_span = self._staged_key_span(fstats, new_files)
-            if key_span is None and (
-                probe_keys_df is None or not self.key_bloom
-            ):
-                return False  # no provable span and no bloom probe
+            if key_span is None and probe_keys_df is None:
+                return False  # no provable span and no probe keys
         my_schema = man.schema_json
         my_stats = man.stats
         probe_keys: list | None = None  # lazy; [] = unprovable
+        probe_span = None  # typed span of the BATCH keys (lazy)
         for _ in range(5):
             head = M.read_manifest(self.path)
             assert head is not None
@@ -3238,11 +3266,20 @@ class KeyedTable:
                     )
                     if not ok:
                         if probe_keys is None:
-                            probe_keys = self._collect_probe_keys(
-                                probe_keys_df
+                            probe_keys, probe_span = (
+                                self._collect_probe_keys(probe_keys_df)
                             )
-                        if not probe_keys or not self._chain_bloom_disjoint(
-                            r, parent, probe_keys
+                        # batch-derived span: covers every batch key
+                        # (incl. merge_into's non-inserted ones), works
+                        # without blooms when the key is in stats_cols
+                        ok = probe_span is not None and (
+                            self._chain_key_disjoint(r, parent, probe_span)
+                        )
+                        if not ok and (
+                            not probe_keys
+                            or not self._chain_bloom_disjoint(
+                                r, parent, probe_keys
+                            )
                         ):
                             return False
                 parent = r

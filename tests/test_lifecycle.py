@@ -1082,3 +1082,99 @@ def test_global_scope_bloom_rebase_on_interleaved_keys(spark, tmp_path, monkeypa
     assert "rebased_onto" not in (head2.stats or {})
     rows = [r for r in t2.read(spark).collect() if r.id == 3]
     assert len(rows) == 1 and rows[0].v == 7.0  # newest event time
+
+
+def test_merge_into_delete_free_rebases_global(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #4: a delete-free merge_into that loses the commit
+    race on a GLOBAL-key table rebases (stats carry rebased_onto) when
+    the rival's changed files are key-provably disjoint from the
+    SOURCE keys — and the result equals what a serial re-merge would
+    produce."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "mergerebase")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="global", stats_cols=["ts", "id"],
+    )
+    # key bands per partition so the SOURCE-key range proof can fire:
+    # g1 holds low ids (0-19), g0 high ids (1000-1019)
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp="g1", v=0.0, ts=_ts(1)) for i in range(20)]
+            + [Row(id=1000 + i, grp="g0", v=0.0, ts=_ts(1)) for i in range(20)]
+        )
+    )
+    # rival inserts ids 100-104 into g1 (disjoint partition; the whole
+    # rewritten g1 stays in the low band)
+    rival_batch = spark.createDataFrame(
+        [Row(id=100 + i, grp="g1", v=9.0, ts=_ts(2)) for i in range(5)]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    # victim merges into g0 only: update two existing keys, insert one
+    # new one, and carry one source row whose insert condition FAILS
+    # (id=2900, v<0) — the staged files omit it, the proof must not
+    source = spark.createDataFrame(
+        [
+            Row(id=1000, grp="g0", v=5.0, ts=_ts(3)),
+            Row(id=1004, grp="g0", v=6.0, ts=_ts(3)),
+            Row(id=2000, grp="g0", v=7.0, ts=_ts(3)),
+            Row(id=2900, grp="g0", v=-1.0, ts=_ts(3)),
+        ]
+    )
+    t.merge_into(source, insert_condition="source.v > 0")
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+
+    head = M.read_manifest(root)
+    assert head.op == "merge_into"
+    assert "rebased_onto" in (head.stats or {}), "expected rebase path"
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    expect = {i: 0.0 for i in range(20)}
+    expect.update({1000 + i: 0.0 for i in range(20)})
+    expect.update({100 + i: 9.0 for i in range(5)})  # rival's rows kept
+    expect.update({1000: 5.0, 1004: 6.0, 2000: 7.0})  # merge applied
+    assert got == expect  # 2900 not inserted; no duplicates
+    t.clean(retain_commits=1)
+    assert t.validate() == []
+
+
+def test_merge_into_with_delete_forces_remerge(spark, tmp_path, monkeypatch):
+    """A delete-bearing merge_into must NEVER rebase: deleted keys
+    vanish from every provable set, so the loser re-merges."""
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "mergedel")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="global", stats_cols=["ts", "id"],
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", v=0.0, ts=_ts(1)) for i in range(10)]
+        )
+    )
+    rival_batch = spark.createDataFrame(
+        [Row(id=100, grp="g1", v=9.0, ts=_ts(2))]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    import pytest
+
+    with pytest.raises(M.ConcurrentCommitError):
+        t.merge_into(
+            spark.createDataFrame([Row(id=0, grp="g0", v=-1.0, ts=_ts(3))]),
+            delete_condition="source.v < 0",
+        )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+    # the caller's retry re-merges and the delete lands correctly
+    t.merge_into(
+        spark.createDataFrame([Row(id=0, grp="g0", v=-1.0, ts=_ts(3))]),
+        delete_condition="source.v < 0",
+    )
+    head = M.read_manifest(root)
+    assert "rebased_onto" not in (head.stats or {})
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(range(1, 10)) | {100}
+    t.clean(retain_commits=1)
+    assert t.validate() == []

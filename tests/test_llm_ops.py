@@ -510,3 +510,30 @@ def test_incremental_dedup_join_path_matches_inlist(spark, monkeypatch):
         for r in L.q_incremental_near_dup_vs_index(spark, sf).collect()
     )
     assert a == b
+
+
+def test_lsh_bucket_dim_required_and_plan_only(spark):
+    """lsh_bucket is a pure plan transformation (VERDICT r7 #7): no
+    Spark job may run during bucketing plan construction, and omitting
+    dim without the explicit infer_dim opt-in is an error rather than
+    a silent extra scan stage."""
+    df = spark.range(8).select(
+        F.array(F.lit(1.0), F.lit(-2.0)).alias("emb")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        S.lsh_bucket(df, "emb")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh_plan_only", "bucketing plan construction")
+    try:
+        out = S.lsh_bucket(df, "emb", dim=2)
+        assert (
+            list(sc.statusTracker().getJobIdsForGroup("lsh_plan_only")) == []
+        ), "plan construction ran a Spark job"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert out.select("__bucket").distinct().count() >= 1
+
+    # the opt-in probe still works for interactive use
+    probed = S.lsh_bucket(df, "emb", infer_dim=True)
+    assert probed.count() == 8
