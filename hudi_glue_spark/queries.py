@@ -38,80 +38,18 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2–r6), so the r7 window is built for STALENESS, per
-#: VERDICT r6 ask #1: (a) new queries first (first rows), then (b) the
-#: 46 rows whose last green dates from r3 — before two table-layer
-#: rewrites — with the table-layer-dependent ones leading, then (c)
-#: everything else oldest-green-first (r5-impl-changed, r4, r6). No
-#: row green in both r5 and r6 sits ahead of an r3-stale row.
+#: (cumulative r2-r7), so the r8 window is built for STALENESS, same
+#: formula as r7 (VERDICT r7 ask #2): (a) the 2 new r8 queries first,
+#: then (b) the 48 rows whose last green dates from r4 - four rounds
+#: and three table-layer rewrites ago, the oldest cohort - which with
+#: (a) fills the ~50-slot window exactly; then (c) everything else
+#: oldest-green-first (r5, r6, r7). No row green in r6 or r7 sits
+#: ahead of an r4-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- (a) new in r7: first rows -----------------------------------
-    "savepoint_pinned_time_travel",    # pinned commit survives clean
-    "clean_plan_protocol",             # cleaner ⇄ writer via commit log
-    "occ_disjoint_rebase",             # OCC loser rebases, no re-merge
-    "compaction_advisor",              # metadata-only optimize scheduling
-    # -- (b)+(c) staleness rotation (VERDICT r6 ask #1): every row
-    # below whose last driver-green dates from r3 — three rounds and
-    # two table-layer rewrites ago. Table-layer-dependent rows lead
-    # (their implementation files changed most since r3); the r5/r6
-    # re-confirmations come AFTER every r3-stale row, so the ~50-row
-    # window re-greens the stale set instead of last round's rows.
-    "time_travel_first_commit",
-    "incremental_read_since_first",
-    "external_engine_read",
-    "csv_ingest_roundtrip",
-    "hive_partition_paths",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_bruteforce",
-    # r3-stale, remaining (oldest-green-first within formula (c))
-    "anti_join_new_keys",
-    "asof_last_view_before_purchase",
-    "bm25_scores",
-    "count_rows",
-    "cube_returnflag_status",
-    "customer_name_features",
-    "customer_orders_full_outer",
-    "dim_broadcast_join",
-    "docs_quality_by_source",
-    "embedding_near_dup",
-    "events_value_band_join",
-    "exact_dedup",
-    "except_nations_without_suppliers",
-    "fact_join_agg",
-    "filter_project_rewrite",
-    "image_decode_meta",
-    "intersect_customer_supplier_nations",
-    "lang_id_accuracy",
-    "lineitem_pricing_summary",
-    "media_meta_extract",
-    "minhash_near_dup",
-    "orders_date_functions",
-    "rollup_returnflag",
-    "scan_limit_sorted",
-    "semi_join_touched_keys",
-    "simhash_near_dup",
-    "stream_running_totals",
-    "stream_tumbling_counts",
-    "text_stats_per_doc",
-    "tf_idf_top_terms",
-    "topk_orders_per_segment",
-    "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
-    "union_tagged_batches",
-    "video_frame_sample",
-    "window_functions_suite",
-    "window_latest_event",
-    "word_jaccard_pairs",
-    # r5-green rows whose impl files changed since (upsert family)
-    "upsert_event_time_wins",
-    "upsert_arrival_wins",
-    "upsert_then_delete",
-    "merge_into_scenario",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    "train_val_test_split",
-    # r4-green rotation
+    # -- (a) new in r8: first rows -----------------------------------
+    "manifest_relation_read",
+    "merge_into_disjoint_rebase",
+    # -- (b) the 48 r4-stale rows (oldest cohort; window slots 3-50) --
     "benchmark_decontamination",
     "curation_pipeline_end_to_end",
     "decontaminated_corpus",
@@ -160,7 +98,14 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "user_event_type_sets",
     "vocab_top_terms",
-    # r6-green (most recently confirmed — lowest priority)
+    # -- (c) remainder, oldest-green-first (r5, then r6, then r7) -----
+    "merge_into_scenario",
+    "stream_session_windows",
+    "stream_stream_interval_join",
+    "train_val_test_split",
+    "upsert_arrival_wins",
+    "upsert_event_time_wins",
+    "upsert_then_delete",
     "ann_index_maintained_upsert",
     "ann_recall_audit",
     "approx_distinct_users",
@@ -211,6 +156,56 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q22_global_sales_opportunity",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
+    "anti_join_new_keys",
+    "asof_last_view_before_purchase",
+    "bm25_scores",
+    "clean_plan_protocol",
+    "compaction_advisor",
+    "count_rows",
+    "csv_ingest_roundtrip",
+    "cube_returnflag_status",
+    "customer_name_features",
+    "customer_orders_full_outer",
+    "dim_broadcast_join",
+    "docs_quality_by_source",
+    "embedding_near_dup",
+    "events_value_band_join",
+    "exact_dedup",
+    "except_nations_without_suppliers",
+    "external_engine_read",
+    "fact_join_agg",
+    "filter_project_rewrite",
+    "hive_partition_paths",
+    "image_decode_meta",
+    "incremental_read_since_first",
+    "intersect_customer_supplier_nations",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+    "lang_id_accuracy",
+    "lineitem_pricing_summary",
+    "media_meta_extract",
+    "minhash_near_dup",
+    "occ_disjoint_rebase",
+    "orders_date_functions",
+    "rollup_returnflag",
+    "savepoint_pinned_time_travel",
+    "scan_limit_sorted",
+    "semi_join_touched_keys",
+    "simhash_near_dup",
+    "stream_running_totals",
+    "stream_tumbling_counts",
+    "text_stats_per_doc",
+    "tf_idf_top_terms",
+    "time_travel_first_commit",
+    "topk_orders_per_segment",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "union_tagged_batches",
+    "video_frame_sample",
+    "window_functions_suite",
+    "window_latest_event",
+    "word_jaccard_pairs",
 ]
 
 

@@ -15,6 +15,7 @@ single-statement ANSI SQL, but its result is (SURVEY.md §5).
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
@@ -1659,5 +1660,159 @@ def q_compaction_advisor(spark, sf_dir):
             F.lit(flagged).alias("advisor_flagged_fragmented"),
             F.lit(metadata_only).alias("advisor_metadata_only"),
             F.lit(clear).alias("advisor_clear_after_optimize"),
+        )
+    )
+
+
+@query(
+    "manifest_relation_read",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(value + 100.0 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+    FROM events
+    WHERE event_type = 'click' AND value + 100.0 >= 150.0
+    """,
+)
+def q_manifest_relation_read(spark, sf_dir):
+    """Full-snapshot read through the manifest-backed Python Data
+    Source relation (sources/manifest_relation.py — the Hudi
+    metadata-table file-index idiom): the two-batch table is read with
+    ``engine='manifest'``, so the file list, partition values, and
+    pushed-filter file skipping are all served from the arrow shard
+    table with ZERO data-dir listing, and the scan itself runs as
+    pyarrow C++ file groups returning Arrow batches. The filter
+    (partition equality + value range) exercises the pushdown path;
+    result must hash-match the native plan's oracle exactly."""
+    tbl = _two_batch_table(spark, sf_dir)
+    df = tbl.read(spark, engine="manifest")
+    return df.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= 150.0)
+    ).select(_COLS)
+
+
+@query(
+    "merge_into_disjoint_rebase",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), rivaled AS (  -- rival writer: +1000 on every 'view' value
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'view' THEN value + 1000 ELSE value END
+               AS value, ts
+      FROM base
+    ), merged AS (   -- victim's delete-free MERGE on 'click' only
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'click' AND value BETWEEN 100 AND 110
+                  THEN value * 2 ELSE value END AS value, ts
+      FROM rivaled
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'click', CAST(999.5 AS DOUBLE),
+         TIMESTAMP '2024-01-01 00:00:00'),
+        (-2, 0, 'click', 999.5, TIMESTAMP '2024-01-01 00:00:00'),
+        (-3, 0, 'click', 999.5, TIMESTAMP '2024-01-01 00:00:00'),
+        (-4, 0, 'click', 999.5, TIMESTAMP '2024-01-01 00:00:00'),
+        (-5, 0, 'click', 999.5, TIMESTAMP '2024-01-01 00:00:00')
+      ) AS ins(event_id, user_id, event_type, value, ts)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS loser_rebased,
+           TRUE AS delete_free_merge
+    FROM merged GROUP BY event_type
+    """,
+)
+def q_merge_into_disjoint_rebase(spark, sf_dir):
+    """GLOBAL-key OCC rebase for a delete-free MERGE INTO (VERDICT r7
+    #4): while the victim's merge (update a click value band + insert
+    five new click rows) is staging files, a rival publishes a 'view'
+    rewrite. The victim's publish collides; because the merge carries
+    no delete clause, the loser proves disjointness against its SOURCE
+    keys — the key ranges interleave across partitions, so the range
+    proof fails and the per-file manifest KEY BLOOMS carry it (no
+    source key can hit any rival-changed file; bloom false negatives
+    impossible) — and rebases its already-staged files onto the
+    rival's head instead of re-running the merge
+    (keyed_table.py:_rebase_commit). Flags in the result row prove the
+    rebase actually fired and both writers' effects landed."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_mrebase_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        key_scope="global",
+        key_bloom=True,
+    )
+    b0, _b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    inserts = spark.createDataFrame(
+        [
+            (-i, 0, "click", 999.5, datetime.datetime(2024, 1, 1))
+            for i in range(1, 6)
+        ],
+        schema=ev.schema,
+    )
+    source = (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & F.col("value").between(100.0, 110.0)
+        )
+        .withColumn("value", F.col("value") * 2)
+        .unionByName(inserts)
+    )
+
+    # deterministic interleaving: the rival publishes its disjoint
+    # 'view' rewrite between the victim's file staging and its commit
+    orig = KeyedTable._write_files
+    fired: dict = {}
+
+    def hook(self, df, cid, repartition=True):
+        out = orig(self, df, cid, repartition)
+        if self.path == root and not fired:
+            fired["x"] = 1
+            KeyedTable._write_files = orig
+            try:
+                KeyedTable.load(root).update_where(
+                    spark, {"value": "value + 1000"}, "event_type = 'view'"
+                )
+            finally:
+                KeyedTable._write_files = hook
+        return out
+
+    KeyedTable._write_files = hook
+    try:
+        tbl.merge_into(source)  # delete-free: update matched + insert new
+    finally:
+        KeyedTable._write_files = orig
+
+    head = M.read_manifest(root)
+    rebased = "rebased_onto" in (head.stats or {}) and head.op == "merge_into"
+    ops = [M.read_manifest(root, c).op for c in tbl.commits()]
+    both = ops.count("merge_into") == 1 and ops.count("update_where") == 1
+
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(rebased).alias("loser_rebased"),
+            F.lit(bool(rebased and both)).alias("delete_free_merge"),
         )
     )

@@ -545,12 +545,18 @@ def test_retry_adopts_rival_partition_layout(spark, tmp_path, monkeypatch):
     assert t.validate() == []
 
 
-def test_multi_writer_randomized_serializability(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 23])
+def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
     """≥4 concurrent writers (upsert_with_retry) racing each other plus
-    an interleaved optimize + clean: the final snapshot is a
-    serializable outcome — every writer's final batch survives in
-    full, no duplicate keys, validate() sound. Randomized interleaving
-    with a fixed seed."""
+    an interleaved maintenance service running the COMPOSED policy loop
+    (run_maintenance: advisor → scoped optimize → staleness-gated
+    re-cluster → plan-published clean; VERDICT r7 #6): the final
+    snapshot is a serializable outcome — every writer's final batch
+    survives in full, no duplicate keys, validate() sound. Randomized
+    interleaving under two seeds."""
     import random
     import threading
 
@@ -568,7 +574,7 @@ def test_multi_writer_randomized_serializability(spark, tmp_path):
     errors: list[Exception] = []
 
     def writer(w: int):
-        rng = random.Random(1000 + w)
+        rng = random.Random(1000 * seed + w)
         try:
             t = KeyedTable.load(root)
             for b in range(BATCHES):
@@ -590,13 +596,22 @@ def test_multi_writer_randomized_serializability(spark, tmp_path):
             errors.append(e)
 
     def service():
-        rng = random.Random(99)
+        rng = random.Random(99 * seed)
         try:
             t = KeyedTable.load(root)
             for _ in range(2):
                 threading.Event().wait(0.5 + rng.random())
-                t.optimize(spark, target_file_mb=64, small_file_mb=32)
-                t.clean(retain_commits=5, orphan_grace_s=300.0)
+                # the composed per-table service pass, against live
+                # writers: advisor-scoped optimize (OCC-raced), IVF
+                # staleness check, plan-published clean
+                t.run_maintenance(
+                    spark,
+                    retain_commits=5,
+                    target_file_mb=64,
+                    small_file_mb=32,
+                    target_rows_per_file=20,
+                    orphan_grace_s=300.0,
+                )
         except Exception as e:
             errors.append(e)
 
