@@ -297,6 +297,7 @@ class KeyedTable:
         spark: SparkSession,
         at: str | None = None,
         engine: str = "auto",
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Snapshot read: latest (or ``at=``time-travel) committed state.
 
@@ -319,11 +320,28 @@ class KeyedTable:
         - ``"auto"`` — ``manifest`` iff the snapshot's live-file count
           ≥ ``MANIFEST_READ_MIN_FILES`` (measured crossover,
           docs/SCALING.md); else ``native``.
+
+        ``columns`` projects the scan to a subset of the committed
+        schema (order preserved from the schema, duplicates ignored).
+        On the manifest engine this is a PHYSICAL projection — the
+        pyarrow scan decodes only those columns, closing the "Python
+        DS API has no column-pruning hook" gap for callers who know
+        their projection; on the native engine Catalyst prunes the
+        same way from a trailing ``select``.
         """
         man = M.read_manifest(self.path, at)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
         schema = StructType.fromJson(json.loads(man.schema_json))
+        if columns is not None:
+            unknown = set(columns) - {f.name for f in schema.fields}
+            if unknown:
+                raise ValueError(
+                    f"columns not in committed schema: {sorted(unknown)}"
+                )
+            schema = StructType(
+                [f for f in schema.fields if f.name in set(columns)]
+            )
         if engine == "auto":
             engine = (
                 "manifest"

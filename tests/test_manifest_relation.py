@@ -197,3 +197,20 @@ def test_auto_threshold_routes(spark, tbl, monkeypatch):
     monkeypatch.setattr(KT, "MANIFEST_READ_MIN_FILES", 10**9)
     df2 = tbl.read(spark)
     assert "keyed_manifest" not in df2._jdf.queryExecution().toString()
+
+
+def test_read_columns_projection_both_engines(spark, tbl):
+    """read(columns=...) is a physical projection on the manifest
+    engine (the pyarrow scan decodes only those columns) and a
+    Catalyst-pruned select on the native engine — same rows, same
+    subset schema, partition column includable or omittable."""
+    for cols in (["pk", "val"], ["pk", "part"], ["val"]):
+        nat = tbl.read(spark, engine="native", columns=cols)
+        man = tbl.read(spark, engine="manifest", columns=cols)
+        assert man.columns == nat.columns
+        assert man.columns == [
+            c for c in ["pk", "part", "val", "update_ts"] if c in cols
+        ]
+        assert rows_set(man) == rows_set(nat)
+    with pytest.raises(ValueError, match="not in committed schema"):
+        tbl.read(spark, columns=["pk", "nope"])
