@@ -70,6 +70,13 @@ _S_HI = "\U0010ffff" * 8
 
 FORMAT_NAME = "keyed_manifest"
 
+#: hidden scan columns (opt-in via ``with_positions``): the source file
+#: (manifest-relative name) and the 0-based physical row position within
+#: it — the row identity deletion vectors address (table/dv.py), and the
+#: same coordinates Spark's ``_metadata.row_index`` would assign.
+POS_FILE_COL = "__file"
+POS_COL = "__pos"
+
 
 def _norm(v):
     """Filter literal → the manifest's stats-value domain (timestamps
@@ -127,6 +134,17 @@ class ManifestSnapshotReader(DataSourceReader):
             options.get("target_partition_bytes", 128 * 1024 * 1024)
         )
         self.parallelism_hint = int(options.get("parallelism_hint", "32"))
+        # explicit file subset (pruned reads route their kept list here
+        # when DV masks must apply); empty/absent = whole snapshot
+        self.files_subset: list[str] | None = (
+            json.loads(options["files"]) if options.get("files") else None
+        )
+        # {rel_file: dv_blob_name} — rows these blobs mark dead are
+        # masked out during the scan (table/dv.py)
+        self.dvs: dict[str, str] = (
+            json.loads(options["dvs"]) if options.get("dvs") else {}
+        )
+        self.with_positions = options.get("with_positions") == "1"
         self._pushed: list[Filter] = []
 
     # -- planning (driver side) -------------------------------------------
@@ -229,6 +247,13 @@ class ManifestSnapshotReader(DataSourceReader):
             sel = dir_mask.to_numpy(zero_copy_only=False).astype(bool)
         else:
             sel = np.ones(len(files_arr), dtype=bool)
+        if self.files_subset is not None:
+            sel &= pc.is_in(
+                files_arr,
+                value_set=pa.array(
+                    sorted(set(self.files_subset)), type=pa.string()
+                ),
+            ).to_numpy(zero_copy_only=False).astype(bool)
         if keep_sets:
             keep = set.intersection(*keep_sets)
             in_keep = pc.is_in(
@@ -283,25 +308,65 @@ class ManifestSnapshotReader(DataSourceReader):
         attaches the per-run constant partition columns. ``use_threads``
         off: tasks are already the parallelism unit (32 concurrent
         python workers each spawning an arrow pool would
-        oversubscribe)."""
+        oversubscribe).
+
+        With deletion vectors (``dvs``) or position columns
+        (``with_positions``) a file is scanned INDIVIDUALLY and
+        sequentially so physical row positions are known per batch —
+        the DV dead-mask is one bitmap slice + filter per batch
+        (O(batch) numpy, no join), and ``__file``/``__pos`` attach as
+        constants/arange. Files without a DV in a positions-free read
+        keep the multi-file fast path."""
         import itertools
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.dataset as pds
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from hudi_glue_spark.table import dv as DVB
+
         target = to_arrow_schema(self.schema)
         ddir = M.data_dir(self.root)
         part_cols = set(self.partition_by)
-        phys = pa.schema(
-            [f for f in target if f.name not in part_cols]
+        meta_cols = (
+            {POS_FILE_COL, POS_COL} if self.with_positions else set()
         )
+        phys = pa.schema(
+            [
+                f
+                for f in target
+                if f.name not in part_cols and f.name not in meta_cols
+            ]
+        )
+
+        def assemble(batch, pvals, rel, pos):
+            n = batch.num_rows
+            cols = []
+            for field in target:
+                if field.name == POS_FILE_COL:
+                    cols.append(pa.array([rel] * n, type=pa.string()))
+                elif field.name == POS_COL:
+                    cols.append(pa.array(pos, type=pa.int64()))
+                elif field.name in part_cols:
+                    raw = pvals.get(field.name)
+                    cols.append(
+                        pa.nulls(n, field.type)
+                        if raw is None
+                        else pa.array([raw] * n, type=pa.string()).cast(
+                            field.type
+                        )
+                    )
+                else:
+                    cols.append(batch.column(field.name))
+            return pa.RecordBatch.from_arrays(cols, schema=target)
+
         # files sort by name, so one partition dir forms a contiguous run
         for pdir, run in itertools.groupby(
             partition.value, key=lambda rel: os.path.dirname(rel)
         ):
-            paths = [os.path.join(ddir, rel) for rel in run]
+            files = list(run)
             pvals: dict[str, str | None] = {}
             for seg in pdir.split("/") if pdir else []:
                 col, _, raw = seg.partition("=")
@@ -310,25 +375,52 @@ class ManifestSnapshotReader(DataSourceReader):
                     if raw == "__HIVE_DEFAULT_PARTITION__"
                     else M.hive_unescape(raw)
                 )
-            scan = pds.dataset(paths, format="parquet", schema=phys)
-            for batch in scan.to_batches(use_threads=False):
-                n = batch.num_rows
-                cols = []
-                for field in target:
-                    if field.name in part_cols:
-                        raw = pvals.get(field.name)
-                        cols.append(
-                            pa.nulls(n, field.type)
-                            if raw is None
-                            else pa.array(
-                                [raw] * n, type=pa.string()
-                            ).cast(field.type)
-                        )
-                    else:
-                        cols.append(batch.column(field.name))
-                yield pa.RecordBatch.from_arrays(
-                    cols, schema=target
+            plain = [
+                rel
+                for rel in files
+                if not self.with_positions and rel not in self.dvs
+            ]
+            plain_set = set(plain)
+            if plain:
+                scan = pds.dataset(
+                    [os.path.join(ddir, rel) for rel in plain],
+                    format="parquet",
+                    schema=phys,
                 )
+                for batch in scan.to_batches(use_threads=False):
+                    yield assemble(batch, pvals, None, None)
+            for rel in files:
+                if rel in plain_set:
+                    continue
+                blob = (
+                    DVB.read(self.root, self.dvs[rel])
+                    if rel in self.dvs
+                    else None
+                )
+                offset = 0
+                scan = pds.dataset(
+                    [os.path.join(ddir, rel)], format="parquet", schema=phys
+                )
+                for batch in scan.to_batches(use_threads=False):
+                    n = batch.num_rows
+                    pos = np.arange(offset, offset + n, dtype=np.int64)
+                    if blob is not None:
+                        dead = DVB.dead_mask(blob, offset, n)
+                        offset += n
+                        if dead.any():
+                            keep = ~dead
+                            batch = batch.filter(pa.array(keep))
+                            pos = pos[keep]
+                            if batch.num_rows == 0:
+                                continue
+                    else:
+                        offset += n
+                    yield assemble(
+                        batch,
+                        pvals,
+                        rel,
+                        pos if self.with_positions else None,
+                    )
 
 
 class ManifestSnapshotDataSource(DataSource):
@@ -402,8 +494,19 @@ def read_snapshot(
     schema: StructType,
     partition_by: list[str] | None,
     at: str | None = None,
+    files: list[str] | None = None,
+    dvs: dict[str, str] | None = None,
+    with_positions: bool = False,
 ):
-    """Build the manifest-relation DataFrame for a table snapshot."""
+    """Build the manifest-relation DataFrame for a table snapshot.
+
+    ``files`` restricts the scan to an explicit live-file subset (the
+    pruned-read path when DV masks must apply); ``dvs`` maps rel file →
+    DV blob name whose dead rows are masked out worker-side;
+    ``with_positions`` appends ``__file``/``__pos`` columns (the row
+    coordinates DV-writing DML needs)."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
     ensure_registered(spark)
     # Required for pushFilters to be honored; runtime-settable, and the
     # driver's session may not carry engine defaults (same pattern as
@@ -413,7 +516,15 @@ def read_snapshot(
         hint = spark.sparkContext.defaultParallelism
     except Exception:  # connect-style sessions: no SparkContext handle
         hint = 32
-    return (
+    if with_positions:
+        schema = StructType(
+            [
+                *schema.fields,
+                StructField(POS_FILE_COL, StringType(), False),
+                StructField(POS_COL, LongType(), False),
+            ]
+        )
+    rd = (
         spark.read.format(FORMAT_NAME)
         .schema(schema)
         .option("path", root)
@@ -421,5 +532,11 @@ def read_snapshot(
         .option("schema_json", schema.json())
         .option("partition_by", json.dumps(partition_by or []))
         .option("parallelism_hint", str(hint))
-        .load()
     )
+    if files is not None:
+        rd = rd.option("files", json.dumps(sorted(files)))
+    if dvs:
+        rd = rd.option("dvs", json.dumps(dvs))
+    if with_positions:
+        rd = rd.option("with_positions", "1")
+    return rd.load()

@@ -47,6 +47,7 @@ from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 from hudi_glue_spark.table import bloom as B
+from hudi_glue_spark.table import dv as DVB
 from hudi_glue_spark.table import manifest as M
 
 ARRIVAL_WINS = "arrival_wins"
@@ -348,11 +349,23 @@ class KeyedTable:
                 if man.n_files >= MANIFEST_READ_MIN_FILES
                 else "native"
             )
+        if man.dvs:
+            # deletion vectors mask rows positionally; the manifest
+            # relation applies them worker-side during the arrow scan
+            # (one bitmap slice per batch) — the native JVM scan has no
+            # positional-mask hook, so DV-bearing snapshots always read
+            # through the relation
+            engine = "manifest"
         if engine == "manifest":
             from hudi_glue_spark.sources import manifest_relation as MR
 
             return MR.read_snapshot(
-                spark, self.path, schema, self.partition_by, at
+                spark,
+                self.path,
+                schema,
+                self.partition_by,
+                at,
+                dvs={f: v[0] for f, v in man.dvs.items()},
             )
         if not man.files:
             return spark.createDataFrame([], schema)
@@ -376,6 +389,40 @@ class KeyedTable:
         spark: SparkSession, ddir: str, paths: list[str], schema: StructType
     ):
         return spark.read.option("basePath", ddir).schema(schema).parquet(*paths)
+
+    def _read_pruned(
+        self,
+        spark: SparkSession,
+        man: "M.Manifest",
+        keep: list[str],
+        schema: StructType,
+    ) -> DataFrame:
+        """Scan an explicit live-file subset under the committed schema,
+        conformed — and DV-masked when any kept file carries a deletion
+        vector (those reads route through the manifest relation, which
+        applies the positional mask worker-side; DV-free subsets keep
+        the native JVM scan's column pruning + codegen)."""
+        sub_dvs = (
+            {f: man.dvs[f][0] for f in keep if f in man.dvs}
+            if man.dvs
+            else {}
+        )
+        if sub_dvs:
+            from hudi_glue_spark.sources import manifest_relation as MR
+
+            return MR.read_snapshot(
+                spark,
+                self.path,
+                schema,
+                self.partition_by,
+                files=keep,
+                dvs=sub_dvs,
+            )
+        ddir = M.data_dir(self.path)
+        df = self._read_files(
+            spark, ddir, [os.path.join(ddir, f) for f in keep], schema
+        )
+        return df.select(self._conform(df, schema))
 
     def read_incremental(self, spark: SparkSession, since: str) -> DataFrame:
         """Rows written after commit ``since`` (Hudi incremental-query
@@ -404,11 +451,9 @@ class KeyedTable:
         schema = StructType.fromJson(json.loads(man.schema_json))
         if not new_files:
             return spark.createDataFrame([], schema)
-        ddir = M.data_dir(self.path)
-        df = self._read_files(
-            spark, ddir, [os.path.join(ddir, f) for f in new_files], schema
-        )
-        return df.select(self._conform(df, schema))
+        # head DVs apply to the incremental slice too: a row added
+        # after ``since`` but since dv-deleted is no longer live
+        return self._read_pruned(spark, man, new_files, schema)
 
     @staticmethod
     def _conform(df: DataFrame, schema: StructType):
@@ -455,11 +500,7 @@ class KeyedTable:
         cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not keep:
             return spark.createDataFrame([], schema).filter(cond)
-        ddir = M.data_dir(self.path)
-        df = self._read_files(
-            spark, ddir, [os.path.join(ddir, f) for f in keep], schema
-        )
-        return df.select(self._conform(df, schema)).filter(cond)
+        return self._read_pruned(spark, man, keep, schema).filter(cond)
 
     def files_in_range(self, col: str, lo, hi) -> list[str]:
         """The file subset :meth:`read_range` would scan (introspection
@@ -558,11 +599,7 @@ class KeyedTable:
         cond = F.col(col).isin(list(values))
         if not keep:
             return spark.createDataFrame([], schema).filter(cond)
-        ddir = M.data_dir(self.path)
-        df = self._read_files(
-            spark, ddir, [os.path.join(ddir, f) for f in keep], schema
-        )
-        return df.select(self._conform(df, schema)).filter(cond)
+        return self._read_pruned(spark, man, keep, schema).filter(cond)
 
     def files_with_keys(self, keys: list) -> list[str]:
         """Files whose Bloom sidecar may hold ANY of the (single-column)
@@ -609,11 +646,7 @@ class KeyedTable:
         cond = F.col(self.key[0]).isin(list(keys))
         if not keep:
             return spark.createDataFrame([], schema).filter(cond)
-        ddir = M.data_dir(self.path)
-        df = self._read_files(
-            spark, ddir, [os.path.join(ddir, f) for f in keep], schema
-        )
-        return df.select(self._conform(df, schema)).filter(cond)
+        return self._read_pruned(spark, man, keep, schema).filter(cond)
 
     def partitions_df(self, spark: SparkSession, at: str | None = None) -> DataFrame:
         """Per-partition rollup of the snapshot's metadata — the
@@ -1209,6 +1242,370 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    # -- deletion-vector DML (merge-on-read-style row-level ops) -----------
+
+    #: batch key lists at or under this size prune candidate files via
+    #: blooms/stats driver-side; larger batches probe every file (their
+    #: scan is key-column-only either way)
+    DV_KEY_PRUNE_CAP = 20_000
+
+    def _positioned_read(
+        self,
+        spark: SparkSession,
+        man,
+        files: list[str],
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """DV-masked scan of an explicit file subset with the hidden
+        ``__file``/``__pos`` row-coordinate columns — the read every
+        DV-writing op starts from (only LIVE rows can be marked, and
+        marks address physical positions). ``columns`` projects the
+        committed schema (partition columns attach from the path, so
+        projecting to key columns still scans only the key bytes)."""
+        from hudi_glue_spark.sources import manifest_relation as MR
+
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        if columns is not None:
+            want = set(columns)
+            schema = StructType(
+                [f for f in schema.fields if f.name in want]
+            )
+        return MR.read_snapshot(
+            spark,
+            self.path,
+            schema,
+            self.partition_by,
+            files=files,
+            dvs=(
+                {f: man.dvs[f][0] for f in files if f in man.dvs}
+                if man.dvs
+                else {}
+            ),
+            with_positions=True,
+        )
+
+    def _dv_entries(
+        self, spark: SparkSession, man, marked: DataFrame, cid: str
+    ) -> tuple[dict, int]:
+        """Aggregate ``marked`` (``__file``, ``__pos`` of live rows) into
+        per-file deletion-vector blobs: positions compress executor-side
+        (one ``applyInPandas`` group per file — O(marked rows) shipped,
+        zlib'd), the driver unions each with the file's existing mask
+        and publishes immutable blobs under ``_dv/``. Returns
+        ({rel: [blob_name, n_dead]}, rows_marked)."""
+        import uuid
+
+        import pandas as pd
+
+        def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "file": [pdf["__file"].iloc[0]],
+                    "blob": [
+                        DVB.encode_positions(pdf["__pos"].to_numpy())
+                    ],
+                    "n": [len(pdf)],
+                }
+            )
+
+        per_file = (
+            marked.select("__file", "__pos")
+            .groupBy("__file")
+            .applyInPandas(_pack, "file string, blob binary, n long")
+            .collect()
+        )
+        if not per_file:
+            return {}, 0
+        frows = man.file_rows
+        ddir = M.data_dir(self.path)
+        token = uuid.uuid4().hex[:8]
+        entries: dict = {}
+        total = 0
+        for i, r in enumerate(sorted(per_file, key=lambda r: r["file"])):
+            rel = r["file"]
+            nrows = frows.get(rel)
+            if nrows is None:  # legacy shard without a row count
+                nrows = _parquet_num_rows(os.path.join(ddir, rel))
+            blob = DVB.from_positions(DVB.decode_positions(r["blob"]), nrows)
+            old = man.dvs.get(rel)
+            if old is not None:
+                blob = DVB.union(DVB.read(self.path, old[0]), blob)
+            name = f"{cid}-{token}-{i:05d}.dv"
+            DVB.write(self.path, name, blob)
+            entries[rel] = [name, DVB.dead_count(blob)]
+            total += int(r["n"])
+        return entries, total
+
+    def _dv_rewritten_dirs(self, rels) -> list[str]:
+        if not self.partition_by:
+            return ["<all>"]
+        return sorted({M.partition_of(f) for f in rels} - {None})
+
+    def delete_dv(self, keys) -> str | None:
+        """Row-level delete via DELETION VECTORS: marks the keys' row
+        positions dead in their host files instead of rewriting
+        partitions (:meth:`delete`'s copy-on-write cost). The write
+        amplification of deleting k rows drops from O(touched
+        partitions' bytes) to O(k + touched files' bitmaps) — the
+        Hudi-MoR / Delta-DV / Iceberg-position-delete idiom, and the
+        only viable point-delete shape on a 100 TB table. Readers mask
+        dead rows during the scan; :meth:`optimize` folds masks into
+        real rewrites (see its DV-fold rule); time travel before this
+        commit still sees the rows.
+
+        ``keys``: a DataFrame holding the key column(s), or a plain
+        list of values (single-column keys). List-shaped deletes at or
+        under ``DV_KEY_PRUNE_CAP`` prune candidate files via the
+        manifest key blooms/stats, so a point delete opens ~1 file.
+        Returns the new commit id, or None when nothing matched (no
+        commit published)."""
+        if not self.exists():
+            raise FileNotFoundError(f"no table at {self.path}")
+        self._refresh_layout()
+        man = M.read_manifest(self.path)
+        assert man is not None
+        if isinstance(keys, DataFrame):
+            spark = keys.sparkSession
+            keys_df = keys.select(self.key).dropDuplicates()
+            cand, key_list = man.files, None
+        else:
+            if len(self.key) != 1:
+                raise ValueError(
+                    "list-shaped delete_dv needs a single-column key; "
+                    "pass a DataFrame for composite keys"
+                )
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "delete_dv(list) needs an active SparkSession"
+                )
+            key_list = list(dict.fromkeys(keys))
+            keys_df = None
+            cand = (
+                self._dv_prune_files(man, key_list)
+                if len(key_list) <= self.DV_KEY_PRUNE_CAP
+                else man.files
+            )
+        if not cand:
+            return None
+        df = self._positioned_read(spark, man, cand, columns=self.key)
+        if keys_df is not None:
+            matched = df.join(keys_df, on=self.key, how="left_semi")
+        else:
+            matched = df.filter(F.col(self.key[0]).isin(key_list))
+        return self._publish_dv_commit(
+            spark, man, matched, "delete_dv", extra_stats=None
+        )
+
+    def delete_where_dv(self, spark: SparkSession, predicate: str) -> str | None:
+        """Predicate delete via deletion vectors (``DELETE FROM t WHERE
+        ...`` without rewrites): any Spark SQL boolean expression over
+        the committed schema; NULL predicate = not selected (SQL
+        three-valued semantics, same as :meth:`update_where`)."""
+        if not self.exists():
+            raise FileNotFoundError(f"no table at {self.path}")
+        self._refresh_layout()
+        man = M.read_manifest(self.path)
+        assert man is not None
+        if not man.files:
+            return None
+        df = self._positioned_read(spark, man, man.files)
+        matched = df.filter(F.expr(predicate))
+        return self._publish_dv_commit(
+            spark, man, matched, "delete_dv",
+            extra_stats={"predicate": predicate},
+        )
+
+    def _publish_dv_commit(
+        self, spark, man, marked: DataFrame, op: str, extra_stats
+    ) -> str | None:
+        cid = M.child_id(man.commit_id)
+        entries, total = self._dv_entries(spark, man, marked, cid)
+        if not entries:
+            return None
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        vidx = (man.stats or {}).get("vector_index")
+        self._commit(
+            op,
+            man.files_arrow(),
+            schema,
+            rows=0,
+            rewritten=self._dv_rewritten_dirs(entries),
+            extra_stats={
+                **(extra_stats or {}),
+                "dv_changed": True,
+                "dv_rows_marked": total,
+                **({"vector_index": vidx} if vidx is not None else {}),
+            },
+            cid=cid,
+            base=man,
+            touched=set(),
+            new_files=[],
+            dvs=entries,
+        )
+        return self.commits()[-1]
+
+    def _dv_prune_files(self, man, key_list: list) -> list[str]:
+        """Candidate host files for the given key values: bloom-pruned
+        (no false negatives) intersected with key-stats range pruning
+        when the key is in ``stats_cols`` — each a superset of the true
+        hosts, so the intersection is too."""
+        cand = self.files_with_keys(key_list)
+        if self.stats_cols and self.key[0] in self.stats_cols:
+            cand = sorted(
+                set(cand) & set(self.files_isin(self.key[0], key_list))
+            )
+        return cand
+
+    def upsert_dv(self, batch: DataFrame, extra_stats: dict | None = None) -> str:
+        """O(delta) upsert via deletion vectors: winners land as NEW
+        files, superseded base rows are marked dead positionally — no
+        base file is rewritten. Against :meth:`upsert` (which rewrites
+        every touched partition) this turns a k-row update into
+        ~k rows of new data + a few bitmap sidecars: the merge-on-read
+        write path Hudi MoR tables use for exactly this workload
+        (the reference's ``storage.type`` knob, glue/HudiJarGlueJob.py:77,
+        which it leaves on copy-on-write).
+
+        Semantics match :meth:`upsert` per policy — EVENT_TIME_WINS:
+        the per-key max-``precombine`` row wins, batch beats base on
+        ties, a stale batch row loses silently; ARRIVAL_WINS: the batch
+        replaces matched keys unconditionally. Batches with duplicate
+        merge keys are resolved per policy before merging. Falls back
+        to the rewrite upsert for: new tables (bulk_insert), schema
+        evolution (column set differs), and vector-indexed tables
+        (index maintenance needs the rewrite's cell assignment).
+        Multi-writer deployments wrap this in a retry like
+        :meth:`upsert_with_retry`; a lost race raises
+        ``ConcurrentCommitError``."""
+        if not self.exists():
+            return self.bulk_insert(batch, dedupe=True)
+        self._refresh_layout()
+        self._require_columns(batch, "upsert_dv batch")
+        man = M.read_manifest(self.path)
+        assert man is not None
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        if (man.stats or {}).get("vector_index") is not None or set(
+            batch.columns
+        ) != {f.name for f in schema.fields}:
+            return self.upsert(batch, extra_stats=extra_stats)
+        spark = batch.sparkSession
+        batch = batch.select(
+            [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        merge_keys = (
+            self.key + self.partition_by
+            if self.key_scope == "partition" and self.partition_by
+            else self.key
+        )
+        if self.policy == ARRIVAL_WINS:
+            best = batch.dropDuplicates(merge_keys)
+        else:
+            w = Window.partitionBy(*merge_keys).orderBy(
+                F.desc(self.precombine)
+            )
+            best = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        best = best.localCheckpoint()  # reused by probe + write + marks
+        cand = self._dv_candidate_files(man, best)
+        cid = M.child_id(man.commit_id)
+        need = [*merge_keys, self.precombine]
+        ex = (
+            self._positioned_read(
+                spark, man, cand, columns=list(dict.fromkeys(need))
+            )
+            if cand
+            else None
+        )
+        if ex is None:
+            append, marked = best, None
+        elif self.policy == ARRIVAL_WINS:
+            marked = ex.join(
+                best.select(*merge_keys).dropDuplicates(),
+                on=merge_keys,
+                how="left_semi",
+            )
+            append = best
+        else:
+            j = ex.join(
+                best.select(
+                    *merge_keys, F.col(self.precombine).alias("__bpc")
+                ),
+                on=merge_keys,
+                how="inner",
+            )
+            # base row loses on ties (mirror _merge's __src desc order)
+            marked = j.filter(F.col(self.precombine) <= F.col("__bpc"))
+            stale = j.filter(F.col(self.precombine) > F.col("__bpc")).select(
+                *merge_keys
+            )
+            append = best.join(stale, on=merge_keys, how="left_anti")
+        new_files, nrows = self._write_files(append, cid)
+        entries, total = (
+            self._dv_entries(spark, man, marked, cid)
+            if marked is not None
+            else ({}, 0)
+        )
+        dirs = sorted(
+            {
+                *self._dv_rewritten_dirs(entries),
+                *self._dv_rewritten_dirs(new_files),
+            }
+        )
+        self._commit(
+            "upsert_dv",
+            M.with_new_files(man.files_arrow(), new_files),
+            schema,
+            rows=nrows,
+            rewritten=dirs,
+            extra_stats={
+                **(extra_stats or {}),
+                **(
+                    {"dv_changed": True, "dv_rows_marked": total}
+                    if entries
+                    else {}
+                ),
+            },
+            cid=cid,
+            base=man,
+            touched=set(),
+            new_files=new_files,
+            dvs=entries,
+        )
+        return self.commits()[-1]
+
+    def _dv_candidate_files(self, man, best: DataFrame) -> list[str]:
+        """Base files that may hold the batch's merge keys: partition
+        scope restricts to the batch's own partition dirs (C-side
+        prefix match); single-column keys under the cap prune further
+        via blooms/stats. Every pruning step is a superset of the true
+        hosts (bloom false negatives impossible; files without
+        blooms/stats are kept), so a miss is impossible."""
+        files = man.files
+        if self.key_scope == "partition" and self.partition_by:
+            dirs = {
+                self._dirname(r)
+                for r in best.select(self.partition_by).distinct().collect()
+            }
+            files = [
+                f for f in files if (M.partition_of(f) or "") in dirs
+            ]
+        if len(self.key) == 1:
+            ks = [
+                r[0]
+                for r in best.select(self.key[0])
+                .distinct()
+                .limit(self.DV_KEY_PRUNE_CAP + 1)
+                .collect()
+            ]
+            if len(ks) <= self.DV_KEY_PRUNE_CAP:
+                pruned = set(self._dv_prune_files(man, ks))
+                files = [f for f in files if f in pruned]
+        return files
+
     def drop_partitions(self, dirnames: list[str]) -> str:
         """METADATA-ONLY partition drop (``ALTER TABLE ... DROP
         PARTITION`` / Hudi ``delete_partition`` parity): publish a
@@ -1487,6 +1884,25 @@ class KeyedTable:
                 problems.append(
                     f"commit {cid}: rows_written={expected} but files hold {total}"
                 )
+            # deletion vectors: every referenced blob exists, belongs
+            # to a live file of ITS snapshot, and its dead count can't
+            # exceed the file's physical rows
+            fset = set(man.files)
+            frows = man.file_rows
+            for rel, (dv_name, ndead) in sorted(man.dvs.items()):
+                if rel not in fset:
+                    problems.append(
+                        f"commit {cid}: DV for non-live file {rel}"
+                    )
+                if not DVB.exists(self.path, dv_name):
+                    problems.append(
+                        f"commit {cid}: missing DV blob {dv_name}"
+                    )
+                elif (n := frows.get(rel)) is not None and ndead > n:
+                    problems.append(
+                        f"commit {cid}: DV {dv_name} marks {ndead} of "
+                        f"{n} rows in {rel}"
+                    )
         latest = M.read_manifest(self.path)
         live = set(latest.files) if latest else set()
         for dirpath, _dirs, files in os.walk(ddir):
@@ -1502,6 +1918,14 @@ class KeyedTable:
             for fn in sorted(os.listdir(mdir)):
                 if fn not in live_shards:
                     problems.append(f"orphan manifest shard (cleanable): {fn}")
+        ref_dvs = {
+            v[0]
+            for cid in self.commits()
+            for v in (M.read_manifest(self.path, cid).dvs or {}).values()
+        }
+        for fn in DVB.list_blobs(self.path):
+            if fn not in ref_dvs:
+                problems.append(f"orphan DV blob (cleanable): {fn}")
         # the inverse: live files that SHOULD carry a sidecar but don't
         # (never wrong — read_keys keeps sidecar-less files — but it
         # means point lookups degrade to full scans; surface it)
@@ -2055,13 +2479,29 @@ class KeyedTable:
                     os.path.join(mdir, fn)
                 ):
                     shards.append(fn)
-        if not (drop or orphans or shards):
+        # DV blobs referenced by NO commit at all are orphans (failed
+        # DV-DML attempts); blobs of dropped commits are derived at
+        # execute time like data files — same crash-replay property
+        # (blobs unlink before commit JSONs)
+        all_dvs: set[str] = set()
+        for cid in ids:
+            m = M.read_manifest(self.path, cid)
+            if m is not None:
+                all_dvs.update(v[0] for v in (m.dvs or {}).values())
+        dv_orphans = [
+            fn
+            for fn in DVB.list_blobs(self.path)
+            if fn not in all_dvs
+            and not _grace(os.path.join(DVB.dv_dir(self.path), fn))
+        ]
+        if not (drop or orphans or shards or dv_orphans):
             return None
         return {
             "planned_at": M.utc_now_iso(),
             "drop": drop,
             "orphans": sorted(orphans),
             "shards": sorted(shards),
+            "dvs": sorted(dv_orphans),
         }
 
     def _execute_clean(self, plan: dict) -> list[str]:
@@ -2176,6 +2616,30 @@ class KeyedTable:
                 continue  # crash-replay: already deleted
             if base == rel:
                 removed.append(rel)
+        # DV blobs: planned orphans + blobs referenced only by the
+        # planned-drop commits (derived from their still-present
+        # manifests, same replay property as data files: blobs unlink
+        # BEFORE the commit JSONs below), re-checked against live refs
+        live_dvs: set[str] = set()
+        for cid in live_now:
+            m = M.read_manifest(self.path, cid)
+            if m is not None:
+                live_dvs.update(v[0] for v in (m.dvs or {}).values())
+        dv_claims = set(plan.get("dvs", []))
+        for cid in plan.get("drop", []):
+            if cid in set(self.savepoints()):
+                continue
+            try:
+                m = M.read_manifest(self.path, cid)
+            except ValueError:
+                continue
+            if m is not None:
+                dv_claims.update(v[0] for v in (m.dvs or {}).values())
+        for fn in sorted(dv_claims - live_dvs):
+            try:
+                os.unlink(os.path.join(DVB.dv_dir(self.path), fn))
+            except FileNotFoundError:
+                pass
         for cid in drop:
             try:
                 os.unlink(
@@ -2248,7 +2712,13 @@ class KeyedTable:
                 else os.path.getsize(os.path.join(ddir, f))
                 for f in fs
             )
-            if len(fs) > 1 and total / len(fs) < small * 1024 * 1024:
+            # a partition qualifies when its files are small OR any
+            # carries a deletion vector: optimize() reads the masked
+            # view, so the rewrite FOLDS the masks into real deletes
+            # and the new files start DV-free — the MoR compaction step
+            if (len(fs) > 1 and total / len(fs) < small * 1024 * 1024) or any(
+                f in man.dvs for f in fs
+            ):
                 todo[part] = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
         if not todo:
             return None
@@ -2944,6 +3414,7 @@ class KeyedTable:
         new_files: list[str] | None = None,
         probe_keys_df=None,
         delete_free: bool = False,
+        dvs: dict | None = None,
     ) -> None:
         # Inline stats cover ONLY the files this commit just wrote;
         # carried-forward files keep their stats inside the manifest
@@ -3016,6 +3487,31 @@ class KeyedTable:
             frows = {f: v for f, v in pending_rows.items() if f in live}
             fblooms = {f: v for f, v in pending_blooms.items() if f in live}
             fbytes = {f: v for f, v in pending_bytes.items() if f in live}
+        # Deletion vectors carry forward like retired columns: a file
+        # still live in this commit keeps its mask (rewritten/dropped
+        # files shed theirs — a rewrite read the masked view, so the
+        # dead rows are physically gone from its output). Explicit
+        # ``dvs`` entries (the DV-DML ops) overlay the carried map.
+        carried_dvs = dict((prev.dvs if prev else {}) or {})
+        if dvs:
+            carried_dvs.update(dvs)
+        if carried_dvs:
+            if isinstance(files, list):
+                live_dv = set(files)
+                carried_dvs = {
+                    f: v for f, v in carried_dvs.items() if f in live_dv
+                }
+            else:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                keys = sorted(carried_dvs)
+                mask = pc.is_in(
+                    pa.array(keys, type=pa.string()), value_set=files
+                ).to_pylist()
+                carried_dvs = {
+                    k: carried_dvs[k] for k, m in zip(keys, mask) if m
+                }
         man = M.Manifest(
             commit_id=cid or M.next_commit_id(self.path),
             op=op,
@@ -3027,6 +3523,7 @@ class KeyedTable:
             file_rows=frows,
             file_blooms=fblooms,
             file_bytes=fbytes,
+            dvs=carried_dvs,
         )
         try:
             M.write_manifest(
@@ -3278,6 +3775,15 @@ class KeyedTable:
                     != (base.stats or {}).get("vector_index")
                 ):
                     return False
+                if need_key_proof and rs.get("dv_changed"):
+                    # a rival DV commit deleted/superseded rows WITHOUT
+                    # adding files, so the file-diff-based key proofs
+                    # below are vacuous against it — if it touched this
+                    # writer's keys the merge consumed pre-delete base
+                    # rows. Re-merge (partition-scoped writers are
+                    # already safe: the partitions_rewritten overlap
+                    # check above saw the rival's DV'd dirs).
+                    return False
                 if need_key_proof:
                     ok = key_span is not None and self._chain_key_disjoint(
                         r, parent, key_span
@@ -3301,6 +3807,16 @@ class KeyedTable:
                         ):
                             return False
                 parent = r
+            # carry the HEAD's deletion vectors for the files this
+            # rebase keeps: rivals may have DV'd rows in partitions
+            # disjoint from ours, and dropping their masks would
+            # resurrect deleted rows. Our own touched partitions'
+            # files leave the live set (their DVs go with them).
+            head_dvs = {
+                f: v
+                for f, v in (head.dvs or {}).items()
+                if M.partition_of(f) not in touched
+            }
             rebased = M.Manifest(
                 commit_id=M.child_id(head.commit_id),
                 op=op,
@@ -3314,6 +3830,7 @@ class KeyedTable:
                 file_rows=frows,
                 file_blooms=fblooms,
                 file_bytes=fbytes,
+                dvs=head_dvs,
             )
             try:
                 M.write_manifest(

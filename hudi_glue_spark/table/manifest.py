@@ -135,12 +135,19 @@ class Manifest:
         file_rows: dict | None = None,
         file_blooms: dict | None = None,
         file_bytes: dict | None = None,
+        dvs: dict | None = None,
     ):
         self.commit_id = commit_id
         self.op = op
         self.ts = ts
         self.schema_json = schema_json
         self.stats = stats or {}
+        #: deletion vectors: {rel_file: [dv_blob_name, n_dead]} — the
+        #: files of THIS snapshot whose rows are partially masked
+        #: (table/dv.py). Carried forward commit-to-commit by
+        #: KeyedTable._commit; O(files with DVs), bounded by
+        #: maintenance folding DVs into rewrites.
+        self.dvs = dvs or {}
         self.shards = shards  # None = inline/v1; list = v2 shard names
         self.root = root
         self._files = files
@@ -277,7 +284,11 @@ class Manifest:
         files = self.files
         if any(f not in fr for f in files):
             return None
-        return sum(fr[f] for f in files)
+        physical = sum(fr[f] for f in files)
+        # deletion vectors mask rows inside live files; the manifest
+        # records each DV's dead count, so the LIVE count stays a
+        # metadata-only subtraction
+        return physical - sum(nd for _name, nd in self.dvs.values())
 
     def files_arrow(self):
         """The snapshot's DISTINCT, SORTED file names as one arrow
@@ -516,6 +527,8 @@ class Manifest:
             "schema_json": self.schema_json,
             "stats": self.stats,
         }
+        if self.dvs:
+            d["dvs"] = self.dvs
         if self.shards is not None:
             d["shards"] = self.shards
             d["n_files"] = self.n_files
@@ -538,6 +551,7 @@ class Manifest:
             shards=d.get("shards"),
             root=root,
             n_files=d.get("n_files"),
+            dvs=d.get("dvs"),
         )
 
 

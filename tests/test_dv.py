@@ -1,0 +1,352 @@
+"""Deletion vectors: positional row-level DML without file rewrites.
+
+Covers the full stack: bitmap codec (table/dv.py), DV-masked reads
+(full-snapshot, pruned, incremental, time travel), delete_dv /
+delete_where_dv / upsert_dv semantics vs their rewrite twins, the
+maintenance loop (optimize folds masks, clean reclaims blobs,
+validate audits them), and OCC interplay (a rival DV commit defeats
+the global-key rebase proofs; a disjoint rival's masks survive a
+rebase)."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.table import KeyedTable, dv as DVB
+from hudi_glue_spark.table import manifest as M
+from hudi_glue_spark.table.keyed_table import ARRIVAL_WINS, EVENT_TIME_WINS
+
+
+# -- codec -------------------------------------------------------------------
+
+
+def test_dv_codec_roundtrip():
+    blob = DVB.from_positions([3, 1, 9, 9], nrows=12)
+    assert DVB.num_rows(blob) == 12
+    assert DVB.dead_count(blob) == 3
+    assert DVB.positions(blob).tolist() == [1, 3, 9]
+    assert DVB.dead_mask(blob, 0, 4).tolist() == [False, True, False, True]
+    assert DVB.dead_mask(blob, 8, 4).tolist() == [False, True, False, False]
+
+
+def test_dv_codec_union_and_bounds():
+    a = DVB.from_positions([0, 5], nrows=10)
+    b = DVB.from_positions([5, 9], nrows=10)
+    u = DVB.union(a, b)
+    assert DVB.positions(u).tolist() == [0, 5, 9]
+    assert DVB.dead_count(u) == 3
+    with pytest.raises(ValueError):
+        DVB.from_positions([10], nrows=10)
+    with pytest.raises(ValueError):
+        DVB.union(a, DVB.from_positions([0], nrows=11))
+
+
+def test_dv_position_transport():
+    pos = np.array([7, 0, 3], dtype=np.int64)
+    assert DVB.decode_positions(DVB.encode_positions(pos)).tolist() == [0, 3, 7]
+
+
+# -- table fixtures ----------------------------------------------------------
+
+
+def _mk(spark, root, policy=EVENT_TIME_WINS, **kw) -> KeyedTable:
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="pk",
+        precombine="ts",
+        partition_by="part",
+        policy=policy,
+        stats_cols=["pk", "ts"],
+        key_bloom=True,
+        **kw,
+    )
+    base = spark.range(0, 400).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).alias("val"),
+    )
+    tbl.bulk_insert(base)
+    return tbl
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# -- delete_dv ---------------------------------------------------------------
+
+
+def test_delete_dv_matches_rewrite_delete(spark):
+    a = _mk(spark, "/tmp/dv_del_a")
+    b = _mk(spark, "/tmp/dv_del_b")
+    keys = [3, 17, 255, 399, 9999]  # incl. a miss
+    a.delete_dv(keys)
+    b.delete(spark.createDataFrame([(k,) for k in keys], "pk long"))
+    assert rows_set(a.read(spark)) == rows_set(b.read(spark))
+    assert a.read(spark).count() == 396
+    # metadata count subtracts DV dead counts, no data I/O
+    assert a.count_rows_metadata() == 396
+    man = M.read_manifest(a.path)
+    assert man.op == "delete_dv" and man.stats["dv_changed"]
+    assert man.stats["dv_rows_marked"] == 4
+    # the delete rewrote NOTHING: same live data files as before
+    prev = M.read_manifest(a.path, a.commits()[0])
+    assert man.files == prev.files
+
+
+def test_delete_dv_dataframe_and_predicate(spark):
+    t = _mk(spark, "/tmp/dv_del_df")
+    t.delete_dv(spark.createDataFrame([(10,), (11,)], "pk long"))
+    assert t.read(spark).filter(F.col("pk").isin([10, 11])).count() == 0
+    cid = t.delete_where_dv(spark, "val > 780")  # pk 391..399 -> 7 alive rows
+    assert cid is not None
+    assert t.read(spark).filter("val > 780").count() == 0
+    # no-match predicate publishes no commit
+    assert t.delete_where_dv(spark, "val > 100000") is None
+    assert t.count_rows_metadata() == t.read(spark).count()
+
+
+def test_delete_dv_point_lookup_prunes_and_masks(spark):
+    t = _mk(spark, "/tmp/dv_del_prune")
+    t.delete_dv([5])
+    # bloom-pruned point lookup still sees the mask
+    assert t.read_keys(spark, [5]).count() == 0
+    assert t.read_keys(spark, [6]).count() == 1
+    assert t.read_range(spark, "pk", 0, 9).count() == 9
+    assert t.read_isin(spark, "pk", [4, 5, 6]).count() == 2
+    # repeated delete on the same file UNIONS masks
+    t.delete_dv([6])
+    man = M.read_manifest(t.path)
+    assert t.read_range(spark, "pk", 0, 9).count() == 8
+    assert sum(nd for _n, nd in man.dvs.values()) == 2
+
+
+# -- upsert_dv ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("policy", [EVENT_TIME_WINS, ARRIVAL_WINS])
+def test_upsert_dv_matches_rewrite_upsert(spark, policy):
+    a = _mk(spark, f"/tmp/dv_up_a_{policy}", policy=policy)
+    b = _mk(spark, f"/tmp/dv_up_b_{policy}", policy=policy)
+    batch = spark.createDataFrame(
+        [
+            (2, "2", 5000, -1),  # newer -> wins
+            (3, "3", 5000, -2),
+            (4, "0", 4, -3),  # tie -> batch wins
+            (5, "1", 0, -4),  # stale -> loses under event-time
+            (1000, "0", 1, -5),  # insert
+        ],
+        "pk long, part string, ts long, val long",
+    )
+    a.upsert_dv(batch)
+    b.upsert(batch)
+    assert rows_set(a.read(spark)) == rows_set(b.read(spark))
+    assert a.count_rows_metadata() == b.read(spark).count()
+    man = M.read_manifest(a.path)
+    assert man.op == "upsert_dv"
+    # base files were NOT rewritten: the new commit only ADDS files
+    prev = set(M.read_manifest(a.path, a.commits()[0]).files)
+    assert prev <= set(man.files)
+
+
+def test_upsert_dv_duplicate_key_batch(spark):
+    t = _mk(spark, "/tmp/dv_up_dup")
+    batch = spark.createDataFrame(
+        [(7, "3", 900, -1), (7, "3", 905, -2), (7, "3", 901, -3)],
+        "pk long, part string, ts long, val long",
+    )
+    t.upsert_dv(batch)
+    got = t.read(spark).filter("pk = 7").collect()
+    assert len(got) == 1 and got[0]["val"] == -2 and got[0]["ts"] == 905
+
+
+def test_upsert_dv_falls_back_on_schema_change(spark):
+    t = _mk(spark, "/tmp/dv_up_evolve")
+    batch = spark.createDataFrame(
+        [(1, "1", 999, 0, "x")],
+        "pk long, part string, ts long, val long, extra string",
+    )
+    t.upsert_dv(batch)
+    man = M.read_manifest(t.path)
+    assert man.op == "upsert"  # rewrite path handled the evolution
+    assert t.read(spark).filter("extra = 'x'").count() == 1
+
+
+# -- read paths --------------------------------------------------------------
+
+
+def test_dv_time_travel_and_incremental(spark):
+    t = _mk(spark, "/tmp/dv_tt")
+    first = t.commits()[0]
+    t.upsert_dv(
+        spark.createDataFrame(
+            [(0, "0", 5000, -1), (2000, "1", 1, -2)],
+            "pk long, part string, ts long, val long",
+        )
+    )
+    t.delete_dv([1, 2000])
+    # time travel: pre-DV snapshot intact
+    assert t.read(spark, at=first).count() == 400
+    assert t.read(spark, at=first).filter("pk = 1").count() == 1
+    # incremental since first: the upserted winner, minus the later
+    # dv-delete of the inserted key
+    inc = t.read_incremental(spark, since=first)
+    assert rows_set(inc.select("pk", "val")) == {(0, -1)}
+
+
+def test_dv_read_engines_agree(spark):
+    t = _mk(spark, "/tmp/dv_engines")
+    t.delete_dv([0, 399])
+    # DV snapshots force the manifest engine either way; columns= still
+    # projects; explicit native request is overridden (masks are
+    # correctness, engine choice is advice)
+    full = t.read(spark, engine="native")
+    assert full.count() == 398
+    cols = t.read(spark, columns=["pk", "val"])
+    assert cols.columns == ["pk", "val"] and cols.count() == 398
+
+
+# -- maintenance -------------------------------------------------------------
+
+
+def test_optimize_folds_dvs_and_clean_reclaims(spark):
+    t = _mk(spark, "/tmp/dv_fold")
+    t.delete_dv([1, 2, 3])
+    t.delete_dv([5])
+    before = rows_set(t.read(spark))
+    assert t.optimize(spark) is not None
+    man = M.read_manifest(t.path)
+    assert man.dvs == {}  # masks folded into the rewrite
+    assert rows_set(t.read(spark)) == before
+    assert t.count_rows_metadata() == 396
+    assert len(DVB.list_blobs(t.path)) > 0  # history still needs them
+    t.clean(retain_commits=1)
+    assert DVB.list_blobs(t.path) == []
+    assert t.validate() == []
+
+
+def test_validate_flags_dv_problems(spark):
+    t = _mk(spark, "/tmp/dv_validate")
+    t.delete_dv([1])
+    assert t.validate() == []
+    # orphan blob: flagged cleanable, then reclaimed
+    DVB.write(t.path, "deadbeef-0000.dv", DVB.from_positions([0], 1))
+    probs = t.validate()
+    assert any("orphan DV blob" in p for p in probs)
+    t.clean(retain_commits=10)
+    assert t.validate() == []
+    # missing blob: loud
+    man = M.read_manifest(t.path)
+    name = next(iter(man.dvs.values()))[0]
+    import os
+
+    os.unlink(os.path.join(DVB.dv_dir(t.path), name))
+    assert any("missing DV blob" in p for p in t.validate())
+
+
+# -- OCC interplay -----------------------------------------------------------
+
+
+def _rival_action_during_write(monkeypatch, root, action):
+    """Fire ``action()`` (a rival commit) between the victim's snapshot
+    read and its publish — same interleave rig as test_lifecycle's
+    ``_rival_during_write``, generalized to non-upsert rivals (a DV
+    delete writes no data files, so it can't use the upsert-only
+    helper)."""
+    orig = KeyedTable._write_files
+    fired = {}
+
+    def write_with_rival(self, df, cid, repartition=True):
+        out = orig(self, df, cid, repartition)
+        if self.path == root and not fired:
+            fired["x"] = 1
+            monkeypatch.setattr(KeyedTable, "_write_files", orig)
+            try:
+                action()
+            finally:
+                monkeypatch.setattr(
+                    KeyedTable, "_write_files", write_with_rival
+                )
+        return out
+
+    monkeypatch.setattr(KeyedTable, "_write_files", write_with_rival)
+    return orig
+
+
+def test_rival_dv_commit_defeats_global_rebase(spark, monkeypatch):
+    """A GLOBAL-key upsert losing the race to a rival DV delete of ITS
+    OWN key must RE-MERGE, not rebase: the rival added no files, so the
+    file-diff key proofs are vacuous against it — the dv_changed guard
+    refuses, and the retry converges to the serial result (delete
+    first, then the upsert re-inserts the key)."""
+    t = _mk(spark, "/tmp/dv_occ_global")
+    rival = KeyedTable(
+        "/tmp/dv_occ_global", key="pk", precombine="ts",
+        partition_by="part", policy=EVENT_TIME_WINS,
+        stats_cols=["pk", "ts"], key_bloom=True,
+    )
+    orig = _rival_action_during_write(
+        monkeypatch, t.path, lambda: rival.delete_dv([7])
+    )
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [(7, "3", 5000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+    head = M.read_manifest(t.path)
+    assert "rebased_onto" not in (head.stats or {}), "must re-merge"
+    got = t.read(spark).filter("pk = 7").collect()
+    assert len(got) == 1 and got[0]["val"] == -1
+    # the re-merge rewrote pk=7's partition, superseding the rival's DV
+    assert all(M.partition_of(f) != "part=3" for f in head.dvs)
+    snap = t.read(spark)
+    assert snap.count() == snap.select("pk").distinct().count() == 400
+
+
+def test_rebase_carries_disjoint_rival_dvs(spark, monkeypatch):
+    """A partition-scoped writer that REBASES past a rival's DV delete
+    in a DISJOINT partition must carry the rival's mask — dropping it
+    would resurrect the deleted rows."""
+    root = "/tmp/dv_occ_rebase"
+    shutil.rmtree(root, ignore_errors=True)
+    kw = dict(
+        key="pk", precombine="ts", partition_by="part",
+        key_scope="partition", policy=EVENT_TIME_WINS,
+        stats_cols=["pk", "ts"],
+    )
+    t = KeyedTable(root, **kw)
+    t.bulk_insert(
+        spark.range(0, 100).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 2).cast("string").alias("part"),
+            F.col("id").alias("ts"),
+            F.col("id").alias("val"),
+        )
+    )
+    rival = KeyedTable(root, **kw)
+    # rival DV-deletes pk=0 (lives in part=0) mid-write of the victim's
+    # part=1-only upsert
+    orig = _rival_action_during_write(
+        monkeypatch, root, lambda: rival.delete_dv([0])
+    )
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [(1, "1", 5000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+    head = M.read_manifest(root)
+    assert "rebased_onto" in (head.stats or {}), "expected rebase"
+    assert len(head.dvs) == 1, "rival's disjoint DV must be carried"
+    assert t.read(spark).filter("pk = 0").count() == 0
+    assert t.read(spark).filter("pk = 1").collect()[0]["val"] == -1
+    assert t.read(spark).count() == 99
+    t.clean(retain_commits=1)
+    assert t.validate() == []
