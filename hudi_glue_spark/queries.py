@@ -47,6 +47,9 @@ NON_SQL_QUERIES: set[str] = set()
 #: ahead of an r4-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- (a) new in r8: first rows -----------------------------------
+    "dv_delete_read",
+    "dv_upsert_scenario",
+    "dv_maintenance_fold",
     "manifest_relation_read",
     "merge_into_disjoint_rebase",
     # -- (b) the 48 r4-stale rows (oldest cohort; window slots 3-50) --

@@ -1816,3 +1816,174 @@ def q_merge_into_disjoint_rebase(spark, sf_dir):
             F.lit(bool(rebased and both)).alias("delete_free_merge"),
         )
     )
+
+
+@query(
+    "dv_delete_read",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE NOT (event_type = 'click' AND value >= 150.0)
+      AND user_id <> 7
+    """,
+)
+def q_dv_delete_read(spark, sf_dir):
+    """Row-level deletes via DELETION VECTORS (keyed_table.py
+    delete_where_dv/delete_dv; table/dv.py): a predicate delete and a
+    key-list delete mark row positions dead in bitmap sidecars — ZERO
+    data files are rewritten (asserted: the live file set is unchanged
+    across both DML commits), the reference's copy-on-write delete
+    (↦ EmptyHoodieRecordPayload, glue/HudiJarGlueJob.py:85) re-expressed
+    as the Hudi-MoR/Delta-DV write shape a 100 TB point delete needs.
+    The masked full read must hash-match the oracle's NOT-filter, and
+    the metadata-only row count agrees with the scan."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dvdel_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        key_bloom=True,
+        stats_cols=["event_id", "ts"],
+    )
+    b0, _b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    files0 = set(M.read_manifest(root).files)
+
+    tbl.delete_where_dv(spark, "event_type = 'click' AND value >= 150.0")
+    keys = [
+        r[0]
+        for r in table(spark, sf_dir, "events")
+        .filter("user_id = 7")
+        .select("event_id")
+        .collect()
+    ]
+    tbl.delete_dv(keys)  # bloom/stats-pruned key-list path
+
+    man = M.read_manifest(root)
+    assert set(man.files) == files0, "DV delete must not rewrite files"
+    out = tbl.read(spark).select(_COLS)
+    assert tbl.count_rows_metadata() == out.count()
+    return out
+
+
+@query(
+    "dv_upsert_scenario",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_dv_upsert_scenario(spark, sf_dir):
+    """The reference's day=0/1/2 incremental scenario executed through
+    the MERGE-ON-READ upsert (keyed_table.py upsert_dv): day=1 winners
+    land as NEW files while the superseded base rows are marked dead
+    positionally; the stale day=2 batch loses to the event-time policy
+    without touching storage. No base file is ever rewritten
+    (asserted: every bulk-insert file is still live at the head), yet
+    the final table must hash-match the same row_number oracle the
+    copy-on-write upsert (upsert_event_time_wins) is checked against —
+    the two write shapes are semantically indistinguishable."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dvup_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+        key_bloom=True,
+        stats_cols=["event_id", "ts"],
+    )
+    b0, b1, b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    files0 = set(M.read_manifest(root).files)
+    tbl.upsert_dv(b1.select(_COLS))
+    tbl.upsert_dv(b2.select(_COLS))  # stale batch: all rows lose
+    man = M.read_manifest(root)
+    assert files0 <= set(man.files), "upsert_dv must only ADD files"
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "dv_maintenance_fold",
+    """
+    WITH final AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events WHERE value >= 20.0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS metadata_count_exact,
+           TRUE AS masks_folded,
+           TRUE AS blobs_reclaimed,
+           TRUE AS validate_sound
+    FROM final GROUP BY event_type
+    """,
+)
+def q_dv_maintenance_fold(spark, sf_dir):
+    """The deletion-vector MAINTENANCE loop, driver-proven end to end:
+    two predicate deletes stack masks (the second UNIONS into files the
+    first already masked), the metadata-only count stays exact under
+    masks (count_rows_metadata subtracts per-DV dead counts — zero data
+    I/O), optimize() folds every mask into a real rewrite (head carries
+    no DVs afterwards; the partitions qualified for compaction BECAUSE
+    they carried masks), and clean() reclaims the now-unreferenced
+    blobs two-phase like data files. Flags assert each transition from
+    the on-disk artifacts; the per-partition aggregate of the folded
+    table must hash-match the oracle."""
+    from hudi_glue_spark.table import dv as DVB
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dvfold_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        stats_cols=["event_id", "ts"],
+    )
+    b0, _b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    tbl.delete_where_dv(spark, "value < 10.0")
+    tbl.delete_where_dv(spark, "value >= 10.0 AND value < 20.0")
+    meta_exact = tbl.count_rows_metadata() == tbl.read(spark).count()
+
+    tbl.optimize(spark)  # DV'd partitions qualify; rewrite folds masks
+    folded = M.read_manifest(root).dvs == {}
+    tbl.clean(retain_commits=1)
+    reclaimed = DVB.list_blobs(root) == []
+    sound = tbl.validate() == []
+
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value", "sum_value", "decimal(18,4)"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(meta_exact).alias("metadata_count_exact"),
+            F.lit(folded).alias("masks_folded"),
+            F.lit(reclaimed).alias("blobs_reclaimed"),
+            F.lit(sound).alias("validate_sound"),
+        )
+    )
