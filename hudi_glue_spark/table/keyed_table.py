@@ -1261,7 +1261,16 @@ class KeyedTable:
         DV-writing op starts from (only LIVE rows can be marked, and
         marks address physical positions). ``columns`` projects the
         committed schema (partition columns attach from the path, so
-        projecting to key columns still scans only the key bytes)."""
+        projecting to key columns still scans only the key bytes).
+
+        Two physical paths, same coordinates: files WITHOUT existing
+        masks scan natively (JVM codegen + column pruning, positions
+        from ``_metadata.row_index`` — parquet physical row order, the
+        same numbering the arrow scan assigns); files WITH masks go
+        through the manifest relation, which applies the bitmap while
+        tracking positions (a dead row must not participate in a merge
+        probe — an unmasked dead row with a high precombine would
+        wrongly defeat a live batch row)."""
         from hudi_glue_spark.sources import manifest_relation as MR
 
         schema = StructType.fromJson(json.loads(man.schema_json))
@@ -1270,18 +1279,32 @@ class KeyedTable:
             schema = StructType(
                 [f for f in schema.fields if f.name in want]
             )
-        return MR.read_snapshot(
-            spark,
-            self.path,
-            schema,
-            self.partition_by,
-            files=files,
-            dvs=(
-                {f: man.dvs[f][0] for f in files if f in man.dvs}
-                if man.dvs
-                else {}
-            ),
-            with_positions=True,
+        sub_dvs = (
+            {f: man.dvs[f][0] for f in files if f in man.dvs}
+            if man.dvs
+            else {}
+        )
+        if sub_dvs:
+            return MR.read_snapshot(
+                spark,
+                self.path,
+                schema,
+                self.partition_by,
+                files=files,
+                dvs=sub_dvs,
+                with_positions=True,
+            )
+        ddir = M.data_dir(self.path)
+        df = self._read_files(
+            spark, ddir, [os.path.join(ddir, f) for f in files], schema
+        )
+        prefix = "file:" + os.path.abspath(ddir) + "/"
+        return df.select(
+            *self._conform(df, schema),
+            F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1})"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
         )
 
     def _dv_entries(
@@ -1321,8 +1344,17 @@ class KeyedTable:
         token = uuid.uuid4().hex[:8]
         entries: dict = {}
         total = 0
+        live = set(man.files)
         for i, r in enumerate(sorted(per_file, key=lambda r: r["file"])):
             rel = r["file"]
+            if rel not in live:
+                # a __file name that isn't a live manifest entry means
+                # the scan's path→rel mapping broke (e.g. URI-encoded
+                # partition dir) — corrupting the DV map is the one
+                # outcome this must never reach
+                raise ValueError(
+                    f"DV mark targets unknown file {rel!r}"
+                )
             nrows = frows.get(rel)
             if nrows is None:  # legacy shard without a row count
                 nrows = _parquet_num_rows(os.path.join(ddir, rel))
@@ -2687,7 +2719,14 @@ class KeyedTable:
         even size-probed, so a maintenance pass on a 100 TB table
         stats a handful of dirs, not every file). Data is unchanged;
         prior commits stay time-travelable until :meth:`clean`.
-        Returns the new commit id, or None if nothing qualified."""
+        Returns the new commit id, or None if nothing qualified.
+
+        Partitions holding DELETION-VECTOR masks always qualify: an
+        explicit optimize() is the fold point that rewrites masks away
+        (the rewrite reads the masked view, so new files start
+        DV-free). The automated loop (:meth:`run_maintenance`) gates
+        that on a dead-fraction threshold instead, so point deletes
+        don't trigger full-partition rewrites every cycle."""
         man = M.read_manifest(self.path)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
@@ -2799,6 +2838,7 @@ class KeyedTable:
         small_file_mb: float | None = None,
         target_rows_per_file: int = 1_000_000,
         orphan_grace_s: float = 0.0,
+        dv_fold_dead_fraction: float = 0.05,
     ) -> dict:
         """ONE pass of the table-service policy loop — the cadence a
         100 TB deployment runs per table per hour, composed from the
@@ -2806,7 +2846,13 @@ class KeyedTable:
         is actually due:
 
         1. :meth:`compaction_report` (zero data I/O) → only FLAGGED
-           partitions go into a scoped :meth:`optimize`;
+           partitions go into a scoped :meth:`optimize`; partitions
+           whose deletion-vector dead fraction (dead rows / physical
+           rows of the MASKED files, straight from the manifest)
+           reaches ``dv_fold_dead_fraction`` are folded in too — the
+           MoR compaction trigger, so masks are rewritten away before
+           the read-side masking cost compounds, but a 1 TB partition
+           is never rewritten over a 10-row delete;
         2. :meth:`index_staleness` (metadata-only) → re-cluster the
            IVF index with its stored parameters only when maintenance
            has loosened the range-clustered layout past the line;
@@ -2827,6 +2873,24 @@ class KeyedTable:
             for r in rep.collect()
             if r["recommend_compact"]
         ]
+        man = M.read_manifest(self.path)
+        if man is not None and man.dvs:
+            frows = man.file_rows
+            acc: dict = {}
+            for f, (_name, nd) in man.dvs.items():
+                d = acc.setdefault(M.partition_of(f), [0, 0])
+                d[0] += nd
+                d[1] += frows.get(f) or 0
+            dv_flagged = [
+                p
+                for p, (nd, nr) in acc.items()
+                if nr and nd / nr >= dv_fold_dead_fraction
+            ]
+            if dv_flagged:
+                flagged = sorted({*flagged, *dv_flagged}, key=str)
+                summary["dv_fold_partitions"] = sorted(
+                    str(p) for p in dv_flagged
+                )
         if flagged:
             # a maintenance commit losing an OCC race to an overlapping
             # writer is NOT an error for a service loop — disjoint

@@ -350,3 +350,22 @@ def test_rebase_carries_disjoint_rival_dvs(spark, monkeypatch):
     assert t.read(spark).count() == 99
     t.clean(retain_commits=1)
     assert t.validate() == []
+
+
+def test_run_maintenance_folds_by_dead_fraction(spark):
+    """The service loop folds masks only past the dead-fraction
+    threshold: a heavily-masked partition is rewritten DV-free, a
+    barely-masked one keeps its cheap mask (no 1 TB rewrite over a
+    point delete)."""
+    t = _mk(spark, "/tmp/dv_maint")  # 4 partitions x 100 rows
+    # part=1: kill 20 rows (20% dead) -> fold; part=2: kill 1 (1%)
+    t.delete_dv([i for i in range(400) if i % 4 == 1][:20])
+    t.delete_dv([2])
+    res = t.run_maintenance(spark, dv_fold_dead_fraction=0.05)
+    assert res.get("dv_fold_partitions") == ["part=1"]
+    man = M.read_manifest(t.path)
+    assert all(M.partition_of(f) != "part=1" for f in man.dvs)
+    assert any(M.partition_of(f) == "part=2" for f in man.dvs)
+    # counts exact through the whole pass
+    assert t.read(spark).count() == t.count_rows_metadata() == 379
+    assert [p for p in t.validate() if "cleanable" not in p] == []

@@ -1,0 +1,111 @@
+"""Deletion-vector DML vs copy-on-write rewrites: write amplification.
+
+Builds a moderately wide keyed table (rows × ~220-byte payload), then
+applies the same k-row update through (a) the rewrite upsert and
+(b) upsert_dv, and the same k-row delete through (c) rewrite delete
+and (d) delete_dv — measuring wall time, bytes written to storage, and
+files touched. This is the number that justifies the MoR write path at
+100 TB: a point update's cost should track the POINTS, not the
+partitions that host them.
+
+Usage: python tools/dv_stress.py [rows] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.session import get_spark
+from hudi_glue_spark.table import KeyedTable
+from hudi_glue_spark.table.keyed_table import EVENT_TIME_WINS
+
+
+def _du(path: str) -> int:
+    total = 0
+    for dirpath, _d, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(dirpath, fn))
+    return total
+
+
+def _mk(spark, root: str, rows: int) -> KeyedTable:
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="pk",
+        precombine="ts",
+        partition_by="part",
+        policy=EVENT_TIME_WINS,
+        stats_cols=["pk", "ts"],
+        key_bloom=True,
+    )
+    df = spark.range(0, rows).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 8).cast("string").alias("part"),
+        F.col("id").alias("ts"),
+        F.sha2(F.col("id").cast("string"), 512).alias("payload1"),
+        F.sha2((F.col("id") + 1).cast("string"), 512).alias("payload2"),
+        F.col("id").cast("double").alias("val"),
+    )
+    tbl.bulk_insert(df)
+    return tbl
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    spark = get_spark()
+    out: dict = {"rows": rows, "k": k}
+
+    batch = spark.range(0, k).select(
+        (F.col("id") * (rows // k)).alias("pk"),
+        ((F.col("id") * (rows // k)) % 8).cast("string").alias("part"),
+        F.lit(10 * rows).alias("ts"),
+        F.lit("x" * 128).alias("payload1"),
+        F.lit("y" * 128).alias("payload2"),
+        F.lit(-1.0).alias("val"),
+    ).localCheckpoint()
+    keys = [r[0] for r in batch.select("pk").collect()]
+
+    for mode in ("rewrite", "dv"):
+        root = f"/tmp/dv_stress_{mode}"
+        tbl = _mk(spark, root, rows)
+        base_bytes = _du(root)
+
+        t0 = time.monotonic()
+        if mode == "rewrite":
+            tbl.upsert(batch)
+        else:
+            tbl.upsert_dv(batch)
+        up_wall = time.monotonic() - t0
+        up_bytes = _du(root) - base_bytes
+
+        t0 = time.monotonic()
+        if mode == "rewrite":
+            tbl.delete(spark.createDataFrame([(x,) for x in keys[:200]], "pk long"))
+        else:
+            tbl.delete_dv(keys[:200])
+        del_wall = time.monotonic() - t0
+        del_bytes = _du(root) - base_bytes - up_bytes
+
+        n = tbl.read(spark).count()
+        out[mode] = {
+            "upsert_wall_s": round(up_wall, 2),
+            "upsert_bytes_written_mb": round(up_bytes / 1e6, 1),
+            "delete_wall_s": round(del_wall, 2),
+            "delete_bytes_written_mb": round(del_bytes / 1e6, 1),
+            "final_rows": n,
+        }
+
+    assert out["rewrite"]["final_rows"] == out["dv"]["final_rows"]
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
