@@ -763,9 +763,12 @@ class KeyedTable:
         — visible to ANY catalog-reading engine, surviving the session.
 
         Caveat vs :meth:`register`: an external table sees ALL files
-        under data/, including pre-clean() historical versions; run
-        ``clean(retain_commits=1)`` first (or use :meth:`register`,
-        which is manifest-exact) when older commits are still retained.
+        under data/, including pre-clean() historical versions — and it
+        sees the PHYSICAL rows, so deletion-vector masks don't apply.
+        Run ``clean(retain_commits=1)`` first and fold masks with
+        :meth:`optimize` (or use :meth:`register`, which is
+        manifest-exact and masked) when older commits or DVs are still
+        live.
         """
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         # column defs from the committed schema, minus partition cols

@@ -553,14 +553,18 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
     """≥4 concurrent writers (upsert_with_retry) racing each other plus
     an interleaved maintenance service running the COMPOSED policy loop
     (run_maintenance: advisor → scoped optimize → staleness-gated
-    re-cluster → plan-published clean; VERDICT r7 #6): the final
-    snapshot is a serializable outcome — every writer's final batch
-    survives in full, no duplicate keys, validate() sound. Randomized
-    interleaving under two seeds."""
+    re-cluster → plan-published clean; VERDICT r7 #6), plus (r8) a
+    DELETION-VECTOR writer doing merge-on-read DML (upsert_dv +
+    delete_dv, whole-op retry on lost races — DV commits never rebase)
+    on its own key range: the final snapshot is a serializable outcome
+    — every writer's final batch survives in full, the DV writer's
+    deletes hold and survivors carry its last values, no duplicate
+    keys, validate() sound. Randomized interleaving under two seeds."""
     import random
     import threading
 
     from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M2
 
     root = str(tmp_path / "nwriters")
     t0 = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
@@ -615,8 +619,40 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
         except Exception as e:
             errors.append(e)
 
+    def dv_writer():
+        """Merge-on-read DML under concurrency: keys 9000..9014 are
+        this writer's alone, so whole-op retries on lost commit races
+        converge to its serial outcome."""
+        rng = random.Random(7 * seed)
+
+        def with_retry(fn):
+            for _ in range(30):
+                try:
+                    return fn()
+                except M2.ConcurrentCommitError:
+                    continue
+            raise AssertionError("dv op starved")
+
+        try:
+            t = KeyedTable.load(root)
+            for b in range(BATCHES):
+                batch = spark.createDataFrame(
+                    [
+                        Row(id=9000 + i, grp=f"g{i % 3}", v=float(b),
+                            ts=_ts(2, b))
+                        for i in range(15)
+                    ]
+                )
+                with_retry(lambda: t.upsert_dv(batch))
+                if rng.random() < 0.5:
+                    threading.Event().wait(rng.random() * 0.2)
+            with_retry(lambda: t.delete_dv([9000, 9001, 9002]))
+        except Exception as e:
+            errors.append(e)
+
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
     threads.append(threading.Thread(target=service))
+    threads.append(threading.Thread(target=dv_writer))
     for th in threads:
         th.start()
     for th in threads:
@@ -630,9 +666,14 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
     for w in range(N):
         for i in range(15):
             assert rows[1000 * (w + 1) + i] == float(BATCHES - 1), (w, i)
+    # the DV writer's deletes hold; its survivors carry the last batch
+    assert not {9000, 9001, 9002} & set(rows)
+    for i in range(3, 15):
+        assert rows[9000 + i] == float(BATCHES - 1), i
     # base rows survive, no duplicates
-    assert len(rows) == 60 + N * 15
+    assert len(rows) == 60 + N * 15 + 12
     assert snap.count() == snap.select("id").distinct().count()
+    assert snap.count() == t.count_rows_metadata()
     # final clean from a quiesced table leaves it sound
     t.clean(retain_commits=2)
     assert t.validate() == []
