@@ -369,3 +369,47 @@ def test_run_maintenance_folds_by_dead_fraction(spark):
     # counts exact through the whole pass
     assert t.read(spark).count() == t.count_rows_metadata() == 379
     assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
+def test_dv_change_feed_fast_path(spark):
+    """DV-DML-only commit ranges take the O(delta) change-feed path:
+    pre-images scan only the files whose positions died, post-images
+    only the range's new files — and the result matches the generic
+    full-snapshot classification exactly, including intra-range
+    insert+delete churn netting out and stale upserts emitting
+    nothing."""
+    t = _mk(spark, "/tmp/dv_cdf")
+    c0 = t.commits()[0]
+    t.upsert_dv(
+        spark.createDataFrame(
+            [(2, "2", 5000, -1),   # update
+             (3, "3", 0, -9),      # stale: loses, no change
+             (2000, "0", 1, -2)],  # insert...
+            "pk long, part string, ts long, val long",
+        )
+    )
+    t.delete_dv([5, 2000])  # ...then delete it, plus a base key
+    fast = t._diff_dv_fast(spark, c0, None, "post")
+    assert fast is not None, "DV-only range must take the fast path"
+    got = {(r["pk"], r["_change_type"]) for r in fast.collect()}
+    assert got == {(2, "update"), (5, "delete")}
+    slow = t._classify_diff(t.read(spark, at=c0), t.read(spark), "post")
+    assert got == {(r["pk"], r["_change_type"]) for r in slow.collect()}
+    # both-images parity: update expands to pre+post, delete to pre
+    both = t.diff_commits(spark, c0, images="both")
+    rows = {(r["pk"], r["val"], r["_change_type"]) for r in both.collect()}
+    assert rows == {
+        (2, 4, "update_preimage"),
+        (2, -1, "update_postimage"),
+        (5, 10, "delete"),
+    }
+    # a non-DV commit in the range falls back to the general path
+    t.upsert(
+        spark.createDataFrame(
+            [(9, "1", 5000, -3)], "pk long, part string, ts long, val long"
+        )
+    )
+    assert t._diff_dv_fast(spark, c0, None, "post") is None
+    full = {(r["pk"], r["_change_type"]) for r in
+            t.diff_commits(spark, c0).collect()}
+    assert full == {(2, "update"), (5, "delete"), (9, "update")}
