@@ -142,11 +142,20 @@ def main() -> int:
     # cache-population cost — reordering then reads as phantom per-query
     # regressions round-over-round. A fixed order keeps r(N) vs r(N+1)
     # per-query diffs meaningful.
+    errors: dict[str, str] = {}
     for name in sorted(qs):
         fn = qs[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        # one row failing must not kill the suite artifact: record the
+        # error (the summary carries it and the exit code reflects it)
+        # and keep timing the rest
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # noqa: BLE001 — survey, don't die
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -241,6 +250,7 @@ def main() -> int:
         "queries": slowest,
         "queries_full_file": os.path.basename(full_path),
         "sf": sf_val,
+        **({"errors": errors} if errors else {}),
     }
     with open(full_path, "w") as f:
         json.dump(
@@ -249,7 +259,7 @@ def main() -> int:
             indent=1,
         )
     print(json.dumps(summary))
-    return 0
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

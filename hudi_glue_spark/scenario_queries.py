@@ -1792,7 +1792,18 @@ def q_merge_into_disjoint_rebase(spark, sf_dir):
 
     KeyedTable._write_files = hook
     try:
-        tbl.merge_into(source)  # delete-free: update matched + insert new
+        try:
+            tbl.merge_into(source)  # delete-free: update + insert new
+        except M.ConcurrentCommitError:
+            # The rebase proof is an OPTIMIZATION with a probabilistic
+            # arm: bloom false positives rise with probe-key count, so
+            # at larger scale factors the all-clear can legitimately
+            # fail and the loser must re-merge — the production retry
+            # path (same as upsert_with_retry). At the driver's sf0.01
+            # the proof holds deterministically and the flags assert
+            # it; at bench scale this fallback keeps the row honest
+            # instead of crashing the suite.
+            tbl.merge_into(source)
     finally:
         KeyedTable._write_files = orig
 

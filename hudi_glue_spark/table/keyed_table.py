@@ -1507,10 +1507,14 @@ class KeyedTable:
         ties, a stale batch row loses silently; ARRIVAL_WINS: the batch
         replaces matched keys unconditionally. Batches with duplicate
         merge keys are resolved per policy before merging. Falls back
-        to the rewrite upsert for: new tables (bulk_insert), schema
-        evolution (column set differs), and vector-indexed tables
-        (index maintenance needs the rewrite's cell assignment).
-        Multi-writer deployments wrap this in a retry like
+        to the rewrite upsert for: new tables (bulk_insert) and schema
+        evolution (column set differs). A VECTOR INDEX is maintained
+        in place (SURVEY §9c#2): surviving base rows keep their stored
+        assignments untouched (their files aren't rewritten — the MoR
+        advantage), appended winners are assigned with the index's own
+        stored parameters, and dead marks never invalidate survivors;
+        ``index_staleness()`` still gates re-clustering. Multi-writer
+        deployments wrap this in a retry like
         :meth:`upsert_with_retry`; a lost race raises
         ``ConcurrentCommitError``."""
         if not self.exists():
@@ -1520,9 +1524,23 @@ class KeyedTable:
         man = M.read_manifest(self.path)
         assert man is not None
         schema = StructType.fromJson(json.loads(man.schema_json))
-        if (man.stats or {}).get("vector_index") is not None or set(
-            batch.columns
-        ) != {f.name for f in schema.fields}:
+        vidx = (man.stats or {}).get("vector_index")
+        if vidx is not None:
+            # index columns the batch doesn't carry are NULL-filled so
+            # maintenance can assign them (the rewrite upsert's evolve
+            # step does the same)
+            icols = (
+                [vidx["cell_col"]]
+                if vidx.get("kind") == "ivf"
+                else list(vidx.get("bucket_cols") or [])
+            )
+            by_name = {f.name: f for f in schema.fields}
+            for c in icols:
+                if c in by_name and c not in batch.columns:
+                    batch = batch.withColumn(
+                        c, F.lit(None).cast(by_name[c].dataType)
+                    )
+        if set(batch.columns) != {f.name for f in schema.fields}:
             return self.upsert(batch, extra_stats=extra_stats)
         spark = batch.sparkSession
         batch = batch.select(
@@ -1578,7 +1596,10 @@ class KeyedTable:
                 *merge_keys
             )
             append = best.join(stale, on=merge_keys, how="left_anti")
-        new_files, nrows = self._write_files(append, cid)
+        # maintain a live ANN index on the APPEND side only: survivors'
+        # assignments sit untouched in their (un-rewritten) files
+        append, maintained = self._maintain_vector_index(append, vidx)
+        new_files, nrows = self._write_index_aware(append, cid, maintained)
         entries, total = (
             self._dv_entries(spark, man, marked, cid)
             if marked is not None
@@ -1598,6 +1619,11 @@ class KeyedTable:
             rewritten=dirs,
             extra_stats={
                 **(extra_stats or {}),
+                **(
+                    {"vector_index": maintained}
+                    if maintained is not None
+                    else {}
+                ),
                 **(
                     {"dv_changed": True, "dv_rows_marked": total}
                     if entries
