@@ -22,16 +22,43 @@ _MEM_COUNTER = itertools.count()
 
 
 def stream_ingest(
-    table: KeyedTable, stream: DataFrame, checkpoint: str
+    table: KeyedTable,
+    stream: DataFrame,
+    checkpoint: str,
+    mode: str = "rewrite",
 ) -> StreamingQuery:
     """Continuously merge a stream into a keyed table, one commit per
     micro-batch. ``availableNow`` drains what exists then stops — the
     streaming equivalent of the reference's day=N batch re-runs.
+
+    ``mode="dv"`` routes each micro-batch through the merge-on-read
+    upsert (``upsert_dv``): per-trigger cost becomes O(trigger rows) —
+    winners appended, superseded base rows masked positionally —
+    instead of O(touched partitions) rewrites, which is the write
+    shape a standing high-frequency ingest needs (small triggers into
+    big partitions); the maintenance loop folds the masks on its own
+    cadence. Lost commit races re-run the whole merge against the new
+    head (DV commits never rebase), bounded like upsert_with_retry.
     """
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"unknown stream_ingest mode {mode!r}")
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
-        if not batch.isEmpty():
+        if batch.isEmpty():
+            return
+        if mode == "rewrite" or not table.exists():
             ingest(table, batch)
+            return
+        from hudi_glue_spark.table import manifest as M
+
+        last: Exception | None = None
+        for _ in range(6):
+            try:
+                table.upsert_dv(batch)
+                return
+            except M.ConcurrentCommitError as e:
+                last = e
+        raise last  # type: ignore[misc]
 
     return (
         stream.writeStream.foreachBatch(_merge)

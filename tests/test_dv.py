@@ -413,3 +413,44 @@ def test_dv_change_feed_fast_path(spark):
     full = {(r["pk"], r["_change_type"]) for r in
             t.diff_commits(spark, c0).collect()}
     assert full == {(2, "update"), (5, "delete"), (9, "update")}
+
+
+def test_upsert_dv_maintains_vector_index(spark):
+    """MoR upsert on an INDEXED table: appended winners are assigned
+    from the index's stored centroids (batch lacks the cell column —
+    NULL-filled then assigned), superseded rows are masked not
+    rewritten, survivors keep their stored assignments in place — and
+    indexed search equals a from-scratch rebuild."""
+    from hudi_glue_spark.operators import similarity as S
+    from hudi_glue_spark.queries import table as read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    late = emb.filter(F.col("vec_id") % 5 == 3)
+
+    shutil.rmtree("/tmp/dv_vidx", ignore_errors=True)
+    t = KeyedTable("/tmp/dv_vidx", key="vec_id", precombine="vec_id")
+    t.bulk_insert(base)
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", n_centroids=4)
+    t.build_ivf_index(spark, "embedding", centroids=cents)
+    files0 = set(M.read_manifest(t.path).files)
+
+    t.upsert_dv(late)  # inserts: no masks, only appends
+    man = M.read_manifest(t.path)
+    assert man.op == "upsert_dv"
+    assert files0 <= set(man.files)
+    assert t.vector_index() is not None
+    assert t.read(spark).filter(F.col("__cid").isNull()).count() == 0
+
+    # update a few EXISTING keys through the MoR path too (ties: batch
+    # wins) — dead marks on indexed files never invalidate survivors
+    some = base.limit(5)
+    t.upsert_dv(some)
+    assert M.read_manifest(t.path).stats.get("dv_rows_marked") == 5
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    maintained = S.ivf_search_indexed(spark, t, queries, "vec_id", k=5)
+    m_rows = sorted(map(tuple, maintained.collect()))
+    t.build_ivf_index(spark, "embedding", centroids=cents)
+    rebuilt = S.ivf_search_indexed(spark, t, queries, "vec_id", k=5)
+    assert m_rows == sorted(map(tuple, rebuilt.collect()))

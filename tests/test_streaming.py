@@ -343,3 +343,59 @@ def test_streaming_ingest_maintains_vector_index(spark, workdir):
     tbl.build_ivf_index(spark, "embedding", centroids=cents)
     rebuilt = S.ivf_search_indexed(spark, tbl, queries, "vec_id", k=5)
     assert m_rows == sorted(map(tuple, rebuilt.collect()))
+
+
+def test_stream_ingest_dv_mode_equals_rewrite(spark, workdir):
+    """mode='dv' drains the same scenario through the merge-on-read
+    upsert: final state equals the rewrite-mode twin row-for-row, no
+    base file is ever rewritten across the triggers (commits only ADD
+    files + masks), and the maintenance fold leaves the same rows."""
+    from hudi_glue_spark.scenario_queries import _batches
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+
+    def stage(tag):
+        staging = f"{workdir}/stage_{tag}"
+        os.makedirs(staging)
+        for i, b in enumerate(_batches(spark, "/root/testdata/sf0.001")):
+            tmp = f"{workdir}/{tag}_b{i}"
+            b.select(cols).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(f"{tmp}/{part}", f"{staging}/batch_{i}.parquet")
+            os.utime(
+                f"{staging}/batch_{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        return staging
+
+    tables = {}
+    for mode in ("rewrite", "dv"):
+        t = KeyedTable(
+            f"{workdir}/t_{mode}",
+            key="event_id",
+            precombine="ts",
+            partition_by="event_type",
+        )
+        q = stream_ingest(
+            t,
+            stream_parquet(spark, stage(mode), max_files_per_trigger=1),
+            f"{workdir}/ckpt_{mode}",
+            mode=mode,
+        )
+        assert q.awaitTermination(180)
+        tables[mode] = t
+
+    want = {tuple(r) for r in tables["rewrite"].read(spark).collect()}
+    got = {tuple(r) for r in tables["dv"].read(spark).collect()}
+    assert got == want
+
+    dv = tables["dv"]
+    man = M.read_manifest(dv.path)
+    first = set(M.read_manifest(dv.path, dv.commits()[0]).files)
+    assert first <= set(man.files), "dv stream must never rewrite"
+    assert dv.count_rows_metadata() == len(want)
+    dv.optimize(spark)
+    assert M.read_manifest(dv.path).dvs == {}
+    assert {tuple(r) for r in dv.read(spark).collect()} == want
