@@ -1436,7 +1436,16 @@ class KeyedTable:
         """Predicate delete via deletion vectors (``DELETE FROM t WHERE
         ...`` without rewrites): any Spark SQL boolean expression over
         the committed schema; NULL predicate = not selected (SQL
-        three-valued semantics, same as :meth:`update_where`)."""
+        three-valued semantics, same as :meth:`update_where`).
+
+        The scan is projected to the columns the predicate can
+        reference: a column must appear as an identifier in the
+        expression text to be referenced, so the textual superset is
+        safe (over-inclusion costs decode bytes, never correctness —
+        and a genuinely missing column still fails loud in the
+        filter)."""
+        import re
+
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
         self._refresh_layout()
@@ -1444,7 +1453,13 @@ class KeyedTable:
         assert man is not None
         if not man.files:
             return None
-        df = self._positioned_read(spark, man, man.files)
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", predicate))
+        idents |= set(re.findall(r"`([^`]+)`", predicate))
+        cols = [f.name for f in schema.fields if f.name in idents]
+        df = self._positioned_read(
+            spark, man, man.files, columns=cols or None
+        )
         matched = df.filter(F.expr(predicate))
         return self._publish_dv_commit(
             spark, man, matched, "delete_dv",

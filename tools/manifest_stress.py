@@ -173,8 +173,65 @@ def main(
             f"({len(removed)} physical removals; 0 expected here — "
             f"no data files exist in this metadata-only stress)"
         )
+    # DV tier: deletion-vector commits at this metadata scale. A DV
+    # commit reuses EVERY shard (file set unchanged — the fast plan's
+    # touched set is empty) and its metadata cost is the dvs map in the
+    # commit JSON: O(files with masks), carried forward commit-to-commit
+    # and bounded by the maintenance fold policy. Blobs are real
+    # (written under _dv/), ~1k dead positions each.
+    from hudi_glue_spark.table import dv as DVB
+
+    rows_per_file = 100_000
+    for round_i in range(3):
+        part = (7 + round_i * 13) % n_parts
+        prev = M.read_manifest(root)
+        masked = [
+            f for f in prev.files if f.startswith(f"day={part:04d}/")
+        ]
+        cid = M.next_commit_id(root)
+        t0 = time.time()
+        entries = {}
+        for i, f in enumerate(masked):
+            blob = DVB.from_positions(
+                list(range(0, 1000)), rows_per_file
+            )
+            name = f"{cid}-dv-{i:05d}.dv"
+            DVB.write(root, name, blob)
+            entries[f] = [name, 1000]
+        dt_blobs = time.time() - t0
+        dvs = {**prev.dvs, **entries}
+        man2 = M.Manifest(
+            commit_id=cid,
+            op="delete_dv",
+            ts=M.utc_now_iso(),
+            files=prev.files_arrow(),
+            schema_json=SCHEMA,
+            stats={"rows_written": 0, "dv_changed": True},
+            dvs=dvs,
+        )
+        t0 = time.time()
+        M.write_manifest(
+            root, man2, base=prev, touched_dirs=set(), new_files=[]
+        )
+        dt = time.time() - t0
+        jbytes = os.path.getsize(
+            os.path.join(M.commits_dir(root), cid + ".json")
+        )
+        print(
+            f"dv commit {round_i + 1} ({len(masked)} files masked, "
+            f"{len(dvs)} total masked): blobs {dt_blobs:5.2f}s, "
+            f"publish {dt:6.3f}s, commit JSON {jbytes/1e3:.1f} KB "
+            f"(shards fully reused)"
+        )
+    t0 = time.time()
+    man3 = M.read_manifest(root)
+    _ = man3.dvs
+    print(
+        f"manifest re-open with {len(man3.dvs)}-file dv map: "
+        f"{(time.time()-t0)*1000:.0f} ms"
+    )
     if fullread:
-        _fullread_tier(root, man)
+        _fullread_tier(root, man3)
     shutil.rmtree(root, ignore_errors=True)
 
 
