@@ -139,13 +139,28 @@ class ManifestSnapshotReader(DataSourceReader):
         self.files_subset: list[str] | None = (
             json.loads(options["files"]) if options.get("files") else None
         )
-        # {rel_file: dv_blob_name} — rows these blobs mark dead are
-        # masked out during the scan (table/dv.py)
-        self.dvs: dict[str, str] = (
-            json.loads(options["dvs"]) if options.get("dvs") else {}
-        )
+        # deletion-vector masks: rather than shipping an O(masked
+        # files) {rel: blob} map through the plan, the flag tells each
+        # task to derive the map from ITS snapshot's commit JSON
+        # (small, shard-free parse; ``at`` is always pinned to an exact
+        # commit id by the caller when masks exist, so a concurrent
+        # commit between planning and execution cannot skew it)
+        self.apply_dvs = options.get("apply_dvs") == "1"
         self.with_positions = options.get("with_positions") == "1"
+        self._dv_map: dict[str, str] | None = None
         self._pushed: list[Filter] = []
+
+    @property
+    def dvs(self) -> dict[str, str]:
+        if self._dv_map is None:
+            if not self.apply_dvs:
+                self._dv_map = {}
+            else:
+                man = M.read_manifest(self.root, self.at)
+                self._dv_map = {
+                    f: v[0] for f, v in ((man.dvs if man else {}) or {}).items()
+                }
+        return self._dv_map
 
     # -- planning (driver side) -------------------------------------------
 
@@ -495,14 +510,16 @@ def read_snapshot(
     partition_by: list[str] | None,
     at: str | None = None,
     files: list[str] | None = None,
-    dvs: dict[str, str] | None = None,
+    apply_dvs: bool = False,
     with_positions: bool = False,
 ):
     """Build the manifest-relation DataFrame for a table snapshot.
 
     ``files`` restricts the scan to an explicit live-file subset (the
-    pruned-read path when DV masks must apply); ``dvs`` maps rel file →
-    DV blob name whose dead rows are masked out worker-side;
+    pruned-read path when DV masks must apply); ``apply_dvs`` masks
+    each file's deletion-vector dead rows worker-side, with the map
+    derived from the snapshot's own commit JSON (``at`` must then be a
+    pinned commit id — the caller resolves head-ness);
     ``with_positions`` appends ``__file``/``__pos`` columns (the row
     coordinates DV-writing DML needs)."""
     from pyspark.sql.types import LongType, StringType, StructField
@@ -535,8 +552,8 @@ def read_snapshot(
     )
     if files is not None:
         rd = rd.option("files", json.dumps(sorted(files)))
-    if dvs:
-        rd = rd.option("dvs", json.dumps(dvs))
+    if apply_dvs:
+        rd = rd.option("apply_dvs", "1")
     if with_positions:
         rd = rd.option("with_positions", "1")
     return rd.load()

@@ -359,13 +359,16 @@ class KeyedTable:
         if engine == "manifest":
             from hudi_glue_spark.sources import manifest_relation as MR
 
+            # pin the exact snapshot id when masks exist: the executor
+            # derives the dv map from that commit's JSON, so a rival
+            # commit landing between plan and execution can't skew it
             return MR.read_snapshot(
                 spark,
                 self.path,
                 schema,
                 self.partition_by,
-                at,
-                dvs={f: v[0] for f, v in man.dvs.items()},
+                man.commit_id if man.dvs else at,
+                apply_dvs=bool(man.dvs),
             )
         if not man.files:
             return spark.createDataFrame([], schema)
@@ -402,12 +405,8 @@ class KeyedTable:
         vector (those reads route through the manifest relation, which
         applies the positional mask worker-side; DV-free subsets keep
         the native JVM scan's column pruning + codegen)."""
-        sub_dvs = (
-            {f: man.dvs[f][0] for f in keep if f in man.dvs}
-            if man.dvs
-            else {}
-        )
-        if sub_dvs:
+        keep_set = set(keep)
+        if man.dvs and any(f in keep_set for f in man.dvs):
             from hudi_glue_spark.sources import manifest_relation as MR
 
             return MR.read_snapshot(
@@ -415,8 +414,9 @@ class KeyedTable:
                 self.path,
                 schema,
                 self.partition_by,
+                at=man.commit_id,
                 files=keep,
-                dvs=sub_dvs,
+                apply_dvs=True,
             )
         ddir = M.data_dir(self.path)
         df = self._read_files(
@@ -1282,19 +1282,16 @@ class KeyedTable:
             schema = StructType(
                 [f for f in schema.fields if f.name in want]
             )
-        sub_dvs = (
-            {f: man.dvs[f][0] for f in files if f in man.dvs}
-            if man.dvs
-            else {}
-        )
-        if sub_dvs:
+        fset = set(files)
+        if man.dvs and any(f in fset for f in man.dvs):
             return MR.read_snapshot(
                 spark,
                 self.path,
                 schema,
                 self.partition_by,
+                at=man.commit_id,
                 files=files,
-                dvs=sub_dvs,
+                apply_dvs=True,
                 with_positions=True,
             )
         ddir = M.data_dir(self.path)
@@ -1974,10 +1971,17 @@ class KeyedTable:
                     problems.append(
                         f"commit {cid}: missing DV blob {dv_name}"
                     )
-                elif (n := frows.get(rel)) is not None and ndead > n:
+                    continue
+                if (n := frows.get(rel)) is not None and ndead > n:
                     problems.append(
                         f"commit {cid}: DV {dv_name} marks {ndead} of "
                         f"{n} rows in {rel}"
+                    )
+                blob_dead = DVB.dead_count(DVB.read(self.path, dv_name))
+                if blob_dead != ndead:
+                    problems.append(
+                        f"commit {cid}: DV {dv_name} header says "
+                        f"{blob_dead} dead but manifest records {ndead}"
                     )
         latest = M.read_manifest(self.path)
         live = set(latest.files) if latest else set()
