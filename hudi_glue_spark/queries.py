@@ -50,6 +50,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "dv_delete_read",
     "dv_upsert_scenario",
     "dv_maintenance_fold",
+    "dv_external_engine_read",
     "manifest_relation_read",
     "merge_into_disjoint_rebase",
     # -- (b) the 48 r4-stale rows (oldest cohort; window slots 3-50) --

@@ -1998,3 +1998,67 @@ def q_dv_maintenance_fold(spark, sf_dir):
             F.lit(sound).alias("validate_sound"),
         )
     )
+
+
+#: data-dependent oracle path (same idiom as _EXT_ROOT): the oracle
+#: runs at sf0.01, so the DuckDB SQL embeds that table's root
+_DVEXT_ROOT = "/tmp/hudi_glue_spark_scn_dvext_" + sf_tag(
+    "/root/testdata/sf0.01"
+)
+
+
+@query(
+    "dv_external_engine_read",
+    f"""
+    WITH t AS (
+      SELECT * FROM read_parquet(
+        '{_DVEXT_ROOT}/data/*/*.parquet',
+        hive_partitioning=true, filename=true, file_row_number=true)
+    )
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM t
+    WHERE NOT EXISTS (
+      SELECT 1
+      FROM read_parquet('{_DVEXT_ROOT}/_export/head_positions.parquet') d
+      WHERE d.file = t.filename AND d.pos = t.file_row_number
+    )
+    """,
+)
+def q_dv_external_engine_read(spark, sf_dir):
+    """Cross-engine contract for DELETION-VECTOR tables (§2a #5
+    extended): the engine exports the head's dead (file, position)
+    pairs as one parquet (export_masked_positions — the Iceberg
+    position-delete-file idiom), and the ORACLE side is DuckDB
+    physically reconstructing the masked snapshot from the raw data
+    files + that artifact (``filename``/``file_row_number`` anti-join)
+    — no Spark, no manifest code. Both engines must see the identical
+    masked state: deletes done without rewriting a single file are
+    still fully consumable outside the engine. Spark side: ingest,
+    predicate + key-list DV deletes, clean(retain_commits=1) so the
+    physical files ARE the live snapshot, export, masked read."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dvext_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        key_bloom=True,
+        stats_cols=["event_id", "ts"],
+    )
+    b0, _b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    tbl.delete_where_dv(spark, "event_type = 'view' AND value < 50.0")
+    keys = [
+        r[0]
+        for r in table(spark, sf_dir, "events")
+        .filter("user_id = 11")
+        .select("event_id")
+        .collect()
+    ]
+    tbl.delete_dv(keys)
+    tbl.clean(retain_commits=1)  # physical files == live snapshot
+    tbl.export_masked_positions()
+    return tbl.read(spark).select(_COLS)

@@ -1650,6 +1650,43 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def export_masked_positions(self, dest: str | None = None) -> str:
+        """Write the HEAD snapshot's dead (file, pos) pairs as one
+        parquet of absolute file paths — the interchange artifact that
+        lets an EXTERNAL engine reconstruct the masked snapshot exactly
+        (closing :meth:`register_external`'s physical-rows caveat for
+        engines that expose per-file row numbers, e.g. DuckDB's
+        ``read_parquet(..., filename=true, file_row_number=true)`` with
+        an anti-join on this table — the Iceberg position-delete-file
+        idiom). Driver cost is O(dead rows): the artifact IS the delete
+        list. Returns the written path (default
+        ``<root>/_export/head_positions.parquet``, overwritten)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        ddir = M.data_dir(self.path)
+        files: list[str] = []
+        poss: list[int] = []
+        for rel, (name, _nd) in sorted(man.dvs.items()):
+            p = DVB.positions(DVB.read(self.path, name))
+            files.extend([os.path.join(ddir, rel)] * len(p))
+            poss.extend(int(x) for x in p)
+        t = pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+        dest = dest or os.path.join(
+            self.path, "_export", "head_positions.parquet"
+        )
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        pq.write_table(t, dest)
+        return dest
+
     def _dv_candidate_files(self, man, best: DataFrame) -> list[str]:
         """Base files that may hold the batch's merge keys: partition
         scope restricts to the batch's own partition dirs (C-side
