@@ -1412,6 +1412,8 @@ class KeyedTable:
                     "delete_dv(list) needs an active SparkSession"
                 )
             key_list = list(dict.fromkeys(keys))
+            if not key_list:
+                return None
             keys_df = None
             cand = (
                 self._dv_prune_files(man, key_list)
