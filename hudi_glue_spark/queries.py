@@ -39,18 +39,21 @@ NON_SQL_QUERIES: set[str] = set()
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
 #: (cumulative r2-r7), so the r8 window is built for STALENESS, same
-#: formula as r7 (VERDICT r7 ask #2): (a) the 2 new r8 queries first,
-#: then (b) the 48 rows whose last green dates from r4 - four rounds
-#: and three table-layer rewrites ago, the oldest cohort - which with
-#: (a) fills the ~50-slot window exactly; then (c) everything else
-#: oldest-green-first (r5, r6, r7). No row green in r6 or r7 sits
-#: ahead of an r4-stale row.
+#: formula as r7 (VERDICT r7 ask #2): (a) the 7 new r8 queries first
+#: (five deletion-vector rows, the manifest relation, the merge
+#: rebase), then (b) the 48 rows whose last green dates from r4 - four
+#: rounds and three table-layer rewrites ago, the oldest cohort (the
+#: ~50-slot window takes (a) plus the first ~43 of these; the rest
+#: lead the r9 rotation); then (c) everything else oldest-green-first
+#: (r5, r6, r7). No row green in r6 or r7 sits ahead of an r4-stale
+#: row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- (a) new in r8: first rows -----------------------------------
     "dv_delete_read",
     "dv_upsert_scenario",
     "dv_maintenance_fold",
     "dv_external_engine_read",
+    "dv_predicate_dml",
     "manifest_relation_read",
     "merge_into_disjoint_rebase",
     # -- (b) the 48 r4-stale rows (oldest cohort; window slots 3-50) --

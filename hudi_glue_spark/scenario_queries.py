@@ -2062,3 +2062,54 @@ def q_dv_external_engine_read(spark, sf_dir):
     tbl.clean(retain_commits=1)  # physical files == live snapshot
     tbl.export_masked_positions()
     return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "dv_predicate_dml",
+    """
+    WITH upd AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'click' AND value < 50.0
+                  THEN value + 100.0 ELSE CAST(value AS DOUBLE) END AS value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, value, ts
+    FROM upd WHERE NOT (value >= 180.0)
+    """,
+)
+def q_dv_predicate_dml(spark, sf_dir):
+    """Sequenced predicate DML through DELETION VECTORS (the MoR twin
+    of predicate_dml_scenario): UPDATE ... WHERE marks the matched
+    rows' positions dead and appends their updated images (no
+    partition rewrite), then DELETE ... WHERE stacks masks over BOTH
+    original and appended files — order matters (the delete sees
+    post-update values, including updated rows it must now remove),
+    and the masked read must hash-match the oracle's sequenced
+    CASE-then-filter. The live file set only ever GROWS (asserted):
+    two DML statements, zero rewrites."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dvpdml_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        stats_cols=["event_id", "ts"],
+    )
+    b0, _b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    files0 = set(M.read_manifest(root).files)
+    tbl.update_where_dv(
+        spark, {"value": "value + 100.0"},
+        "event_type = 'click' AND value < 50.0",
+    )
+    tbl.delete_where_dv(spark, "value >= 180.0")
+    man = M.read_manifest(root)
+    assert files0 <= set(man.files), "predicate DML must not rewrite"
+    out = tbl.read(spark).select(_COLS)
+    assert tbl.count_rows_metadata() == out.count()
+    return out

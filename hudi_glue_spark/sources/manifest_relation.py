@@ -342,6 +342,12 @@ class ManifestSnapshotReader(DataSourceReader):
 
         from hudi_glue_spark.table import dv as DVB
 
+        # partitions() returning [] (every file pruned, or an empty
+        # files subset) still schedules ONE task whose partition is
+        # None — an empty scan, not an error
+        if partition is None or not partition.value:
+            return
+
         target = to_arrow_schema(self.schema)
         ddir = M.data_dir(self.root)
         part_cols = set(self.partition_by)

@@ -1465,6 +1465,108 @@ class KeyedTable:
             extra_stats={"predicate": predicate},
         )
 
+    def update_where_dv(
+        self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
+    ) -> str | None:
+        """Predicate UPDATE via deletion vectors (the MoR twin of
+        :meth:`update_where`): matched rows' positions are marked dead
+        and their UPDATED images append as new files — no partition
+        rewrite, so a 10-row correction in a 1 TB partition costs 10
+        rows + a bitmap. Semantics mirror update_where exactly: SQL
+        three-valued predicate, SET rejected on key/partition/generated
+        columns, SET expressions cast to the column type, generated
+        columns recompute for updated rows (a recomputed derived
+        PARTITION key relocates the new image to its new directory —
+        the old position is dead either way), and a SET touching the
+        vector index's columns honestly drops the index while any
+        other SET carries it (updated rows keep their stored
+        assignments — the vector didn't change). Returns the commit id,
+        or None when nothing matched (no commit)."""
+        frozen = set(self.key) | set(self.partition_by or [])
+        bad = frozen & set(set_exprs)
+        if bad:
+            raise ValueError(
+                f"cannot SET key/partition column(s) {sorted(bad)}; "
+                "use delete + upsert to move or re-key rows"
+            )
+        gen = set(self.derived_cols or {}) & set(set_exprs)
+        if gen:
+            raise ValueError(
+                f"cannot SET generated column(s) {sorted(gen)}: they are "
+                "owned by their generation rule — SET the rule's inputs "
+                "and the column recomputes"
+            )
+        if not self.exists():
+            raise FileNotFoundError(f"no table at {self.path}")
+        self._refresh_layout()
+        man = M.read_manifest(self.path)
+        assert man is not None
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        unknown = set(set_exprs) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(
+                f"cannot SET unknown column(s) {sorted(unknown)}; "
+                f"table columns are {[f.name for f in schema.fields]}"
+            )
+        if not man.files:
+            return None
+        matched = self._positioned_read(spark, man, man.files).filter(
+            F.expr(predicate)
+        )
+        updated = matched.select(
+            *[
+                (
+                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        for name, rule in (self.derived_cols or {}).items():
+            updated = updated.withColumn(name, F.expr(rule))
+        vidx = (man.stats or {}).get("vector_index")
+        if vidx is not None:
+            icols = {vidx.get("vec_col"), vidx.get("cell_col")} | set(
+                vidx.get("bucket_cols") or []
+            )
+            if icols & set(set_exprs):
+                vidx = None  # index columns rewritten → honest drop
+        cid = M.child_id(man.commit_id)
+        # marks first: a no-match predicate publishes nothing and
+        # stages nothing (the write below would otherwise orphan files)
+        entries, total = self._dv_entries(
+            spark, man, matched.select("__file", "__pos"), cid
+        )
+        if not entries:
+            return None
+        new_files, nrows = self._write_index_aware(updated, cid, vidx)
+        dirs = sorted(
+            {
+                *self._dv_rewritten_dirs(entries),
+                *self._dv_rewritten_dirs(new_files),
+            }
+        )
+        self._commit(
+            "update_where_dv",
+            M.with_new_files(man.files_arrow(), new_files),
+            schema,
+            rows=nrows,
+            rewritten=dirs,
+            extra_stats={
+                "predicate": predicate,
+                "dv_changed": True,
+                "dv_rows_marked": total,
+                **({"vector_index": vidx} if vidx is not None else {}),
+            },
+            cid=cid,
+            base=man,
+            touched=set(),
+            new_files=new_files,
+            dvs=entries,
+        )
+        return self.commits()[-1]
+
     def _publish_dv_commit(
         self, spark, man, marked: DataFrame, op: str, extra_stats
     ) -> str | None:

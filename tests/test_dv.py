@@ -454,3 +454,37 @@ def test_upsert_dv_maintains_vector_index(spark):
     t.build_ivf_index(spark, "embedding", centroids=cents)
     rebuilt = S.ivf_search_indexed(spark, t, queries, "vec_id", k=5)
     assert m_rows == sorted(map(tuple, rebuilt.collect()))
+
+
+def test_update_where_dv_matches_rewrite_update(spark):
+    """The MoR predicate UPDATE equals the rewrite twin row-for-row:
+    matched rows' old positions die, updated images append, untouched
+    rows never move; guards mirror update_where; metadata count holds;
+    stacking a later delete over updated rows composes."""
+    a = _mk(spark, "/tmp/dv_upd_a")
+    b = _mk(spark, "/tmp/dv_upd_b")
+    sets = {"val": "val + 1000", "ts": "ts + 50000"}
+    pred = "pk % 10 = 3 AND val < 500"
+    cid = a.update_where_dv(spark, sets, pred)
+    b.update_where(spark, sets, pred)
+    assert cid is not None
+    assert rows_set(a.read(spark)) == rows_set(b.read(spark))
+    assert a.count_rows_metadata() == 400
+    man = M.read_manifest(a.path)
+    assert man.op == "update_where_dv" and man.stats["dv_changed"]
+    prev = set(M.read_manifest(a.path, a.commits()[0]).files)
+    assert prev <= set(man.files), "update_where_dv must only ADD files"
+    # no match -> no commit, nothing staged
+    head = a.commits()[-1]
+    assert a.update_where_dv(spark, {"val": "0"}, "pk = -1") is None
+    assert a.commits()[-1] == head
+    assert [p for p in a.validate() if "cleanable" not in p] == []
+    # guards mirror update_where
+    with pytest.raises(ValueError, match="key/partition"):
+        a.update_where_dv(spark, {"part": "'x'"}, "pk = 1")
+    with pytest.raises(ValueError, match="unknown column"):
+        a.update_where_dv(spark, {"nope": "1"}, "pk = 1")
+    # stacking: delete one UPDATED row (lives in an appended file)
+    a.delete_dv([3])
+    b.delete(spark.createDataFrame([(3,)], "pk long"))
+    assert rows_set(a.read(spark)) == rows_set(b.read(spark))

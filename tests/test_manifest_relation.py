@@ -15,6 +15,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from hudi_glue_spark.sources import manifest_relation as MR
 from hudi_glue_spark.table import KeyedTable
@@ -214,3 +215,12 @@ def test_read_columns_projection_both_engines(spark, tbl):
         assert rows_set(man) == rows_set(nat)
     with pytest.raises(ValueError, match="not in committed schema"):
         tbl.read(spark, columns=["pk", "nope"])
+
+
+def test_pushdown_pruning_all_files_yields_empty(spark, tbl):
+    """A pushed filter that prunes EVERY file (value outside every
+    file's stats range) must yield an empty scan, not a task error —
+    Spark schedules one None-partition task when partitions() returns
+    an empty list."""
+    df = tbl.read(spark, engine="manifest")
+    assert df.filter(F.col("pk") == -999_999).count() == 0
