@@ -2489,6 +2489,12 @@ class KeyedTable:
             # identical) — the rollback copies ZERO per-file metadata;
             # only a legacy inline target needs its stats handed over
             file_stats=None if man.shards is not None else man.file_stats,
+            # restoring a commit restores ITS deletion-vector state:
+            # the target's masks come back (its blobs are referenced by
+            # the still-present target commit, so clean() keeps them),
+            # and masks added after the target are dropped — their dead
+            # rows live again, exactly like rolled-back rewrites
+            dvs=man.dvs,
         )
         M.write_manifest(self.path, new)
         if (resolved_pb or None) != self.partition_by:
@@ -4049,6 +4055,15 @@ class KeyedTable:
         At 100 TB this is what lets N writers on N different partitions
         commit concurrently at merge-once cost instead of serializing
         re-merges. Returns True when a rebase published."""
+        if op in ("delete_dv", "upsert_dv", "update_where_dv"):
+            # DV DML never rebases: its commit scope is touched=∅ (the
+            # file set is unchanged), so the partition-overlap audit
+            # below would pass vacuously and the republish would carry
+            # the HEAD's dvs — silently dropping this op's own marks;
+            # worse, a rival that rewrote the marked files invalidates
+            # the positions themselves. Re-running the whole op is
+            # cheap by construction (it's O(delta)); callers retry.
+            return False
         if base is None or touched is None:
             return False
         key_span = None  # set ⇒ global-scope rebase via key-range proof

@@ -488,3 +488,80 @@ def test_update_where_dv_matches_rewrite_update(spark):
     a.delete_dv([3])
     b.delete(spark.createDataFrame([(3,)], "pk long"))
     assert rows_set(a.read(spark)) == rows_set(b.read(spark))
+
+
+def test_rollback_restores_dv_state(spark):
+    """rollback() restores the TARGET snapshot's deletion-vector state:
+    rolling back past a DV delete resurrects its rows; rolling
+    'forward' to the delete commit re-applies the masks (their blobs
+    are referenced by the still-present target commit)."""
+    t = _mk(spark, "/tmp/dv_rollback")
+    c0 = t.commits()[0]
+    t.delete_dv([1, 2, 3])
+    c_del = t.commits()[-1]
+    assert t.read(spark).count() == 397
+
+    t.rollback(c0)  # before the delete: rows live again
+    assert t.read(spark).count() == 400
+    assert t.read(spark).filter("pk = 1").count() == 1
+    assert M.read_manifest(t.path).dvs == {}
+    assert t.count_rows_metadata() == 400
+
+    t.rollback(c_del)  # back to the masked snapshot
+    assert t.read(spark).count() == 397
+    assert t.read(spark).filter("pk = 1").count() == 0
+    assert t.count_rows_metadata() == 397
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
+def test_dv_dml_never_rebases_on_partition_scope(spark, monkeypatch):
+    """A partition-scoped DV delete losing the race must NOT rebase
+    (its empty touched set would pass the partition-overlap audit
+    vacuously and the republish would drop its own marks) — it raises,
+    and the whole-op retry re-marks against the new head."""
+    root = "/tmp/dv_occ_pscope"
+    shutil.rmtree(root, ignore_errors=True)
+    kw = dict(
+        key="pk", precombine="ts", partition_by="part",
+        key_scope="partition", policy=EVENT_TIME_WINS,
+        stats_cols=["pk", "ts"],
+    )
+    t = KeyedTable(root, **kw)
+    t.bulk_insert(
+        spark.range(0, 100).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 2).cast("string").alias("part"),
+            F.col("id").alias("ts"),
+            F.col("id").alias("val"),
+        )
+    )
+    rival = KeyedTable(root, **kw)
+
+    # interleave: rival upserts part=1 between the victim delete's
+    # positioned read and its publish (hook the mark aggregation)
+    orig = KeyedTable._dv_entries
+    fired = {}
+
+    def hook(self, spark_, man, marked, cid):
+        out = orig(self, spark_, man, marked, cid)
+        if not fired:
+            fired["x"] = 1
+            rival.upsert(
+                spark.createDataFrame(
+                    [(1, "1", 5000, -1)],
+                    "pk long, part string, ts long, val long",
+                )
+            )
+        return out
+
+    monkeypatch.setattr(KeyedTable, "_dv_entries", hook)
+    with pytest.raises(M.ConcurrentCommitError):
+        t.delete_dv([0])  # pk=0 lives in part=0, disjoint from rival
+    monkeypatch.setattr(KeyedTable, "_dv_entries", orig)
+    head = M.read_manifest(root)
+    assert head.op == "upsert"  # rival won; no silent dv commit
+    # whole-op retry converges: delete applies against the new head
+    t.delete_dv([0])
+    assert t.read(spark).filter("pk = 0").count() == 0
+    assert t.read(spark).filter("pk = 1").collect()[0]["val"] == -1
+    assert t.read(spark).count() == 99
