@@ -207,6 +207,21 @@ def main() -> int:
         (n for n in timings if not n.startswith("commit:")),
         key=lambda n: -timings[n],
     )[:20]
+    # Rows with a history of PHANTOM regressions: mid-pack queries whose
+    # wall is dominated by multi-commit fixtures or streaming drains, so
+    # a single sample swings ±0.5 s rig-dependently (r8 read
+    # stream_running_totals 1.85→2.59 and compaction_advisor 1.85→2.44;
+    # both re-timed flat at ~1.9-2.0 s warm — see docs/SCALING.md
+    # "Bench variance"). They get median-of-3 regardless of rank.
+    for noisy in (
+        "stream_running_totals",
+        "compaction_advisor",
+        "bm25_scores",
+        "cdf_incremental_agg",
+        "stream_keyed_ingest",
+    ):
+        if noisy in timings and noisy not in heavy:
+            heavy.append(noisy)
     samples: dict[str, list[float]] = {n: [timings[n]] for n in heavy}
     for rep in range(2):
         for name in heavy:
