@@ -146,6 +146,11 @@ class ManifestSnapshotReader(DataSourceReader):
         # commit id by the caller when masks exist, so a concurrent
         # commit between planning and execution cannot skew it)
         self.apply_dvs = options.get("apply_dvs") == "1"
+        # the complement flag: plan ONLY the files carrying no deletion
+        # vector (the hybrid read's clean half — KeyedTable.read unions
+        # this with a masked scan of the dv'd files, so neither side
+        # ships an O(live files) list through the plan)
+        self.exclude_dvs = options.get("exclude_dvs") == "1"
         self.with_positions = options.get("with_positions") == "1"
         self._dv_map: dict[str, str] | None = None
         self._pushed: list[Filter] = []
@@ -262,6 +267,15 @@ class ManifestSnapshotReader(DataSourceReader):
             sel = dir_mask.to_numpy(zero_copy_only=False).astype(bool)
         else:
             sel = np.ones(len(files_arr), dtype=bool)
+        if self.exclude_dvs and man.dvs:
+            sel &= ~(
+                pc.is_in(
+                    files_arr,
+                    value_set=pa.array(sorted(man.dvs), type=pa.string()),
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
         if self.files_subset is not None:
             sel &= pc.is_in(
                 files_arr,
@@ -517,6 +531,7 @@ def read_snapshot(
     at: str | None = None,
     files: list[str] | None = None,
     apply_dvs: bool = False,
+    exclude_dvs: bool = False,
     with_positions: bool = False,
 ):
     """Build the manifest-relation DataFrame for a table snapshot.
@@ -525,7 +540,8 @@ def read_snapshot(
     pruned-read path when DV masks must apply); ``apply_dvs`` masks
     each file's deletion-vector dead rows worker-side, with the map
     derived from the snapshot's own commit JSON (``at`` must then be a
-    pinned commit id — the caller resolves head-ness);
+    pinned commit id — the caller resolves head-ness); ``exclude_dvs``
+    plans only the files with NO mask (the hybrid read's clean half);
     ``with_positions`` appends ``__file``/``__pos`` columns (the row
     coordinates DV-writing DML needs)."""
     from pyspark.sql.types import LongType, StringType, StructField
@@ -560,6 +576,8 @@ def read_snapshot(
         rd = rd.option("files", json.dumps(sorted(files)))
     if apply_dvs:
         rd = rd.option("apply_dvs", "1")
+    if exclude_dvs:
+        rd = rd.option("exclude_dvs", "1")
     if with_positions:
         rd = rd.option("with_positions", "1")
     return rd.load()
