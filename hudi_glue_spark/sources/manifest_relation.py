@@ -513,14 +513,35 @@ def _ship_package(spark) -> None:
         pass
 
 
+_REG_LOCK = None
+
+
 def ensure_registered(spark) -> None:
-    """Idempotently register the data source on this session."""
+    """Idempotently register the data source on this session.
+
+    Thread-safe: concurrent writers (multi-writer OCC tests, service
+    loops) can all take a masked read as their first relation use —
+    the session flag alone raced, and Spark 4.1 raises DATA_SOURCE_
+    ALREADY_EXISTS on the second register. Double-checked lock plus a
+    tolerant catch (another PROCESS may also have registered)."""
+    global _REG_LOCK
+    import threading
+
+    if _REG_LOCK is None:
+        _REG_LOCK = threading.Lock()
     flag = "_hgs_manifest_ds_registered"
     if getattr(spark, flag, False):
         return
-    _ship_package(spark)
-    spark.dataSource.register(ManifestSnapshotDataSource)
-    setattr(spark, flag, True)
+    with _REG_LOCK:
+        if getattr(spark, flag, False):
+            return
+        _ship_package(spark)
+        try:
+            spark.dataSource.register(ManifestSnapshotDataSource)
+        except Exception as e:  # noqa: BLE001
+            if "already exists" not in str(e).lower():
+                raise
+        setattr(spark, flag, True)
 
 
 def read_snapshot(

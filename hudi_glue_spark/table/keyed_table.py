@@ -760,12 +760,296 @@ class KeyedTable:
         man = M.read_manifest(self.path)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
-        keep = self.files_with_keys(keys)
+        # record index first (exact live hosts + supersets, no bloom
+        # false positives, O(probe-span) index bytes instead of
+        # O(live files) driver-side bloom decodes); bloom fallback
+        keep = self.files_hosting_keys(spark, list(keys))
+        if keep is None:
+            keep = self.files_with_keys(keys)
         schema = StructType.fromJson(json.loads(man.schema_json))
         cond = F.col(self.key[0]).isin(list(keys))
         if not keep:
             return spark.createDataFrame([], schema).filter(cond)
         return self._read_pruned(spark, man, keep, schema).filter(cond)
+
+    # -- record-level index (key → file; Hudi 1.0 RLI parity) --------------
+
+    #: fold the delta runs back into sorted base segments once this
+    #: many mutating commits have stacked (each point lookup opens
+    #: every delta run that intersects its key span)
+    RLI_COMPACT_MIN_DELTAS = 8
+
+    def record_index_info(self, at: str | None = None) -> dict | None:
+        """The snapshot's record-index registration, or None when no
+        index is registered (metadata-only read)."""
+        man = M.read_manifest(self.path, at)
+        if man is None:
+            return None
+        return (man.stats or {}).get("record_index")
+
+    def build_record_index(
+        self, spark: SparkSession, max_records_per_file: int = 5_000_000
+    ) -> str:
+        """Materialize the record-level index for the current snapshot:
+        one mask-aware pass over the table's key column + row
+        coordinates → globally key-sorted parquet segments under
+        ``_rli/`` (tight per-segment key spans from the footers), and a
+        registration in the commit stats. Every later mutating commit
+        APPENDS an O(its new rows) delta run (``_commit``'s central
+        hook — no op-specific wiring, so a new write path can't forget
+        the index); :meth:`compact_record_index` folds the runs.
+
+        ↦ the record-key index the reference enables implicitly via
+        Hudi's upsert tagging (glue/HudiJarGlueJob.py:83
+        ``hoodie.upsert.shuffle.parallelism``); Hudi 1.0 ships the same
+        structure as the metadata table's ``record_index`` partition."""
+        from hudi_glue_spark.table import record_index as RI
+
+        if len(self.key) != 1:
+            raise ValueError("record index supports single-column keys")
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        k = self.key[0]
+        src = self._positioned_read(spark, man, man.files, columns=self.key)
+        ent = src.select(
+            F.col(k),
+            F.col("__file").alias("file"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+        cid = M.child_id(man.commit_id)
+        spans = RI.write_entries(
+            ent, self.path, cid, k, max_records_per_file
+        )
+        reg = {"key": k, "seq": 1, "base": spans, "deltas": {}}
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        self._commit(
+            "record_index",
+            man.files_arrow(),
+            schema,
+            rows=0,
+            cid=cid,
+            extra_stats={"record_index": reg},
+            base=man,
+            touched=set(),
+            new_files=[],
+        )
+        return self.commits()[-1]
+
+    def drop_record_index(self) -> str | None:
+        """Unregister the record index (metadata-only commit; the
+        orphaned segments are reclaimed by :meth:`clean` once no
+        retained commit references them). No-op → None."""
+        man = M.read_manifest(self.path)
+        if man is None or (man.stats or {}).get("record_index") is None:
+            return None
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        self._commit(
+            "drop_record_index",
+            man.files_arrow(),
+            schema,
+            rows=0,
+            extra_stats={"record_index": None},
+            base=man,
+            touched=set(),
+            new_files=[],
+        )
+        return self.commits()[-1]
+
+    def _rli_entries_for_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        seq: int,
+        key_col: str,
+        schema: StructType,
+    ) -> DataFrame:
+        """(key, file, seq) for every row of the given JUST-WRITTEN
+        files — a native key-column scan with ``_metadata`` coordinates
+        (fresh files never carry deletion vectors). ``schema`` is the
+        COMMIT's schema (a widening commit's new files already hold the
+        wide type; the head's narrow schema would mis-read them)."""
+        kschema = StructType(
+            [f for f in schema.fields if f.name == key_col]
+        )
+        src = self._native_scan(spark, files, kschema, with_positions=True)
+        return src.select(
+            F.col(key_col),
+            F.col("__file").alias("file"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    def _rli_advance(
+        self, reg: dict, new_names: list[str], cid: str, schema: StructType
+    ) -> dict | None:
+        """Advance the registration across one commit: append a delta
+        run covering the commit's freshly written files. Returns the
+        new registration, or None when the index cannot be maintained
+        (no active session / scan failure) — the caller then DROPS the
+        registration rather than publish a stale index (the honesty
+        rule every index here follows)."""
+        from hudi_glue_spark.table import record_index as RI
+
+        if not new_names:
+            return dict(reg)  # metadata-only commit: carry unchanged
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        if reg["key"] not in {f.name for f in schema.fields}:
+            return None  # key column gone from the committed schema
+        try:
+            ent = self._rli_entries_for_files(
+                spark, new_names, int(reg["seq"]), reg["key"], schema
+            )
+            spans = RI.write_entries(ent, self.path, cid, reg["key"])
+        except Exception:  # noqa: BLE001 — drop honestly, never corrupt
+            return None
+        deltas = dict(reg.get("deltas") or {})
+        deltas.update(spans)
+        return {**reg, "seq": int(reg["seq"]) + 1, "deltas": deltas}
+
+    def files_hosting_keys(self, spark: SparkSession, keys) -> list[str] | None:
+        """Distinct LIVE files that may host any of ``keys`` according
+        to the record index — a SUPERSET of the true hosts (entries
+        against removed files are dropped against the manifest's live
+        set C-side; the exact filter re-applies after any scan).
+        ``keys`` is a list (span-pruned probe) or a DataFrame of key
+        values (one distributed join — the upsert-tagging shape).
+        Returns None when no index is registered (callers fall back to
+        the bloom probe)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from hudi_glue_spark.table import record_index as RI
+
+        man = M.read_manifest(self.path)
+        if man is None:
+            return None
+        reg = (man.stats or {}).get("record_index")
+        if reg is None:
+            return None
+        k = reg["key"]
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        kfield = next(f for f in schema.fields if f.name == k)
+        segs = {**(reg.get("base") or {}), **(reg.get("deltas") or {})}
+        if isinstance(keys, DataFrame):
+            names = sorted(segs)
+            ent = RI.entries_df(spark, self.path, names, kfield)
+            cand = (
+                ent.join(
+                    keys.select(F.col(keys.columns[0]).alias(k)).dropDuplicates(),
+                    on=k,
+                    how="left_semi",
+                )
+                .select("file")
+                .distinct()
+                .collect()
+            )
+            hits = [r["file"] for r in cand]
+        else:
+            probes = list(dict.fromkeys(keys))
+            if not probes:
+                return []
+            norm = [_stat_value(v) for v in probes]
+            names = RI.prune_isin(segs, norm)
+            if not names:
+                return []
+            ent = RI.entries_df(spark, self.path, names, kfield)
+            cand = (
+                ent.filter(F.col(k).isin(probes))
+                .select("file")
+                .distinct()
+                .collect()
+            )
+            hits = [r["file"] for r in cand]
+        if not hits:
+            return []
+        mask = pc.is_in(
+            pa.array(hits, type=pa.string()), value_set=man.files_arrow()
+        ).to_pylist()
+        return sorted(f for f, m in zip(hits, mask) if m)
+
+    def locate_keys(self, spark: SparkSession, keys) -> DataFrame:
+        """(key, file) pairs for the probe keys from the record index,
+        filtered to live files — the index's query face (each pair
+        names a file that may hold a visible row for that key).
+        Raises when no index is registered."""
+        from hudi_glue_spark.table import record_index as RI
+
+        man = M.read_manifest(self.path)
+        reg = ((man.stats or {}) if man else {}).get("record_index")
+        if reg is None:
+            raise ValueError(
+                f"no record index registered at {self.path}; "
+                "call build_record_index() first"
+            )
+        k = reg["key"]
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        kfield = next(f for f in schema.fields if f.name == k)
+        segs = {**(reg.get("base") or {}), **(reg.get("deltas") or {})}
+        probes = list(dict.fromkeys(keys))
+        names = RI.prune_isin(segs, [_stat_value(v) for v in probes])
+        ent = RI.entries_df(spark, self.path, names, kfield)
+        cand = ent.filter(F.col(k).isin(probes)).select(k, "file").distinct()
+        import pandas as pd
+
+        live = spark.createDataFrame(
+            pd.DataFrame({"file": list(man.files) or []}, dtype=object),
+            schema="file string",
+        )
+        return cand.join(live, on="file", how="left_semi").select(k, "file")
+
+    def compact_record_index(
+        self, spark: SparkSession, max_records_per_file: int = 5_000_000
+    ) -> str | None:
+        """Fold the delta runs into fresh key-sorted base segments,
+        dropping entries whose host file left the live set — one
+        distributed pass over O(index) slim rows, no data-file I/O.
+        Published as a metadata commit; older snapshots keep their own
+        registrations (segments are immutable, clean() reclaims).
+        No index or nothing to fold → None."""
+        import pandas as pd
+
+        from hudi_glue_spark.table import record_index as RI
+
+        man = M.read_manifest(self.path)
+        if man is None:
+            return None
+        reg = (man.stats or {}).get("record_index")
+        if reg is None or not reg.get("deltas"):
+            return None
+        k = reg["key"]
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        kfield = next(f for f in schema.fields if f.name == k)
+        names = sorted({**reg["base"], **reg["deltas"]})
+        ent = RI.entries_df(spark, self.path, names, kfield)
+        live = spark.createDataFrame(
+            pd.DataFrame({"file": list(man.files) or []}, dtype=object),
+            schema="file string",
+        )
+        folded = (
+            ent.join(live, on="file", how="left_semi")
+            .select(k, "file")
+            .distinct()
+            .select(F.col(k), F.col("file"), F.lit(0).cast("long").alias("seq"))
+        )
+        cid = M.child_id(man.commit_id)
+        spans = RI.write_entries(
+            folded, self.path, cid, k, max_records_per_file
+        )
+        new_reg = {"key": k, "seq": 1, "base": spans, "deltas": {}}
+        self._commit(
+            "record_index_compact",
+            man.files_arrow(),
+            schema,
+            rows=0,
+            cid=cid,
+            extra_stats={"record_index": new_reg},
+            base=man,
+            touched=set(),
+            new_files=[],
+        )
+        return self.commits()[-1]
 
     def partitions_df(self, spark: SparkSession, at: str | None = None) -> DataFrame:
         """Per-partition rollup of the snapshot's metadata — the
@@ -1570,7 +1854,16 @@ class KeyedTable:
         if isinstance(keys, DataFrame):
             spark = keys.sparkSession
             keys_df = keys.select(self.key).dropDuplicates()
-            cand, key_list = man.files, None
+            key_list = None
+            # record index (when built): one distributed join tags the
+            # host files, so a DataFrame-shaped delete scans only them
+            cand = (
+                self.files_hosting_keys(spark, keys_df)
+                if len(self.key) == 1
+                else None
+            )
+            if cand is None:
+                cand = man.files
         else:
             if len(self.key) != 1:
                 raise ValueError(
@@ -1793,11 +2086,19 @@ class KeyedTable:
         return self.commits()[-1]
 
     def _dv_prune_files(self, man, key_list: list) -> list[str]:
-        """Candidate host files for the given key values: bloom-pruned
-        (no false negatives) intersected with key-stats range pruning
-        when the key is in ``stats_cols`` — each a superset of the true
-        hosts, so the intersection is too."""
-        cand = self.files_with_keys(key_list)
+        """Candidate host files for the given key values: record-index
+        hosts when registered (else bloom-pruned — no false negatives
+        either way) intersected with key-stats range pruning when the
+        key is in ``stats_cols`` — each a superset of the true hosts,
+        so the intersection is too."""
+        spark = SparkSession.getActiveSession()
+        cand = (
+            self.files_hosting_keys(spark, key_list)
+            if spark is not None
+            else None
+        )
+        if cand is None:
+            cand = self.files_with_keys(key_list)
         if self.stats_cols and self.key[0] in self.stats_cols:
             cand = sorted(
                 set(cand) & set(self.files_isin(self.key[0], key_list))
@@ -2014,6 +2315,16 @@ class KeyedTable:
             if len(ks) <= self.DV_KEY_PRUNE_CAP:
                 pruned = set(self._dv_prune_files(man, ks))
                 files = [f for f in files if f in pruned]
+            else:
+                # over the driver cap: the record index (when built)
+                # tags candidates with ONE distributed join — the
+                # 100M-key backfill shape no driver-side probe survives
+                hosts = self.files_hosting_keys(
+                    best.sparkSession, best.select(self.key[0])
+                )
+                if hosts is not None:
+                    hs = set(hosts)
+                    files = [f for f in files if f in hs]
         return files
 
     def drop_partitions(self, dirnames: list[str]) -> str:
@@ -2343,6 +2654,31 @@ class KeyedTable:
         for fn in DVB.list_blobs(self.path):
             if fn not in ref_dvs:
                 problems.append(f"orphan DV blob (cleanable): {fn}")
+        # record index: every registered segment exists; unreferenced
+        # segments are cleanable orphans
+        from hudi_glue_spark.table import record_index as RI
+
+        ref_rli: set[str] = set()
+        for cid in self.commits():
+            r = (
+                (M.read_manifest(self.path, cid).stats or {})
+            ).get("record_index")
+            if r:
+                regd = {**(r.get("base") or {}), **(r.get("deltas") or {})}
+                for seg in regd:
+                    ref_rli.add(seg)
+                    if not os.path.isfile(
+                        os.path.join(RI.rli_dir(self.path), seg)
+                    ):
+                        problems.append(
+                            f"commit {cid}: missing record-index "
+                            f"segment {seg}"
+                        )
+        for fn in RI.list_segments(self.path):
+            if fn not in ref_rli:
+                problems.append(
+                    f"orphan record-index segment (cleanable): {fn}"
+                )
         # the inverse: live files that SHOULD carry a sidecar but don't
         # (never wrong — read_keys keeps sidecar-less files — but it
         # means point lookups degrade to full scans; surface it)
@@ -2680,6 +3016,15 @@ class KeyedTable:
                     if (man.stats or {}).get("vector_index") is not None
                     else {}
                 ),
+                # same rule for the record index: the target's
+                # registration (its segments are referenced by the
+                # still-present target commit, so clean() keeps them);
+                # registrations added after the target are dropped
+                **(
+                    {"record_index": (man.stats or {}).get("record_index")}
+                    if (man.stats or {}).get("record_index") is not None
+                    else {}
+                ),
             },
             # a sharded target's shards are reused wholesale (file sets
             # identical) — the rollback copies ZERO per-file metadata;
@@ -3002,7 +3347,26 @@ class KeyedTable:
             if fn not in all_dvs
             and not _grace(os.path.join(DVB.dv_dir(self.path), fn))
         ]
-        if not (drop or orphans or shards or dv_orphans):
+        # record-index segments follow the same lifecycle: orphans are
+        # segments no commit's registration references (failed commits,
+        # dropped/rebuilt indexes); segments of dropped commits are
+        # derived at execute time from their still-present manifests
+        from hudi_glue_spark.table import record_index as RI
+
+        all_rli: set[str] = set()
+        for cid in ids:
+            m = M.read_manifest(self.path, cid)
+            r = ((m.stats or {}) if m else {}).get("record_index")
+            if r:
+                all_rli.update(r.get("base") or {})
+                all_rli.update(r.get("deltas") or {})
+        rli_orphans = [
+            fn
+            for fn in RI.list_segments(self.path)
+            if fn not in all_rli
+            and not _grace(os.path.join(RI.rli_dir(self.path), fn))
+        ]
+        if not (drop or orphans or shards or dv_orphans or rli_orphans):
             return None
         return {
             "planned_at": M.utc_now_iso(),
@@ -3010,6 +3374,7 @@ class KeyedTable:
             "orphans": sorted(orphans),
             "shards": sorted(shards),
             "dvs": sorted(dv_orphans),
+            "rli": sorted(rli_orphans),
         }
 
     def _execute_clean(self, plan: dict) -> list[str]:
@@ -3146,6 +3511,34 @@ class KeyedTable:
         for fn in sorted(dv_claims - live_dvs):
             try:
                 os.unlink(os.path.join(DVB.dv_dir(self.path), fn))
+            except FileNotFoundError:
+                pass
+        # record-index segments: identical protocol (segments unlink
+        # BEFORE the commit JSONs below — crash replay re-derives)
+        from hudi_glue_spark.table import record_index as RI
+
+        live_rli: set[str] = set()
+        for cid in live_now:
+            m = M.read_manifest(self.path, cid)
+            r = ((m.stats or {}) if m else {}).get("record_index")
+            if r:
+                live_rli.update(r.get("base") or {})
+                live_rli.update(r.get("deltas") or {})
+        rli_claims = set(plan.get("rli", []))
+        for cid in plan.get("drop", []):
+            if cid in set(self.savepoints()):
+                continue
+            try:
+                m = M.read_manifest(self.path, cid)
+            except ValueError:
+                continue
+            r = ((m.stats or {}) if m else {}).get("record_index")
+            if r:
+                rli_claims.update(r.get("base") or {})
+                rli_claims.update(r.get("deltas") or {})
+        for fn in sorted(rli_claims - live_rli):
+            try:
+                os.unlink(os.path.join(RI.rli_dir(self.path), fn))
             except FileNotFoundError:
                 pass
         for cid in drop:
@@ -3403,6 +3796,30 @@ class KeyedTable:
                 }
             except M.ConcurrentCommitError:
                 summary["recluster_skipped"] = "lost commit race"
+        # record index: fold stacked delta runs (each point lookup
+        # opens every run intersecting its span — a pure metadata-size
+        # policy, same spirit as the shard-compaction bound), and
+        # rebuild an index a rebase had to drop
+        reg = self.record_index_info()
+        man2 = M.read_manifest(self.path)
+        if reg is not None and len(reg.get("deltas") or {}) >= (
+            self.RLI_COMPACT_MIN_DELTAS
+        ):
+            try:
+                cid = self.compact_record_index(spark)
+                if cid is not None:
+                    summary["record_index_compacted"] = cid
+            except M.ConcurrentCommitError:
+                summary["rli_compact_skipped"] = "lost commit race"
+        elif reg is None and man2 is not None and (
+            (man2.stats or {}).get("record_index_dropped")
+        ):
+            try:
+                summary["record_index_rebuilt"] = self.build_record_index(
+                    spark
+                )
+            except (M.ConcurrentCommitError, ValueError):
+                summary["rli_rebuild_skipped"] = "lost commit race"
         removed = self.clean(
             retain_commits=retain_commits, orphan_grace_s=orphan_grace_s
         )
@@ -4027,6 +4444,20 @@ class KeyedTable:
             frows = {f: v for f, v in pending_rows.items() if f in live}
             fblooms = {f: v for f, v in pending_blooms.items() if f in live}
             fbytes = {f: v for f, v in pending_bytes.items() if f in live}
+        commit_id = cid or M.next_commit_id(self.path)
+        # Record-index carry: ONE central rule for every op — when the
+        # parent registers an index and this commit didn't set its own
+        # registration, append a delta run covering exactly the files
+        # this commit wrote (the pending-stats keys — the same source
+        # the manifest's O(delta) metadata uses, so no op can forget
+        # the index). Unmaintainable → drop honestly with a marker.
+        reg = prev_stats.get("record_index")
+        if reg is not None and "record_index" not in stats:
+            adv = self._rli_advance(reg, sorted(frows), commit_id, schema)
+            if adv is not None:
+                stats["record_index"] = adv
+            else:
+                stats["record_index_dropped"] = op
         # Deletion vectors carry forward like retired columns: a file
         # still live in this commit keeps its mask (rewritten/dropped
         # files shed theirs — a rewrite read the masked view, so the
@@ -4053,7 +4484,7 @@ class KeyedTable:
                     k: carried_dvs[k] for k, m in zip(keys, mask) if m
                 }
         man = M.Manifest(
-            commit_id=cid or M.next_commit_id(self.path),
+            commit_id=commit_id,
             op=op,
             ts=M.utc_now_iso(),
             files=files_in,
@@ -4374,7 +4805,26 @@ class KeyedTable:
                     M.carried_files_arrow(head, touched), new_files
                 ),
                 schema_json=my_schema,
-                stats={**my_stats, "rebased_onto": head.commit_id},
+                # the record index CANNOT survive a rebase: my delta was
+                # sequenced against my base, rivals appended their own
+                # deltas against theirs — neither registration covers
+                # both sides' new files. Drop honestly (marker for
+                # maintenance to rebuild) rather than publish an index
+                # with false negatives.
+                stats={
+                    **{
+                        s: v
+                        for s, v in my_stats.items()
+                        if s != "record_index"
+                    },
+                    **(
+                        {"record_index_dropped": "occ_rebase"}
+                        if "record_index" in my_stats
+                        or (head.stats or {}).get("record_index") is not None
+                        else {}
+                    ),
+                    "rebased_onto": head.commit_id,
+                },
                 file_stats=fstats,
                 file_rows=frows,
                 file_blooms=fblooms,

@@ -597,7 +597,8 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
                 if rng.random() < 0.5:
                     threading.Event().wait(rng.random() * 0.2)
         except Exception as e:  # surfaced after join
-            errors.append(e)
+            import traceback
+            errors.append(traceback.format_exc() or str(e))
 
     def service():
         rng = random.Random(99 * seed)
@@ -617,7 +618,8 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
                     orphan_grace_s=300.0,
                 )
         except Exception as e:
-            errors.append(e)
+            import traceback
+            errors.append(traceback.format_exc() or str(e))
 
     def dv_writer():
         """Merge-on-read DML under concurrency: keys 9000..9014 are
@@ -648,7 +650,8 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
                     threading.Event().wait(rng.random() * 0.2)
             with_retry(lambda: t.delete_dv([9000, 9001, 9002]))
         except Exception as e:
-            errors.append(e)
+            import traceback
+            errors.append(traceback.format_exc() or str(e))
 
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
     threads.append(threading.Thread(target=service))
@@ -899,7 +902,8 @@ def test_multi_writer_stress_with_rebase(spark, tmp_path):
                 if rng.random() < 0.5:
                     threading.Event().wait(rng.random() * 0.1)
         except Exception as e:
-            errors.append(e)
+            import traceback
+            errors.append(traceback.format_exc() or str(e))
 
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
     for th in threads:

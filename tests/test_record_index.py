@@ -1,0 +1,291 @@
+"""Record-level index (key → file): build, central per-commit
+maintenance, pruning-superset lookups, compaction, lifecycle
+(rollback / rebase-drop / clean GC / validate), and integration with
+read_keys and the DV DML probes.
+
+The load-bearing invariant everywhere: every live row's (key, host
+file) pair is present in some registered segment, so lookups filtered
+to live files are a SUPERSET of the true hosts — pruning, never
+correctness. ↦ Hudi 1.0 metadata-table record_index; the reference
+relies on the same tagging implicitly via hoodie upsert
+(glue/HudiJarGlueJob.py:83)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_glue_spark.table import KeyedTable
+from hudi_glue_spark.table import manifest as M
+from hudi_glue_spark.table import record_index as RI
+from hudi_glue_spark.table.keyed_table import EVENT_TIME_WINS
+
+
+def _mk(spark, root, n=400, **kw) -> KeyedTable:
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="pk",
+        precombine="ts",
+        partition_by="part",
+        policy=EVENT_TIME_WINS,
+        stats_cols=["pk", "ts"],
+        key_bloom=True,
+        **kw,
+    )
+    base = spark.range(0, n).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).alias("val"),
+    )
+    tbl.bulk_insert(base)
+    return tbl
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _hosts(tbl, spark, keys):
+    got = tbl.files_hosting_keys(spark, keys)
+    assert got is not None
+    return got
+
+
+def _true_hosts(tbl, spark, keys):
+    k = tbl.key[0]
+    man = M.read_manifest(tbl.path)
+    df = tbl._positioned_read(spark, man, man.files, columns=[k])
+    return {
+        r["__file"]
+        for r in df.filter(F.col(k).isin(keys))
+        .select("__file")
+        .distinct()
+        .collect()
+    }
+
+
+def test_build_and_point_lookup(spark):
+    t = _mk(spark, "/tmp/rli_build")
+    assert t.record_index_info() is None
+    assert t.files_hosting_keys(spark, [1]) is None  # no index -> fallback
+    t.build_record_index(spark)
+    reg = t.record_index_info()
+    assert reg is not None and reg["base"] and not reg["deltas"]
+    # superset + tightness: the index names exactly the true host here
+    hosts = _hosts(t, spark, [7])
+    assert set(hosts) >= _true_hosts(t, spark, [7])
+    assert len(hosts) < M.read_manifest(t.path).n_files
+    # locate_keys agrees and read_keys returns the rows
+    loc = {tuple(r) for r in t.locate_keys(spark, [7, 8, 9999]).collect()}
+    assert {p for p, _f in loc} == {7, 8}  # miss absent
+    assert t.read_keys(spark, [7, 8]).count() == 2
+    # empty probe
+    assert t.files_hosting_keys(spark, []) == []
+
+
+def test_central_maintenance_across_ops(spark):
+    """Every mutating op advances the index through the _commit hook —
+    no op-specific wiring — and lookups stay supersets throughout."""
+    t = _mk(spark, "/tmp/rli_ops")
+    t.build_record_index(spark)
+
+    # upsert (CoW rewrite): moved rows' new hosts must be found
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "2", 5000, -1), (1000, "0", 1, -5)],
+            "pk long, part string, ts long, val long",
+        )
+    )
+    reg = t.record_index_info()
+    assert reg["deltas"], "upsert must append a delta run"
+    for k in (2, 1000, 7):
+        assert set(_hosts(t, spark, [k])) >= _true_hosts(t, spark, [k])
+    assert t.read_keys(spark, [2]).collect()[0]["val"] == -1
+    assert t.read_keys(spark, [1000]).count() == 1
+
+    # delete (CoW): removed key resolves to no live file
+    t.delete(spark.createDataFrame([(3,)], "pk long"))
+    assert _hosts(t, spark, [3]) == []
+    assert t.read_keys(spark, [3]).count() == 0
+
+    # DV upsert: winners in new files, losers masked — still correct
+    t.upsert_dv(
+        spark.createDataFrame(
+            [(4, "0", 9000, -4)], "pk long, part string, ts long, val long"
+        )
+    )
+    assert set(_hosts(t, spark, [4])) >= _true_hosts(t, spark, [4])
+    got = t.read_keys(spark, [4]).collect()
+    assert len(got) == 1 and got[0]["val"] == -4
+
+    # DV delete: no new files -> registration carries, mask filters
+    t.delete_dv([5])
+    assert t.read_keys(spark, [5]).count() == 0
+    # optimize folds masks; rewritten partitions' rows get new entries
+    t.optimize(spark)
+    for k in (2, 4, 1000):
+        assert set(_hosts(t, spark, [k])) >= _true_hosts(t, spark, [k])
+    assert t.read_keys(spark, [4]).collect()[0]["val"] == -4
+    assert t.read_keys(spark, [5]).count() == 0
+    # every segment the registration names exists; no audit problems
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
+def test_compaction_folds_and_prunes_dead_entries(spark):
+    t = _mk(spark, "/tmp/rli_compact")
+    t.build_record_index(spark)
+    for i in range(3):
+        t.upsert(
+            spark.createDataFrame(
+                [(i * 7, "1", 10_000 + i, -i)],
+                "pk long, part string, ts long, val long",
+            )
+        )
+    reg = t.record_index_info()
+    assert len(reg["deltas"]) == 3
+    before = {k: _hosts(t, spark, [k]) for k in (0, 7, 14, 21, 399)}
+    assert t.compact_record_index(spark) is not None
+    reg2 = t.record_index_info()
+    assert reg2["deltas"] == {} and reg2["base"]
+    for k, hosts in before.items():
+        got = _hosts(t, spark, [k])
+        assert set(got) >= _true_hosts(t, spark, [k])
+        assert set(got) <= set(hosts)  # folding only removes dead refs
+    # nothing to fold -> None
+    assert t.compact_record_index(spark) is None
+
+
+def test_rli_rollback_and_clean_lifecycle(spark):
+    t = _mk(spark, "/tmp/rli_lifecycle")
+    t.build_record_index(spark)
+    c_idx = t.commits()[-1]
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "2", 5000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    reg_after = t.record_index_info()
+    # rollback to the index commit restores ITS registration exactly
+    t.rollback(c_idx)
+    assert t.record_index_info() == t.record_index_info(at=c_idx)
+    assert t.record_index_info() != reg_after
+    assert set(_hosts(t, spark, [2])) >= _true_hosts(t, spark, [2])
+    # rollback to the pre-index commit drops the registration
+    t.rollback(t.commits()[0])
+    assert t.record_index_info() is None
+    # rebuild, mutate, compact, then clean: orphaned segments reclaimed,
+    # registered ones survive
+    t.build_record_index(spark)
+    t.upsert(
+        spark.createDataFrame(
+            [(9, "1", 7000, -9)], "pk long, part string, ts long, val long"
+        )
+    )
+    t.compact_record_index(spark)
+    n_before = len(RI.list_segments(t.path))
+    t.clean(retain_commits=1)
+    kept = set(RI.list_segments(t.path))
+    reg = t.record_index_info()
+    assert set(reg["base"]) <= kept
+    assert len(kept) < n_before  # pre-compaction segments reclaimed
+    assert set(_hosts(t, spark, [9])) >= _true_hosts(t, spark, [9])
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
+def test_rli_guards_and_duplicates(spark):
+    # composite key refused
+    shutil.rmtree("/tmp/rli_comp", ignore_errors=True)
+    t = KeyedTable(
+        "/tmp/rli_comp", key=["pk", "part"], precombine="ts"
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, "a", 1, 1)], "pk long, part string, ts long, val long"
+        )
+    )
+    with pytest.raises(ValueError, match="single-column"):
+        t.build_record_index(spark)
+    # duplicate keys (bulk_insert dedupe=False): ALL hosts found
+    shutil.rmtree("/tmp/rli_dup", ignore_errors=True)
+    t2 = KeyedTable(
+        "/tmp/rli_dup",
+        key="pk",
+        precombine="ts",
+        partition_by="part",
+        stats_cols=["pk", "ts"],
+        key_bloom=True,
+    )
+    base = spark.range(0, 400).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).alias("val"),
+    )
+    dup = spark.createDataFrame(
+        [(7, "0", 50_000, -70)], "pk long, part string, ts long, val long"
+    )
+    t2.bulk_insert(base.unionByName(dup), dedupe=False)  # pk=7 twice
+    t2.build_record_index(spark)
+    hosts = _hosts(t2, spark, [7])
+    assert set(hosts) >= _true_hosts(t2, spark, [7])
+    assert len(_true_hosts(t2, spark, [7])) == 2
+    assert t2.read_keys(spark, [7]).count() == 2
+    # drop: unregistered; files_hosting_keys falls back to None
+    t2.drop_record_index()
+    assert t2.record_index_info() is None
+    assert t2.files_hosting_keys(spark, [7]) is None
+    assert t2.read_keys(spark, [7]).count() == 2  # bloom path still works
+
+
+def test_rli_dropped_on_occ_rebase_and_rebuilt_by_maintenance(
+    spark, tmp_path, monkeypatch
+):
+    """An OCC loser's rebase cannot carry EITHER side's registration
+    (each covers only its own new files) — the rebased commit drops the
+    index with a marker, lookups fall back to blooms, and
+    run_maintenance rebuilds from the marker."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from tests.test_lifecycle import _rival_during_write
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    root = str(tmp_path / "rli_rebase")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="partition",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 4}", v=0.0, ts=ts(1)) for i in range(40)]
+        )
+    )
+    t.build_record_index(spark)
+    rival_batch = spark.createDataFrame(
+        [Row(id=100 + i, grp="g1", v=9.0, ts=ts(2)) for i in range(5)]
+    )
+    orig = _rival_during_write(monkeypatch, spark, root, rival_batch)
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [Row(id=200 + i, grp="g0", v=5.0, ts=ts(2)) for i in range(5)]
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+    head = M.read_manifest(root)
+    assert "rebased_onto" in (head.stats or {})
+    assert (head.stats or {}).get("record_index") is None
+    assert (head.stats or {}).get("record_index_dropped") == "occ_rebase"
+    assert t.files_hosting_keys(spark, [0]) is None  # honest: no index
+    assert t.read_keys(spark, [204]).count() == 1  # bloom fallback works
+    summary = t.run_maintenance(spark)
+    assert "record_index_rebuilt" in summary
+    assert set(_hosts(t, spark, [204])) >= _true_hosts(t, spark, [204])
+    assert set(_hosts(t, spark, [100])) >= _true_hosts(t, spark, [100])
