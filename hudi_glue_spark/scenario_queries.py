@@ -2257,3 +2257,56 @@ def q_record_index_dv_backfill(spark, sf_dir):
         F.lit(True).alias("no_rewrite"),
         F.lit(advanced).alias("rli_advanced"),
     )
+
+
+@query(
+    "secondary_index_user_lookup",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts,
+           TRUE AS sec_index_used, TRUE AS sec_index_maintained FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u WHERE src <= 1
+    ) WHERE rn = 1 AND user_id IN (3, 41, 97)
+    """,
+)
+def q_secondary_index_user_lookup(spark, sf_dir):
+    """SECONDARY column index (keyed_table.py build_column_index /
+    files_hosting_values — Hudi 1.0 secondary-index parity): the
+    events table is keyed by event_id, so "all events of user X" can't
+    prune by key blooms, and user_id min/max stats are useless (every
+    file spans most users — scattered values). The value→file index
+    resolves exact live hosts; it is maintained across a CoW upsert by
+    the same central `_commit` hook as the record index (asserted: a
+    delta run appended), and `read_isin` composes it with stats
+    pruning. Hash-checked against the window-dedup oracle restricted
+    to the probed users."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_secidx_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+        stats_cols=["event_id", "ts"],
+        key_bloom=True,
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    tbl.build_column_index(spark, "user_id")
+    tbl.upsert(b1.select(_COLS))  # clicks rewritten -> delta run
+
+    users = [3, 41, 97]
+    reg = tbl.column_index_info("user_id")
+    maintained = reg is not None and len(reg.get("deltas") or {}) >= 1
+    hosts = tbl.files_hosting_values(spark, "user_id", users)
+    used = hosts is not None
+
+    return tbl.read_isin(spark, "user_id", users).select(
+        *_COLS,
+        F.lit(used).alias("sec_index_used"),
+        F.lit(maintained).alias("sec_index_maintained"),
+    )

@@ -714,6 +714,12 @@ class KeyedTable:
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
         keep = self.files_isin(col, values)
+        # a secondary column index prunes scattered values min/max
+        # stats can't; both are host supersets, so intersect
+        hosts = self.files_hosting_values(spark, col, list(values))
+        if hosts is not None:
+            hs = set(hosts)
+            keep = [f for f in keep if f in hs]
         schema = StructType.fromJson(json.loads(man.schema_json))
         cond = F.col(col).isin(list(values))
         if not keep:
@@ -890,13 +896,13 @@ class KeyedTable:
         rule every index here follows)."""
         from hudi_glue_spark.table import record_index as RI
 
+        if reg["key"] not in {f.name for f in schema.fields}:
+            return None  # indexed column gone from the committed schema
         if not new_names:
             return dict(reg)  # metadata-only commit: carry unchanged
         spark = SparkSession.getActiveSession()
         if spark is None:
             return None
-        if reg["key"] not in {f.name for f in schema.fields}:
-            return None  # key column gone from the committed schema
         try:
             ent = self._rli_entries_for_files(
                 spark, new_names, int(reg["seq"]), reg["key"], schema
@@ -917,17 +923,36 @@ class KeyedTable:
         values (one distributed join — the upsert-tagging shape).
         Returns None when no index is registered (callers fall back to
         the bloom probe)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from hudi_glue_spark.table import record_index as RI
-
         man = M.read_manifest(self.path)
         if man is None:
             return None
         reg = (man.stats or {}).get("record_index")
         if reg is None:
             return None
+        return self._index_hosts(spark, man, reg, keys)
+
+    def files_hosting_values(
+        self, spark: SparkSession, col: str, values
+    ) -> list[str] | None:
+        """:meth:`files_hosting_keys` for a SECONDARY column index
+        (:meth:`build_column_index`) — live files that may hold any of
+        ``values`` in ``col``. None when ``col`` has no index."""
+        man = M.read_manifest(self.path)
+        if man is None:
+            return None
+        reg = ((man.stats or {}).get("column_indexes") or {}).get(col)
+        if reg is None:
+            return None
+        return self._index_hosts(spark, man, reg, values)
+
+    def _index_hosts(
+        self, spark: SparkSession, man, reg: dict, keys
+    ) -> list[str]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from hudi_glue_spark.table import record_index as RI
+
         k = reg["key"]
         schema = StructType.fromJson(json.loads(man.schema_json))
         kfield = next(f for f in schema.fields if f.name == k)
@@ -1050,6 +1075,154 @@ class KeyedTable:
             new_files=[],
         )
         return self.commits()[-1]
+
+    # -- secondary column indexes (value → file; Hudi 1.0 parity) ----------
+
+    def column_index_info(self, col: str, at: str | None = None) -> dict | None:
+        man = M.read_manifest(self.path, at)
+        if man is None:
+            return None
+        return ((man.stats or {}).get("column_indexes") or {}).get(col)
+
+    def build_column_index(
+        self,
+        spark: SparkSession,
+        col: str,
+        max_records_per_file: int = 5_000_000,
+    ) -> str:
+        """SECONDARY index: the record-index machinery pointed at an
+        arbitrary column (Hudi 1.0 secondary-index parity) —
+        value-sorted ``(value, file, seq)`` segments, the same
+        registration/lifecycle (central per-commit deltas, rollback
+        restore, rebase drop, clean GC, maintenance fold), and the same
+        pruning-superset lookup (:meth:`files_hosting_values`,
+        preferred by :meth:`read_isin`). Min/max stats can't prune
+        scattered low-cardinality-per-file values (every file spans
+        most user_ids); the index can — the "find this user's events in
+        a table keyed by event_id" shape at 100 TB."""
+        from hudi_glue_spark.table import record_index as RI
+
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(f"no such column {col!r}")
+        src = self._positioned_read(spark, man, man.files, columns=[col])
+        ent = src.select(
+            F.col(col),
+            F.col("__file").alias("file"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+        cid = M.child_id(man.commit_id)
+        spans = RI.write_entries(
+            ent, self.path, cid, col, max_records_per_file
+        )
+        prev_ci = (man.stats or {}).get("column_indexes") or {}
+        reg = {"key": col, "seq": 1, "base": spans, "deltas": {}}
+        self._commit(
+            "column_index",
+            man.files_arrow(),
+            schema,
+            rows=0,
+            cid=cid,
+            extra_stats={"column_indexes": {**prev_ci, col: reg}},
+            base=man,
+            touched=set(),
+            new_files=[],
+        )
+        return self.commits()[-1]
+
+    def drop_column_index(self, col: str) -> str | None:
+        man = M.read_manifest(self.path)
+        prev_ci = ((man.stats or {}) if man else {}).get("column_indexes") or {}
+        if col not in prev_ci:
+            return None
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        self._commit(
+            "drop_column_index",
+            man.files_arrow(),
+            schema,
+            rows=0,
+            extra_stats={
+                "column_indexes": {
+                    c: r for c, r in prev_ci.items() if c != col
+                }
+            },
+            base=man,
+            touched=set(),
+            new_files=[],
+        )
+        return self.commits()[-1]
+
+    def compact_column_index(
+        self,
+        spark: SparkSession,
+        col: str,
+        max_records_per_file: int = 5_000_000,
+    ) -> str | None:
+        """:meth:`compact_record_index` for one secondary index; other
+        registrations carry through the commit untouched."""
+        import pandas as pd
+
+        from hudi_glue_spark.table import record_index as RI
+
+        man = M.read_manifest(self.path)
+        if man is None:
+            return None
+        prev_ci = (man.stats or {}).get("column_indexes") or {}
+        reg = prev_ci.get(col)
+        if reg is None or not reg.get("deltas"):
+            return None
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        kfield = next(f for f in schema.fields if f.name == col)
+        names = sorted({**reg["base"], **reg["deltas"]})
+        ent = RI.entries_df(spark, self.path, names, kfield)
+        live = spark.createDataFrame(
+            pd.DataFrame({"file": list(man.files) or []}, dtype=object),
+            schema="file string",
+        )
+        folded = (
+            ent.join(live, on="file", how="left_semi")
+            .select(col, "file")
+            .distinct()
+            .select(
+                F.col(col), F.col("file"), F.lit(0).cast("long").alias("seq")
+            )
+        )
+        cid = M.child_id(man.commit_id)
+        spans = RI.write_entries(
+            folded, self.path, cid, col, max_records_per_file
+        )
+        new_reg = {"key": col, "seq": 1, "base": spans, "deltas": {}}
+        self._commit(
+            "column_index_compact",
+            man.files_arrow(),
+            schema,
+            rows=0,
+            cid=cid,
+            extra_stats={"column_indexes": {**prev_ci, col: new_reg}},
+            base=man,
+            touched=set(),
+            new_files=[],
+        )
+        return self.commits()[-1]
+
+    @staticmethod
+    def _index_segment_names(stats: dict | None) -> set[str]:
+        """Every ``_rli/`` segment a commit's registrations reference
+        (record index + all column indexes) — the lifecycle unit
+        clean()/validate() track."""
+        s = stats or {}
+        regs = []
+        if s.get("record_index"):
+            regs.append(s["record_index"])
+        regs += [r for r in (s.get("column_indexes") or {}).values() if r]
+        out: set[str] = set()
+        for r in regs:
+            out.update(r.get("base") or {})
+            out.update(r.get("deltas") or {})
+        return out
 
     def partitions_df(self, spark: SparkSession, at: str | None = None) -> DataFrame:
         """Per-partition rollup of the snapshot's metadata — the
@@ -2660,20 +2833,16 @@ class KeyedTable:
 
         ref_rli: set[str] = set()
         for cid in self.commits():
-            r = (
-                (M.read_manifest(self.path, cid).stats or {})
-            ).get("record_index")
-            if r:
-                regd = {**(r.get("base") or {}), **(r.get("deltas") or {})}
-                for seg in regd:
-                    ref_rli.add(seg)
-                    if not os.path.isfile(
-                        os.path.join(RI.rli_dir(self.path), seg)
-                    ):
-                        problems.append(
-                            f"commit {cid}: missing record-index "
-                            f"segment {seg}"
-                        )
+            for seg in self._index_segment_names(
+                M.read_manifest(self.path, cid).stats
+            ):
+                ref_rli.add(seg)
+                if not os.path.isfile(
+                    os.path.join(RI.rli_dir(self.path), seg)
+                ):
+                    problems.append(
+                        f"commit {cid}: missing index segment {seg}"
+                    )
         for fn in RI.list_segments(self.path):
             if fn not in ref_rli:
                 problems.append(
@@ -3016,13 +3185,18 @@ class KeyedTable:
                     if (man.stats or {}).get("vector_index") is not None
                     else {}
                 ),
-                # same rule for the record index: the target's
-                # registration (its segments are referenced by the
+                # same rule for the record/column indexes: the target's
+                # registrations (their segments are referenced by the
                 # still-present target commit, so clean() keeps them);
                 # registrations added after the target are dropped
                 **(
                     {"record_index": (man.stats or {}).get("record_index")}
                     if (man.stats or {}).get("record_index") is not None
+                    else {}
+                ),
+                **(
+                    {"column_indexes": (man.stats or {}).get("column_indexes")}
+                    if (man.stats or {}).get("column_indexes")
                     else {}
                 ),
             },
@@ -3356,10 +3530,7 @@ class KeyedTable:
         all_rli: set[str] = set()
         for cid in ids:
             m = M.read_manifest(self.path, cid)
-            r = ((m.stats or {}) if m else {}).get("record_index")
-            if r:
-                all_rli.update(r.get("base") or {})
-                all_rli.update(r.get("deltas") or {})
+            all_rli |= self._index_segment_names((m.stats if m else None))
         rli_orphans = [
             fn
             for fn in RI.list_segments(self.path)
@@ -3520,10 +3691,7 @@ class KeyedTable:
         live_rli: set[str] = set()
         for cid in live_now:
             m = M.read_manifest(self.path, cid)
-            r = ((m.stats or {}) if m else {}).get("record_index")
-            if r:
-                live_rli.update(r.get("base") or {})
-                live_rli.update(r.get("deltas") or {})
+            live_rli |= self._index_segment_names((m.stats if m else None))
         rli_claims = set(plan.get("rli", []))
         for cid in plan.get("drop", []):
             if cid in set(self.savepoints()):
@@ -3532,10 +3700,7 @@ class KeyedTable:
                 m = M.read_manifest(self.path, cid)
             except ValueError:
                 continue
-            r = ((m.stats or {}) if m else {}).get("record_index")
-            if r:
-                rli_claims.update(r.get("base") or {})
-                rli_claims.update(r.get("deltas") or {})
+            rli_claims |= self._index_segment_names((m.stats if m else None))
         for fn in sorted(rli_claims - live_rli):
             try:
                 os.unlink(os.path.join(RI.rli_dir(self.path), fn))
@@ -3820,6 +3985,28 @@ class KeyedTable:
                 )
             except (M.ConcurrentCommitError, ValueError):
                 summary["rli_rebuild_skipped"] = "lost commit race"
+        # secondary indexes: same fold/rebuild policy per column
+        head_stats = (man2.stats or {}) if man2 else {}
+        ci = head_stats.get("column_indexes") or {}
+        for c, r in ci.items():
+            if len(r.get("deltas") or {}) >= self.RLI_COMPACT_MIN_DELTAS:
+                try:
+                    cid = self.compact_column_index(spark, c)
+                    if cid is not None:
+                        summary.setdefault(
+                            "column_index_compacted", []
+                        ).append(c)
+                except M.ConcurrentCommitError:
+                    summary["ci_compact_skipped"] = "lost commit race"
+        dropped_cols = head_stats.get("column_indexes_dropped") or []
+        for c in dropped_cols:
+            if c in ci:
+                continue
+            try:
+                self.build_column_index(spark, c)
+                summary.setdefault("column_index_rebuilt", []).append(c)
+            except (M.ConcurrentCommitError, ValueError):
+                summary["ci_rebuild_skipped"] = "lost commit race"
         removed = self.clean(
             retain_commits=retain_commits, orphan_grace_s=orphan_grace_s
         )
@@ -4239,9 +4426,24 @@ class KeyedTable:
         # Global key scope: an update may move a key across partitions
         # (the reference's day=1 batch rewrites the partition column
         # itself, glue/NYTaxiDataPrep.py:47) — old hosts must be
-        # rewritten. The probe ships only distinct keys (broadcast-sized
-        # for incremental batches; AQE picks broadcast for the semi-join).
-        # Both partition sets come back in ONE job/collect.
+        # rewritten. With a record index the old hosts come from ONE
+        # index join (O(index) slim rows) + metadata partition-of,
+        # instead of a key-column scan of the whole table per commit —
+        # the Hudi record-index tagging win at 100 TB. Superset-safe:
+        # extra candidate partitions rewrite unchanged rows; a missed
+        # one is impossible (every live row's host is indexed).
+        if len(self.key) == 1:
+            hosts = self.files_hosting_keys(
+                batch.sparkSession,
+                batch.select(self.key[0]).dropDuplicates(),
+            )
+            if hosts is not None:
+                return {self._dirname(r) for r in batch_parts.collect()} | {
+                    d for f in hosts if (d := M.partition_of(f))
+                }
+        # No index: the probe ships only distinct keys (broadcast-sized
+        # for incremental batches; AQE picks broadcast for the
+        # semi-join). Both partition sets come back in ONE job/collect.
         old_parts = (
             existing.join(
                 batch.select(self.key).dropDuplicates(), on=self.key, how="left_semi"
@@ -4458,6 +4660,22 @@ class KeyedTable:
                 stats["record_index"] = adv
             else:
                 stats["record_index_dropped"] = op
+        # secondary column indexes: same rule, one delta run per index
+        # (each an O(delta) single-column scan of the new files)
+        prev_ci = prev_stats.get("column_indexes") or {}
+        if prev_ci and "column_indexes" not in stats:
+            new_ci: dict = {}
+            ci_dropped: list = []
+            for c, r in prev_ci.items():
+                adv = self._rli_advance(r, sorted(frows), commit_id, schema)
+                if adv is not None:
+                    new_ci[c] = adv
+                else:
+                    ci_dropped.append(c)
+            if new_ci:
+                stats["column_indexes"] = new_ci
+            if ci_dropped:
+                stats["column_indexes_dropped"] = sorted(ci_dropped)
         # Deletion vectors carry forward like retired columns: a file
         # still live in this commit keeps its mask (rewritten/dropped
         # files shed theirs — a rewrite read the masked view, so the
@@ -4815,12 +5033,30 @@ class KeyedTable:
                     **{
                         s: v
                         for s, v in my_stats.items()
-                        if s != "record_index"
+                        if s not in ("record_index", "column_indexes")
                     },
                     **(
                         {"record_index_dropped": "occ_rebase"}
                         if "record_index" in my_stats
                         or (head.stats or {}).get("record_index") is not None
+                        else {}
+                    ),
+                    **(
+                        {
+                            "column_indexes_dropped": sorted(
+                                {
+                                    *(my_stats.get("column_indexes") or {}),
+                                    *(
+                                        (head.stats or {}).get(
+                                            "column_indexes"
+                                        )
+                                        or {}
+                                    ),
+                                }
+                            )
+                        }
+                        if my_stats.get("column_indexes")
+                        or (head.stats or {}).get("column_indexes")
                         else {}
                     ),
                     "rebased_onto": head.commit_id,

@@ -289,3 +289,100 @@ def test_rli_dropped_on_occ_rebase_and_rebuilt_by_maintenance(
     assert "record_index_rebuilt" in summary
     assert set(_hosts(t, spark, [204])) >= _true_hosts(t, spark, [204])
     assert set(_hosts(t, spark, [100])) >= _true_hosts(t, spark, [100])
+
+
+def test_rli_global_upsert_partition_move(spark):
+    """GLOBAL key scope with an index: the touched-partition probe
+    resolves a cross-partition key move from the index (no table
+    scan) — the old host partition is rewritten, exactly one live row
+    survives, and results match the un-indexed twin."""
+    a = _mk(spark, "/tmp/rli_move_a")  # default key_scope = global
+    b = _mk(spark, "/tmp/rli_move_b")
+    a.build_record_index(spark)
+    # pk=6 lives in part '2' (6 % 4); the update moves it to part '0'
+    batch = spark.createDataFrame(
+        [(6, "0", 99_000, -6)], "pk long, part string, ts long, val long"
+    )
+    a.upsert(batch)
+    b.upsert(batch)
+    assert rows_set(a.read(spark)) == rows_set(b.read(spark))
+    got = a.read(spark).filter("pk = 6").collect()
+    assert len(got) == 1 and got[0]["part"] == "0"
+    # the index resolves the moved key to its new host
+    assert set(_hosts(a, spark, [6])) >= _true_hosts(a, spark, [6])
+    assert a.read_keys(spark, [6]).collect()[0]["val"] == -6
+
+
+def test_column_index_lookup_and_maintenance(spark):
+    """Secondary index on a non-key column: min/max stats can't prune
+    scattered values (every file spans most `val % 10` classes); the
+    column index resolves exact hosts, stays maintained across CoW and
+    MoR DML through the same central hook, folds, and read_isin
+    prefers it."""
+    t = _mk(spark, "/tmp/ci_basic", n=800)
+    # val = pk*2 -> probe a scattered value set
+    t.build_column_index(spark, "val")
+    reg = t.column_index_info("val")
+    assert reg is not None and reg["base"] and reg["key"] == "val"
+    probe = [14, 202, 1598]  # pk 7, 101, 799
+    hosts = t.files_hosting_values(spark, "val", probe)
+    assert hosts is not None and 0 < len(hosts) <= len(probe) + 1
+    got = t.read_isin(spark, "val", probe)
+    assert got.count() == 3
+    assert {r["pk"] for r in got.collect()} == {7, 101, 799}
+
+    # maintenance: CoW upsert rewrites a partition; MoR upsert appends
+    t.upsert(
+        spark.createDataFrame(
+            [(7, "3", 90_000, -777)], "pk long, part string, ts long, val long"
+        )
+    )
+    t.upsert_dv(
+        spark.createDataFrame(
+            [(101, "1", 91_000, -888)],
+            "pk long, part string, ts long, val long",
+        )
+    )
+    reg = t.column_index_info("val")
+    assert len(reg["deltas"]) == 2
+    assert t.read_isin(spark, "val", [-777]).count() == 1
+    assert t.read_isin(spark, "val", [-888]).count() == 1
+    assert t.read_isin(spark, "val", [14, 202]).count() == 0  # old values gone
+    # fold
+    assert t.compact_column_index(spark, "val") is not None
+    assert t.column_index_info("val")["deltas"] == {}
+    assert t.read_isin(spark, "val", [-777, -888, 1598]).count() == 3
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
+def test_column_index_coexists_with_record_index(spark):
+    """Both kinds registered at once: each advances independently per
+    commit, rollback restores both, clean keeps only referenced
+    segments, drop_columns on the indexed column drops ITS index
+    honestly (the record index survives)."""
+    t = _mk(spark, "/tmp/ci_both")
+    t.build_record_index(spark)
+    t.build_column_index(spark, "val")
+    c_both = t.commits()[-1]
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "2", 70_000, -2)], "pk long, part string, ts long, val long"
+        )
+    )
+    assert t.record_index_info()["deltas"]
+    assert t.column_index_info("val")["deltas"]
+    assert t.read_keys(spark, [2]).collect()[0]["val"] == -2
+    assert t.read_isin(spark, "val", [-2]).count() == 1
+
+    t.rollback(c_both)
+    assert t.record_index_info() == t.record_index_info(at=c_both)
+    assert t.column_index_info("val") == t.column_index_info("val", at=c_both)
+    assert t.read_isin(spark, "val", [4]).count() == 1  # pk=2 restored
+
+    # drop_columns("val"): the val index must drop, the key index stays
+    t.drop_columns(["val"])
+    assert t.column_index_info("val") is None
+    assert t.record_index_info() is not None
+    assert t.read_keys(spark, [2]).count() == 1
+    t.clean(retain_commits=1)
+    assert [p for p in t.validate() if "cleanable" not in p] == []
