@@ -615,6 +615,13 @@ class KeyedTable:
                 if (st := man.file_stats.get(f, {}).get(col)) is None
                 or not (st[1] < nlo or st[0] > nhi)
             ]
+        # a secondary index on the column prunes narrow ranges over
+        # scattered values that min/max spans can't; host superset
+        # either way, so intersect
+        hosts = self.files_hosting_range(spark, col, lo, hi)
+        if hosts is not None:
+            hs = set(hosts)
+            keep = [f for f in keep if f in hs]
         schema = StructType.fromJson(json.loads(man.schema_json))
         cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not keep:
@@ -944,6 +951,53 @@ class KeyedTable:
         if reg is None:
             return None
         return self._index_hosts(spark, man, reg, values)
+
+    def files_hosting_range(
+        self, spark: SparkSession, col: str, lo, hi
+    ) -> list[str] | None:
+        """Live files holding any value of ``col`` in ``[lo, hi]``,
+        from the column index — prunes a NARROW range on a SCATTERED
+        column, where per-file min/max spans swallow the range in
+        every file (the case :meth:`read_range` stats pruning can't
+        win). None when ``col`` has no index."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from hudi_glue_spark.table import record_index as RI
+
+        man = M.read_manifest(self.path)
+        if man is None:
+            return None
+        reg = ((man.stats or {}).get("column_indexes") or {}).get(col)
+        if reg is None:
+            return None
+        nlo, nhi = _stat_value(lo), _stat_value(hi)
+        segs = {**(reg.get("base") or {}), **(reg.get("deltas") or {})}
+        names = sorted(
+            n
+            for n, span in segs.items()
+            if span is None
+            or span[0] is None
+            or not (span[1] < nlo or span[0] > nhi)
+        )
+        if not names:
+            return []
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        kfield = next(f for f in schema.fields if f.name == col)
+        ent = RI.entries_df(spark, self.path, names, kfield)
+        hits = [
+            r["file"]
+            for r in ent.filter(F.col(col).between(lo, hi))
+            .select("file")
+            .distinct()
+            .collect()
+        ]
+        if not hits:
+            return []
+        mask = pc.is_in(
+            pa.array(hits, type=pa.string()), value_set=man.files_arrow()
+        ).to_pylist()
+        return sorted(f for f, m in zip(hits, mask) if m)
 
     def _index_hosts(
         self, spark: SparkSession, man, reg: dict, keys

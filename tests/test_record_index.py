@@ -386,3 +386,44 @@ def test_column_index_coexists_with_record_index(spark):
     assert t.read_keys(spark, [2]).count() == 1
     t.clean(retain_commits=1)
     assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
+def test_column_index_range_and_streaming_maintenance(spark):
+    """files_hosting_range prunes a narrow range on a scattered column
+    and read_range composes it; a streaming keyed ingest's per-batch
+    commits advance both index kinds through the same central hook."""
+    import tempfile
+
+    t = _mk(spark, "/tmp/ci_range", n=800)
+    t.build_column_index(spark, "val")
+    hosts = t.files_hosting_range(spark, "val", 100, 104)  # pk 50..52
+    assert hosts is not None and 0 < len(hosts) <= 3
+    got = t.read_range(spark, "val", 100, 104)
+    assert {r["pk"] for r in got.collect()} == {50, 51, 52}
+    assert t.files_hosting_range(spark, "pk", 0, 1) is None  # no index
+
+    # streaming: micro-batch commits ride upsert -> central hook
+    from hudi_glue_spark.streaming.ingest import stream_ingest
+
+    t2 = _mk(spark, "/tmp/ci_stream", n=100)
+    t2.build_record_index(spark)
+    t2.build_column_index(spark, "val")
+    batch = spark.range(100, 140).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        (F.col("id") + 50_000).alias("ts"),
+        (F.col("id") * 3).alias("val"),
+    )
+    with tempfile.TemporaryDirectory() as wd:
+        src_dir = f"{wd}/src"
+        batch.coalesce(1).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(batch.schema).parquet(src_dir)
+        )
+        q = stream_ingest(t2, stream, f"{wd}/ckpt")
+        assert q.awaitTermination(120)
+    assert t2.read(spark).count() == 140
+    assert t2.record_index_info()["deltas"]
+    assert t2.column_index_info("val")["deltas"]
+    assert t2.read_keys(spark, [120]).collect()[0]["val"] == 360
+    assert t2.read_isin(spark, "val", [360]).count() == 1

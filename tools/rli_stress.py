@@ -110,6 +110,24 @@ def main() -> None:
     out["post_compact_probe_s"] = best3(
         lambda: t.files_hosting_keys(spark, probes)
     )
+
+    # secondary-index tier: ts is pk (scattered across every file's
+    # span after hive partitioning by pk%8 — min/max pruning keeps ~all
+    # files for a narrow ts probe); the column index resolves hosts
+    sec_probe = [i * (rows // 16) + 3 for i in range(16)]
+    out["sec_stats_only_files"] = len(t.files_isin("ts", sec_probe))
+    out["sec_read_isin_no_index_s"] = best3(
+        lambda: t.read_isin(spark, "ts", sec_probe).count()
+    )
+    t0 = time.monotonic()
+    t.build_column_index(spark, "ts")
+    out["sec_build_s"] = round(time.monotonic() - t0, 2)
+    out["sec_index_files"] = len(
+        t.files_hosting_values(spark, "ts", sec_probe)
+    )
+    out["sec_read_isin_indexed_s"] = best3(
+        lambda: t.read_isin(spark, "ts", sec_probe).count()
+    )
     print(json.dumps(out, indent=2))
 
 
