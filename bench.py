@@ -53,6 +53,33 @@ PINNED_SUBSET: tuple[str, ...] = (
 )
 
 
+#: Second cross-round comparator (VERDICT r8 #5): the r2 window
+#: under-represents the EXTENSION families (dedup/ANN/DV/index/pipeline
+#: scenarios) where the suite wall now grows. These 25 rows are frozen
+#: at ROUND-8 membership — every name below existed and was timed in
+#: BENCH_r08 — so from r9 on, engine speed on the heavy extension tail
+#: is separable from registry growth in one read, same as the r2 pin.
+PINNED_EXT: tuple[str, ...] = (
+    # deletion-vector scenarios
+    "dv_delete_read", "dv_upsert_scenario", "dv_predicate_dml",
+    "dv_maintenance_fold", "dv_external_engine_read",
+    # ANN / persisted-index paths
+    "ann_recall_audit", "ann_index_maintained_upsert",
+    "knn_ivf_indexed", "knn_lsh_indexed", "keyword_search_indexed",
+    # near-dup / decontamination
+    "dedup_chain_fixpoint", "near_dup_components",
+    "incremental_near_dup_vs_index", "incremental_dedup_vs_corpus",
+    "segment_dedup_reassembled", "benchmark_decontamination",
+    "decontaminated_corpus",
+    # curation pipelines / text features
+    "curation_pipeline_end_to_end", "stream_text_pipeline",
+    "tf_idf_top_terms", "kmeans_embedding_clusters",
+    # multi-commit table-engine scenarios
+    "merge_into_disjoint_rebase", "manifest_relation_read",
+    "stream_cdf_agg_maintenance", "dual_path_read_agreement",
+)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -244,6 +271,8 @@ def main() -> int:
     # inter-round diffing (tools/diff_rounds.py reads it).
     pinned = [n for n in PINNED_SUBSET if n in timings]
     pinned_total = sum(timings[n] for n in pinned)
+    pext = [n for n in PINNED_EXT if n in timings]
+    pext_total = sum(timings[n] for n in pext)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     full_path = os.path.join(
@@ -261,6 +290,12 @@ def main() -> int:
             "wall_seconds": round(pinned_total, 3),
             "sec_per_query": round(pinned_total / max(len(pinned), 1), 3),
             "membership": "r2 driver window, frozen",
+        },
+        "pinned_ext": {
+            "n": len(pext),
+            "wall_seconds": round(pext_total, 3),
+            "sec_per_query": round(pext_total / max(len(pext), 1), 3),
+            "membership": "25 extension rows at r8 membership, frozen",
         },
         "queries": slowest,
         "queries_full_file": os.path.basename(full_path),

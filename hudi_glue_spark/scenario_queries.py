@@ -2018,7 +2018,12 @@ _DVEXT_ROOT = "/tmp/hudi_glue_spark_scn_dvext_" + sf_tag(
     SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
            CAST(ts AS TIMESTAMP) AS ts
     FROM t
-    WHERE NOT EXISTS (
+    WHERE EXISTS (
+      SELECT 1
+      FROM read_parquet('{_DVEXT_ROOT}/_export/head_files.parquet') l
+      WHERE l.file = t.filename
+    )
+    AND NOT EXISTS (
       SELECT 1
       FROM read_parquet('{_DVEXT_ROOT}/_export/head_positions.parquet') d
       WHERE d.file = t.filename AND d.pos = t.file_row_number
@@ -2027,16 +2032,18 @@ _DVEXT_ROOT = "/tmp/hudi_glue_spark_scn_dvext_" + sf_tag(
 )
 def q_dv_external_engine_read(spark, sf_dir):
     """Cross-engine contract for DELETION-VECTOR tables (§2a #5
-    extended): the engine exports the head's dead (file, position)
-    pairs as one parquet (export_masked_positions — the Iceberg
-    position-delete-file idiom), and the ORACLE side is DuckDB
-    physically reconstructing the masked snapshot from the raw data
-    files + that artifact (``filename``/``file_row_number`` anti-join)
-    — no Spark, no manifest code. Both engines must see the identical
-    masked state: deletes done without rewriting a single file are
-    still fully consumable outside the engine. Spark side: ingest,
-    predicate + key-list DV deletes, clean(retain_commits=1) so the
-    physical files ARE the live snapshot, export, masked read."""
+    extended): ``register_external`` AUTO-refreshes the snapshot
+    interchange artifacts — live-file list + dead (file, position)
+    pairs (the Iceberg position-delete-file idiom) — and registers the
+    anti-joined VIEW, so the catalog name yields LOGICAL rows by
+    default (VERDICT r8 ask #7). Spark side reads through that
+    registered view (no manifest read, no clean() prerequisite); the
+    ORACLE side is DuckDB physically reconstructing the same snapshot
+    from the raw data files + the two exported artifacts
+    (``filename``/``file_row_number`` semi/anti-join) — no Spark, no
+    manifest code. Both engines must see the identical masked state:
+    deletes done without rewriting a single file are fully consumable
+    outside the engine."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = f"/tmp/hudi_glue_spark_scn_dvext_{sf_tag(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
@@ -2059,9 +2066,8 @@ def q_dv_external_engine_read(spark, sf_dir):
         .collect()
     ]
     tbl.delete_dv(keys)
-    tbl.clean(retain_commits=1)  # physical files == live snapshot
-    tbl.export_masked_positions()
-    return tbl.read(spark).select(_COLS)
+    tbl.register_external(spark, "kt_dvext_demo")  # refreshes exports
+    return spark.table("kt_dvext_demo").select(_COLS)
 
 
 @query(

@@ -162,14 +162,43 @@ def maybe_contains(bloom: dict, key: str) -> bool:
     return contains_any(bloom, [key])
 
 
+def sidecar_path(data_file_path: str) -> str:
+    """Sidecar location for a data file: HIDDEN (dot-prefixed) next to
+    it — ``part=a/.f1.parquet.bloom`` for ``part=a/f1.parquet``. The
+    dot matters: ``data/`` must stay scannable by ANY engine pointed
+    straight at it (Spark skips ``.``/``_``-prefixed files natively,
+    DuckDB/Trino globs match ``*.parquet`` only), so non-parquet
+    sidecars may never be visible names in a data directory."""
+    d, base = os.path.split(data_file_path)
+    return os.path.join(d, "." + base + SIDECAR_SUFFIX)
+
+
+def is_sidecar(name: str) -> bool:
+    """True for sidecar basenames/relpaths, hidden or legacy layout."""
+    return name.endswith(SIDECAR_SUFFIX)
+
+
+def sidecar_base(rel: str) -> str:
+    """Data-file relpath a sidecar relpath belongs to (inverse of
+    :func:`sidecar_path`, also accepting the pre-r9 unhidden name)."""
+    d, base = os.path.split(rel)
+    base = base[: -len(SIDECAR_SUFFIX)]
+    if base.startswith("."):
+        base = base[1:]
+    return os.path.join(d, base) if d else base
+
+
 def write_sidecar(data_file_path: str, keys: list[str]) -> None:
-    with open(data_file_path + SIDECAR_SUFFIX, "w") as f:
+    with open(sidecar_path(data_file_path), "w") as f:
         json.dump(build(keys), f)
 
 
 def read_sidecar(data_file_path: str) -> dict | None:
-    p = data_file_path + SIDECAR_SUFFIX
+    p = sidecar_path(data_file_path)
     if not os.path.exists(p):
-        return None
+        # pre-r9 layout: unhidden `<file>.bloom` next to the data file
+        p = data_file_path + SIDECAR_SUFFIX
+        if not os.path.exists(p):
+            return None
     with open(p) as f:
         return json.load(f)

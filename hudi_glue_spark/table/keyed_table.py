@@ -183,6 +183,16 @@ class KeyedTable:
     #: so writers never hand-maintain the partition key and every
     #: partition dir provably matches its rows.
     derived_cols: dict | None = None
+    #: indexes this table SHOULD carry — ``{"record_index": bool,
+    #: "columns": [col, ...]}`` — maintained by build_*/drop_* and
+    #: persisted in _meta.json. The OCC-rebase path drops a
+    #: registration it can't keep sound and leaves a ``*_dropped``
+    #: marker in that commit's stats; if another commit lands before
+    #: maintenance runs, the marker is no longer at HEAD and a
+    #: marker-only policy would leave the index unbuilt forever. This
+    #: field makes :meth:`run_maintenance` CONVERGE: wanted and absent
+    #: → rebuild, regardless of where the drop happened (§9d#2).
+    wanted_indexes: dict | None = None
 
     def __post_init__(self):
         if isinstance(self.key, str):
@@ -244,6 +254,7 @@ class KeyedTable:
                     "constraints": self.constraints,
                     "on_violation": self.on_violation,
                     "derived_cols": self.derived_cols,
+                    "wanted_indexes": self.wanted_indexes,
                 },
                 f,
                 indent=1,
@@ -792,6 +803,25 @@ class KeyedTable:
     #: every delta run that intersects its key span)
     RLI_COMPACT_MIN_DELTAS = 8
 
+    def _want_index(
+        self, kind: str, col: str | None = None, want: bool = True
+    ) -> None:
+        """Record (or retract) the intent that this table carries an
+        index, in _meta.json — see ``wanted_indexes``. Best-effort
+        bookkeeping like ``constraints``: last writer wins on a race,
+        and a lost update only delays a rebuild by one maintenance
+        pass (the marker path still fires when it is at HEAD)."""
+        w = dict(self.wanted_indexes or {})
+        if kind == "record_index":
+            w["record_index"] = want
+        else:
+            cols = set(w.get("columns") or [])
+            (cols.add if want else cols.discard)(col)
+            w["columns"] = sorted(cols)
+        self.wanted_indexes = w
+        if self.exists():
+            self.save_meta()
+
     def record_index_info(self, at: str | None = None) -> dict | None:
         """The snapshot's record-index registration, or None when no
         index is registered (metadata-only read)."""
@@ -847,6 +877,7 @@ class KeyedTable:
             touched=set(),
             new_files=[],
         )
+        self._want_index("record_index")
         return self.commits()[-1]
 
     def drop_record_index(self) -> str | None:
@@ -867,6 +898,7 @@ class KeyedTable:
             touched=set(),
             new_files=[],
         )
+        self._want_index("record_index", want=False)
         return self.commits()[-1]
 
     def _rli_entries_for_files(
@@ -1185,6 +1217,7 @@ class KeyedTable:
             touched=set(),
             new_files=[],
         )
+        self._want_index("column", col)
         return self.commits()[-1]
 
     def drop_column_index(self, col: str) -> str | None:
@@ -1207,6 +1240,7 @@ class KeyedTable:
             touched=set(),
             new_files=[],
         )
+        self._want_index("column", col, want=False)
         return self.commits()[-1]
 
     def compact_column_index(
@@ -1387,24 +1421,72 @@ class KeyedTable:
         the snapshot becomes queryable via ``spark.sql``/``spark.table``."""
         self.read(spark).createOrReplaceTempView(name)
 
+    def export_live_files(self, dest: str | None = None) -> str:
+        """Write the HEAD snapshot's live data files as one parquet of
+        absolute paths (column ``file``) — the companion artifact to
+        :meth:`export_masked_positions`. Together the two let ANY
+        engine reconstruct the logical snapshot from raw parquet:
+        semi-join the scan's filename against this list (drops
+        pre-clean historical file versions), anti-join (filename,
+        row number) against the position export (drops DV-masked
+        rows). O(live files) driver cost; overwritten in place."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        ddir = M.data_dir(self.path)
+        t = pa.table(
+            {
+                "file": pa.array(
+                    [os.path.join(ddir, rel) for rel in sorted(man.files)],
+                    pa.string(),
+                )
+            }
+        )
+        dest = dest or os.path.join(
+            self.path, "_export", "head_files.parquet"
+        )
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        pq.write_table(t, dest)
+        return dest
+
     def register_external(self, spark: SparkSession, name: str) -> None:
         """Persistent catalog registration (the closer hive_sync parity):
-        an EXTERNAL parquet table over ``data/`` with partition recovery
-        — visible to ANY catalog-reading engine, surviving the session.
+        EXTERNAL parquet over ``data/`` with partition recovery —
+        visible to ANY catalog-reading engine, surviving the session.
 
-        Caveat vs :meth:`register`: an external table sees ALL files
-        under data/, including pre-clean() historical versions — and it
-        sees the PHYSICAL rows, so deletion-vector masks don't apply.
-        Run ``clean(retain_commits=1)`` first and fold masks with
-        :meth:`optimize` (or use :meth:`register`, which is
-        manifest-exact and masked) when older commits or DVs are still
-        live.
-        """
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        # column defs from the committed schema, minus partition cols
-        # (they're declared in PARTITIONED BY)
+        Registration is MASKED BY DEFAULT: it refreshes the snapshot
+        interchange artifacts (:meth:`export_live_files` +
+        :meth:`export_masked_positions` — the Iceberg
+        position-delete-file idiom) and registers
+
+        - ``{name}__files`` — the raw physical table (all files under
+          data/, PHYSICAL rows),
+        - ``{name}__live`` / ``{name}__dead`` — the two exports,
+        - ``{name}`` — a view semi-joining ``_metadata.file_path``
+          against the live-file list (pre-clean historical versions
+          drop out) and anti-joining (file, ``_metadata.row_index``)
+          against the dead positions (deletion-vector masks apply),
+
+        so ``SELECT * FROM {name}`` yields the LOGICAL snapshot even
+        when older commits or DVs are still live — no clean()/optimize()
+        prerequisite. Both exports are tiny (O(live files) + O(dead
+        rows)), so Catalyst broadcasts both joins and partition/filter
+        pushdown still reaches the physical scan. A ready-to-run DuckDB
+        twin of the view is written to ``_export/duckdb_masked_view.sql``
+        — external engines get logical rows by default too. The
+        registration is a snapshot AS OF now: re-run after new commits
+        (exports are refreshed in place). Raw physical rows stay
+        reachable via ``{name}__files`` for engines that want them."""
         man = M.read_manifest(self.path)
         assert man is not None
+        live_p = self.export_live_files()
+        dead_p = self.export_masked_positions()
+        self.unregister_external(spark, name)
+        # column defs from the committed schema, minus partition cols
+        # (they're declared in PARTITIONED BY)
         schema = StructType.fromJson(json.loads(man.schema_json))
         pcols = set(self.partition_by or [])
         cols = ", ".join(
@@ -1418,13 +1500,78 @@ class KeyedTable:
             if f.name in pcols
         )
         part = f"PARTITIONED BY ({pcol_defs})" if pcols else ""
+        # pathGlobFilter: bloom sidecars (*.parquet.bloom) live next to
+        # the data files — the raw scan must not read their footers
         spark.sql(
-            f"CREATE EXTERNAL TABLE {name} ({cols}) USING PARQUET {part} "
-            f"LOCATION '{M.data_dir(self.path)}'"
+            f"CREATE EXTERNAL TABLE {name}__files ({cols}) USING PARQUET "
+            f"OPTIONS (pathGlobFilter '*.parquet') "
+            f"{part} LOCATION '{M.data_dir(self.path)}'"
         )
         if pcols:
             # ↦ MSCK REPAIR / hive_sync partition registration
-            spark.sql(f"MSCK REPAIR TABLE {name}")
+            spark.sql(f"MSCK REPAIR TABLE {name}__files")
+        spark.sql(
+            f"CREATE EXTERNAL TABLE {name}__live USING PARQUET "
+            f"LOCATION '{live_p}'"
+        )
+        spark.sql(
+            f"CREATE EXTERNAL TABLE {name}__dead USING PARQUET "
+            f"LOCATION '{dead_p}'"
+        )
+        sel = ", ".join(f"`{f.name}`" for f in schema.fields)
+        # _metadata.file_path is a file: URI; the exports store plain OS
+        # paths — normalize the scheme prefix C-side in the view
+        spark.sql(
+            f"""
+            CREATE OR REPLACE VIEW {name} AS
+            SELECT {sel} FROM (
+              SELECT t.*,
+                     regexp_replace(t._metadata.file_path,
+                                    '^[a-z]+:/+', '/') AS __file,
+                     t._metadata.row_index AS __pos
+              FROM {name}__files t
+            ) s
+            WHERE EXISTS (SELECT 1 FROM {name}__live l
+                          WHERE l.file = s.__file)
+              AND NOT EXISTS (SELECT 1 FROM {name}__dead d
+                              WHERE d.file = s.__file
+                                AND d.pos = s.__pos)
+            """
+        )
+        ddir = M.data_dir(self.path)
+        duck_sel = sel.replace("`", '"')
+        duck = (
+            f"CREATE OR REPLACE VIEW {name} AS\n"
+            f"SELECT {duck_sel} FROM read_parquet(\n"
+            f"  '{ddir}/**/*.parquet', hive_partitioning=true,\n"
+            f"  filename=true, file_row_number=true) t\n"
+            f"WHERE EXISTS (SELECT 1 FROM read_parquet('{live_p}') l\n"
+            f"              WHERE l.file = t.filename)\n"
+            f"  AND NOT EXISTS (SELECT 1 FROM read_parquet('{dead_p}') d\n"
+            f"                  WHERE d.file = t.filename\n"
+            f"                    AND d.pos = t.file_row_number);\n"
+        )
+        with open(
+            os.path.join(self.path, "_export", "duckdb_masked_view.sql"),
+            "w",
+        ) as f:
+            f.write(duck)
+
+    def unregister_external(self, spark: SparkSession, name: str) -> None:
+        """Drop everything :meth:`register_external` registered. The
+        bare name may be a view (r9+) or a table (pre-r9 layout) —
+        DROP VIEW/TABLE each refuse the other object kind, so try
+        both and swallow the kind mismatch."""
+        for stmt in (
+            f"DROP VIEW IF EXISTS {name}",
+            f"DROP TABLE IF EXISTS {name}",
+        ):
+            try:
+                spark.sql(stmt)
+            except Exception:  # noqa: BLE001 — wrong object kind
+                pass
+        for suffix in ("__files", "__live", "__dead"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
 
     # -- CHECK constraints -------------------------------------------------
 
@@ -2866,7 +3013,7 @@ class KeyedTable:
                 if fn.endswith(".parquet") and rel not in referenced:
                     problems.append(f"orphan file (cleanable): {rel}")
                 if fn.endswith(B.SIDECAR_SUFFIX):
-                    data_rel = rel[: -len(B.SIDECAR_SUFFIX)]
+                    data_rel = B.sidecar_base(rel)
                     if data_rel not in referenced:
                         problems.append(f"orphan bloom sidecar (cleanable): {rel}")
         if os.path.isdir(mdir):
@@ -2907,7 +3054,11 @@ class KeyedTable:
         # means point lookups degrade to full scans; surface it)
         if self.key_bloom:
             for f in sorted(live):
-                if not os.path.exists(os.path.join(ddir, f) + B.SIDECAR_SUFFIX):
+                p = os.path.join(ddir, f)
+                if not (
+                    os.path.exists(B.sidecar_path(p))
+                    or os.path.exists(p + B.SIDECAR_SUFFIX)  # pre-r9
+                ):
                     problems.append(f"live file missing bloom sidecar: {f}")
         return problems
 
@@ -3536,7 +3687,7 @@ class KeyedTable:
                 rel = os.path.relpath(os.path.join(dirpath, fn), ddir)
                 walked.append(rel)
                 bases.append(
-                    rel[: -len(B.SIDECAR_SUFFIX)]
+                    B.sidecar_base(rel)
                     if rel.endswith(B.SIDECAR_SUFFIX)
                     else rel
                 )
@@ -3666,7 +3817,7 @@ class KeyedTable:
         names: list[str] = []
         if explicit:
             ebases = [
-                n[: -len(B.SIDECAR_SUFFIX)]
+                B.sidecar_base(n)
                 if n.endswith(B.SIDECAR_SUFFIX)
                 else n
                 for n in explicit
@@ -3696,18 +3847,21 @@ class KeyedTable:
                 continue
             seen.add(rel)
             base = (
-                rel[: -len(B.SIDECAR_SUFFIX)]
+                B.sidecar_base(rel)
                 if rel.endswith(B.SIDECAR_SUFFIX)
                 else rel
             )
             if base == rel:
                 # a data file's bloom sidecar lives and dies with it
-                try:
-                    os.unlink(
-                        os.path.join(ddir, rel + B.SIDECAR_SUFFIX)
-                    )
-                except FileNotFoundError:
-                    pass
+                # (hidden r9 name and the pre-r9 unhidden one)
+                for sc in (
+                    B.sidecar_path(os.path.join(ddir, rel)),
+                    os.path.join(ddir, rel + B.SIDECAR_SUFFIX),
+                ):
+                    try:
+                        os.unlink(sc)
+                    except FileNotFoundError:
+                        pass
             try:
                 os.unlink(os.path.join(ddir, rel))
             except FileNotFoundError:
@@ -4032,6 +4186,10 @@ class KeyedTable:
                 summary["rli_compact_skipped"] = "lost commit race"
         elif reg is None and man2 is not None and (
             (man2.stats or {}).get("record_index_dropped")
+            # wanted-index convergence (§9d#2): a commit landing between
+            # a rebase-drop and this pass hides the marker from HEAD —
+            # the persisted intent still triggers the rebuild
+            or (self.wanted_indexes or {}).get("record_index")
         ):
             try:
                 summary["record_index_rebuilt"] = self.build_record_index(
@@ -4052,9 +4210,22 @@ class KeyedTable:
                         ).append(c)
                 except M.ConcurrentCommitError:
                     summary["ci_compact_skipped"] = "lost commit race"
-        dropped_cols = head_stats.get("column_indexes_dropped") or []
+        live_cols = (
+            {
+                f.name
+                for f in StructType.fromJson(
+                    json.loads(man2.schema_json)
+                ).fields
+            }
+            if man2 is not None
+            else set()
+        )
+        dropped_cols = sorted(
+            set(head_stats.get("column_indexes_dropped") or [])
+            | set((self.wanted_indexes or {}).get("columns") or [])
+        )
         for c in dropped_cols:
-            if c in ci:
+            if c in ci or c not in live_cols:
                 continue
             try:
                 self.build_column_index(spark, c)
@@ -4115,6 +4286,12 @@ class KeyedTable:
             },
             cid=M.child_id(man.commit_id),
         )
+        # a dropped column's secondary index is gone for good — retract
+        # the intent so maintenance doesn't try to rebuild it (§9d#2)
+        for c in set(cols) & set(
+            (self.wanted_indexes or {}).get("columns") or []
+        ):
+            self._want_index("column", c, want=False)
         return self.commits()[-1]
 
     def _retired_columns(self) -> set[str]:
@@ -4605,7 +4782,7 @@ class KeyedTable:
                             )
                         ]
                     )
-                    with open(dest + B.SIDECAR_SUFFIX, "w") as bf:
+                    with open(B.sidecar_path(dest), "w") as bf:
                         _json.dump(bl, bf)
                     self._pending_blooms[rel] = B.to_bytes(bl)
                 moved.append(rel)

@@ -290,7 +290,7 @@ def test_register_external_catalog(spark, tmp_path):
         assert spark.sql(
             "SELECT count(*) FROM kt_ext WHERE part = 'c'").first()[0] == 1
     finally:
-        spark.sql("DROP TABLE IF EXISTS kt_ext")
+        t.unregister_external(spark, "kt_ext")
 
 
 def test_optimize_unpartitioned(spark, tmp_path):
@@ -546,7 +546,7 @@ def test_bloom_point_lookup_prunes_files_no_false_negatives(spark, tmp_path):
     man = M.read_manifest(t.path)
     ddir = M.data_dir(t.path)
     assert all(
-        os.path.exists(os.path.join(ddir, f) + B.SIDECAR_SUFFIX)
+        os.path.exists(B.sidecar_path(os.path.join(ddir, f)))
         for f in man.files
     )
     # pruning: one key lives in exactly one partition's file(s)
@@ -567,7 +567,10 @@ def test_bloom_point_lookup_prunes_files_no_false_negatives(spark, tmp_path):
         for dp, _d, fns in os.walk(ddir) for fn in fns
         if fn.endswith(B.SIDECAR_SUFFIX)
     }
-    assert on_disk == {f + B.SIDECAR_SUFFIX for f in man2.files}
+    assert on_disk == {
+        os.path.relpath(B.sidecar_path(os.path.join(ddir, f)), ddir)
+        for f in man2.files
+    }
     assert {r.val for r in t.read_keys(spark, [0]).collect()} == {"new0"}
 
 
@@ -826,7 +829,7 @@ def test_validate_flags_sidecar_problems(spark, tmp_path):
     with open(stray, "w") as f:
         f.write("{}")
     victim = sorted(man.files)[0]
-    os.unlink(os.path.join(ddir, victim) + B.SIDECAR_SUFFIX)
+    os.unlink(B.sidecar_path(os.path.join(ddir, victim)))
 
     problems = t.validate()
     assert any("orphan bloom sidecar" in p for p in problems)

@@ -67,7 +67,7 @@ def test_full_lifecycle(spark, tmp_path):
     try:
         assert spark.table("lifecycle_ext").count() == 90
     finally:
-        spark.sql("DROP TABLE IF EXISTS lifecycle_ext")
+        t.unregister_external(spark, "lifecycle_ext")
 
     # 7. content sanity at the end of the story
     final = {r["id"]: r["amount"] for r in t.read(spark).collect()}

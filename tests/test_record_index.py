@@ -427,3 +427,68 @@ def test_column_index_range_and_streaming_maintenance(spark):
     assert t2.column_index_info("val")["deltas"]
     assert t2.read_keys(spark, [120]).collect()[0]["val"] == 360
     assert t2.read_isin(spark, "val", [360]).count() == 1
+
+
+def test_wanted_index_converges_when_marker_not_at_head(
+    spark, tmp_path, monkeypatch
+):
+    """§9d#2: a commit landing between a rebase-drop and the next
+    maintenance pass hides the ``*_dropped`` marker from HEAD. The
+    persisted wanted-indexes intent (written by build_*, retracted by
+    drop_*) still triggers the rebuild — maintenance CONVERGES on the
+    declared index set regardless of interleaving."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from tests.test_lifecycle import _rival_during_write
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    root = str(tmp_path / "rli_wanted")
+    t = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        key_scope="partition",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 4}", v=0.0, ts=ts(1)) for i in range(40)]
+        )
+    )
+    t.build_record_index(spark)
+    t.build_column_index(spark, "v")
+    assert (t.wanted_indexes or {}).get("record_index") is True
+    assert "v" in (t.wanted_indexes or {}).get("columns", [])
+    # OCC race → the rebased commit drops BOTH registrations
+    orig = _rival_during_write(
+        monkeypatch, spark, root,
+        spark.createDataFrame(
+            [Row(id=100 + i, grp="g1", v=9.0, ts=ts(2)) for i in range(5)]
+        ),
+    )
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [Row(id=200 + i, grp="g0", v=5.0, ts=ts(2)) for i in range(5)]
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "_write_files", orig)
+    assert (M.read_manifest(root).stats or {}).get("record_index") is None
+    # ANOTHER commit lands before maintenance → markers leave HEAD
+    t.upsert(
+        spark.createDataFrame([Row(id=300, grp="g2", v=1.0, ts=ts(3))])
+    )
+    head = M.read_manifest(root).stats or {}
+    assert "record_index_dropped" not in head
+    assert "column_indexes_dropped" not in head
+    summary = t.run_maintenance(spark)
+    assert "record_index_rebuilt" in summary
+    assert "v" in summary.get("column_index_rebuilt", [])
+    # and a fresh instance loaded from meta converges the same way
+    assert (KeyedTable.load(root).wanted_indexes or {}).get("record_index")
+    # explicit drop retracts the intent: no rebuild loop
+    t.drop_record_index()
+    t.drop_column_index("v")
+    summary2 = t.run_maintenance(spark)
+    assert "record_index_rebuilt" not in summary2
+    assert "column_index_rebuilt" not in summary2

@@ -9,6 +9,17 @@ files touched. This is the number that justifies the MoR write path at
 partitions that host them.
 
 Usage: python tools/dv_stress.py [rows] [k]
+       python tools/dv_stress.py chain [cycles] [retain] [rows]
+
+``chain`` is the BLOB-CHAIN tier (VERDICT r8 ask #6): a hot file
+re-masked every commit accumulates one superseded union blob per
+generation — harmless for reads (each snapshot references exactly one
+blob per masked file) but real ``_dv/`` inode pressure under streaming
+DV ingest. The tier proves the bound: after N re-mask cycles the blob
+count is N(+masked files), and one clean(retain_commits=R) collapses
+it to the R retained generations — superseded blobs fold as soon as
+their referencing commits pass the retention horizon, inside the
+existing two-phase clean. validate() must stay sound throughout.
 """
 
 from __future__ import annotations
@@ -57,7 +68,63 @@ def _mk(spark, root: str, rows: int) -> KeyedTable:
     return tbl
 
 
+def blob_chain(cycles: int, retain: int, rows: int) -> None:
+    from hudi_glue_spark.table import dv as DVB
+    from hudi_glue_spark.table import manifest as M
+
+    spark = get_spark()
+    root = "/tmp/dv_stress_chain"
+    tbl = _mk(spark, root, rows)
+    t0 = time.monotonic()
+    for i in range(cycles):
+        # a fresh key each cycle, all ≡ 0 (mod 8) → the same hot
+        # partition, so every commit re-unions that file's mask into
+        # one NEW superseding blob — the chain shape under test
+        tbl.delete_dv([8 * i])
+    mask_wall = time.monotonic() - t0
+    blobs_before = len(DVB.list_blobs(root))
+    t0 = time.monotonic()
+    tbl.clean(retain_commits=retain)
+    clean_wall = time.monotonic() - t0
+    blobs_after = DVB.list_blobs(root)
+    # every surviving blob must be referenced by a retained commit
+    refs: set[str] = set()
+    for cid in tbl.commits():
+        m = M.read_manifest(root, cid)
+        if m is not None:
+            refs |= {v[0] for v in (m.dvs or {}).values()}
+    problems = tbl.validate()
+    out = {
+        "tier": "blob_chain",
+        "rows": rows,
+        "cycles": cycles,
+        "retain_commits": retain,
+        "mask_wall_s": round(mask_wall, 2),
+        "blobs_before_clean": blobs_before,
+        "blobs_after_clean": len(blobs_after),
+        "clean_wall_s": round(clean_wall, 2),
+        "all_survivors_referenced": set(blobs_after) == refs,
+        "validate_problems": problems,
+        "final_rows": tbl.read(spark).count(),
+    }
+    man_now = M.read_manifest(root)
+    n_masked_files = max(len(man_now.dvs or {}) if man_now else 0, 1)
+    out["masked_files"] = n_masked_files
+    assert blobs_before >= cycles
+    # bound: one blob per (retained generation, masked file)
+    assert len(blobs_after) <= retain * n_masked_files + 1
+    assert out["all_survivors_referenced"] and not problems
+    print(json.dumps(out, indent=2))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "chain":
+        blob_chain(
+            cycles=int(sys.argv[2]) if len(sys.argv) > 2 else 200,
+            retain=int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+            rows=int(sys.argv[4]) if len(sys.argv) > 4 else 500_000,
+        )
+        return
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
     spark = get_spark()
