@@ -39,8 +39,10 @@ NON_SQL_QUERIES: set[str] = set()
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
 #: (cumulative r2-r8), so the r9 window is built for STALENESS, same
-#: formula as r7/r8 (memory: round rituals): (a) the 3 new r9 rows
-#: (record-level + secondary indexes) first, then (b) the 12 oldest-green rows
+#: formula as r7/r8 (memory: round rituals): (a) the new/reshaped r9
+#: rows first (record-level + secondary indexes, the commit-log stream
+#: source, and dv_external_engine_read which now reads through the
+#: masked registration), then (b) the 12 oldest-green rows
 #: (last green r4/r5 — the judge re-proved all 12 EXACT in its own r8
 #: session, but the driver record still dates from r4/r5), then
 #: (c) the r6 cohort (the ~50-slot window takes (a)+(b) plus the
@@ -50,6 +52,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "record_index_point_lookup",
     "record_index_dv_backfill",
     "secondary_index_user_lookup",
+    "stream_table_changes",
+    "dv_external_engine_read",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

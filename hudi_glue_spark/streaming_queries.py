@@ -419,3 +419,77 @@ def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > 0)
         .select("user_id", "n_events", F.col("s").cast("double").alias("sum_value"))
     )
+
+
+@query(
+    "stream_table_changes",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KeyedTable COMMIT LOG as a native streaming SOURCE (Hudi
+    incremental streaming-read parity — the consumption side of the
+    reference's pipeline): ``stream_changes`` opens the table via the
+    keyed_table_changes Python Data Source, offsets are commit ids in
+    the stream checkpoint, and every micro-batch carries the rows the
+    newly-visible commits ADDED (O(delta) metadata planning on the
+    driver, pyarrow decode in executor tasks — no snapshot rescan).
+
+    Scenario: the day 0/1/2 batches land as bulk_insert + two
+    upsert_dv commits (MoR appends, so each commit's delta is exactly
+    its winning rows); a downstream pipeline tails the log and
+    re-applies each commit's delta IN COMMIT ORDER into a derived
+    table. The reconstructed table must equal the standard event-time
+    upsert oracle — proving the stream is a complete, ordered,
+    replayable change carrier."""
+    from hudi_glue_spark.streaming.table_source import stream_changes
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("tblchanges", sf_dir)
+    src = KeyedTable(
+        f"{wd}/src",
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+    )
+    b0, b1, b2 = _batches(spark, sf_dir)
+    src.bulk_insert(b0)
+    src.upsert_dv(b1)
+    src.upsert_dv(b2)  # all-stale under event-time: delta may be empty
+
+    view = KeyedTable(
+        f"{wd}/view",
+        key="event_id",
+        precombine="ts",
+        policy=EVENT_TIME_WINS,
+    )
+
+    def _apply(batch: DataFrame, _bid: int) -> None:
+        # one availableNow micro-batch may span several commits —
+        # apply them in commit order so the derived table replays the
+        # log, not an arbitrary interleaving
+        cids = [r[0] for r in batch.select("_commit").distinct().collect()]
+        for cid in sorted(cids):
+            delta = batch.filter(F.col("_commit") == cid).drop("_commit")
+            from hudi_glue_spark.table import ingest
+
+            ingest(view, delta)
+
+    q = (
+        stream_changes(spark, src, starting="earliest")
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("table-changes stream did not drain in 300s")
+    return view.read(spark).select(_COLS)
