@@ -304,14 +304,44 @@ class KeyedTable:
 
     # -- read side ---------------------------------------------------------
 
+    def commit_as_of(self, ts) -> str | None:
+        """The LAST commit whose wall-clock commit time is ≤ ``ts``
+        (Hudi ``as.of.instant`` / Delta ``timestampAsOf`` parity), or
+        None when the table didn't exist yet at ``ts``. Accepts a
+        datetime (naive = UTC) or an ISO-8601 string; resolution is
+        the commit stamp's (seconds, UTC). Metadata-only: one commit
+        JSON read per retained commit — the log clean() keeps is the
+        travel horizon, same trade as ``at=``."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc)
+            iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        else:
+            iso = str(ts).replace(" ", "T")
+            if not iso.endswith("Z"):
+                iso += "Z"
+        best = None
+        for cid in self.commits():
+            man = M.read_manifest(self.path, cid)
+            if man is not None and man.ts <= iso:
+                best = cid  # commits() is chronological: keep the last
+        return best
+
     def read(
         self,
         spark: SparkSession,
         at: str | None = None,
         engine: str = "auto",
         columns: list[str] | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Snapshot read: latest (or ``at=``time-travel) committed state.
+        ``as_of`` time-travels by WALL-CLOCK commit time instead of
+        commit id (resolved via :meth:`commit_as_of`; mutually
+        exclusive with ``at``; raises if the table has no commit at or
+        before that instant).
 
         Reads exactly the manifest's live files — the native equivalent
         of Hudi resolving latest file slices from the timeline
@@ -346,6 +376,15 @@ class KeyedTable:
         worker-side bitmap path; the mask-free rest keeps whichever
         engine the rules above pick (:meth:`_hybrid_dv_read`).
         """
+        if as_of is not None:
+            if at is not None:
+                raise ValueError("pass at= or as_of=, not both")
+            at = self.commit_as_of(as_of)
+            if at is None:
+                raise ValueError(
+                    f"no commit at or before {as_of!r} "
+                    f"(horizon: what clean() retained)"
+                )
         man = M.read_manifest(self.path, at)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")

@@ -1362,3 +1362,35 @@ def test_purge_quarantine(spark, tmp_path):
     import os as _os
 
     assert not _os.path.isdir(_os.path.join(t.path, "_quarantine"))
+
+
+def test_read_as_of_timestamp(spark, tmppath):
+    """Wall-clock time travel (Hudi as.of.instant / Delta timestampAsOf
+    parity): as_of resolves to the last commit stamped at or before the
+    instant; before-the-table instants refuse."""
+    import datetime
+    import time as _time
+
+    import pytest
+
+    from hudi_glue_spark.table import manifest as M
+
+    tbl = KeyedTable(tmppath, key="pk", precombine="update_ts",
+                     partition_by="part")
+    ingest(tbl, day0(spark))
+    _time.sleep(1.1)  # commit stamps are second-resolution
+    ingest(tbl, day1(spark))
+    c0, c1 = tbl.commits()
+    ts0 = M.read_manifest(tmppath, c0).ts
+    ts1 = M.read_manifest(tmppath, c1).ts
+    if ts1 > ts0:  # distinct stamps: the instant between picks c0
+        assert tbl.commit_as_of(ts0) == c0
+        assert tbl.read(spark, as_of=ts0).count() == 4
+    assert tbl.commit_as_of(ts1) == c1
+    # datetime input (aware), resolving to the head
+    now = datetime.datetime.now(datetime.timezone.utc)
+    assert tbl.read(spark, as_of=now).count() == 5
+    with pytest.raises(ValueError, match="no commit at or before"):
+        tbl.read(spark, as_of="2000-01-01T00:00:00Z")
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read(spark, at=c0, as_of=now)
