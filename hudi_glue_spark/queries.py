@@ -53,6 +53,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "record_index_dv_backfill",
     "secondary_index_user_lookup",
     "stream_table_changes",
+    "stream_cdf_changes",
     "dv_external_engine_read",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",

@@ -21,8 +21,9 @@ exact):
   attached. This is exactly ``read_incremental`` sliced per commit:
   CoW upserts stream their rewritten partitions' post-images,
   MoR/DV upserts stream just the appended winners, pure DV-delete
-  commits stream nothing (file-level incremental parity — consumers
-  needing retractions use ``diff_commits``'s change feed).
+  commits stream nothing (file-level incremental parity). Consumers
+  needing RETRACTIONS open the stream with ``mode="cdf"`` — see
+  :func:`stream_changes` — where deletes/pre-images arrive too.
 - **Retention**: offsets stay replayable until clean() ages the
   offset's commit out of the log — the Kafka-retention trade, and the
   reader refuses with a clear error instead of silently skipping.
@@ -51,9 +52,28 @@ from hudi_glue_spark.table import manifest as M
 
 FORMAT_NAME = "keyed_table_changes"
 COMMIT_COL = "_commit"
+CHANGE_COL = "_change_type"
 
 #: files per executor task (mask-free ones share a pyarrow dataset)
 _FILES_PER_TASK = 16
+
+#: ops that change LAYOUT, not logical content — mode="cdf" streams
+#: nothing for them (a compaction must not read as churn downstream).
+#: drop_columns is schema-only; index ops rewrite/cluster in place.
+_SILENT_OPS = frozenset(
+    {
+        "optimize",
+        "change_partitioning",
+        "drop_columns",
+        "index",
+        "record_index",
+        "record_index_compact",
+        "drop_record_index",
+        "column_index",
+        "column_index_compact",
+        "drop_column_index",
+    }
+)
 
 
 def _added_files(root: str, prev, cur) -> list[str]:
@@ -77,10 +97,21 @@ def _added_files(root: str, prev, cur) -> list[str]:
 
 
 class _CommitSlice(InputPartition):
-    """One task: (commit id, file relpaths, {rel: dv blob name})."""
+    """One task: (commit id, entries). Each entry is a 4-tuple
+    ``(kind, rel, a, b)``:
 
-    def __init__(self, cid: str, files: tuple, dvs: dict):
-        self.value = (cid, files, dvs)
+    - ``("add", rel, own_dv|None, None)`` — rows of a file the commit
+      added, masked by the commit's OWN dv → inserts (post-images)
+    - ``("remove", rel, parent_dv|None, None)`` — the logically-live
+      rows of a file the commit removed → deletes (pre-images;
+      mode="cdf" only)
+    - ``("dvdiff", rel, old_dv|None, new_dv|None)`` — a carried file
+      whose mask changed: newly-dead positions → deletes, newly-live
+      (rollback resurrection) → inserts (mode="cdf" only)
+    """
+
+    def __init__(self, cid: str, entries: tuple):
+        self.value = (cid, entries)
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
@@ -91,6 +122,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             options.get("partition_by") or "[]"
         )
         self.starting = options.get("starting", "earliest")
+        self.mode = options.get("mode", "rows")
 
     # -- offsets (driver, metadata-only) ----------------------------------
 
@@ -125,18 +157,52 @@ class TableChangesStreamReader(DataSourceStreamReader):
         take = [c for c in ids if c > lo and c <= hi]
         out: list[InputPartition] = []
         prev = M.read_manifest(self.root, lo) if lo else None
+        cdf = self.mode == "cdf"
         for cid in take:
             cur = M.read_manifest(self.root, cid)
             if cur is None:  # raced a clean() past hi — skip forward
                 prev = None
                 continue
+            if cdf and cur.op in _SILENT_OPS:
+                prev = cur
+                continue  # layout-only: logical content unchanged
+            cdvs = cur.dvs or {}
+            entries: list[tuple] = []
             added = _added_files(self.root, prev, cur)
-            dvs = {f: cur.dvs[f][0] for f in added if f in (cur.dvs or {})}
-            for i in range(0, len(added), _FILES_PER_TASK):
-                chunk = tuple(added[i : i + _FILES_PER_TASK])
+            added_set = set(added)
+            entries += [
+                ("add", rel, cdvs[rel][0] if rel in cdvs else None, None)
+                for rel in added
+            ]
+            if cdf and prev is not None:
+                pdvs = prev.dvs or {}
+                removed = _added_files(self.root, cur, prev)  # inverse
+                entries += [
+                    (
+                        "remove",
+                        rel,
+                        pdvs[rel][0] if rel in pdvs else None,
+                        None,
+                    )
+                    for rel in removed
+                ]
+                carried_changed = (
+                    (set(pdvs) | set(cdvs)) - added_set - set(removed)
+                )
+                entries += [
+                    (
+                        "dvdiff",
+                        rel,
+                        pdvs[rel][0] if rel in pdvs else None,
+                        cdvs[rel][0] if rel in cdvs else None,
+                    )
+                    for rel in sorted(carried_changed)
+                    if pdvs.get(rel) != cdvs.get(rel)
+                ]
+            for i in range(0, len(entries), _FILES_PER_TASK):
                 out.append(
                     _CommitSlice(
-                        cid, chunk, {f: dvs[f] for f in chunk if f in dvs}
+                        cid, tuple(entries[i : i + _FILES_PER_TASK])
                     )
                 )
             prev = cur
@@ -149,12 +215,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _CommitSlice):
         """Same decode discipline as the manifest relation: one C++
-        pyarrow dataset per hive-dir run for mask-free files, per-file
-        sequential scan with a bitmap slice per batch where a DV
+        pyarrow dataset per hive-dir run for mask-free adds, per-file
+        sequential scan with a bitmap slice per batch where a mask
         applies, schema conform (NULL-fill / upcast) C++-side, and the
-        constant ``_commit`` / partition columns attached per batch."""
+        constant ``_commit`` / ``_change_type`` / partition columns
+        attached per batch. ``dvdiff`` entries scan a carried file once
+        and split each batch into newly-dead rows (deletes) and
+        newly-live rows (inserts — rollback resurrections)."""
         import itertools
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.dataset as pds
 
@@ -164,7 +234,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
         if partition is None or not partition.value[1]:
             return
-        cid, files, dvs = partition.value
+        cid, entries = partition.value
         target = to_arrow_schema(self.schema)
         ddir = M.data_dir(self.root)
         part_cols = set(self.partition_by)
@@ -172,16 +242,31 @@ class TableChangesStreamReader(DataSourceStreamReader):
             [
                 f
                 for f in target
-                if f.name not in part_cols and f.name != COMMIT_COL
+                if f.name not in part_cols
+                and f.name not in (COMMIT_COL, CHANGE_COL)
             ]
         )
 
-        def assemble(batch, pvals):
+        def pvals_of(rel):
+            pdir = os.path.dirname(rel)
+            pv: dict[str, str | None] = {}
+            for seg in pdir.split("/") if pdir else []:
+                col, _, raw = seg.partition("=")
+                pv[col] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else M.hive_unescape(raw)
+                )
+            return pv
+
+        def assemble(batch, pvals, change):
             n = batch.num_rows
             cols = []
             for field in target:
                 if field.name == COMMIT_COL:
                     cols.append(pa.array([cid] * n, type=pa.string()))
+                elif field.name == CHANGE_COL:
+                    cols.append(pa.array([change] * n, type=pa.string()))
                 elif field.name in part_cols:
                     raw = pvals.get(field.name)
                     cols.append(
@@ -195,44 +280,85 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     cols.append(batch.column(field.name))
             return pa.RecordBatch.from_arrays(cols, schema=target)
 
-        for pdir, run in itertools.groupby(
-            files, key=lambda rel: os.path.dirname(rel)
-        ):
-            grp = list(run)
-            pvals: dict[str, str | None] = {}
-            for seg in pdir.split("/") if pdir else []:
-                col, _, raw = seg.partition("=")
-                pvals[col] = (
-                    None
-                    if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else M.hive_unescape(raw)
-                )
-            plain = [rel for rel in grp if rel not in dvs]
-            if plain:
-                scan = pds.dataset(
-                    [os.path.join(ddir, rel) for rel in plain],
-                    format="parquet",
-                    schema=phys,
-                )
-                for batch in scan.to_batches(use_threads=False):
-                    yield assemble(batch, pvals)
-            for rel in grp:
-                if rel not in dvs:
-                    continue
-                blob = DVB.read(self.root, dvs[rel])
-                offset = 0
-                scan = pds.dataset(
-                    [os.path.join(ddir, rel)], format="parquet", schema=phys
-                )
-                for batch in scan.to_batches(use_threads=False):
-                    n = batch.num_rows
+        def masked_scan(rel, dv_name, change):
+            """One file's logically-live rows under ``dv_name``."""
+            pv = pvals_of(rel)
+            blob = DVB.read(self.root, dv_name) if dv_name else None
+            offset = 0
+            scan = pds.dataset(
+                [os.path.join(ddir, rel)], format="parquet", schema=phys
+            )
+            for batch in scan.to_batches(use_threads=False):
+                n = batch.num_rows
+                if blob is not None:
                     dead = DVB.dead_mask(blob, offset, n)
                     offset += n
                     if dead.any():
                         batch = batch.filter(pa.array(~dead))
                         if batch.num_rows == 0:
                             continue
-                    yield assemble(batch, pvals)
+                else:
+                    offset += n
+                yield assemble(batch, pv, change)
+
+        # mask-free adds fast path: one multi-file dataset per dir run
+        plain_adds = [
+            e[1] for e in entries if e[0] == "add" and e[2] is None
+        ]
+        for pdir, run in itertools.groupby(
+            plain_adds, key=lambda rel: os.path.dirname(rel)
+        ):
+            grp = list(run)
+            pv = pvals_of(grp[0])
+            scan = pds.dataset(
+                [os.path.join(ddir, rel) for rel in grp],
+                format="parquet",
+                schema=phys,
+            )
+            for batch in scan.to_batches(use_threads=False):
+                yield assemble(batch, pv, "insert")
+        for kind, rel, a, b in entries:
+            if kind == "add" and a is not None:
+                yield from masked_scan(rel, a, "insert")
+            elif kind == "remove":
+                yield from masked_scan(rel, a, "delete")
+            elif kind == "dvdiff":
+                pv = pvals_of(rel)
+                old = DVB.read(self.root, a) if a else None
+                new = DVB.read(self.root, b) if b else None
+                offset = 0
+                scan = pds.dataset(
+                    [os.path.join(ddir, rel)],
+                    format="parquet",
+                    schema=phys,
+                )
+                for batch in scan.to_batches(use_threads=False):
+                    n = batch.num_rows
+                    od = (
+                        DVB.dead_mask(old, offset, n)
+                        if old is not None
+                        else np.zeros(n, dtype=bool)
+                    )
+                    nd = (
+                        DVB.dead_mask(new, offset, n)
+                        if new is not None
+                        else np.zeros(n, dtype=bool)
+                    )
+                    offset += n
+                    newly_dead = nd & ~od
+                    newly_live = od & ~nd
+                    if newly_dead.any():
+                        yield assemble(
+                            batch.filter(pa.array(newly_dead)),
+                            pv,
+                            "delete",
+                        )
+                    if newly_live.any():
+                        yield assemble(
+                            batch.filter(pa.array(newly_live)),
+                            pv,
+                            "insert",
+                        )
 
 
 class TableChangesDataSource(DataSource):
@@ -281,19 +407,37 @@ def ensure_registered(spark) -> None:
         setattr(spark, flag, True)
 
 
-def stream_changes(spark, table, starting: str = "earliest"):
-    """Open the table's commit log as a streaming DataFrame: committed
-    schema plus a ``_commit`` string column; each micro-batch carries
-    the rows added by the commits newly visible since the last trigger
-    (see module docstring for exact semantics)."""
+def stream_changes(
+    spark, table, starting: str = "earliest", mode: str = "rows"
+):
+    """Open the table's commit log as a streaming DataFrame.
+
+    ``mode="rows"`` (default, Hudi incremental parity): committed
+    schema + ``_commit``; each micro-batch carries the rows the
+    newly-visible commits ADDED. ``mode="cdf"`` (Delta CDF / Hudi
+    change-query parity): additionally ``_change_type``
+    ('insert'|'delete'), and every commit streams its RETRACTIONS too
+    — newly DV-masked positions and removed files arrive as deletes
+    (pre-images), added files as inserts (post-images), so a
+    downstream aggregate maintains itself by +insert/−delete alone.
+    CDF precision: EXACT row-level for MoR/DV commits (an
+    update_where_dv streams one delete + one insert per changed row);
+    COARSE-but-correct for CoW rewrites (the rewritten partition's old
+    rows all delete, new rows all insert — nets to the true delta);
+    SILENT for layout-only ops (optimize/clustering/index commits —
+    compaction must not read as churn); rollbacks stream the inverse
+    delta, including resurrection inserts for unmasked positions."""
+    if mode not in ("rows", "cdf"):
+        raise ValueError(f"unknown mode {mode!r} (rows|cdf)")
     man = M.read_manifest(table.path)
     if man is None:
         raise FileNotFoundError(f"no commits at {table.path}")
     ensure_registered(spark)
     schema = StructType.fromJson(json.loads(man.schema_json))
-    out = StructType(
-        [*schema.fields, StructField(COMMIT_COL, StringType(), False)]
-    )
+    extra = [StructField(COMMIT_COL, StringType(), False)]
+    if mode == "cdf":
+        extra.append(StructField(CHANGE_COL, StringType(), False))
+    out = StructType([*schema.fields, *extra])
     return (
         spark.readStream.format(FORMAT_NAME)
         .option("path", table.path)
@@ -302,5 +446,6 @@ def stream_changes(spark, table, starting: str = "earliest"):
             "partition_by", json.dumps(list(table.partition_by or []))
         )
         .option("starting", starting)
+        .option("mode", mode)
         .load()
     )

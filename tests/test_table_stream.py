@@ -158,3 +158,87 @@ def test_stream_changes_cow_upsert_streams_rewritten_partitions(spark):
     assert {tuple(r) for r in view.read(spark).collect()} == {
         tuple(r) for r in t.read(spark).collect()
     }
+
+
+def _drain_cdf(spark, t, ck):
+    from hudi_glue_spark.streaming.table_source import stream_changes as _sc
+
+    src = _sc(spark, t, mode="cdf")
+    rows: list = []
+    q = (
+        src.writeStream.trigger(availableNow=True)
+        .foreachBatch(lambda b, _bid: rows.extend(b.collect()))
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    return spark.createDataFrame(rows, src.schema)
+
+
+def test_stream_cdf_retractions_and_silent_compaction(spark):
+    """mode='cdf': DV DML streams exact delete/insert retraction
+    pairs, optimize() is silent (compaction is not churn), a CoW
+    rewrite streams coarse-but-correct pairs, and the maintained
+    +insert/-delete aggregate equals the final snapshot."""
+    t = _mk(spark, "/tmp/ts_cdf")
+    t.update_where_dv(spark, {"val": "val + 1000"}, "pk < 3")
+    t.delete_dv([50, 51])
+    t.optimize(spark, target_file_mb=64, small_file_mb=64)  # folds masks
+    t.upsert(
+        spark.createDataFrame(
+            [(99, "3", 9000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    out = _drain_cdf(spark, t, "/tmp/ts_cdf_ck2")
+    c1, c2, c3, c4, _c5 = t.commits()
+    per = {
+        (r["_commit"], r["_change_type"]): r["n"]
+        for r in out.groupBy("_commit", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per[(c1, "insert")] == 100
+    assert per[(c2, "delete")] == 3 and per[(c2, "insert")] == 3
+    assert per[(c3, "delete")] == 2
+    assert not any(cid == c4 for cid, _k in per)  # optimize: SILENT
+    # update pre/post images carry the actual old/new values
+    pre = {r.pk: r.val for r in out.filter(
+        f"_commit = '{c2}' and _change_type = 'delete'").collect()}
+    post = {r.pk: r.val for r in out.filter(
+        f"_commit = '{c2}' and _change_type = 'insert'").collect()}
+    assert pre == {0: 0, 1: 2, 2: 4}
+    assert post == {0: 1000, 1: 1002, 2: 1004}
+    # maintained aggregate == final snapshot
+    net = out.selectExpr(
+        "sum(case when _change_type='insert' then 1 else -1 end)"
+    ).first()[0]
+    s = out.selectExpr(
+        "sum(case when _change_type='insert' then val else -val end)"
+    ).first()[0]
+    assert net == t.read(spark).count() == 98
+    assert s == t.read(spark).selectExpr("sum(val)").first()[0]
+
+
+def test_stream_cdf_rollback_streams_inverse_delta(spark):
+    """A rollback commit streams the INVERSE of what it undoes —
+    including resurrection inserts for positions a DV delete had
+    masked — so a CDF consumer's maintained state follows the table
+    through the rollback."""
+    t = _mk(spark, "/tmp/ts_cdf_rb")
+    c0 = t.commits()[0]
+    t.delete_dv([10, 11, 12])
+    t.rollback(c0)
+    out = _drain_cdf(spark, t, "/tmp/ts_cdf_rb_ck")
+    rb = t.commits()[-1]
+    kinds = {
+        (r["_change_type"]): r["n"]
+        for r in out.filter(F.col("_commit") == rb)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert kinds == {"insert": 3}  # the three masked rows resurrect
+    net = out.selectExpr(
+        "sum(case when _change_type='insert' then 1 else -1 end)"
+    ).first()[0]
+    assert net == t.read(spark).count() == 100
