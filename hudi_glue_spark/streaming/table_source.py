@@ -125,6 +125,17 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self.mode = options.get("mode", "rows")
 
     # -- offsets (driver, metadata-only) ----------------------------------
+    #
+    # Both offset methods are PURE functions of the commit log. This is
+    # load-bearing, not style: Spark's Python DS runtime may invoke the
+    # planner methods on SEVERAL reader instances/workers over a
+    # query's life, so instance state does not reliably persist between
+    # calls. A stateful rate limit (max-commits-per-trigger via a
+    # remembered anchor) was prototyped and produced non-monotonic
+    # offsets and re-delivered batches under exactly that instance
+    # churn — until the API exposes the checkpointed offset (or a
+    # ReadLimit hook), per-trigger caps are inexpressible here
+    # (SURVEY §9d#5).
 
     def initialOffset(self) -> dict:
         if self.starting == "earliest":

@@ -163,6 +163,7 @@ def test_stream_changes_cow_upsert_streams_rewritten_partitions(spark):
 def _drain_cdf(spark, t, ck):
     from hudi_glue_spark.streaming.table_source import stream_changes as _sc
 
+    shutil.rmtree(ck, ignore_errors=True)  # these tests never resume
     src = _sc(spark, t, mode="cdf")
     rows: list = []
     q = (
