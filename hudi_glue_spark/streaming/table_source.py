@@ -171,9 +171,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
         cdf = self.mode == "cdf"
         for cid in take:
             cur = M.read_manifest(self.root, cid)
-            if cur is None:  # raced a clean() past hi — skip forward
-                prev = None
-                continue
+            if cur is None:
+                # a clean() raced between listing and reading: silently
+                # skipping would make the NEXT diff re-emit a whole
+                # snapshot (duplicate deltas downstream) — refuse like
+                # any other retention breach; the consumer restarts
+                raise ValueError(
+                    f"commit {cid} aged out of the log mid-plan "
+                    f"(clean() raced the stream) — restart from a "
+                    f"live commit or 'earliest'"
+                )
             if cdf and cur.op in _SILENT_OPS:
                 prev = cur
                 continue  # layout-only: logical content unchanged

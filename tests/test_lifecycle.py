@@ -653,14 +653,70 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
             import traceback
             errors.append(traceback.format_exc() or str(e))
 
+    # (r9) a CDF stream consumer tails the commit log WHILE the
+    # writers/maintenance race: the per-commit retraction deltas must
+    # sum to the final state over ANY interleaving. Retention breaches
+    # (clean() aging its offset out, or racing a plan) surface as
+    # errors and the consumer restarts from earliest — the documented
+    # consumer contract.
+    import shutil as _sh
+
+    from hudi_glue_spark.streaming.table_source import stream_changes
+
+    cdf_net = {"n": 0}
+    ckdir = str(tmp_path / "walk_ck")
+
+    def cdf_drain():
+        for _attempt in range(5):
+            try:
+                t = KeyedTable.load(root)
+
+                # accumulate PER BATCH: the checkpoint advances batch
+                # by batch, so a deferred sum would drop the deltas of
+                # batches committed before a mid-drain failure
+                def _apply(b, _bid):
+                    r = b.selectExpr(
+                        "sum(case when _change_type='insert' "
+                        "then 1 else -1 end) d"
+                    ).first()
+                    cdf_net["n"] += r["d"] or 0
+
+                q = (
+                    stream_changes(spark, t, mode="cdf")
+                    .writeStream.foreachBatch(_apply)
+                    .option("checkpointLocation", ckdir)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(240)
+                return
+            except Exception as e:  # noqa: BLE001 — retention race
+                if "aged out" not in str(e):
+                    raise
+                _sh.rmtree(ckdir, ignore_errors=True)
+                cdf_net["n"] = 0  # restart from earliest, from scratch
+
+    def cdf_consumer():
+        try:
+            for _ in range(2):
+                threading.Event().wait(0.8)
+                cdf_drain()
+        except Exception as e:
+            import traceback
+            errors.append(traceback.format_exc() or str(e))
+
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
     threads.append(threading.Thread(target=service))
     threads.append(threading.Thread(target=dv_writer))
+    threads.append(threading.Thread(target=cdf_consumer))
     for th in threads:
         th.start()
     for th in threads:
         th.join()
     assert errors == [], errors
+    # final catch-up drain, then the maintained count must equal the
+    # quiesced table exactly
+    cdf_drain()
 
     t = KeyedTable.load(root)
     snap = t.read(spark)
@@ -677,6 +733,7 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
     assert len(rows) == 60 + N * 15 + 12
     assert snap.count() == snap.select("id").distinct().count()
     assert snap.count() == t.count_rows_metadata()
+    assert cdf_net["n"] == snap.count()  # CDF deltas sum to the state
     # final clean from a quiesced table leaves it sound
     t.clean(retain_commits=2)
     assert t.validate() == []
