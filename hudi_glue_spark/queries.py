@@ -54,6 +54,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "secondary_index_user_lookup",
     "stream_table_changes",
     "stream_cdf_changes",
+    "time_travel_as_of",
     "dv_external_engine_read",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",

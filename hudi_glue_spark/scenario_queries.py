@@ -2316,3 +2316,38 @@ def q_secondary_index_user_lookup(spark, sf_dir):
         F.lit(used).alias("sec_index_used"),
         F.lit(maintained).alias("sec_index_maintained"),
     )
+
+
+@query(
+    "time_travel_as_of",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    """,
+)
+def q_time_travel_as_of(spark, sf_dir):
+    """WALL-CLOCK time travel (§2a #3 extended; Hudi as.of.instant /
+    Delta timestampAsOf parity, r9): two commits land >1 s apart, and
+    ``read(as_of=<first commit's stamp>)`` must resolve — via
+    commit_as_of's metadata-only scan — to the pre-upsert snapshot,
+    byte-identical to the day-0 batch. The 1.1 s pause makes the two
+    commit stamps distinct at the stamp's second resolution, so the
+    resolution is deterministic."""
+    import time as _time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_asof_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    _time.sleep(1.1)  # commit stamps are second-resolution
+    tbl.upsert(b1.select(_COLS))
+    from hudi_glue_spark.table import manifest as M
+
+    ts0 = M.read_manifest(root, tbl.commits()[0]).ts
+    assert tbl.commit_as_of(ts0) == tbl.commits()[0]
+    return tbl.read(spark, as_of=ts0).select(_COLS)
