@@ -513,7 +513,13 @@ def _ship_package(spark) -> None:
         pass
 
 
-_REG_LOCK = None
+import threading as _threading
+
+# Created at import time — module import is atomic under the GIL, so
+# every thread sees the SAME lock. (A lazy `if None: Lock()` here was
+# itself racy: two threads could each observe None and mint distinct
+# locks, defeating the double-checked lock below.)
+_REG_LOCK = _threading.Lock()
 
 
 def ensure_registered(spark) -> None:
@@ -524,11 +530,6 @@ def ensure_registered(spark) -> None:
     the session flag alone raced, and Spark 4.1 raises DATA_SOURCE_
     ALREADY_EXISTS on the second register. Double-checked lock plus a
     tolerant catch (another PROCESS may also have registered)."""
-    global _REG_LOCK
-    import threading
-
-    if _REG_LOCK is None:
-        _REG_LOCK = threading.Lock()
     flag = "_hgs_manifest_ds_registered"
     if getattr(spark, flag, False):
         return

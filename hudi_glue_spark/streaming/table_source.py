@@ -21,7 +21,11 @@ exact):
   attached. This is exactly ``read_incremental`` sliced per commit:
   CoW upserts stream their rewritten partitions' post-images,
   MoR/DV upserts stream just the appended winners, pure DV-delete
-  commits stream nothing (file-level incremental parity). Consumers
+  commits stream nothing, and LAYOUT-ONLY commits (optimize /
+  clustering / index — ``_SILENT_OPS``) stream nothing in EITHER
+  mode: Hudi's incremental query likewise excludes compaction
+  output, and re-emitting a rewrite would re-deliver the whole
+  rewritten partition as fresh inserts. Consumers
   needing RETRACTIONS open the stream with ``mode="cdf"`` — see
   :func:`stream_changes` — where deletes/pre-images arrive too.
 - **Retention**: offsets stay replayable until clean() ages the
@@ -57,8 +61,10 @@ CHANGE_COL = "_change_type"
 #: files per executor task (mask-free ones share a pyarrow dataset)
 _FILES_PER_TASK = 16
 
-#: ops that change LAYOUT, not logical content — mode="cdf" streams
-#: nothing for them (a compaction must not read as churn downstream).
+#: ops that change LAYOUT, not logical content — BOTH modes stream
+#: nothing for them (a compaction must not read as churn downstream,
+#: and in rows mode re-emitting an optimize()'s rewritten files would
+#: re-deliver up to the whole table as fresh inserts).
 #: drop_columns is schema-only; index ops rewrite/cluster in place.
 _SILENT_OPS = frozenset(
     {
@@ -181,9 +187,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     f"(clean() raced the stream) — restart from a "
                     f"live commit or 'earliest'"
                 )
-            if cdf and cur.op in _SILENT_OPS:
+            if cur.op in _SILENT_OPS:
+                # Layout-only: logical content unchanged. Applies in
+                # BOTH modes — in rows mode an optimize()/
+                # change_partitioning() adds rewritten files, and
+                # re-emitting them would re-deliver up to the whole
+                # table to every consumer as fresh inserts (Hudi's
+                # incremental query likewise excludes clustering/
+                # compaction output by record commit time).
                 prev = cur
-                continue  # layout-only: logical content unchanged
+                continue
             cdvs = cur.dvs or {}
             entries: list[tuple] = []
             added = _added_files(self.root, prev, cur)
@@ -396,20 +409,19 @@ class TableChangesDataSource(DataSource):
         return TableChangesStreamReader(dict(self.options), schema)
 
 
-_REG_LOCK = None
+import threading as _threading
+
+# Import-time lock: atomic under the GIL, so every thread shares it
+# (a lazy `if None: Lock()` could mint two distinct locks).
+_REG_LOCK = _threading.Lock()
 
 
 def ensure_registered(spark) -> None:
     """Idempotent, thread-safe registration — same double-checked-lock
     discipline as the manifest relation (Spark 4.1 raises
     DATA_SOURCE_ALREADY_EXISTS on a duplicate register)."""
-    global _REG_LOCK
-    import threading
-
     from hudi_glue_spark.sources.manifest_relation import _ship_package
 
-    if _REG_LOCK is None:
-        _REG_LOCK = threading.Lock()
     flag = "_hgs_table_changes_ds_registered"
     if getattr(spark, flag, False):
         return

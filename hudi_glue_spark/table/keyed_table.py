@@ -314,14 +314,24 @@ class KeyedTable:
         travel horizon, same trade as ``at=``."""
         import datetime as _dt
 
+        # Parse REAL ISO-8601, don't massage strings: an input carrying
+        # a UTC offset ('...+02:00') or fractional seconds ('...:00.5')
+        # must convert/truncate BEFORE formatting, or the lexical
+        # compare against the 'Z'-suffixed commit stamps picks the
+        # wrong commit ('.' sorts before 'Z'; '+02:00Z' is garbage).
         if isinstance(ts, _dt.datetime):
-            if ts.tzinfo is not None:
-                ts = ts.astimezone(_dt.timezone.utc)
-            iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            dt = ts
         else:
-            iso = str(ts).replace(" ", "T")
-            if not iso.endswith("Z"):
-                iso += "Z"
+            s = str(ts).strip().replace(" ", "T")
+            if s.endswith(("Z", "z")):
+                s = s[:-1] + "+00:00"
+            dt = _dt.datetime.fromisoformat(s)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc)
+        # truncate to the commit stamps' resolution (seconds, UTC):
+        # a commit stamped at the same second as a fractional input is
+        # at-or-before it and must be included
+        iso = dt.strftime("%Y-%m-%dT%H:%M:%SZ")
         best = None
         for cid in self.commits():
             man = M.read_manifest(self.path, cid)
@@ -371,10 +381,13 @@ class KeyedTable:
         their projection; on the native engine Catalyst prunes the
         same way from a trailing ``select``.
 
-        Snapshots carrying deletion vectors read HYBRID: only the
-        masked files (typically a handful) go through the relation's
-        worker-side bitmap path; the mask-free rest keeps whichever
-        engine the rules above pick (:meth:`_hybrid_dv_read`).
+        Snapshots carrying deletion vectors read HYBRID: the mask-free
+        files keep whichever engine the rules above pick, and the
+        masked files (typically a handful) read NATIVELY with a
+        broadcast anti-join against the decoded dead positions when
+        the total mask is small (``DV_NATIVE_MASK_MAX_DEAD``), else
+        through the relation's worker-side bitmap path
+        (:meth:`_hybrid_dv_read`).
         """
         if as_of is not None:
             if at is not None:
@@ -476,19 +489,23 @@ class KeyedTable:
         with_positions: bool = False,
     ) -> DataFrame:
         """Hybrid scan of a DV-bearing snapshot: the files carrying a
-        deletion vector (typically a handful) read through the manifest
-        relation, which applies the positional bitmap worker-side; every
-        MASK-FREE file keeps the fast path — the native JVM scan
-        (column pruning + whole-stage codegen) below the file-index
-        crossover, the arrow relation with a C-side ``exclude_dvs``
-        complement above it. The halves union by name and Catalyst
-        pushes filters into each branch independently, so a table with
-        a few masked files reads ~all of its bytes at native speed
-        (docs/SCALING.md "DV masked-read overhead" measured the old
-        route-everything plan at 2.8-3.5x native; the mask itself is
-        nearly free). ``at`` stays pinned to the snapshot's exact
-        commit id on every relation branch — a rival commit landing
-        between plan and execution cannot skew the mask map.
+        deletion vector (typically a handful) read through
+        :meth:`_native_masked_scan` (JVM FileScan + broadcast anti-join
+        of the dead pairs) when the total mask is small, else through
+        the manifest relation, which applies the positional bitmap
+        worker-side; every MASK-FREE file keeps the fast path — the
+        native JVM scan (column pruning + whole-stage codegen) below
+        the file-index crossover, the arrow relation with a C-side
+        ``exclude_dvs`` complement above it. The halves union by name
+        and Catalyst pushes filters into each branch independently, so
+        a table with a few masked files reads ~all of its bytes at
+        native speed (docs/SCALING.md "DV masked-read overhead":
+        route-everything 2.8-3.5x native; r9 hybrid 0.96 s vs 0.23 s
+        floor; r10 native-mask path closes to ~the floor). ``at``
+        stays pinned to the snapshot's exact commit id on every
+        relation branch and the dead pairs decode from ``man``'s own
+        blob map — a rival commit landing between plan and execution
+        cannot skew the mask.
 
         ``files`` restricts to an explicit live subset (pruned reads /
         DML probes); ``with_positions`` appends ``__file``/``__pos`` on
@@ -507,6 +524,15 @@ class KeyedTable:
                 if n_clean >= MANIFEST_READ_MIN_FILES
                 else "native"
             )
+        # NOTE a one-scan variant (anti-join over clean+masked files
+        # together, no union) measured SLOWER (0.71 s vs 0.45 s at the
+        # 500-dead shape): it pays the join probe and the __file
+        # substring on EVERY row of the table, while the split pays
+        # them only on the masked files' rows.
+        total_dead = sum(int(man.dvs[f][1]) for f in masked)
+        small_mask = (
+            bool(masked) and total_dead <= self.DV_NATIVE_MASK_MAX_DEAD
+        )
         parts: list[DataFrame] = []
         if n_clean:
             if engine == "manifest" and files is None:
@@ -545,18 +571,33 @@ class KeyedTable:
                         )
                     )
         if masked:
-            parts.append(
-                MR.read_snapshot(
-                    spark,
-                    self.path,
-                    schema,
-                    self.partition_by,
-                    at=man.commit_id,
-                    files=masked,
-                    apply_dvs=True,
-                    with_positions=with_positions,
+            # SMALL masks (the typical point-DML residue) read NATIVELY
+            # with a broadcast anti-join against the dead (file, pos)
+            # pairs — whole-stage codegen + parquet column pruning on
+            # the masked half too, the exact plan register_external's
+            # view already proves out in Spark SQL. Driver cost is
+            # O(dead), bounded by the threshold. Big masks keep the
+            # arrow relation's worker-side bitmaps (shipping millions
+            # of pairs through a broadcast would not win).
+            if small_mask:
+                parts.append(
+                    self._native_masked_scan(
+                        spark, man, masked, schema, with_positions
+                    )
                 )
-            )
+            else:
+                parts.append(
+                    MR.read_snapshot(
+                        spark,
+                        self.path,
+                        schema,
+                        self.partition_by,
+                        at=man.commit_id,
+                        files=masked,
+                        apply_dvs=True,
+                        with_positions=with_positions,
+                    )
+                )
         if not parts:
             out_schema = schema
             if with_positions:
@@ -572,6 +613,93 @@ class KeyedTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    #: masked files whose TOTAL dead-position count sits at or under
+    #: this read natively (JVM FileScan + broadcast anti-join of the
+    #: decoded dead pairs) instead of through the Python-DS relation;
+    #: measured 4x faster at the point-DML shape (docs/SCALING.md "DV
+    #: masked-read overhead"). Above it, decoding every blob into a
+    #: driver-side pair list loses to the relation's worker-side
+    #: bitmap masks.
+    DV_NATIVE_MASK_MAX_DEAD = int(
+        os.environ.get("HGS_DV_NATIVE_MASK_MAX_DEAD", "100000")
+    )
+
+    def _dv_pairs_df(self, spark: SparkSession, man) -> DataFrame:
+        """The snapshot's dead ``(__file, __pos)`` pairs as a
+        DataFrame, served from an immutable per-commit parquet cache
+        under ``_cache/`` — a committed snapshot's blob map never
+        changes, so the decode runs ONCE per commit instead of once
+        per read (``createDataFrame`` from the driver pays ~0.3 s
+        fixed at 100k pairs; scanning the cached parquet is ~30 ms,
+        and on a cluster the file is executor-readable shared
+        storage, not a driver ship). Pairs for files outside a pruned
+        read's subset are harmless: a LEFT ANTI join drops only
+        matching coordinates. Stale entries (commits aged out of the
+        log) are pruned opportunistically on each build."""
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cdir = os.path.join(self.path, "_cache")
+        dest = os.path.join(cdir, f"dv_pairs-{man.commit_id}.parquet")
+        if not os.path.isfile(dest):
+            rels, poss = [], []
+            for rel in sorted(man.dvs):
+                p = DVB.positions(DVB.read(self.path, man.dvs[rel][0]))
+                rels.append(np.full(len(p), rel, dtype=object))
+                poss.append(p.astype(np.int64))
+            t = pa.table(
+                {
+                    "__file": pa.array(np.concatenate(rels), pa.string()),
+                    "__pos": pa.array(np.concatenate(poss), pa.int64()),
+                }
+            )
+            os.makedirs(cdir, exist_ok=True)
+            tmp = os.path.join(
+                cdir, f".tmp-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            pq.write_table(t, tmp)
+            os.replace(tmp, dest)  # atomic: rival readers see old/new
+            live = set(M.list_commit_ids(self.path))
+            for fn in os.listdir(cdir):
+                if fn.startswith("dv_pairs-") and fn.endswith(".parquet"):
+                    cid = fn[len("dv_pairs-"):-len(".parquet")]
+                    if cid not in live:
+                        try:
+                            os.unlink(os.path.join(cdir, fn))
+                        except OSError:
+                            pass
+        return spark.read.schema("__file string, __pos long").parquet(dest)
+
+    def _native_masked_scan(
+        self,
+        spark: SparkSession,
+        man,
+        files: list[str],
+        schema: StructType,
+        with_positions: bool = False,
+    ) -> DataFrame:
+        """Native JVM scan of DV-MASKED files for SMALL masks: scan
+        with ``_metadata`` row coordinates and broadcast-ANTI-join the
+        dead ``(file, pos)`` pairs decoded from the snapshot's blobs
+        (pinned to ``man`` — a rival commit cannot skew the mask).
+        Keeps whole-stage codegen and parquet column pruning where the
+        relation path decodes all committed columns; the plan is the
+        in-engine twin of :meth:`register_external`'s masked view
+        (VERDICT r9 next-round #1). Measured (docs/SCALING.md): 0.48 s
+        vs the relation's 0.80 s full read at the 500-dead point-DML
+        shape; 0.71 vs 0.76 at the 100k threshold."""
+        dead = self._dv_pairs_df(spark, man)
+        src = self._native_scan(spark, files, schema, with_positions=True)
+        out = src.join(
+            F.broadcast(dead), on=["__file", "__pos"], how="left_anti"
+        )
+        if with_positions:
+            return out
+        return out.select(*[f.name for f in schema.fields])
 
     def _read_pruned(
         self,
@@ -667,8 +795,11 @@ class KeyedTable:
             ]
         # a secondary index on the column prunes narrow ranges over
         # scattered values that min/max spans can't; host superset
-        # either way, so intersect
-        hosts = self.files_hosting_range(spark, col, lo, hi)
+        # either way, so intersect — PINNED to the same snapshot the
+        # stats pruning used (a rival commit between the two reads
+        # would otherwise drop rows: old host dead in the new live
+        # set, replacement unknown to the old one)
+        hosts = self.files_hosting_range(spark, col, lo, hi, man=man)
         if hosts is not None:
             hs = set(hosts)
             keep = [f for f in keep if f in hs]
@@ -678,13 +809,15 @@ class KeyedTable:
             return spark.createDataFrame([], schema).filter(cond)
         return self._read_pruned(spark, man, keep, schema).filter(cond)
 
-    def files_in_range(self, col: str, lo, hi) -> list[str]:
+    def files_in_range(self, col: str, lo, hi, man=None) -> list[str]:
         """The file subset :meth:`read_range` would scan (introspection
         for tests and planning). Sharded manifests prune as one
         vectorized arrow compute over the columnar shard table — no
         per-file Python loop; legacy inline manifests fall back to the
-        dict walk."""
-        man = M.read_manifest(self.path)
+        dict walk. ``man`` pins the snapshot (callers that already
+        read it pass it, so prune and scan agree under rival commits)."""
+        if man is None:
+            man = M.read_manifest(self.path)
         assert man is not None
         nlo, nhi = _stat_value(lo), _stat_value(hi)
         fast = man.prune_range(col, nlo, nhi)
@@ -697,11 +830,13 @@ class KeyedTable:
             or not (st[1] < nlo or st[0] > nhi)
         ]
 
-    def files_isin(self, col: str, values: list) -> list[str]:
+    def files_isin(self, col: str, values: list, man=None) -> list[str]:
         """Files whose manifest ``col`` min/max may hold ANY of
         ``values`` (files without stats are kept, never skipped).
-        Vectorized over the shard table like :meth:`files_in_range`."""
-        man = M.read_manifest(self.path)
+        Vectorized over the shard table like :meth:`files_in_range`.
+        ``man`` pins the snapshot (same race rule)."""
+        if man is None:
+            man = M.read_manifest(self.path)
         assert man is not None
         vals = sorted(_stat_value(v) for v in values)
         fast = man.prune_isin(col, vals)
@@ -770,10 +905,11 @@ class KeyedTable:
         man = M.read_manifest(self.path)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
-        keep = self.files_isin(col, values)
+        keep = self.files_isin(col, values, man=man)
         # a secondary column index prunes scattered values min/max
-        # stats can't; both are host supersets, so intersect
-        hosts = self.files_hosting_values(spark, col, list(values))
+        # stats can't; both are host supersets, so intersect — pinned
+        # to the SAME snapshot as the stats pruning (rival-commit race)
+        hosts = self.files_hosting_values(spark, col, list(values), man=man)
         if hosts is not None:
             hs = set(hosts)
             keep = [f for f in keep if f in hs]
@@ -783,12 +919,13 @@ class KeyedTable:
             return spark.createDataFrame([], schema).filter(cond)
         return self._read_pruned(spark, man, keep, schema).filter(cond)
 
-    def files_with_keys(self, keys: list) -> list[str]:
+    def files_with_keys(self, keys: list, man=None) -> list[str]:
         """Files whose Bloom sidecar may hold ANY of the (single-column)
         ``keys``; files without a sidecar are kept, never skipped — so
         a missing/stale bloom can cause extra scanning, never a missed
-        row."""
-        man = M.read_manifest(self.path)
+        row. ``man`` pins the snapshot (same race rule)."""
+        if man is None:
+            man = M.read_manifest(self.path)
         assert man is not None
         ddir = M.data_dir(self.path)
         want = [B.key_string((k,)) for k in keys]
@@ -825,10 +962,11 @@ class KeyedTable:
             raise FileNotFoundError(f"no commits at {self.path}")
         # record index first (exact live hosts + supersets, no bloom
         # false positives, O(probe-span) index bytes instead of
-        # O(live files) driver-side bloom decodes); bloom fallback
-        keep = self.files_hosting_keys(spark, list(keys))
+        # O(live files) driver-side bloom decodes); bloom fallback.
+        # Pinned to the manifest read above (rival-commit race).
+        keep = self.files_hosting_keys(spark, list(keys), man=man)
         if keep is None:
-            keep = self.files_with_keys(keys)
+            keep = self.files_with_keys(keys, man=man)
         schema = StructType.fromJson(json.loads(man.schema_json))
         cond = F.col(self.key[0]).isin(list(keys))
         if not keep:
@@ -862,12 +1000,18 @@ class KeyedTable:
             self.save_meta()
 
     def record_index_info(self, at: str | None = None) -> dict | None:
-        """The snapshot's record-index registration, or None when no
-        index is registered (metadata-only read)."""
+        """The snapshot's record-index registration (span maps
+        materialized from the sidecar when the commit packed them —
+        §9d#1), or None when no index is registered (metadata-only
+        read)."""
+        from hudi_glue_spark.table import record_index as RI
+
         man = M.read_manifest(self.path, at)
         if man is None:
             return None
-        return (man.stats or {}).get("record_index")
+        return RI.resolve_reg(
+            self.path, (man.stats or {}).get("record_index")
+        )
 
     def build_record_index(
         self, spark: SparkSession, max_records_per_file: int = 5_000_000
@@ -971,7 +1115,12 @@ class KeyedTable:
         new registration, or None when the index cannot be maintained
         (no active session / scan failure) — the caller then DROPS the
         registration rather than publish a stale index (the honesty
-        rule every index here follows)."""
+        rule every index here follows).
+
+        A PACKED registration (§9d#1 pointer) whose maps don't change
+        this commit carries through as the SAME pointer — the sidecar
+        is immutable and shared across commits, so a long metadata-
+        only stretch costs zero new sidecar files."""
         from hudi_glue_spark.table import record_index as RI
 
         if reg["key"] not in {f.name for f in schema.fields}:
@@ -982,17 +1131,24 @@ class KeyedTable:
         if spark is None:
             return None
         try:
+            reg_full = RI.resolve_reg(self.path, reg)
             ent = self._rli_entries_for_files(
-                spark, new_names, int(reg["seq"]), reg["key"], schema
+                spark, new_names, int(reg_full["seq"]), reg_full["key"], schema
             )
-            spans = RI.write_entries(ent, self.path, cid, reg["key"])
+            spans = RI.write_entries(ent, self.path, cid, reg_full["key"])
         except Exception:  # noqa: BLE001 — drop honestly, never corrupt
             return None
-        deltas = dict(reg.get("deltas") or {})
+        deltas = dict(reg_full.get("deltas") or {})
         deltas.update(spans)
-        return {**reg, "seq": int(reg["seq"]) + 1, "deltas": deltas}
+        return {
+            **reg_full,
+            "seq": int(reg_full["seq"]) + 1,
+            "deltas": deltas,
+        }
 
-    def files_hosting_keys(self, spark: SparkSession, keys) -> list[str] | None:
+    def files_hosting_keys(
+        self, spark: SparkSession, keys, man=None
+    ) -> list[str] | None:
         """Distinct LIVE files that may host any of ``keys`` according
         to the record index — a SUPERSET of the true hosts (entries
         against removed files are dropped against the manifest's live
@@ -1000,46 +1156,72 @@ class KeyedTable:
         ``keys`` is a list (span-pruned probe) or a DataFrame of key
         values (one distributed join — the upsert-tagging shape).
         Returns None when no index is registered (callers fall back to
-        the bloom probe)."""
-        man = M.read_manifest(self.path)
+        the bloom probe).
+
+        ``man`` PINS the snapshot: a caller that already read the
+        manifest (read_isin / read_range / read_keys prune stats and
+        the index from ONE snapshot) must pass it, or a rival commit
+        landing between the two reads makes the stats-pruned ``keep``
+        and the index's live-set filter disagree — the old host drops
+        out as dead while its replacement is unknown to the old
+        snapshot, silently losing rows."""
+        if man is None:
+            man = M.read_manifest(self.path)
         if man is None:
             return None
-        reg = (man.stats or {}).get("record_index")
+        from hudi_glue_spark.table import record_index as RI
+
+        reg = RI.resolve_reg(
+            self.path, (man.stats or {}).get("record_index")
+        )
         if reg is None:
             return None
         return self._index_hosts(spark, man, reg, keys)
 
     def files_hosting_values(
-        self, spark: SparkSession, col: str, values
+        self, spark: SparkSession, col: str, values, man=None
     ) -> list[str] | None:
         """:meth:`files_hosting_keys` for a SECONDARY column index
         (:meth:`build_column_index`) — live files that may hold any of
-        ``values`` in ``col``. None when ``col`` has no index."""
-        man = M.read_manifest(self.path)
+        ``values`` in ``col``. None when ``col`` has no index.
+        ``man`` pins the snapshot (same race rule as
+        :meth:`files_hosting_keys`)."""
+        if man is None:
+            man = M.read_manifest(self.path)
         if man is None:
             return None
-        reg = ((man.stats or {}).get("column_indexes") or {}).get(col)
+        from hudi_glue_spark.table import record_index as RI
+
+        reg = RI.resolve_reg(
+            self.path,
+            ((man.stats or {}).get("column_indexes") or {}).get(col),
+        )
         if reg is None:
             return None
         return self._index_hosts(spark, man, reg, values)
 
     def files_hosting_range(
-        self, spark: SparkSession, col: str, lo, hi
+        self, spark: SparkSession, col: str, lo, hi, man=None
     ) -> list[str] | None:
         """Live files holding any value of ``col`` in ``[lo, hi]``,
         from the column index — prunes a NARROW range on a SCATTERED
         column, where per-file min/max spans swallow the range in
         every file (the case :meth:`read_range` stats pruning can't
-        win). None when ``col`` has no index."""
+        win). None when ``col`` has no index. ``man`` pins the
+        snapshot (same race rule as :meth:`files_hosting_keys`)."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
         from hudi_glue_spark.table import record_index as RI
 
-        man = M.read_manifest(self.path)
+        if man is None:
+            man = M.read_manifest(self.path)
         if man is None:
             return None
-        reg = ((man.stats or {}).get("column_indexes") or {}).get(col)
+        reg = RI.resolve_reg(
+            self.path,
+            ((man.stats or {}).get("column_indexes") or {}).get(col),
+        )
         if reg is None:
             return None
         nlo, nhi = _stat_value(lo), _stat_value(hi)
@@ -1127,7 +1309,9 @@ class KeyedTable:
         from hudi_glue_spark.table import record_index as RI
 
         man = M.read_manifest(self.path)
-        reg = ((man.stats or {}) if man else {}).get("record_index")
+        reg = RI.resolve_reg(
+            self.path, ((man.stats or {}) if man else {}).get("record_index")
+        )
         if reg is None:
             raise ValueError(
                 f"no record index registered at {self.path}; "
@@ -1165,7 +1349,9 @@ class KeyedTable:
         man = M.read_manifest(self.path)
         if man is None:
             return None
-        reg = (man.stats or {}).get("record_index")
+        reg = RI.resolve_reg(
+            self.path, (man.stats or {}).get("record_index")
+        )
         if reg is None or not reg.get("deltas"):
             return None
         k = reg["key"]
@@ -1204,10 +1390,15 @@ class KeyedTable:
     # -- secondary column indexes (value → file; Hudi 1.0 parity) ----------
 
     def column_index_info(self, col: str, at: str | None = None) -> dict | None:
+        from hudi_glue_spark.table import record_index as RI
+
         man = M.read_manifest(self.path, at)
         if man is None:
             return None
-        return ((man.stats or {}).get("column_indexes") or {}).get(col)
+        return RI.resolve_reg(
+            self.path,
+            ((man.stats or {}).get("column_indexes") or {}).get(col),
+        )
 
     def build_column_index(
         self,
@@ -1298,7 +1489,7 @@ class KeyedTable:
         if man is None:
             return None
         prev_ci = (man.stats or {}).get("column_indexes") or {}
-        reg = prev_ci.get(col)
+        reg = RI.resolve_reg(self.path, prev_ci.get(col))
         if reg is None or not reg.get("deltas"):
             return None
         schema = StructType.fromJson(json.loads(man.schema_json))
@@ -1335,11 +1526,13 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
-    @staticmethod
-    def _index_segment_names(stats: dict | None) -> set[str]:
-        """Every ``_rli/`` segment a commit's registrations reference
-        (record index + all column indexes) — the lifecycle unit
-        clean()/validate() track."""
+    def _index_segment_names(self, stats: dict | None) -> set[str]:
+        """Every ``_rli/`` file a commit's registrations keep alive
+        (record index + all column indexes): the segments, plus — for
+        a packed registration (§9d#1 spill) — the span-map sidecar
+        itself. The lifecycle unit clean()/validate() track."""
+        from hudi_glue_spark.table import record_index as RI
+
         s = stats or {}
         regs = []
         if s.get("record_index"):
@@ -1347,8 +1540,7 @@ class KeyedTable:
         regs += [r for r in (s.get("column_indexes") or {}).values() if r]
         out: set[str] = set()
         for r in regs:
-            out.update(r.get("base") or {})
-            out.update(r.get("deltas") or {})
+            out |= RI.reg_file_names(self.path, r)
         return out
 
     def partitions_df(self, spark: SparkSession, at: str | None = None) -> DataFrame:
@@ -2506,15 +2698,16 @@ class KeyedTable:
         so the intersection is too."""
         spark = SparkSession.getActiveSession()
         cand = (
-            self.files_hosting_keys(spark, key_list)
+            self.files_hosting_keys(spark, key_list, man=man)
             if spark is not None
             else None
         )
         if cand is None:
-            cand = self.files_with_keys(key_list)
+            cand = self.files_with_keys(key_list, man=man)
         if self.stats_cols and self.key[0] in self.stats_cols:
             cand = sorted(
-                set(cand) & set(self.files_isin(self.key[0], key_list))
+                set(cand)
+                & set(self.files_isin(self.key[0], key_list, man=man))
             )
         return cand
 
@@ -2733,7 +2926,7 @@ class KeyedTable:
                 # tags candidates with ONE distributed join — the
                 # 100M-key backfill shape no driver-side probe survives
                 hosts = self.files_hosting_keys(
-                    best.sparkSession, best.select(self.key[0])
+                    best.sparkSession, best.select(self.key[0]), man=man
                 )
                 if hosts is not None:
                     hs = set(hosts)
@@ -4236,11 +4429,18 @@ class KeyedTable:
                 )
             except (M.ConcurrentCommitError, ValueError):
                 summary["rli_rebuild_skipped"] = "lost commit race"
-        # secondary indexes: same fold/rebuild policy per column
+        # secondary indexes: same fold/rebuild policy per column (a
+        # packed pointer carries its delta count inline — no sidecar
+        # read needed to decide)
         head_stats = (man2.stats or {}) if man2 else {}
         ci = head_stats.get("column_indexes") or {}
         for c, r in ci.items():
-            if len(r.get("deltas") or {}) >= self.RLI_COMPACT_MIN_DELTAS:
+            nd = (
+                int(r.get("n_deltas") or 0)
+                if "ref" in r
+                else len(r.get("deltas") or {})
+            )
+            if nd >= self.RLI_COMPACT_MIN_DELTAS:
                 try:
                     cid = self.compact_column_index(spark, c)
                     if cid is not None:
@@ -4946,6 +5146,24 @@ class KeyedTable:
                 stats["column_indexes"] = new_ci
             if ci_dropped:
                 stats["column_indexes_dropped"] = sorted(ci_dropped)
+        # Metadata-tree spill (§9d#1): registrations whose span maps
+        # outgrow REG_SPILL_BYTES move them to a parquet sidecar under
+        # _rli/, the commit JSON keeping only a pointer — without this
+        # a table carrying several column indexes through a long
+        # un-compacted chain grows EVERY commit's JSON linearly.
+        # Central here so every op (build, compact, carry, advance)
+        # packs uniformly; already-packed pointers pass through.
+        from hudi_glue_spark.table import record_index as _RI
+
+        if stats.get("record_index"):
+            stats["record_index"] = _RI.pack_reg(
+                self.path, commit_id, stats["record_index"]
+            )
+        if stats.get("column_indexes"):
+            stats["column_indexes"] = {
+                c: _RI.pack_reg(self.path, commit_id, r)
+                for c, r in stats["column_indexes"].items()
+            }
         # Deletion vectors carry forward like retired columns: a file
         # still live in this commit keeps its mask (rewritten/dropped
         # files shed theirs — a rewrite read the masked view, so the

@@ -103,6 +103,113 @@ def write_entries(
     return out
 
 
+#: a registration whose base+deltas span maps exceed this many bytes
+#: of JSON moves them into a parquet sidecar under ``_rli/``, leaving
+#: only a pointer in the commit stats — the Iceberg metadata-tree
+#: move the manifest shards already made (SURVEY §9d#1): without it a
+#: table carrying several column indexes through a long un-compacted
+#: delta chain grows EVERY commit's JSON linearly in O(indexes ×
+#: chain length).
+REG_SPILL_BYTES = 4096
+
+
+def _reg_sidecar_name(cid: str) -> str:
+    import uuid
+
+    return f"{cid}-{uuid.uuid4().hex[:8]}-reg.parquet"
+
+
+def pack_reg(root: str, cid: str, reg: dict | None) -> dict | None:
+    """Spill a big registration's span maps to a parquet sidecar and
+    return the pointer form ``{key, seq, ref, n_base, n_deltas}``;
+    small registrations (and pointers already packed by a parent
+    commit whose maps didn't change) pass through untouched. The
+    sidecar is immutable and lives in ``_rli/`` so the existing
+    segment lifecycle (clean GC by retained-commit reference,
+    rollback restore, validate audit) covers it for free."""
+    import json
+
+    if reg is None or "ref" in reg:
+        return reg
+    base = reg.get("base") or {}
+    deltas = reg.get("deltas") or {}
+    if len(json.dumps({"b": base, "d": deltas})) <= REG_SPILL_BYTES:
+        return reg
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_kind, rows_name, rows_span = [], [], []
+    for kind, m in (("base", base), ("delta", deltas)):
+        for name in sorted(m):
+            rows_kind.append(kind)
+            rows_name.append(name)
+            span = m[name]
+            rows_span.append(None if span is None else json.dumps(span))
+    t = pa.table(
+        {
+            "kind": pa.array(rows_kind, pa.string()),
+            "name": pa.array(rows_name, pa.string()),
+            "span_json": pa.array(rows_span, pa.string()),
+        }
+    )
+    d = rli_dir(root)
+    os.makedirs(d, exist_ok=True)
+    ref = _reg_sidecar_name(cid)
+    tmp = os.path.join(d, f".tmp-{ref}")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(d, ref))
+    return {
+        "key": reg["key"],
+        "seq": reg["seq"],
+        "ref": ref,
+        "n_base": len(base),
+        "n_deltas": len(deltas),
+    }
+
+
+def resolve_reg(root: str, reg: dict | None) -> dict | None:
+    """Materialize a (possibly packed) registration: pointers load
+    their sidecar's span maps; plain registrations pass through. Every
+    reader of ``man.stats['record_index' | 'column_indexes']`` goes
+    through here."""
+    import json
+
+    if reg is None or "ref" not in reg:
+        return reg
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(rli_dir(root), reg["ref"]))
+    base: dict = {}
+    deltas: dict = {}
+    for kind, name, span in zip(
+        t.column("kind").to_pylist(),
+        t.column("name").to_pylist(),
+        t.column("span_json").to_pylist(),
+    ):
+        (base if kind == "base" else deltas)[name] = (
+            None if span is None else json.loads(span)
+        )
+    return {"key": reg["key"], "seq": reg["seq"], "base": base, "deltas": deltas}
+
+
+def reg_file_names(root: str, reg: dict | None) -> set[str]:
+    """Every ``_rli/`` file a registration keeps alive: its segments
+    (resolving a pointer's sidecar when needed) plus the sidecar
+    itself — the lifecycle unit clean()/validate() track."""
+    if reg is None:
+        return set()
+    out: set[str] = set()
+    if "ref" in reg:
+        out.add(reg["ref"])
+        try:
+            reg = resolve_reg(root, reg)
+        except Exception:  # noqa: BLE001 — sidecar gone: validate()
+            return out  # reports the miss; don't crash the audit
+    out.update(reg.get("base") or {})
+    out.update(reg.get("deltas") or {})
+    return out
+
+
 def prune_isin(segments: dict[str, list | None], probes_norm: list) -> list[str]:
     """Segment names that may hold ANY of the normalized probe values:
     span-intersected driver-side (the registration is O(segments),

@@ -1394,3 +1394,16 @@ def test_read_as_of_timestamp(spark, tmppath):
         tbl.read(spark, as_of="2000-01-01T00:00:00Z")
     with pytest.raises(ValueError, match="not both"):
         tbl.read(spark, at=c0, as_of=now)
+    # REAL ISO-8601 inputs (ADVICE r9): a UTC offset converts before
+    # comparing (the old string massage appended 'Z' to '+02:00' and
+    # compared garbage), and fractional seconds truncate to the
+    # stamps' second resolution (the old lexical compare sorted
+    # '...SS.5' BEFORE '...SSZ', wrongly excluding a commit stamped
+    # in that same second)
+    head_dt = datetime.datetime.fromisoformat(ts1.replace("Z", "+00:00"))
+    tz2 = datetime.timezone(datetime.timedelta(hours=2))
+    assert tbl.commit_as_of(head_dt.astimezone(tz2).isoformat()) == c1
+    assert tbl.commit_as_of(ts1[:-1] + ".500Z") == c1
+    tzm5 = datetime.timezone(datetime.timedelta(hours=-5))
+    early = (head_dt - datetime.timedelta(hours=3)).astimezone(tzm5)
+    assert tbl.commit_as_of(early.isoformat()) is None

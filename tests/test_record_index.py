@@ -197,6 +197,73 @@ def test_rli_rollback_and_clean_lifecycle(spark):
     assert [p for p in t.validate() if "cleanable" not in p] == []
 
 
+def test_registration_spill_lifecycle(spark, monkeypatch):
+    """§9d#1 metadata-tree spill: registrations whose span maps outgrow
+    REG_SPILL_BYTES move to a parquet sidecar under _rli/, the commit
+    JSON keeping only a pointer — and every consumer (lookups,
+    compaction trigger, rollback, clean, validate) reads through it."""
+    import json as _json
+
+    monkeypatch.setattr(RI, "REG_SPILL_BYTES", 0)  # force packing
+    t = _mk(spark, "/tmp/rli_spill")
+    t.build_record_index(spark)
+    t.build_column_index(spark, "val")
+    raw = (M.read_manifest(t.path).stats or {}).get("column_indexes")["val"]
+    assert "ref" in raw and "base" not in raw  # pointer, not maps
+    assert os.path.isfile(os.path.join(RI.rli_dir(t.path), raw["ref"]))
+    # info methods materialize the maps; lookups prune through them
+    assert t.record_index_info()["base"]
+    assert t.column_index_info("val")["base"]
+    assert set(_hosts(t, spark, [7])) >= _true_hosts(t, spark, [7])
+    hv = t.files_hosting_values(spark, "val", [14])
+    assert hv and set(hv) >= _true_hosts(t, spark, [7])  # val=14 ↔ pk=7
+    # DML appends a delta and re-packs; commit JSON stays FLAT
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "2", 5000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    for cid in t.commits():
+        s = M.read_manifest(t.path, cid).stats or {}
+        for r in [
+            s.get("record_index"),
+            *(s.get("column_indexes") or {}).values(),
+        ]:
+            if r:
+                assert "base" not in r and "deltas" not in r
+    raw2 = (M.read_manifest(t.path).stats or {}).get("record_index")
+    assert raw2["n_deltas"] == 1
+    assert set(_hosts(t, spark, [2])) >= _true_hosts(t, spark, [2])
+    # maintained == rebuild through pointers: compact folds the deltas
+    c_before = t.commits()[-1]
+    t.compact_record_index(spark)
+    assert t.record_index_info()["deltas"] == {}
+    # rollback restores the TARGET's pointer (sidecar still retained)
+    t.rollback(c_before)
+    assert t.record_index_info() == t.record_index_info(at=c_before)
+    assert t.record_index_info()["deltas"]
+    # clean keeps every retained commit's sidecars + segments; validate
+    # stays sound
+    t.clean(retain_commits=2)
+    assert set(_hosts(t, spark, [2])) >= _true_hosts(t, spark, [2])
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+    # clean to 1 commit reclaims the now-unreferenced older sidecars
+    t.clean(retain_commits=1)
+    live_names = t._index_segment_names(M.read_manifest(t.path).stats)
+    on_disk = set(RI.list_segments(t.path))
+    assert live_names <= on_disk
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
+def test_registration_small_maps_stay_inline(spark):
+    """Below the spill bound nothing changes: maps stay in the commit
+    JSON (no pointer, no sidecar) — zero-surprise default."""
+    t = _mk(spark, "/tmp/rli_nospill")
+    t.build_record_index(spark)
+    raw = (M.read_manifest(t.path).stats or {}).get("record_index")
+    assert "ref" not in raw and raw["base"]
+
+
 def test_rli_guards_and_duplicates(spark):
     # composite key refused
     shutil.rmtree("/tmp/rli_comp", ignore_errors=True)

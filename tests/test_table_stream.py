@@ -160,6 +160,32 @@ def test_stream_changes_cow_upsert_streams_rewritten_partitions(spark):
     }
 
 
+def test_stream_rows_mode_skips_layout_only_commits(spark):
+    """rows mode skips _SILENT_OPS too (ADVICE r9): an optimize()
+    rewrites every masked/small file, and re-emitting those rows would
+    re-deliver up to the whole table to every consumer — Hudi's
+    incremental query likewise excludes compaction output."""
+    t = _mk(spark, "/tmp/ts_rows_silent", n=40)
+    t.delete_dv([3])
+    t.optimize(spark, target_file_mb=64, small_file_mb=64)
+    t.upsert_dv(
+        spark.createDataFrame(
+            [(500, "0", 1, -500)], "pk long, part string, ts long, val long"
+        )
+    )
+    out = _drain(spark, t, "ts_rows_silent")
+    c0, _c1, c2, c3 = t.commits()
+    per = {
+        r["_commit"]: r["n"]
+        for r in out.groupBy("_commit").agg(F.count("*").alias("n")).collect()
+    }
+    # bulk snapshot + the post-optimize upsert delta; the pure-mask
+    # delete adds no files and the optimize is layout-only — neither
+    # appears as a batch
+    assert per == {c0: 40, c3: 1}
+    assert c2 not in per
+
+
 def _drain_cdf(spark, t, ck):
     from hudi_glue_spark.streaming.table_source import stream_changes as _sc
 
