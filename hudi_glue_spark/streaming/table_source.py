@@ -102,6 +102,17 @@ def _added_files(root: str, prev, cur) -> list[str]:
     return sorted(set(cur.files) - set(prev.files))
 
 
+#: exact-CDF gate for CoW rewrites: a rewrite commit touching at most
+#: this many files AND this many bytes (sum of the added+removed
+#: files' on-disk sizes) streams its EXACT row-level delta — a
+#: full-row multiset diff computed in ONE executor task — instead of
+#: the coarse whole-file delete/insert pairs. Above either bound the
+#: coarse contract stays (it nets correct; an exact diff of a
+#: terabyte rewrite would need a shuffle the source can't express).
+CDF_EXACT_REWRITE_MAX_FILES = 32
+CDF_EXACT_REWRITE_MAX_BYTES = 32 * 1024 * 1024
+
+
 class _CommitSlice(InputPartition):
     """One task: (commit id, entries). Each entry is a 4-tuple
     ``(kind, rel, a, b)``:
@@ -114,6 +125,11 @@ class _CommitSlice(InputPartition):
     - ``("dvdiff", rel, old_dv|None, new_dv|None)`` — a carried file
       whose mask changed: newly-dead positions → deletes, newly-live
       (rollback resurrection) → inserts (mode="cdf" only)
+    - ``("rewrite", adds, removes, None)`` — a SMALL CoW rewrite
+      under the exact-CDF gate: ``adds``/``removes`` are tuples of
+      ``(rel, dv|None)`` (own dv / parent dv); the task computes the
+      full-row multiset diff and emits only truly-changed rows
+      (mode="cdf" only; always a slice of its own)
     """
 
     def __init__(self, cid: str, entries: tuple):
@@ -129,6 +145,19 @@ class TableChangesStreamReader(DataSourceStreamReader):
         )
         self.starting = options.get("starting", "earliest")
         self.mode = options.get("mode", "rows")
+        # options, not module globals: the planner runs in Spark's
+        # Python DS worker process, where a caller's monkeypatch/
+        # assignment never lands — only the serialized options do
+        self.exact_rewrite_max_files = int(
+            options.get(
+                "exact_rewrite_max_files", CDF_EXACT_REWRITE_MAX_FILES
+            )
+        )
+        self.exact_rewrite_max_bytes = int(
+            options.get(
+                "exact_rewrite_max_bytes", CDF_EXACT_REWRITE_MAX_BYTES
+            )
+        )
 
     # -- offsets (driver, metadata-only) ----------------------------------
     #
@@ -201,13 +230,60 @@ class TableChangesStreamReader(DataSourceStreamReader):
             entries: list[tuple] = []
             added = _added_files(self.root, prev, cur)
             added_set = set(added)
-            entries += [
-                ("add", rel, cdvs[rel][0] if rel in cdvs else None, None)
-                for rel in added
-            ]
+            removed: list[str] = []
+            pdvs = (prev.dvs or {}) if prev is not None else {}
             if cdf and prev is not None:
-                pdvs = prev.dvs or {}
                 removed = _added_files(self.root, cur, prev)  # inverse
+            if (
+                cdf
+                and added
+                and removed
+                and self._exact_rewrite_ok(added, removed)
+            ):
+                # exact row-level CDF for a small CoW rewrite: one
+                # task multiset-diffs the two sides; untouched rows
+                # (identical on both) emit NOTHING, so a 1-row upsert
+                # into a 500k-row partition streams 1 delete + 1
+                # insert instead of 1M coarse rows
+                out.append(
+                    _CommitSlice(
+                        cid,
+                        (
+                            (
+                                "rewrite",
+                                tuple(
+                                    (
+                                        rel,
+                                        cdvs[rel][0]
+                                        if rel in cdvs
+                                        else None,
+                                    )
+                                    for rel in added
+                                ),
+                                tuple(
+                                    (
+                                        rel,
+                                        pdvs[rel][0]
+                                        if rel in pdvs
+                                        else None,
+                                    )
+                                    for rel in removed
+                                ),
+                                None,
+                            ),
+                        ),
+                    )
+                )
+            else:
+                entries += [
+                    (
+                        "add",
+                        rel,
+                        cdvs[rel][0] if rel in cdvs else None,
+                        None,
+                    )
+                    for rel in added
+                ]
                 entries += [
                     (
                         "remove",
@@ -217,6 +293,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     )
                     for rel in removed
                 ]
+            if cdf and prev is not None:
                 carried_changed = (
                     (set(pdvs) | set(cdvs)) - added_set - set(removed)
                 )
@@ -238,6 +315,43 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 )
             prev = cur
         return out
+
+    def _exact_rewrite_ok(
+        self, added: list[str], removed: list[str]
+    ) -> bool:
+        """Gate for the exact row-level CDF on a CoW rewrite commit:
+        file-count and on-disk-byte caps (the diff materializes both
+        sides in one task), and an all-scalar schema (row keys are
+        per-column string casts; nested/binary columns keep the coarse
+        contract). Any stat failure → coarse — the gate is an
+        optimization, never load-bearing."""
+        from pyspark.sql.types import (
+            ArrayType,
+            BinaryType,
+            MapType,
+            StructType as _St,
+        )
+
+        names = [*added, *removed]
+        if len(names) > self.exact_rewrite_max_files:
+            return False
+        for f in self.schema.fields:
+            if f.name in (COMMIT_COL, CHANGE_COL):
+                continue
+            if isinstance(
+                f.dataType, (ArrayType, MapType, _St, BinaryType)
+            ):
+                return False
+        ddir = M.data_dir(self.root)
+        total = 0
+        for rel in names:
+            try:
+                total += os.path.getsize(os.path.join(ddir, rel))
+            except OSError:
+                return False
+            if total > self.exact_rewrite_max_bytes:
+                return False
+        return True
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
         pass
@@ -348,8 +462,82 @@ class TableChangesStreamReader(DataSourceStreamReader):
             )
             for batch in scan.to_batches(use_threads=False):
                 yield assemble(batch, pv, "insert")
+        def rewrite_diff(adds, removes):
+            """EXACT row-level CDF for a small CoW rewrite: both sides
+            materialize in this task (bounded by the planner's byte
+            gate), full rows become string keys (per-column cast with
+            an explicit validity tag, so NULL never aliases a value),
+            and a multiset diff emits only rows present on one side —
+            an UNTOUCHED row of the rewritten partition is identical
+            in both file sets and emits nothing; a changed row emits
+            its pre-image delete and post-image insert."""
+            import pyarrow.compute as pc
+
+            def side(side_entries, change):
+                batches = [
+                    bt
+                    for rel, dvn in side_entries
+                    for bt in masked_scan(rel, dvn, change)
+                ]
+                if not batches:
+                    return pa.Table.from_batches([], schema=target)
+                return pa.Table.from_batches(batches)
+
+            old_t = side(removes, "delete")
+            new_t = side(adds, "insert")
+            key_cols = [
+                n
+                for n in target.names
+                if n not in (COMMIT_COL, CHANGE_COL)
+            ]
+
+            def keys_of(t):
+                if t.num_rows == 0:
+                    return []
+                parts = []
+                for n in key_cols:
+                    col = t.column(n)
+                    parts.append(
+                        pc.if_else(
+                            pc.is_valid(col),
+                            pa.scalar("v"),
+                            pa.scalar("n"),
+                        )
+                    )
+                    parts.append(
+                        pc.fill_null(pc.cast(col, pa.string()), "")
+                    )
+                return pc.binary_join_element_wise(
+                    *parts, "\x01"
+                ).to_pylist()
+
+            from collections import Counter
+
+            old_k, new_k = keys_of(old_t), keys_of(new_t)
+            cnt = Counter(new_k)
+            del_mask = []
+            for kk in old_k:
+                if cnt.get(kk, 0) > 0:
+                    cnt[kk] -= 1
+                    del_mask.append(False)
+                else:
+                    del_mask.append(True)
+            ins_mask = []
+            for kk in new_k:  # counts left = truly-new instances
+                if cnt.get(kk, 0) > 0:
+                    cnt[kk] -= 1
+                    ins_mask.append(True)
+                else:
+                    ins_mask.append(False)
+            if any(del_mask):
+                yield from old_t.filter(pa.array(del_mask)).to_batches()
+            if any(ins_mask):
+                yield from new_t.filter(pa.array(ins_mask)).to_batches()
+
         for kind, rel, a, b in entries:
-            if kind == "add" and a is not None:
+            if kind == "rewrite":
+                yield from rewrite_diff(rel, a)  # rel=adds, a=removes
+            elif kind == "add" and a is not None:
                 yield from masked_scan(rel, a, "insert")
             elif kind == "remove":
                 yield from masked_scan(rel, a, "delete")
@@ -438,7 +626,12 @@ def ensure_registered(spark) -> None:
 
 
 def stream_changes(
-    spark, table, starting: str = "earliest", mode: str = "rows"
+    spark,
+    table,
+    starting: str = "earliest",
+    mode: str = "rows",
+    exact_rewrite_max_files: int | None = None,
+    exact_rewrite_max_bytes: int | None = None,
 ):
     """Open the table's commit log as a streaming DataFrame.
 
@@ -468,7 +661,7 @@ def stream_changes(
     if mode == "cdf":
         extra.append(StructField(CHANGE_COL, StringType(), False))
     out = StructType([*schema.fields, *extra])
-    return (
+    reader = (
         spark.readStream.format(FORMAT_NAME)
         .option("path", table.path)
         .option("schema_json", json.dumps(out.jsonValue()))
@@ -477,5 +670,13 @@ def stream_changes(
         )
         .option("starting", starting)
         .option("mode", mode)
-        .load()
     )
+    if exact_rewrite_max_files is not None:
+        reader = reader.option(
+            "exact_rewrite_max_files", str(exact_rewrite_max_files)
+        )
+    if exact_rewrite_max_bytes is not None:
+        reader = reader.option(
+            "exact_rewrite_max_bytes", str(exact_rewrite_max_bytes)
+        )
+    return reader.load()

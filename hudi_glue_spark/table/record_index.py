@@ -109,8 +109,11 @@ def write_entries(
 #: move the manifest shards already made (SURVEY §9d#1): without it a
 #: table carrying several column indexes through a long un-compacted
 #: delta chain grows EVERY commit's JSON linearly in O(indexes ×
-#: chain length).
-REG_SPILL_BYTES = 4096
+#: chain length). Per-registration bound, so the commit JSON ceiling
+#: is ~indexes × this; 1 KiB keeps a 10-index table's commits near
+#: their no-index size (measured: max 12 KB over a 100-commit chain,
+#: vs 63 KB at a 4 KiB bound and unbounded growth before the spill).
+REG_SPILL_BYTES = 1024
 
 
 def _reg_sidecar_name(cid: str) -> str:

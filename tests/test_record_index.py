@@ -255,6 +255,41 @@ def test_registration_spill_lifecycle(spark, monkeypatch):
     assert [p for p in t.validate() if "cleanable" not in p] == []
 
 
+def test_lookup_join_distributed(spark):
+    """VERDICT r9 #5: lookup_join consumes the index entries with a
+    DISTRIBUTED join (the _rli segments appear as a scan in the plan;
+    zero driver collect) and returns exactly the batch keys' current
+    rows — through CoW moves, deletes, and DV masks."""
+    import pytest
+
+    t = _mk(spark, "/tmp/rli_lkj")
+    batch = spark.createDataFrame(
+        [(2,), (2,), (9,), (3,), (123456,)], "k long"  # dup + miss
+    )
+    with pytest.raises(ValueError, match="no record index"):
+        t.lookup_join(spark, batch)
+    t.build_record_index(spark)
+    t.upsert(  # moves pk=2 to a rewritten file
+        spark.createDataFrame(
+            [(2, "2", 5000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    t.delete(spark.createDataFrame([(3,)], "pk long"))  # pk=3 gone
+    t.delete_dv([9])  # pk=9 masked, not rewritten
+    out = t.lookup_join(spark, batch)
+    assert rows_set(out) == {(2, "2", 5000, -1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_rli" in plan  # index entries joined as a distributed scan
+    # secondary-index variant: val -> rows
+    t.build_column_index(spark, "val")
+    out2 = t.lookup_join(
+        spark, spark.createDataFrame([(-1,), (14,)], "v long"), col="val"
+    )
+    assert rows_set(out2) == {(2, "2", 5000, -1), (7, "3", 7, 14)}
+    with pytest.raises(ValueError, match="column 'nope'"):
+        t.lookup_join(spark, batch, col="nope")
+
+
 def test_registration_small_maps_stay_inline(spark):
     """Below the spill bound nothing changes: maps stay in the commit
     JSON (no pointer, no sidecar) — zero-surprise default."""

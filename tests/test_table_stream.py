@@ -186,11 +186,11 @@ def test_stream_rows_mode_skips_layout_only_commits(spark):
     assert c2 not in per
 
 
-def _drain_cdf(spark, t, ck):
+def _drain_cdf(spark, t, ck, **kw):
     from hudi_glue_spark.streaming.table_source import stream_changes as _sc
 
     shutil.rmtree(ck, ignore_errors=True)  # these tests never resume
-    src = _sc(spark, t, mode="cdf")
+    src = _sc(spark, t, mode="cdf", **kw)
     rows: list = []
     q = (
         src.writeStream.trigger(availableNow=True)
@@ -244,6 +244,97 @@ def test_stream_cdf_retractions_and_silent_compaction(spark):
     ).first()[0]
     assert net == t.read(spark).count() == 98
     assert s == t.read(spark).selectExpr("sum(val)").first()[0]
+
+
+def test_stream_cdf_exact_cow_rewrite_under_cap(spark):
+    """VERDICT r9 #6: a CoW rewrite commit under the exact-CDF gate
+    streams exactly its TRUE row delta (one delete + one insert for a
+    1-row upsert into a rewritten partition), not the coarse
+    whole-partition pairs; over the gate the documented coarse
+    contract remains, and both net identically."""
+    t = _mk(spark, "/tmp/ts_cdf_exact", n=40)
+    t.upsert(
+        spark.createDataFrame(
+            [(0, "0", 9000, -99)], "pk long, part string, ts long, val long"
+        )
+    )
+    out = _drain_cdf(spark, t, "/tmp/ts_cdf_exact_ck")
+    _c0, c1 = t.commits()
+    got = {
+        (r._change_type, r.pk, r.part, r.ts, r.val)
+        for r in out.filter(F.col("_commit") == c1).collect()
+    }
+    assert got == {
+        ("delete", 0, "0", 0, 0),
+        ("insert", 0, "0", 9000, -99),
+    }
+    # coarse twin: same commit over a zeroed byte gate streams the
+    # whole rewritten partition both ways, netting the same delta
+    # (the gate travels as a READER OPTION — the planner runs in
+    # Spark's Python DS worker, out of monkeypatch reach)
+    out2 = _drain_cdf(
+        spark, t, "/tmp/ts_cdf_exact_ck2", exact_rewrite_max_bytes=0
+    )
+    per = {
+        r["_change_type"]: r["n"]
+        for r in out2.filter(F.col("_commit") == c1)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per == {"delete": 10, "insert": 10}
+    for df in (out, out2):
+        net = df.selectExpr(
+            "sum(case when _change_type='insert' then val else -val end)"
+        ).first()[0]
+        assert net == t.read(spark).selectExpr("sum(val)").first()[0]
+
+
+def test_stream_cdf_exact_rewrite_multiset_duplicates(spark):
+    """The exact rewrite diff is a MULTISET diff: duplicate identical
+    rows (bulk_insert dedupe=False) drop/add by instance count, and
+    NULLs never alias real values in the row keys."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+
+    root = "/tmp/ts_cdf_multiset"
+    _sh.rmtree(root, ignore_errors=True)
+    _sh.rmtree(root + "_ck", ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part")
+    rows = [
+        (1, "0", 1, 5),
+        (1, "0", 1, 5),  # identical duplicate
+        (2, "0", 1, None),  # NULL val
+        (3, "0", 1, 7),
+    ]
+    t.bulk_insert(
+        spark.createDataFrame(
+            rows, "pk long, part string, ts long, val long"
+        ),
+        dedupe=False,
+    )
+    # rewrite the partition: pk=3 updated; the merge collapses the
+    # pk=1 duplicates (window dedup), so the old side holds TWO
+    # identical (1,5) rows and the new side ONE — a multiset diff
+    # emits exactly one delete for it (a set diff would emit zero);
+    # the NULL-val row is untouched and must emit nothing
+    t.upsert(
+        spark.createDataFrame(
+            [(3, "0", 2, 8)], "pk long, part string, ts long, val long"
+        )
+    )
+    out = _drain_cdf(spark, t, root + "_ck")
+    c1 = t.commits()[-1]
+    got = sorted(
+        (r._change_type, r.pk, r.val if r.val is not None else -1)
+        for r in out.filter(F.col("_commit") == c1).collect()
+    )
+    assert got == [
+        ("delete", 1, 5),
+        ("delete", 3, 7),
+        ("insert", 3, 8),
+    ]
 
 
 def test_stream_cdf_rollback_streams_inverse_delta(spark):

@@ -38,7 +38,91 @@ def best3(fn):
     return round(min(vals), 3)
 
 
+def reg_spill_tier(n_indexes: int = 10, n_commits: int = 100) -> None:
+    """§9d#1 evidence: commit JSON size stays FLAT under many column
+    indexes × a long un-compacted delta chain (the span maps spill to
+    parquet sidecars past REG_SPILL_BYTES; only pointers ride the
+    JSON). Usage: python tools/rli_stress.py regspill [indexes] [commits]."""
+    import os
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = "/tmp/rli_regspill"
+    shutil.rmtree(root, ignore_errors=True)
+    t = KeyedTable(root, key="pk", precombine="ts", partition_by="part")
+    cols = [f"c{i}" for i in range(n_indexes)]
+    base = spark.range(0, 20_000).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("ts"),
+        *[(F.col("id") * (i + 2)).alias(c) for i, c in enumerate(cols)],
+    )
+    t.bulk_insert(base)
+    for c in cols:
+        t.build_column_index(spark, c)
+    sizes: list[int] = []
+    walls: list[float] = []
+    for i in range(n_commits):
+        batch = spark.range(0, 50).select(
+            (F.col("id") + i * 50).alias("pk"),
+            ((F.col("id") + i) % 4).cast("string").alias("part"),
+            F.lit(100_000 + i).alias("ts"),
+            *[
+                (F.col("id") * (j + 2) + 1).alias(c)
+                for j, c in enumerate(cols)
+            ],
+        )
+        t0 = time.monotonic()
+        t.upsert_dv(batch)
+        walls.append(time.monotonic() - t0)
+        cid = t.commits()[-1]
+        sizes.append(
+            os.path.getsize(
+                os.path.join(M.commits_dir(root), cid + ".json")
+            )
+        )
+    out = {
+        "indexes": n_indexes,
+        "commits": n_commits,
+        "json_first_kb": round(sizes[0] / 1024, 1),
+        "json_median_kb": round(sorted(sizes)[len(sizes) // 2] / 1024, 1),
+        "json_max_kb": round(max(sizes) / 1024, 1),
+        "json_last_kb": round(sizes[-1] / 1024, 1),
+        "commit_wall_first5_s": round(sum(walls[:5]) / 5, 2),
+        "commit_wall_last5_s": round(sum(walls[-5:]) / 5, 2),
+    }
+    # correctness spot-checks through the packed chain
+    man = M.read_manifest(root)
+    for c in cols[:2]:
+        reg = t.column_index_info(c)
+        assert reg["deltas"], c
+        raw = (man.stats or {}).get("column_indexes")[c]
+        out.setdefault("packed", {})[c] = "ref" in raw
+    hosts = t.files_hosting_values(spark, cols[0], [2])
+    assert hosts is not None
+    # maintenance folds every over-threshold index through the pointers
+    t0 = time.monotonic()
+    t.run_maintenance(spark)
+    out["maintenance_fold_s"] = round(time.monotonic() - t0, 2)
+    out["post_fold_json_kb"] = round(
+        os.path.getsize(
+            os.path.join(M.commits_dir(root), t.commits()[-1] + ".json")
+        )
+        / 1024,
+        1,
+    )
+    probs = [p for p in t.validate() if "cleanable" not in p]
+    out["validate_problems"] = probs
+    print(json.dumps(out, indent=2))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "regspill":
+        reg_spill_tier(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 100,
+        )
+        return
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
     spark = get_spark()
