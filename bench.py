@@ -103,37 +103,26 @@ def main() -> int:
 
     spark.range(1000, numPartitions=int(cpus)).select(_warm(F.col("id"))).count()
 
-    # JIT warmup: the heavy-codegen shapes (md5 folds, higher-order
-    # array aggregates) pay multi-second C2 compilation on FIRST
-    # execution. Run them once at sf0.001 so the timed sf0.1 runs
-    # measure steady-state throughput — matching long-lived executors
-    # on a real cluster, where codegen compiles once per shape.
+    # UNIVERSAL warmup (VERDICT r9 #2, replacing the hand-curated warm
+    # list): run EVERY query once, un-timed, at sf0.001 before any
+    # timed sample. First execution of a codegen shape is
+    # JIT-dominated (3-5x the warm number — C2 compiles per SHAPE, not
+    # per data size), and two rounds of judging burned time re-timing
+    # 1.5-5x "regressions" on untouched code that were exactly these
+    # cold starts (r8: 2 rows; r9: 6, incl. a 5.0x). The tiny-sf pass
+    # compiles the same generated code the sf0.1 run executes, at
+    # ~1/100 the data cost. Warmup errors are ignored here — the timed
+    # loop below surfaces them per-row.
     qs_all = entry_mod.queries()
-    for warm_name in (
-        "minhash_near_dup",
-        "simhash_near_dup",
-        "doc_winnowing_fingerprints",
-        "word_jaccard_pairs",
-        "knn_bruteforce",
-        "knn_l2_bruteforce",
-        "benchmark_decontamination",
-        "docs_repetition_signals",
-        "knn_lsh",
-        "knn_ivf",
-        "knn_ivf_indexed",
-        "tf_idf_top_terms",
-        "kmeans_embedding_clusters",
-        "dedup_chain_fixpoint",
-        "dual_path_read_agreement",
-        "sequence_pack_greedy",
-        "knn_lsh_indexed",
-        "curation_pipeline_end_to_end",
-        "stream_text_pipeline",
-        "sql_pruned_point_range",
-        "curated_pruned_scan",
-    ):
-        if warm_name in qs_all:
+    warm_fail = 0
+    for warm_name in sorted(qs_all):
+        try:
             qs_all[warm_name](spark, "/root/testdata/sf0.001").count()
+        except Exception:  # noqa: BLE001 — timed loop reports it
+            warm_fail += 1
+    if warm_fail:
+        print(f"# warmup: {warm_fail} rows errored (timed loop will "
+              f"report)", file=sys.stderr)
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -163,6 +152,27 @@ def main() -> int:
     timings["commit:cdf_scenario_build"] = round(dt, 3)
     total += dt
     print(f"# commit:cdf_scenario_build: {dt:.3f}s", file=sys.stderr)
+    # r10 (§9d#4 / VERDICT r9 #8): the two slowest scenario rows were
+    # dominated by per-run fixture rebuilds — their builders now cache
+    # per process, and the build cost lands HERE as explicit commit:
+    # rows so the query rows time the lookup / stream-drain path.
+    from hudi_glue_spark.scenario_queries import (
+        _lkj_fixture,
+        _rli_point_fixture,
+    )
+    from hudi_glue_spark.streaming_queries import _tblchanges_src
+
+    for label, builder in (
+        ("rli_scenario_build", _rli_point_fixture),
+        ("lookup_join_scenario_build", _lkj_fixture),
+        ("tblchanges_src_build", _tblchanges_src),
+    ):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir)
+        dt = time.perf_counter() - t0
+        timings[f"commit:{label}"] = round(dt, 3)
+        total += dt
+        print(f"# commit:{label}: {dt:.3f}s", file=sys.stderr)
     # ALPHABETICAL timing order, deliberately decoupled from the
     # registry's driver-window priority: that order rotates every round,
     # and whichever query runs first after a cold stretch absorbs JIT /
@@ -285,6 +295,7 @@ def main() -> int:
         "n_queries": len(timings),
         "sec_per_query": round(total / max(len(timings), 1), 3),
         "medians": "median-of-3 for the 20 slowest queries",
+        "warmup": "every query pre-run once at sf0.001 (JIT/codegen warm)",
         "pinned_subset": {
             "n": len(pinned),
             "wall_seconds": round(pinned_total, 3),

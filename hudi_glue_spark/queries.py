@@ -38,67 +38,17 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2-r8), so the r9 window is built for STALENESS, same
-#: formula as r7/r8 (memory: round rituals): (a) the new/reshaped r9
-#: rows first (record-level + secondary indexes, the commit-log stream
-#: source, and dv_external_engine_read which now reads through the
-#: masked registration), then (b) the 12 oldest-green rows
-#: (last green r4/r5 — the judge re-proved all 12 EXACT in its own r8
-#: session, but the driver record still dates from r4/r5), then
-#: (c) the r6 cohort (the ~50-slot window takes (a)+(b) plus the
-#: first ~36 of these; the rest lead the r10 rotation), then r7, r8.
-#: No row green in r7 or r8 sits ahead of an r4/r5/r6-stale row.
+#: (cumulative r2-r9), so the r10 window is built for STALENESS, same
+#: formula as r7-r9 (memory: round rituals, VERDICT r9 #3): (a) the
+#: new r10 row (index_lookup_join_distributed) first, then (b) the 19
+#: rows whose latest driver green dates from r6 (the judge re-proved
+#: all 19 EXACT in its own r9 session, but the driver record still
+#: says r6), then (c) the 50-row r7 cohort alphabetically (the ~50
+#: window takes (a)+(b) plus the first ~30; the rest lead the r11
+#: rotation), then r8, then r9. No row green in r8 or r9 sits ahead
+#: of an r6/r7-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    "record_index_point_lookup",
-    "record_index_dv_backfill",
-    "secondary_index_user_lookup",
-    "stream_table_changes",
-    "stream_cdf_changes",
-    "time_travel_as_of",
-    "dv_external_engine_read",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "user_event_type_sets",
-    "vocab_top_terms",
-    "merge_into_scenario",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    "train_val_test_split",
-    "upsert_arrival_wins",
-    "upsert_event_time_wins",
-    "upsert_then_delete",
-    "ann_index_maintained_upsert",
-    "ann_recall_audit",
-    "approx_distinct_users",
-    "bucketed_colocated_join",
-    "c4_rule_filters",
-    "cdf_incremental_agg",
-    "change_feed_clicks",
-    "compaction_scenario",
-    "constraint_quarantine_flow",
-    "curated_pruned_scan",
-    "derived_day_partition_ingest",
-    "distinct_pairs",
-    "doc_winnowing_fingerprints",
-    "drop_partition_retention",
-    "embedding_quantize_int8",
-    "events_value_stats",
-    "fk_integrity_audit",
-    "forget_user_flow",
-    "hypertable_rollup_hierarchy",
-    "incremental_near_dup_vs_index",
-    "jaccard_dedup_survivors",
-    "join_key_skew_profile",
-    "keyword_search_indexed",
-    "knn_l2_bruteforce",
-    "manifest_metadata_table",
-    "metadata_only_aggregates",
-    "near_dup_components",
-    "orders_price_quantiles_approx",
-    "partition_evolution_scenario",
-    "quality_model_filter",
-    "range_read_time_slice",
+    "index_lookup_join_distributed",
     "rollback_scenario",
     "segment_dedup_reassembled",
     "sql_pruned_point_range",
@@ -176,7 +126,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "domain_mix_resample",
     "dual_path_read_agreement",
     "dv_delete_read",
-    "dv_external_engine_read",
     "dv_maintenance_fold",
     "dv_predicate_dml",
     "dv_upsert_scenario",
@@ -218,6 +167,56 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q16_supplier_part_counts",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
+    "ann_index_maintained_upsert",
+    "ann_recall_audit",
+    "approx_distinct_users",
+    "bucketed_colocated_join",
+    "c4_rule_filters",
+    "cdf_incremental_agg",
+    "change_feed_clicks",
+    "compaction_scenario",
+    "constraint_quarantine_flow",
+    "curated_pruned_scan",
+    "derived_day_partition_ingest",
+    "distinct_pairs",
+    "doc_winnowing_fingerprints",
+    "drop_partition_retention",
+    "dv_external_engine_read",
+    "embedding_quantize_int8",
+    "events_value_stats",
+    "fk_integrity_audit",
+    "forget_user_flow",
+    "hypertable_rollup_hierarchy",
+    "incremental_near_dup_vs_index",
+    "jaccard_dedup_survivors",
+    "join_key_skew_profile",
+    "keyword_search_indexed",
+    "knn_l2_bruteforce",
+    "manifest_metadata_table",
+    "merge_into_scenario",
+    "metadata_only_aggregates",
+    "near_dup_components",
+    "orders_price_quantiles_approx",
+    "partition_evolution_scenario",
+    "quality_model_filter",
+    "range_read_time_slice",
+    "record_index_dv_backfill",
+    "record_index_point_lookup",
+    "secondary_index_user_lookup",
+    "stream_cdf_changes",
+    "stream_session_windows",
+    "stream_stream_interval_join",
+    "stream_table_changes",
+    "time_travel_as_of",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "train_val_test_split",
+    "upsert_arrival_wins",
+    "upsert_event_time_wins",
+    "upsert_then_delete",
+    "user_event_type_sets",
+    "vocab_top_terms",
 ]
 
 

@@ -2121,6 +2121,45 @@ def q_dv_predicate_dml(spark, sf_dir):
     return out
 
 
+_RLI_SCN_CACHE: dict[str, tuple] = {}
+
+
+def _rli_point_fixture(spark, sf_dir) -> tuple:
+    """The record_index_point_lookup scenario table — 4 commits (bulk,
+    index build, CoW upsert, CoW delete) — built ONCE per process per
+    sf (§9d#4 bench hygiene, VERDICT r9 #8): the build is
+    deterministic, so the point-lookup row times the LOOKUP path, not
+    a fixture rebuild; bench.py charges the build to an explicit
+    ``commit:`` row. Returns (tbl, registered, maintained)."""
+    root = f"/tmp/hudi_glue_spark_scn_rli_{sf_tag(sf_dir)}"
+    cached = _RLI_SCN_CACHE.get(root)
+    if cached is not None and os.path.isdir(cached[0].path):
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+        stats_cols=["event_id", "ts"],
+        key_bloom=True,
+    )
+    ev = table(spark, sf_dir, "events")
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    tbl.build_record_index(spark)
+    registered = tbl.record_index_info() is not None
+    tbl.upsert(b1.select(_COLS))  # moves every click row to new files
+    del_keys = ev.filter("user_id = 3").select("event_id")
+    tbl.delete(del_keys)
+    reg = tbl.record_index_info()
+    maintained = reg is not None and len(reg.get("deltas") or {}) >= 2
+    out = (tbl, registered, maintained)
+    _RLI_SCN_CACHE[root] = out
+    return out
+
+
 @query(
     "record_index_point_lookup",
     _BATCHES_CTE
@@ -2160,28 +2199,9 @@ def q_record_index_point_lookup(spark, sf_dir):
     from hudi_glue_spark.table import manifest as M
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_rli_{sf_tag(sf_dir)}"
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        root,
-        key="event_id",
-        precombine="ts",
-        partition_by="event_type",
-        policy=EVENT_TIME_WINS,
-        stats_cols=["event_id", "ts"],
-        key_bloom=True,
-    )
+    tbl, registered, maintained = _rli_point_fixture(spark, sf_dir)
+    root = tbl.path
     ev = table(spark, sf_dir, "events")
-    b0, b1, _b2 = _batches(spark, sf_dir)
-    tbl.bulk_insert(b0.select(_COLS))
-    tbl.build_record_index(spark)
-    registered = tbl.record_index_info() is not None
-
-    tbl.upsert(b1.select(_COLS))  # moves every click row to new files
-    del_keys = ev.filter("user_id = 3").select("event_id")
-    tbl.delete(del_keys)
-    reg = tbl.record_index_info()
-    maintained = reg is not None and len(reg.get("deltas") or {}) >= 2
 
     probes = [
         r[0]
@@ -2318,6 +2338,36 @@ def q_secondary_index_user_lookup(spark, sf_dir):
     )
 
 
+_LKJ_CACHE: dict[str, KeyedTable] = {}
+
+
+def _lkj_fixture(spark, sf_dir) -> KeyedTable:
+    """index_lookup_join_distributed's table (bulk + secondary index +
+    CoW upsert), built once per process per sf — the row times the
+    distributed lookup join, bench.py charges the build to a
+    ``commit:`` row (§9d#4 hygiene)."""
+    root = f"/tmp/hudi_glue_spark_scn_lkj_{sf_tag(sf_dir)}"
+    cached = _LKJ_CACHE.get(root)
+    if cached is not None and os.path.isdir(cached.path):
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+        stats_cols=["event_id", "ts"],
+        key_bloom=True,
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    tbl.build_column_index(spark, "user_id")
+    tbl.upsert(b1.select(_COLS))  # rewritten clicks -> delta run
+    _LKJ_CACHE[root] = tbl
+    return tbl
+
+
 @query(
     "index_lookup_join_distributed",
     _BATCHES_CTE
@@ -2345,22 +2395,7 @@ def q_index_lookup_join_distributed(spark, sf_dir):
     through a CoW upsert by the central _commit hook; hash-checked
     against the window-dedup oracle semi-joined to the same user set."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_lkj_{sf_tag(sf_dir)}"
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        root,
-        key="event_id",
-        precombine="ts",
-        partition_by="event_type",
-        policy=EVENT_TIME_WINS,
-        stats_cols=["event_id", "ts"],
-        key_bloom=True,
-    )
-    b0, b1, _b2 = _batches(spark, sf_dir)
-    tbl.bulk_insert(b0.select(_COLS))
-    tbl.build_column_index(spark, "user_id")
-    tbl.upsert(b1.select(_COLS))  # rewritten clicks -> delta run
-
+    tbl = _lkj_fixture(spark, sf_dir)
     ev = table(spark, sf_dir, "events")
     batch = ev.filter("event_id % 191 = 0").select("user_id")
     out = tbl.lookup_join(spark, batch, col="user_id")

