@@ -40,7 +40,8 @@ NON_SQL_QUERIES: set[str] = set()
 #: round (~50). Every registered query holds a strict driver-green row
 #: (cumulative r2-r9), so the r10 window is built for STALENESS, same
 #: formula as r7-r9 (memory: round rituals, VERDICT r9 #3): (a) the
-#: new r10 row (index_lookup_join_distributed) first, then (b) the 19
+#: new r10 rows (index_lookup_join_distributed,
+#: stream_cdf_exact_rewrite) first, then (b) the 19
 #: rows whose latest driver green dates from r6 (the judge re-proved
 #: all 19 EXACT in its own r9 session, but the driver record still
 #: says r6), then (c) the 50-row r7 cohort alphabetically (the ~50
@@ -49,6 +50,7 @@ NON_SQL_QUERIES: set[str] = set()
 #: of an r6/r7-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "index_lookup_join_distributed",
+    "stream_cdf_exact_rewrite",
     "rollback_scenario",
     "segment_dedup_reassembled",
     "sql_pruned_point_range",

@@ -516,6 +516,101 @@ def q_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdf_exact_rewrite",
+    _BATCHES_CTE
+    + """
+    , merged AS (
+      SELECT event_id, user_id, event_type, value, ts FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC, src DESC) AS rn
+        FROM u
+        WHERE src = 0 OR (src = 1 AND event_id % 101 = 0)
+      ) WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS exact_delta
+    FROM merged GROUP BY event_type
+    """,
+)
+def q_stream_cdf_exact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT row-level CDF through a COPY-ON-WRITE rewrite (VERDICT r9
+    #6; table_source.py rewrite entries): a small upsert rewrites the
+    whole click partition, but the stream's one-task multiset diff
+    emits only the truly-changed rows — asserted by VOLUME (the
+    rewrite commit streams ≤4× the update batch, where the coarse
+    contract would stream the partition twice over) — and a consumer
+    maintaining a per-type aggregate by pure +insert/−delete
+    arithmetic hash-matches the from-scratch SQL of the merged final
+    state. This is the difference between a downstream per-row
+    consumer (audit log, cache invalidation) seeing k changes vs
+    2×|partition| on every CoW commit."""
+    import decimal
+
+    from hudi_glue_spark.streaming.table_source import stream_changes
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("cdfexact", sf_dir)
+    src = KeyedTable(
+        f"{wd}/src",
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    src.bulk_insert(b0.select(_COLS))
+    upd = b1.filter("event_id % 101 = 0").select(_COLS)
+    n_upd = upd.count()
+    src.upsert(upd)  # CoW: rewrites the click partition end to end
+    c_rewrite = src.commits()[-1]
+
+    acc: dict[str, list] = {}  # event_type -> [n, decimal sum]
+    vol: dict[str, int] = {}  # commit -> streamed row volume
+
+    def _apply(batch: DataFrame, _bid: int) -> None:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        rows = (
+            batch.groupBy("_commit", "event_type")
+            .agg(
+                F.count("*").alias("vol"),
+                F.sum(sign).alias("dn"),
+                F.sum(
+                    sign * F.col("value").cast("decimal(18,4)")
+                ).alias("dv"),
+            )
+            .collect()
+        )
+        for r in rows:  # O(commits x types) driver rows
+            vol[r["_commit"]] = vol.get(r["_commit"], 0) + r["vol"]
+            slot = acc.setdefault(r["event_type"], [0, decimal.Decimal(0)])
+            slot[0] += r["dn"]
+            slot[1] += decimal.Decimal(r["dv"])
+
+    q = (
+        stream_changes(spark, src, starting="earliest", mode="cdf")
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("exact-rewrite CDF stream did not drain in 300s")
+    # volume proof: exact path streamed ~2x the changed rows, not
+    # 2x the rewritten partition (coarse would be >> 4x the batch)
+    exact = 0 < vol.get(c_rewrite, 0) <= 4 * max(n_upd, 1)
+    return spark.createDataFrame(
+        [(k, v[0], float(v[1]), exact) for k, v in sorted(acc.items())],
+        "event_type string, n_events long, sum_value double, "
+        "exact_delta boolean",
+    )
+
+
+@query(
     "stream_cdf_changes",
     """
     WITH upd AS (

@@ -691,8 +691,37 @@ class KeyedTable:
         in-engine twin of :meth:`register_external`'s masked view
         (VERDICT r9 next-round #1). Measured (docs/SCALING.md): 0.48 s
         vs the relation's 0.80 s full read at the 500-dead point-DML
-        shape; 0.71 vs 0.76 at the 100k threshold."""
-        dead = self._dv_pairs_df(spark, man)
+        shape; 0.71 vs 0.76 at the 100k threshold.
+
+        Pair transport: the per-commit parquet cache covers the WHOLE
+        snapshot's pairs, so it is only built when the snapshot's
+        total dead count sits under the threshold — a pruned read of
+        one lightly-masked file in a heavily-masked snapshot must not
+        decode millions of other files' positions driver-side; that
+        shape ships just its own subset's pairs inline instead
+        (bounded by the caller's threshold check on the subset)."""
+        snapshot_dead = sum(int(v[1]) for v in man.dvs.values())
+        if snapshot_dead <= self.DV_NATIVE_MASK_MAX_DEAD:
+            dead = self._dv_pairs_df(spark, man)
+        else:
+            import pandas as pd
+
+            import numpy as np
+
+            rels, poss = [], []
+            for rel in files:
+                p = DVB.positions(DVB.read(self.path, man.dvs[rel][0]))
+                rels.append(np.full(len(p), rel, dtype=object))
+                poss.append(p.astype(np.int64))
+            dead = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "__file": np.concatenate(rels),
+                        "__pos": np.concatenate(poss),
+                    }
+                ),
+                schema="__file string, __pos long",
+            )
         src = self._native_scan(spark, files, schema, with_positions=True)
         out = src.join(
             F.broadcast(dead), on=["__file", "__pos"], how="left_anti"

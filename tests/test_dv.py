@@ -266,6 +266,36 @@ def test_dv_big_mask_keeps_relation_path(spark, monkeypatch):
     assert df.count() == 397
 
 
+def test_dv_pruned_small_subset_native_in_big_mask_snapshot(
+    spark, monkeypatch
+):
+    """A pruned read whose masked SUBSET is small takes the native
+    anti-join even when the snapshot's total mask is over the
+    threshold — and ships only the subset's pairs inline (the
+    per-commit pair cache would decode every other file's positions
+    driver-side, exactly the O(snapshot dead) funnel the threshold
+    exists to bound)."""
+    t = _mk(spark, "/tmp/dv_subset_native")
+    t.delete_dv([0, 1])  # two masked files (part 0 / part 1), 1 dead each
+    monkeypatch.setattr(KeyedTable, "DV_NATIVE_MASK_MAX_DEAD", 1)
+    # full read: total 2 > 1 -> masked files keep the relation
+    df = t.read(spark)
+    scanned = {p.split("/data/", 1)[-1] for p in df.inputFiles()}
+    assert not (set(M.read_manifest(t.path).dvs) & scanned)
+    assert df.count() == 398
+    # range-pruned read reaching ONE masked file (ts=0 lives only in
+    # part 0's file — every other file's ts min is >0): subset dead =
+    # 1 <= 1 -> native anti-join with the subset's pairs INLINE; the
+    # per-commit pair cache (whole-snapshot decode) must NOT build
+    out = t.read_range(spark, "ts", 0, 0)
+    assert out.count() == 0  # the ts=0 row is exactly the masked pk=0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "keyed_manifest" not in plan
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(t.path, "_cache"))
+
+
 # -- maintenance -------------------------------------------------------------
 
 

@@ -549,7 +549,9 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize("seed", [7, 23])
-def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
+def test_multi_writer_randomized_serializability(
+    spark, tmp_path, seed, monkeypatch
+):
     """≥4 concurrent writers (upsert_with_retry) racing each other plus
     an interleaved maintenance service running the COMPOSED policy loop
     (run_maintenance: advisor → scoped optimize → staleness-gated
@@ -559,13 +561,21 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
     on its own key range: the final snapshot is a serializable outcome
     — every writer's final batch survives in full, the DV writer's
     deletes hold and survivors carry its last values, no duplicate
-    keys, validate() sound. Randomized interleaving under two seeds."""
+    keys, validate() sound. Randomized interleaving under two seeds.
+
+    (r10) The table also carries a RECORD INDEX whose registrations
+    are forced to PACK (REG_SPILL_BYTES=0), so every commit of the
+    walk exercises the sidecar pointer under OCC rebase-drops,
+    maintenance rebuilds, and clean GC; the quiesced index — when the
+    last rebuild won the race — must still be a pruning superset."""
     import random
     import threading
 
     from hudi_glue_spark.table import KeyedTable
     from hudi_glue_spark.table import manifest as M2
+    from hudi_glue_spark.table import record_index as RI
 
+    monkeypatch.setattr(RI, "REG_SPILL_BYTES", 0)
     root = str(tmp_path / "nwriters")
     t0 = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
     t0.bulk_insert(
@@ -573,6 +583,7 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
             [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1)) for i in range(60)]
         )
     )
+    t0.build_record_index(spark)
 
     N, BATCHES = 4, 3
     errors: list[Exception] = []
@@ -734,6 +745,20 @@ def test_multi_writer_randomized_serializability(spark, tmp_path, seed):
     assert snap.count() == snap.select("id").distinct().count()
     assert snap.count() == t.count_rows_metadata()
     assert cdf_net["n"] == snap.count()  # CDF deltas sum to the state
+    # packed-registration soundness after the chaos: if an index is
+    # registered at quiesce (rebases drop it; maintenance rebuilds),
+    # its pointer resolves and lookups stay pruning supersets
+    reg = t.record_index_info()
+    if reg is not None:
+        assert reg["base"]  # pointer resolved to materialized maps
+        probe = [1000 * (1) + 3, 9007]
+        hosts = t.files_hosting_keys(spark, probe)
+        got = {
+            r["id"]
+            for r in t.read_keys(spark, probe).select("id").collect()
+        }
+        assert got == set(probe)
+        assert hosts is not None and hosts
     # final clean from a quiesced table leaves it sound
     t.clean(retain_commits=2)
     assert t.validate() == []
