@@ -661,8 +661,25 @@ class KeyedTable:
             tmp = os.path.join(
                 cdir, f".tmp-{uuid.uuid4().hex[:8]}.parquet"
             )
-            pq.write_table(t, tmp)
-            os.replace(tmp, dest)  # atomic: rival readers see old/new
+            try:
+                pq.write_table(t, tmp)
+                os.replace(tmp, dest)  # atomic: rivals see old/new
+            except OSError:
+                # a concurrent clean() swept the .tmp staging mid-
+                # build (its race window); serve this read from the
+                # in-memory pairs instead — correct, one-shot slower
+                if not os.path.isfile(dest):
+                    import pandas as pd
+
+                    return spark.createDataFrame(
+                        pd.DataFrame(
+                            {
+                                "__file": np.concatenate(rels),
+                                "__pos": np.concatenate(poss),
+                            }
+                        ),
+                        schema="__file string, __pos long",
+                    )
             live = set(M.list_commit_ids(self.path))
             for fn in os.listdir(cdir):
                 if fn.startswith("dv_pairs-") and fn.endswith(".parquet"):
@@ -4209,6 +4226,27 @@ class KeyedTable:
                 os.unlink(os.path.join(DVB.dv_dir(self.path), fn))
             except FileNotFoundError:
                 pass
+        # dv pair-cache sweep (§9e#3): `_cache/dv_pairs-<cid>.parquet`
+        # is a pure derived artifact of commit <cid>'s blob map — once
+        # the commit leaves the retained log its cache entry (and any
+        # crash-orphaned .tmp staging) is dead weight. Safe against
+        # readers: a snapshot old enough to want the file is already
+        # outside retention.
+        cdir = os.path.join(self.path, "_cache")
+        if os.path.isdir(cdir):
+            retained = set(live_now)
+            for fn in os.listdir(cdir):
+                drop_it = fn.startswith(".tmp-") or (
+                    fn.startswith("dv_pairs-")
+                    and fn.endswith(".parquet")
+                    and fn[len("dv_pairs-"):-len(".parquet")]
+                    not in retained
+                )
+                if drop_it:
+                    try:
+                        os.unlink(os.path.join(cdir, fn))
+                    except OSError:
+                        pass
         # record-index segments: identical protocol (segments unlink
         # BEFORE the commit JSONs below — crash replay re-derives)
         from hudi_glue_spark.table import record_index as RI

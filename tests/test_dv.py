@@ -296,6 +296,30 @@ def test_dv_pruned_small_subset_native_in_big_mask_snapshot(
     assert not _os.path.isdir(_os.path.join(t.path, "_cache"))
 
 
+def test_dv_pair_cache_lifecycle(spark):
+    """The per-commit dead-pair cache builds on first masked read and
+    clean() sweeps entries whose commit left the retained log (§9e#3)
+    — a table that stops taking DV DML doesn't hoard derived bytes."""
+    import os as _os
+
+    t = _mk(spark, "/tmp/dv_paircache")
+    t.delete_dv([5])
+    c1 = t.commits()[-1]
+    assert t.read(spark).count() == 399  # builds dv_pairs-<c1>
+    cdir = _os.path.join(t.path, "_cache")
+    assert _os.path.isfile(_os.path.join(cdir, f"dv_pairs-{c1}.parquet"))
+    t.delete_dv([6])
+    c2 = t.commits()[-1]
+    assert t.read(spark).count() == 398  # builds dv_pairs-<c2>
+    t.clean(retain_commits=1)  # c1 (and the bulk commit) leave the log
+    assert not _os.path.exists(
+        _os.path.join(cdir, f"dv_pairs-{c1}.parquet")
+    )
+    assert _os.path.isfile(_os.path.join(cdir, f"dv_pairs-{c2}.parquet"))
+    assert t.read(spark).count() == 398
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
 # -- maintenance -------------------------------------------------------------
 
 
