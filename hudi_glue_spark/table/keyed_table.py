@@ -2090,7 +2090,11 @@ class KeyedTable:
         spark = batch.sparkSession
         if dedupe:
             batch = self._precombine(batch)
-        existing = self.read(spark)
+        # pinned: schema conform, untouched-file carry, and the child
+        # commit id from ONE manifest (the upsert clobber window)
+        man = M.read_manifest(self.path)
+        assert man is not None
+        existing = self.read(spark, at=man.commit_id)
         batch_names = set(batch.columns)
         batch = batch.select(
             [
@@ -2102,8 +2106,6 @@ class KeyedTable:
                 for f in existing.schema.fields
             ]
         )
-        man = M.read_manifest(self.path)
-        assert man is not None
         batch, maintained = self._maintain_vector_index(
             batch, (man.stats or {}).get("vector_index")
         )
@@ -2178,7 +2180,17 @@ class KeyedTable:
             extra_stats = {**(extra_stats or {}), **qstats}
         spark = batch.sparkSession
         batch = self._precombine(batch)
-        existing = self.read(spark)
+        # Pin ONE manifest for the WHOLE op: the merge plan, the
+        # touched-partition carry, and the planned child commit id
+        # must all come from the SAME snapshot. Reading the snapshot
+        # here and the head again at publish time opened a window
+        # where a rival landing in between (found by the randomized
+        # walk: a delete_dv between the two reads) was silently
+        # clobbered — its commit id built upon, its masks never read,
+        # its deleted rows resurrected in the rewrite output.
+        man = M.read_manifest(self.path)
+        assert man is not None
+        existing = self.read(spark, at=man.commit_id)
         # Schema evolution (Hudi parity):
         # - add-column: batch columns not in the table are appended as
         #   nullable fields (existing rows read NULL); table columns
@@ -2235,8 +2247,6 @@ class KeyedTable:
                 *[F.lit(None).cast(f.dataType).alias(f.name) for f in new_fields],
             )
 
-        man = M.read_manifest(self.path)
-        assert man is not None
         if self.partition_by:
             touched = self._touched_partitions(existing, batch)
             existing_touched = self._rows_in_partitions(existing, touched)
@@ -2314,11 +2324,13 @@ class KeyedTable:
             raise FileNotFoundError(f"no table at {self.path}")
         self._refresh_layout()
         spark = keys.sparkSession
-        existing = self.read(spark)
-        keys = keys.select(self.key).dropDuplicates()
-
+        # plan/publish pinned to ONE manifest (same clobber window as
+        # upsert — see the comment there)
         man = M.read_manifest(self.path)
         assert man is not None
+        existing = self.read(spark, at=man.commit_id)
+        keys = keys.select(self.key).dropDuplicates()
+
         if self.partition_by:
             matched = existing.join(keys, on=self.key, how="left_semi")
             touched = {
@@ -3201,12 +3213,14 @@ class KeyedTable:
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
         self._refresh_layout()
-        existing = self.read(spark)
+        # plan/publish pinned to ONE manifest (the upsert clobber
+        # window — see the comment there)
+        man = M.read_manifest(self.path)
+        assert man is not None
+        existing = self.read(spark, at=man.commit_id)
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(cond, F.lit(False))
 
-        man = M.read_manifest(self.path)
-        assert man is not None
         if self.partition_by:
             touched = {
                 self._dirname(r)
@@ -3647,14 +3661,18 @@ class KeyedTable:
             if isinstance(new_partition_by, str)
             else (list(new_partition_by) if new_partition_by else None)
         )
-        snap = self.read(spark)
+        # pinned: the snapshot being re-laid-out and the child commit
+        # id from ONE manifest (the upsert clobber window)
+        man0 = M.read_manifest(self.path)
+        snap = self.read(
+            spark, at=man0.commit_id if man0 is not None else None
+        )
         if new_pb:
             missing = [c for c in new_pb if c not in snap.columns]
             if missing:
                 raise ValueError(f"unknown partition columns {missing}")
         old_pb = self.partition_by
         # re-layout moves rows, never changes them — carry the index
-        man0 = M.read_manifest(self.path)
         vidx = ((man0.stats or {}) if man0 else {}).get("vector_index")
         cid = M.child_id(man0.commit_id) if man0 else M.next_commit_id(self.path)
         self.partition_by = new_pb
@@ -3790,7 +3808,11 @@ class KeyedTable:
         spark = source.sparkSession
         source = self._derive(source)
         source, qstats = self._enforce(source, "merge_into")
-        existing = self.read(spark)
+        # plan/publish pinned to ONE manifest (the upsert clobber
+        # window — see the comment there)
+        man = M.read_manifest(self.path)
+        assert man is not None
+        existing = self.read(spark, at=man.commit_id)
         cols = existing.columns
         src_names = set(source.columns)
         source = self._precombine(source).select(
@@ -3803,8 +3825,6 @@ class KeyedTable:
                 for f in existing.schema.fields
             ]
         )
-        man = M.read_manifest(self.path)
-        assert man is not None
         if self.partition_by:
             touched = self._touched_partitions(existing, source)
             target = self._rows_in_partitions(existing, touched)
@@ -4359,7 +4379,11 @@ class KeyedTable:
         if not todo:
             return None
 
-        full = self.read(spark)
+        # pinned to the SAME manifest the candidate selection used
+        # (the upsert clobber window): a rival DV commit between the
+        # plan and this read must collide at publish, not have its
+        # masks skipped by the rewrite
+        full = self.read(spark, at=man.commit_id)
         n_bins = max(todo.values())
         sub = (
             self._rows_in_partitions(full, set(todo))  # type: ignore[arg-type]
@@ -4712,7 +4736,11 @@ class KeyedTable:
             ivf_centroids,
         )
 
-        full = self.read(spark)
+        # pinned: the clustered rewrite and its child commit id come
+        # from ONE manifest (the upsert clobber window)
+        man_pin = M.read_manifest(self.path)
+        assert man_pin is not None
+        full = self.read(spark, at=man_pin.commit_id)
         if centroids is None:
             centroids = ivf_centroids(
                 full, self.key[0], vec_col, n_centroids, n_iter, sample_n
@@ -4728,7 +4756,7 @@ class KeyedTable:
         if cell not in prev_stats:
             self.stats_cols = prev_stats + [cell]
         try:
-            cid = M.child_id(M.read_manifest(self.path).commit_id)
+            cid = M.child_id(man_pin.commit_id)
             files, nrows = self._write_files(clustered, cid, repartition=False)
             self._commit(
                 "index",
@@ -4783,7 +4811,11 @@ class KeyedTable:
             _hyperplanes,
         )
 
-        full = self.read(spark)
+        # pinned: rewrite and child commit id from ONE manifest (the
+        # upsert clobber window)
+        man_pin = M.read_manifest(self.path)
+        assert man_pin is not None
+        full = self.read(spark, at=man_pin.commit_id)
         # Re-runnable: a prior build's bucket columns live in the
         # committed schema (an upsert NULL-fills and keeps them), so the
         # documented rebuild-after-ingest flow must drop them before
@@ -4806,7 +4838,7 @@ class KeyedTable:
         clustered = indexed.repartitionByRange(
             max(2, min(2**n_planes, 64)), F.col(bucket_cols[0])
         ).sortWithinPartitions(bucket_cols[0])
-        cid = M.child_id(M.read_manifest(self.path).commit_id)
+        cid = M.child_id(man_pin.commit_id)
         files, nrows = self._write_files(clustered, cid, repartition=False)
         self._commit(
             "index",

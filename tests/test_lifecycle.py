@@ -764,6 +764,60 @@ def test_multi_writer_randomized_serializability(
     assert t.validate() == []
 
 
+def test_rival_dv_delete_between_plan_and_publish_not_clobbered(
+    spark, tmp_path, monkeypatch
+):
+    """The r10 plan/publish pinning fix, regression-locked: every CoW
+    rewrite used to read the snapshot FIRST and the head manifest
+    AGAIN at publish time — a rival landing in that window (here a
+    delete_dv, injected deterministically right after the victim's
+    snapshot read) had its commit id built upon WITHOUT a conflict:
+    its masks were never read and its deleted rows came back in the
+    rewrite output (found by the randomized walk, seed 7). With plan
+    and child-id pinned to ONE manifest, the publish collides, the
+    retry re-merges at the new head, and the delete HOLDS."""
+    from hudi_glue_spark.table import KeyedTable
+
+    root = str(tmp_path / "dvwindow")
+    t = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1)) for i in range(30)]
+        )
+    )
+    fired: dict = {}
+    orig_read = KeyedTable.read
+
+    def read_with_rival(self, spark_, *a, **kw):
+        out = orig_read(self, spark_, *a, **kw)
+        if self.path == root and "x" not in fired:
+            fired["x"] = 1
+            monkeypatch.setattr(KeyedTable, "read", orig_read)
+            try:
+                KeyedTable.load(root).delete_dv([5])
+            finally:
+                monkeypatch.setattr(KeyedTable, "read", read_with_rival)
+        return out
+
+    monkeypatch.setattr(KeyedTable, "read", read_with_rival)
+    t.upsert_with_retry(
+        spark.createDataFrame(
+            [
+                Row(id=100 + i, grp=f"g{i % 3}", v=1.0, ts=_ts(2))
+                for i in range(9)
+            ]
+        )
+    )
+    monkeypatch.setattr(KeyedTable, "read", orig_read)
+    assert fired, "rival never injected — the hook went dead"
+    snap = t.read(spark)
+    assert snap.filter("id = 5").count() == 0  # the rival delete HOLDS
+    assert snap.filter("id >= 100").count() == 9
+    assert snap.count() == 29 + 9
+    assert t.count_rows_metadata() == 38
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
 def _rival_during_write(monkeypatch, spark, root, rival_batch):
     """Monkeypatch _write_files so a rival KeyedTable writer publishes
     between the victim's snapshot read and its publish."""
