@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 from typing import Sequence
 
 from pyspark.sql.datasource import (
@@ -321,27 +322,14 @@ class TableChangesStreamReader(DataSourceStreamReader):
     ) -> bool:
         """Gate for the exact row-level CDF on a CoW rewrite commit:
         file-count and on-disk-byte caps (the diff materializes both
-        sides in one task), and an all-scalar schema (row keys are
-        per-column string casts; nested/binary columns keep the coarse
-        contract). Any stat failure → coarse — the gate is an
+        sides in one task). Nested and binary schemas qualify since
+        r11 — row keys are per-column canonical tuples, not string
+        casts — so embeddings/multimodal tables get exact rewrite
+        deltas too. Any stat failure → coarse — the gate is an
         optimization, never load-bearing."""
-        from pyspark.sql.types import (
-            ArrayType,
-            BinaryType,
-            MapType,
-            StructType as _St,
-        )
-
         names = [*added, *removed]
         if len(names) > self.exact_rewrite_max_files:
             return False
-        for f in self.schema.fields:
-            if f.name in (COMMIT_COL, CHANGE_COL):
-                continue
-            if isinstance(
-                f.dataType, (ArrayType, MapType, _St, BinaryType)
-            ):
-                return False
         ddir = M.data_dir(self.root)
         total = 0
         for rel in names:
@@ -465,12 +453,20 @@ class TableChangesStreamReader(DataSourceStreamReader):
         def rewrite_diff(adds, removes):
             """EXACT row-level CDF for a small CoW rewrite: both sides
             materialize in this task (bounded by the planner's byte
-            gate), full rows become string keys (per-column cast with
-            an explicit validity tag, so NULL never aliases a value),
-            and a multiset diff emits only rows present on one side —
-            an UNTOUCHED row of the rewritten partition is identical
-            in both file sets and emits nothing; a changed row emits
-            its pre-image delete and post-image insert."""
+            gate), each row becomes a TUPLE of per-column canonical
+            values — tuples never concatenate across columns, so no
+            separator ambiguity exists (a '\\x01'-joined flat string
+            was provably ambiguous for data containing the separator;
+            ADVICE r10) — and a multiset diff emits only rows present
+            on one side. An UNTOUCHED row of the rewritten partition
+            is identical in both file sets and emits nothing; a
+            changed row emits its pre-image delete and post-image
+            insert. Scalar columns use a vectorized validity-tagged
+            string cast (injective per column: 'v'+cast vs 'n');
+            nested (list/struct/map) and binary columns — embeddings
+            and multimodal payloads — canonicalize per value into
+            hashable tuples, with floats keyed by their IEEE bits so
+            NaN compares stable and ±0.0 stay distinct."""
             import pyarrow.compute as pc
 
             def side(side_entries, change):
@@ -491,25 +487,51 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if n not in (COMMIT_COL, CHANGE_COL)
             ]
 
-            def keys_of(t):
-                if t.num_rows == 0:
-                    return []
-                parts = []
-                for n in key_cols:
-                    col = t.column(n)
-                    parts.append(
-                        pc.if_else(
+            def canon(v):
+                # hashable, injective-per-arrow-type canonical form
+                # for values of nested/binary columns (to_pylist
+                # surfaces: struct→dict, map→[(k,v)...], list→list)
+                if isinstance(v, float):
+                    return ("f", struct.pack("<d", v))
+                if isinstance(v, list):
+                    return ("l", tuple(canon(x) for x in v))
+                if isinstance(v, dict):
+                    return (
+                        "s",
+                        tuple((k, canon(x)) for k, x in v.items()),
+                    )
+                if isinstance(v, tuple):
+                    return ("m", tuple(canon(x) for x in v))
+                return v
+
+            def col_key(col):
+                t = col.type
+                if not (
+                    pa.types.is_nested(t)
+                    or pa.types.is_binary(t)
+                    or pa.types.is_large_binary(t)
+                    or pa.types.is_fixed_size_binary(t)
+                ):
+                    try:
+                        s = pc.fill_null(pc.cast(col, pa.string()), "")
+                        tag = pc.if_else(
                             pc.is_valid(col),
                             pa.scalar("v"),
                             pa.scalar("n"),
                         )
-                    )
-                    parts.append(
-                        pc.fill_null(pc.cast(col, pa.string()), "")
-                    )
-                return pc.binary_join_element_wise(
-                    *parts, "\x01"
-                ).to_pylist()
+                        return pc.binary_join_element_wise(
+                            tag, s, ""
+                        ).to_pylist()
+                    except pa.ArrowNotImplementedError:
+                        pass  # exotic scalar: canonical path below
+                return [canon(v) for v in col.to_pylist()]
+
+            def keys_of(t):
+                if t.num_rows == 0:
+                    return []
+                return list(
+                    zip(*(col_key(t.column(n)) for n in key_cols))
+                )
 
             from collections import Counter
 

@@ -39,6 +39,7 @@ import json
 import math
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1628,11 +1629,15 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
-    def _index_segment_names(self, stats: dict | None) -> set[str]:
+    def _index_segment_names(
+        self, stats: dict | None, strict: bool = False
+    ) -> set[str]:
         """Every ``_rli/`` file a commit's registrations keep alive
         (record index + all column indexes): the segments, plus — for
         a packed registration (§9d#1 spill) — the span-map sidecar
-        itself. The lifecycle unit clean()/validate() track."""
+        itself. The lifecycle unit clean()/validate() track.
+        ``strict`` propagates sidecar resolve failures (the clean()
+        liveness pass must not mistake unreadable for unreferenced)."""
         from hudi_glue_spark.table import record_index as RI
 
         s = stats or {}
@@ -1642,7 +1647,7 @@ class KeyedTable:
         regs += [r for r in (s.get("column_indexes") or {}).values() if r]
         out: set[str] = set()
         for r in regs:
-            out |= RI.reg_file_names(self.path, r)
+            out |= RI.reg_file_names(self.path, r, strict=strict)
         return out
 
     def partitions_df(self, spark: SparkSession, at: str | None = None) -> DataFrame:
@@ -4268,27 +4273,61 @@ class KeyedTable:
                     except OSError:
                         pass
         # record-index segments: identical protocol (segments unlink
-        # BEFORE the commit JSONs below — crash replay re-derives)
+        # BEFORE the commit JSONs below — crash replay re-derives).
+        # The LIVENESS pass is strict: a live commit whose packed
+        # registration sidecar won't read means the live set is
+        # UNKNOWN, so the whole _rli sweep is skipped this clean —
+        # leaving garbage a later clean reclaims, never unlinking
+        # segments it could not account for (ADVICE r10).
         from hudi_glue_spark.table import record_index as RI
 
+        rli_sweep_ok = True
         live_rli: set[str] = set()
         for cid in live_now:
             m = M.read_manifest(self.path, cid)
-            live_rli |= self._index_segment_names((m.stats if m else None))
-        rli_claims = set(plan.get("rli", []))
-        for cid in plan.get("drop", []):
-            if cid in set(self.savepoints()):
-                continue
             try:
-                m = M.read_manifest(self.path, cid)
-            except ValueError:
-                continue
-            rli_claims |= self._index_segment_names((m.stats if m else None))
-        for fn in sorted(rli_claims - live_rli):
-            try:
-                os.unlink(os.path.join(RI.rli_dir(self.path), fn))
-            except FileNotFoundError:
-                pass
+                live_rli |= self._index_segment_names(
+                    (m.stats if m else None), strict=True
+                )
+            except Exception:  # noqa: BLE001 — unreadable ≠ unreferenced
+                rli_sweep_ok = False
+                break
+        if rli_sweep_ok:
+            rli_claims = set(plan.get("rli", []))
+            for cid in plan.get("drop", []):
+                if cid in set(self.savepoints()):
+                    continue
+                try:
+                    m = M.read_manifest(self.path, cid)
+                except ValueError:
+                    continue
+                # non-strict: a dropped commit's unresolvable sidecar
+                # only shrinks the claim set → fewer unlinks → safe
+                rli_claims |= self._index_segment_names(
+                    (m.stats if m else None)
+                )
+            for fn in sorted(rli_claims - live_rli):
+                try:
+                    os.unlink(os.path.join(RI.rli_dir(self.path), fn))
+                except FileNotFoundError:
+                    pass
+        # crash-orphaned pack_reg staging: pack stages `.tmp-<ref>`
+        # then os.replace's it live — anything still named .tmp-* and
+        # older than the staging horizon is a leak (the age guard
+        # keeps a clean racing an in-flight pack from unlinking a
+        # sidecar mid-write; ADVICE r10)
+        rdir = RI.rli_dir(self.path)
+        if os.path.isdir(rdir):
+            now = time.time()
+            for fn in os.listdir(rdir):
+                if not fn.startswith(".tmp-"):
+                    continue
+                p = os.path.join(rdir, fn)
+                try:
+                    if now - os.path.getmtime(p) > 900:
+                        os.unlink(p)
+                except OSError:
+                    pass
         for cid in drop:
             try:
                 os.unlink(

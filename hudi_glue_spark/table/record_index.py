@@ -195,10 +195,18 @@ def resolve_reg(root: str, reg: dict | None) -> dict | None:
     return {"key": reg["key"], "seq": reg["seq"], "base": base, "deltas": deltas}
 
 
-def reg_file_names(root: str, reg: dict | None) -> set[str]:
+def reg_file_names(
+    root: str, reg: dict | None, strict: bool = False
+) -> set[str]:
     """Every ``_rli/`` file a registration keeps alive: its segments
     (resolving a pointer's sidecar when needed) plus the sidecar
-    itself — the lifecycle unit clean()/validate() track."""
+    itself — the lifecycle unit clean()/validate() track.
+
+    ``strict=True`` (the clean() liveness pass) PROPAGATES a sidecar
+    resolve failure instead of degrading to ``{ref}``: a transiently
+    unreadable sidecar (EIO, partial copy) must make the caller skip
+    its ``_rli`` sweep, not treat every still-referenced segment as
+    unreferenced and unlink live index files (ADVICE r10)."""
     if reg is None:
         return set()
     out: set[str] = set()
@@ -206,8 +214,10 @@ def reg_file_names(root: str, reg: dict | None) -> set[str]:
         out.add(reg["ref"])
         try:
             reg = resolve_reg(root, reg)
-        except Exception:  # noqa: BLE001 — sidecar gone: validate()
-            return out  # reports the miss; don't crash the audit
+        except Exception:  # noqa: BLE001 — sidecar gone
+            if strict:
+                raise
+            return out  # audit contexts report the miss; don't crash
     out.update(reg.get("base") or {})
     out.update(reg.get("deltas") or {})
     return out

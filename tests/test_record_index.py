@@ -255,6 +255,55 @@ def test_registration_spill_lifecycle(spark, monkeypatch):
     assert [p for p in t.validate() if "cleanable" not in p] == []
 
 
+def test_clean_rli_sweep_skips_on_unreadable_live_sidecar(
+    spark, monkeypatch
+):
+    """ADVICE r10: a transiently unreadable packed-registration
+    sidecar on a LIVE commit makes clean() skip the whole ``_rli``
+    sweep (unreadable ≠ unreferenced) instead of unlinking the base
+    segments that registration still references; a later clean with
+    the sidecar readable reclaims normally. Also: crash-orphaned
+    ``.tmp-*`` pack staging is swept only past the age horizon."""
+    monkeypatch.setattr(RI, "REG_SPILL_BYTES", 0)  # force packing
+    t = _mk(spark, "/tmp/rli_sickcar")
+    t.build_record_index(spark)
+    t.upsert(
+        spark.createDataFrame(
+            [(7, "3", 5000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    rdir = RI.rli_dir(t.path)
+    ref = (M.read_manifest(t.path).stats or {})["record_index"]["ref"]
+    sidecar = os.path.join(rdir, ref)
+    with open(sidecar, "rb") as fh:
+        good = fh.read()
+    with open(sidecar, "wb") as fh:
+        fh.write(b"not a parquet file")
+    # aged orphan staging + a fresh one (a racing pack mid-write)
+    old_tmp = os.path.join(rdir, ".tmp-orphan")
+    new_tmp = os.path.join(rdir, ".tmp-inflight")
+    for p in (old_tmp, new_tmp):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+    os.utime(old_tmp, (os.path.getmtime(old_tmp) - 3600,) * 2)
+    before = {f for f in os.listdir(rdir) if not f.startswith(".tmp-")}
+    t.clean(retain_commits=1)
+    after = {f for f in os.listdir(rdir) if not f.startswith(".tmp-")}
+    assert after == before  # sweep skipped: nothing GC'd blind
+    assert not os.path.exists(old_tmp)  # aged staging swept
+    assert os.path.exists(new_tmp)  # fresh staging survives
+    os.unlink(new_tmp)
+    # sidecar restored → the next clean reclaims the dropped commits'
+    # now-orphaned sidecars, and the live index still answers
+    with open(sidecar, "wb") as fh:
+        fh.write(good)
+    t.clean(retain_commits=1)
+    live = t._index_segment_names(M.read_manifest(t.path).stats)
+    assert live <= set(os.listdir(rdir))
+    assert set(_hosts(t, spark, [7])) >= _true_hosts(t, spark, [7])
+    assert [p for p in t.validate() if "cleanable" not in p] == []
+
+
 def test_lookup_join_distributed(spark):
     """VERDICT r9 #5: lookup_join consumes the index entries with a
     DISTRIBUTED join (the _rli segments appear as a scan in the plan;

@@ -337,6 +337,101 @@ def test_stream_cdf_exact_rewrite_multiset_duplicates(spark):
     ]
 
 
+def test_stream_cdf_exact_rewrite_separator_injective(spark):
+    """ADVICE r10 (medium): the old rewrite-diff key joined columns
+    with '\\x01', so old row ('a\\x01v\\x01b','c') and new row
+    ('a','b\\x01v\\x01c') produced IDENTICAL keys and the change
+    streamed as nothing. Row keys are now per-column tuples — no
+    cross-column concatenation exists to be ambiguous."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+
+    root = "/tmp/ts_cdf_sep"
+    _sh.rmtree(root, ignore_errors=True)
+    _sh.rmtree(root + "_ck", ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part")
+    sep = "\x01"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [
+                (1, "0", 1, f"a{sep}v{sep}b", "c"),
+                (2, "0", 1, "plain", "row"),
+            ],
+            "pk long, part string, ts long, s1 string, s2 string",
+        )
+    )
+    # the crafted aliasing pair from the advisory repro
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "0", 2, "a", f"b{sep}v{sep}c")],
+            "pk long, part string, ts long, s1 string, s2 string",
+        )
+    )
+    out = _drain_cdf(spark, t, root + "_ck")
+    c1 = t.commits()[-1]
+    got = sorted(
+        (r._change_type, r.pk, r.s1, r.s2)
+        for r in out.filter(F.col("_commit") == c1).collect()
+    )
+    assert got == [
+        ("delete", 1, f"a{sep}v{sep}b", "c"),
+        ("insert", 1, "a", f"b{sep}v{sep}c"),
+    ]  # pk=2 untouched → emits nothing; pk=1's change MUST stream
+
+
+def test_stream_cdf_exact_rewrite_nested_binary_schema(spark):
+    """§9e#1: embeddings (array<double>), struct metadata and binary
+    payloads now qualify for the exact rewrite gate — a 1-row upsert
+    into a rewritten partition streams exactly one delete + one
+    insert, untouched rows (including one whose embedding holds a
+    NaN) emit nothing, and the streamed pre/post images carry the
+    real nested values."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+
+    root = "/tmp/ts_cdf_nested"
+    _sh.rmtree(root, ignore_errors=True)
+    _sh.rmtree(root + "_ck", ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part")
+    sch = (
+        "pk long, part string, ts long, emb array<double>, "
+        "payload binary, meta struct<w:int,h:int>"
+    )
+    nan = float("nan")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [
+                (1, "0", 1, [1.0, 2.0], b"\x00\x01", (3, 4)),
+                (2, "0", 1, [nan, 0.5], b"\xff", (7, 8)),  # NaN: stable
+                (3, "0", 1, None, None, None),  # all-NULL nested row
+            ],
+            sch,
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "0", 2, [9.0, 9.5], b"\x02", (5, 6))], sch
+        )
+    )
+    out = _drain_cdf(spark, t, root + "_ck")
+    c1 = t.commits()[-1]
+    rows = sorted(
+        out.filter(F.col("_commit") == c1).collect(),
+        key=lambda r: r._change_type,
+    )
+    assert [(r._change_type, r.pk) for r in rows] == [
+        ("delete", 1),
+        ("insert", 1),
+    ]  # exact: NaN row and NULL row are untouched → silent
+    dele, ins = rows
+    assert list(dele.emb) == [1.0, 2.0] and bytes(dele.payload) == b"\x00\x01"
+    assert dele.meta.w == 3 and dele.meta.h == 4
+    assert list(ins.emb) == [9.0, 9.5] and bytes(ins.payload) == b"\x02"
+    assert (ins.meta.w, ins.meta.h) == (5, 6)
+
+
 def test_stream_cdf_rollback_streams_inverse_delta(spark):
     """A rollback commit streams the INVERSE of what it undoes —
     including resurrection inserts for positions a DV delete had
