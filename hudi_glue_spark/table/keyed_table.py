@@ -2147,20 +2147,37 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
-    def _refresh_layout(self) -> None:
-        """Adopt the HEAD manifest's partition layout before scoping a
-        partition rewrite. The live manifest is the single source of
-        truth for ``partition_by`` (see :meth:`load`); a rival
-        ``change_partitioning`` landing between this writer's load()
-        and its mutation (e.g. between upsert_with_retry attempts)
-        would otherwise leave the touched/carried partition split
-        scoped against the OLD layout — the duplicate-row hazard the
-        load() comment warns about. One small commit-JSON read."""
-        man = M.read_manifest(self.path)
+    def _refresh_layout(self, man: "M.Manifest | None" = None) -> None:
+        """Adopt ``man``'s (default: the HEAD manifest's) partition
+        layout before scoping a partition rewrite. The live manifest is
+        the single source of truth for ``partition_by`` (see
+        :meth:`load`); a rival ``change_partitioning`` landing between
+        this writer's load() and its mutation (e.g. between
+        upsert_with_retry attempts) would otherwise leave the
+        touched/carried partition split scoped against the OLD layout —
+        the duplicate-row hazard the load() comment warns about."""
+        if man is None:
+            man = M.read_manifest(self.path)
         if man is not None and "partition_by" in (man.stats or {}):
             live = man.stats["partition_by"] or None
             if live != (self.partition_by or None):
                 self.partition_by = live
+
+    def _pin_head(self) -> "M.Manifest | None":
+        """THE one HEAD read of a mutation: adopt the live manifest's
+        partition layout and return that same manifest as the op's
+        pinned snapshot. One op, one manifest (r10 walk finding, made
+        systematic in r11): every probe, scan, carry, and planned
+        child commit id must derive from this return value — reading
+        HEAD again mid-op opens a window where a rival commit landing
+        between the reads gets silently combined with (or clobbered
+        by) this op's view. The only other legitimate HEAD read in a
+        mutation is _commit's OCC conflict check at publish, which
+        must see the LATEST head to detect rivals. Enforced by
+        tests/test_head_read_guard.py across the public API."""
+        man = M.read_manifest(self.path)
+        self._refresh_layout(man)
+        return man
 
     def upsert(self, batch: DataFrame, extra_stats: dict | None = None) -> str:
         """Incremental merge (§2a #23, the flagship).
@@ -2177,15 +2194,8 @@ class KeyedTable:
             # a streaming maintainer's idempotency ledger stamps its
             # applied version on the FIRST batch too
             return self.bulk_insert(batch, dedupe=True, extra_stats=extra_stats)
-        self._refresh_layout()
-        batch = self._derive(batch)
-        self._require_columns(batch, "upsert batch")
-        batch, qstats = self._enforce(batch, "upsert")
-        if qstats is not None:
-            extra_stats = {**(extra_stats or {}), **qstats}
-        spark = batch.sparkSession
-        batch = self._precombine(batch)
-        # Pin ONE manifest for the WHOLE op: the merge plan, the
+        # Pin ONE manifest for the WHOLE op: the layout refresh, the
+        # merge plan, the retired-column check, the index probe, the
         # touched-partition carry, and the planned child commit id
         # must all come from the SAME snapshot. Reading the snapshot
         # here and the head again at publish time opened a window
@@ -2193,8 +2203,15 @@ class KeyedTable:
         # walk: a delete_dv between the two reads) was silently
         # clobbered — its commit id built upon, its masks never read,
         # its deleted rows resurrected in the rewrite output.
-        man = M.read_manifest(self.path)
+        man = self._pin_head()
         assert man is not None
+        batch = self._derive(batch)
+        self._require_columns(batch, "upsert batch")
+        batch, qstats = self._enforce(batch, "upsert")
+        if qstats is not None:
+            extra_stats = {**(extra_stats or {}), **qstats}
+        spark = batch.sparkSession
+        batch = self._precombine(batch)
         existing = self.read(spark, at=man.commit_id)
         # Schema evolution (Hudi parity):
         # - add-column: batch columns not in the table are appended as
@@ -2209,7 +2226,7 @@ class KeyedTable:
         # - a column dropped by drop_columns() may not be re-added: old
         #   files still hold its bytes, and an explicit-schema read
         #   would resurrect stale values under the new column.
-        retired = self._retired_columns() & set(batch.columns)
+        retired = self._retired_columns(man) & set(batch.columns)
         if retired:
             raise ValueError(
                 f"cannot re-add dropped column(s) {sorted(retired)}: old "
@@ -2253,7 +2270,7 @@ class KeyedTable:
             )
 
         if self.partition_by:
-            touched = self._touched_partitions(existing, batch)
+            touched = self._touched_partitions(existing, batch, man=man)
             existing_touched = self._rows_in_partitions(existing, touched)
         else:
             touched = None
@@ -2327,11 +2344,10 @@ class KeyedTable:
         minus those keys."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
-        self._refresh_layout()
         spark = keys.sparkSession
         # plan/publish pinned to ONE manifest (same clobber window as
         # upsert — see the comment there)
-        man = M.read_manifest(self.path)
+        man = self._pin_head()
         assert man is not None
         existing = self.read(spark, at=man.commit_id)
         keys = keys.select(self.key).dropDuplicates()
@@ -2572,8 +2588,7 @@ class KeyedTable:
         commit published)."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
-        self._refresh_layout()
-        man = M.read_manifest(self.path)
+        man = self._pin_head()
         assert man is not None
         if isinstance(keys, DataFrame):
             spark = keys.sparkSession
@@ -2647,8 +2662,7 @@ class KeyedTable:
 
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
-        self._refresh_layout()
-        man = M.read_manifest(self.path)
+        man = self._pin_head()
         assert man is not None
         if not man.files:
             return None
@@ -2707,8 +2721,7 @@ class KeyedTable:
             )
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
-        self._refresh_layout()
-        man = M.read_manifest(self.path)
+        man = self._pin_head()
         assert man is not None
         schema = StructType.fromJson(json.loads(man.schema_json))
         unknown = set(set_exprs) - {f.name for f in schema.fields}
@@ -2857,9 +2870,8 @@ class KeyedTable:
         ``ConcurrentCommitError``."""
         if not self.exists():
             return self.bulk_insert(batch, dedupe=True)
-        self._refresh_layout()
+        man = self._pin_head()
         self._require_columns(batch, "upsert_dv batch")
-        man = M.read_manifest(self.path)
         assert man is not None
         schema = StructType.fromJson(json.loads(man.schema_json))
         vidx = (man.stats or {}).get("vector_index")
@@ -3131,7 +3143,9 @@ class KeyedTable:
                 "and the column recomputes"
             )
 
-        man = M.read_manifest(self.path)
+        # one op, one manifest: schema check, index-carry judgement,
+        # and the rewrite plan below all read THIS snapshot
+        man = self._pin_head()
         if man is not None:
             names = [
                 f.name
@@ -3169,8 +3183,7 @@ class KeyedTable:
 
         # a SET that doesn't touch the index's vector/assignment
         # columns can't invalidate any assignment → carry the index
-        man0 = M.read_manifest(self.path)
-        vidx = ((man0.stats or {}) if man0 else {}).get("vector_index")
+        vidx = ((man.stats or {}) if man else {}).get("vector_index")
         if vidx is not None:
             icols = {vidx.get("vec_col"), vidx.get("cell_col")} | set(
                 vidx.get("bucket_cols") or []
@@ -3179,7 +3192,7 @@ class KeyedTable:
                 vidx = None  # index columns rewritten → honest drop
         return self._rewrite_where(
             spark, predicate, transform, "update_where", vidx=vidx,
-            enforce_updated=True,
+            enforce_updated=True, man=man,
         )
 
     def delete_where(self, spark: SparkSession, predicate) -> str:
@@ -3192,11 +3205,11 @@ class KeyedTable:
         companion :meth:`delete`. No matches → no new commit. Removing
         rows never invalidates the survivors' index assignments, so a
         registered vector index is carried forward untouched."""
-        man0 = M.read_manifest(self.path)
-        vidx = ((man0.stats or {}) if man0 else {}).get("vector_index")
+        man = self._pin_head()
+        vidx = ((man.stats or {}) if man else {}).get("vector_index")
         return self._rewrite_where(
             spark, predicate, lambda rows, hit, _schema: rows.filter(~hit),
-            "delete_where", vidx=vidx,
+            "delete_where", vidx=vidx, man=man,
         )
 
     def _rewrite_where(
@@ -3207,6 +3220,7 @@ class KeyedTable:
         op: str,
         vidx: dict | None = None,
         enforce_updated: bool = False,
+        man: "M.Manifest | None" = None,
     ) -> str:
         """Shared predicate-DML scaffold: find partitions holding rows
         the predicate selects (NULL = not selected), rewrite ONLY those
@@ -3214,13 +3228,14 @@ class KeyedTable:
         untouched file forward, publish ``op``. No matches → no new
         commit, existing head returned. ``vidx`` (caller-judged) is a
         vector index the rewrite provably keeps valid — it is carried
-        into the new commit's stats."""
+        into the new commit's stats. ``man`` is the caller's pinned
+        manifest (one op, one manifest); read here when absent."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
-        self._refresh_layout()
         # plan/publish pinned to ONE manifest (the upsert clobber
         # window — see the comment there)
-        man = M.read_manifest(self.path)
+        if man is None:
+            man = self._pin_head()
         assert man is not None
         existing = self.read(spark, at=man.commit_id)
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -3455,6 +3470,16 @@ class KeyedTable:
         classification then runs over delta-sized inputs."""
         if images not in ("post", "both"):
             raise ValueError(f"images must be 'post' or 'both', got {images!r}")
+        if to_commit is None:
+            # resolve the open end ONCE: the DV fast-path probe and the
+            # snapshot fallback must diff against the SAME head — a
+            # rival commit landing between two independent head reads
+            # would make the probed chain and the diffed snapshot
+            # disagree (one op, one manifest)
+            head = M.read_manifest(self.path)
+            if head is None:
+                raise FileNotFoundError(f"no commits at {self.path}")
+            to_commit = head.commit_id
         fast = self._diff_dv_fast(spark, from_commit, to_commit, images)
         if fast is not None:
             return fast
@@ -3815,7 +3840,7 @@ class KeyedTable:
         source, qstats = self._enforce(source, "merge_into")
         # plan/publish pinned to ONE manifest (the upsert clobber
         # window — see the comment there)
-        man = M.read_manifest(self.path)
+        man = self._pin_head()
         assert man is not None
         existing = self.read(spark, at=man.commit_id)
         cols = existing.columns
@@ -3831,7 +3856,7 @@ class KeyedTable:
             ]
         )
         if self.partition_by:
-            touched = self._touched_partitions(existing, source)
+            touched = self._touched_partitions(existing, source, man=man)
             target = self._rows_in_partitions(existing, touched)
         else:
             touched = None
@@ -4719,15 +4744,16 @@ class KeyedTable:
             self._want_index("column", c, want=False)
         return self.commits()[-1]
 
-    def _retired_columns(self) -> set[str]:
+    def _retired_columns(self, man: "M.Manifest | None" = None) -> set[str]:
         """Union of all column names ever dropped — these may never be
         re-added (see drop_columns). The latest manifest's carried-
         forward ``retired_cols`` is authoritative (it survives clean()
         aging out the drop commit — see _commit); the per-commit
         ``dropped_cols`` scan remains for tables whose manifests predate
-        the carry-forward."""
+        the carry-forward. ``man`` pins the snapshot (one op, one
+        manifest — a mutation passes its pinned manifest)."""
         out: set[str] = set()
-        latest = M.read_manifest(self.path)
+        latest = man if man is not None else M.read_manifest(self.path)
         if latest is not None:
             out.update((latest.stats or {}).get("retired_cols", []))
         for cid in self.commits():
@@ -5080,7 +5106,14 @@ class KeyedTable:
         assert self.partition_by
         return "/".join(M.hive_dirname(c, row[c]) for c in self.partition_by)
 
-    def _touched_partitions(self, existing: DataFrame, batch: DataFrame) -> set[str]:
+    def _touched_partitions(
+        self,
+        existing: DataFrame,
+        batch: DataFrame,
+        man: "M.Manifest | None" = None,
+    ) -> set[str]:
+        # ``man`` pins the index probe to the caller's snapshot — the
+        # probe and the merge scan must see the SAME live-file set
         assert self.partition_by
         batch_parts = batch.select(self.partition_by).distinct()
         if self.key_scope == "partition":
@@ -5100,6 +5133,7 @@ class KeyedTable:
             hosts = self.files_hosting_keys(
                 batch.sparkSession,
                 batch.select(self.key[0]).dropDuplicates(),
+                man=man,
             )
             if hosts is not None:
                 return {self._dirname(r) for r in batch_parts.collect()} | {

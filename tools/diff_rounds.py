@@ -68,22 +68,72 @@ def diff_bench(old: dict, new: dict, threshold: float = 0.3) -> int:
     return regress
 
 
-def _load(path: str) -> dict:
+def _git_show(repo_dir: str, ref: str, name: str) -> dict | None:
+    """Contents of ``name`` at commit ``ref``, or None."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "show", f"{ref}:{name}"],
+            capture_output=True, text=True, timeout=30,
+        )
+    except Exception:  # noqa: BLE001
+        return None
+    if out.returncode != 0:
+        return None
+    try:
+        return json.loads(out.stdout)
+    except ValueError:
+        return None
+
+
+def _last_touch(repo_dir: str, path: str) -> str | None:
+    """The last commit that modified ``path`` (the round's close)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "log", "--format=%H", "-n1", "--",
+             path],
+            capture_output=True, text=True, timeout=30,
+        )
+    except Exception:  # noqa: BLE001
+        return None
+    sha = out.stdout.strip()
+    return sha or None
+
+
+def _load(path: str, sidecar_as_of: str | None = None):
+    """Returns ``(data, resolved_sidecar_abspath | None)``.
+
+    ``sidecar_as_of``: resolve the ``queries_full_file`` sidecar from
+    git at that commit instead of the working tree — required when
+    BOTH inputs sit in the repo and name the SAME sidecar file (e.g.
+    BENCH_r09.json and BENCH_r10.json both point at BENCH_FULL.json):
+    reading the current file for both sides silently self-compares
+    and reports zero regressions (VERDICT r10 'what's wrong' #1)."""
     import os
 
     with open(path) as f:
         d = json.load(f)
     # bench.py's compact stdout line carries only the slowest-10; the
-    # complete per-query map lives in the sidecar it names. Prefer a
-    # sidecar next to the INPUT file (a committed per-round snapshot).
+    # complete per-query map lives in the sidecar it names.
     full = d.get("queries_full_file") or (d.get("parsed") or {}).get(
         "queries_full_file"
     )
     if full:
         sib = os.path.join(os.path.dirname(os.path.abspath(path)), full)
+        if sidecar_as_of:
+            got = _git_show(os.path.dirname(sib), sidecar_as_of, full)
+            if got is not None:
+                return got, f"{sidecar_as_of}:{full}"
         if os.path.exists(sib):
             with open(sib) as f:
-                return json.load(f)
+                return json.load(f), sib
+    return _load_inline(d), None
+
+
+def _load_inline(d: dict) -> dict:
     # driver BENCH_r{N}.json wraps the bench line: {"rc":…, "tail": "…"}
     if "tail" in d and "metric" not in d:
         if isinstance(d.get("parsed"), dict):
@@ -107,10 +157,39 @@ def _load(path: str) -> dict:
 
 
 def main() -> int:
+    import os
+
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+    old, old_side = _load(sys.argv[1])
+    new, new_side = _load(sys.argv[2])
+    if old_side is not None and old_side == new_side:
+        # Both inputs resolved to the SAME working-tree sidecar —
+        # comparing it to itself is vacuous. Re-resolve the OLD side
+        # from git at the last commit that touched the old input file
+        # (the old round's close), which snapshots that round's full
+        # per-query map.
+        repo = os.path.dirname(os.path.abspath(sys.argv[1]))
+        ref = _last_touch(repo, sys.argv[1])
+        got = None
+        if ref:
+            old, old_side = _load(sys.argv[1], sidecar_as_of=ref)
+            got = old_side if ":" in (old_side or "") else None
+        if got is None:
+            print(
+                "ERROR: both inputs resolve to the same sidecar "
+                f"({new_side}) and git history could not supply the "
+                "old round's copy — refusing the vacuous self-compare."
+            )
+            return 2
+        print(f"(old side from git: {old_side})")
+    if old == new:
+        print(
+            "ERROR: the two sides are IDENTICAL — self-compare "
+            "(same file or same resolved sidecar); nothing diffed."
+        )
+        return 2
     if "queries" in old and "metric" in old:
         n = diff_bench(old, new)
     else:
