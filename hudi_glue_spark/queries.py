@@ -38,67 +38,16 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2-r9), so the r10 window is built for STALENESS, same
-#: formula as r7-r9 (memory: round rituals, VERDICT r9 #3): (a) the
-#: new r10 rows (index_lookup_join_distributed,
-#: stream_cdf_exact_rewrite) first, then (b) the 19
-#: rows whose latest driver green dates from r6 (the judge re-proved
-#: all 19 EXACT in its own r9 session, but the driver record still
-#: says r6), then (c) the 50-row r7 cohort alphabetically (the ~50
-#: window takes (a)+(b) plus the first ~30; the rest lead the r11
-#: rotation), then r8, then r9. No row green in r8 or r9 sits ahead
-#: of an r6/r7-stale row.
+#: (cumulative r2-r10), so the r11 window is built for STALENESS, the
+#: same formula as r7-r10 (memory: round rituals, VERDICT r10 #3):
+#: (a) the new r11 rows (index_lookup_join_pruned) first, then (b)
+#: the 21 rows whose latest driver green dates from r7 (the judge
+#: re-proved all 21 EXACT in its own r10 session, but the driver
+#: record still says r7), then (c) the 49-row r8 cohort
+#: alphabetically up to the ~50 cap (the rest lead the r12 rotation).
+#: No row green in r9 or r10 sits ahead of an r7/r8-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    "index_lookup_join_distributed",
-    "stream_cdf_exact_rewrite",
-    "rollback_scenario",
-    "segment_dedup_reassembled",
-    "sql_pruned_point_range",
-    "stratified_split_exact",
-    "stream_cdf_agg_maintenance",
-    "stream_dedup_exact",
-    "stream_dim_join_windowed",
-    "stream_keyed_ingest",
-    "stream_text_pipeline",
-    "table_history_audit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipment_priority_classes",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "anti_join_new_keys",
-    "asof_last_view_before_purchase",
-    "bm25_scores",
-    "clean_plan_protocol",
-    "compaction_advisor",
-    "count_rows",
-    "csv_ingest_roundtrip",
-    "cube_returnflag_status",
-    "customer_name_features",
-    "customer_orders_full_outer",
-    "dim_broadcast_join",
-    "docs_quality_by_source",
-    "embedding_near_dup",
-    "events_value_band_join",
-    "exact_dedup",
-    "except_nations_without_suppliers",
-    "external_engine_read",
-    "fact_join_agg",
-    "filter_project_rewrite",
-    "hive_partition_paths",
-    "image_decode_meta",
-    "incremental_read_since_first",
-    "intersect_customer_supplier_nations",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "lang_id_accuracy",
-    "lineitem_pricing_summary",
-    "media_meta_extract",
+    "index_lookup_join_pruned",
     "minhash_near_dup",
     "occ_disjoint_rebase",
     "orders_date_functions",
@@ -148,77 +97,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "null_handling_suite",
     "orc_ingest_roundtrip",
     "orders_above_avg_price",
-    "orders_price_quantiles",
-    "pii_redaction",
-    "pivot_user_event_matrix",
-    "point_lookup_keys",
-    "predicate_dml_scenario",
-    "quality_quantile_filter",
-    "salted_distinct_users_per_type",
-    "salted_join_user_activity",
-    "schema_widen_drop_scenario",
-    "sequence_pack_chunks",
-    "sequence_pack_greedy",
-    "sessions_batch",
-    "sliding_token_windows",
-    "source_median_tokens_udaf",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "ann_index_maintained_upsert",
-    "ann_recall_audit",
-    "approx_distinct_users",
-    "bucketed_colocated_join",
-    "c4_rule_filters",
-    "cdf_incremental_agg",
-    "change_feed_clicks",
-    "compaction_scenario",
-    "constraint_quarantine_flow",
-    "curated_pruned_scan",
-    "derived_day_partition_ingest",
-    "distinct_pairs",
-    "doc_winnowing_fingerprints",
-    "drop_partition_retention",
-    "dv_external_engine_read",
-    "embedding_quantize_int8",
-    "events_value_stats",
-    "fk_integrity_audit",
-    "forget_user_flow",
-    "hypertable_rollup_hierarchy",
-    "incremental_near_dup_vs_index",
-    "jaccard_dedup_survivors",
-    "join_key_skew_profile",
-    "keyword_search_indexed",
-    "knn_l2_bruteforce",
-    "manifest_metadata_table",
-    "merge_into_scenario",
-    "metadata_only_aggregates",
-    "near_dup_components",
-    "orders_price_quantiles_approx",
-    "partition_evolution_scenario",
-    "quality_model_filter",
-    "range_read_time_slice",
-    "record_index_dv_backfill",
-    "record_index_point_lookup",
-    "secondary_index_user_lookup",
-    "stream_cdf_changes",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    "stream_table_changes",
-    "time_travel_as_of",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "train_val_test_split",
-    "upsert_arrival_wins",
-    "upsert_event_time_wins",
-    "upsert_then_delete",
-    "user_event_type_sets",
-    "vocab_top_terms",
 ]
 
 

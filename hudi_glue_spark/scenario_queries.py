@@ -2407,6 +2407,56 @@ def q_index_lookup_join_distributed(spark, sf_dir):
 
 
 @query(
+    "index_lookup_join_pruned",
+    _BATCHES_CTE
+    + """
+    SELECT event_id, user_id, event_type, value, ts,
+           TRUE AS pruned_to_hosts
+    FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u WHERE src <= 1
+    ) WHERE rn = 1
+      AND user_id IN (SELECT user_id FROM events WHERE event_id % 997 = 0)
+    """,
+)
+def q_index_lookup_join_pruned(spark, sf_dir):
+    """PRUNED index consumption (§9e#2 / VERDICT r10 #5;
+    keyed_table.py lookup_join prune=True): the MID-size batch shape —
+    too many keys for read_keys' driver probe, but hosts ≪ live files
+    — collects the distinct HOST files (O(hosts), the documented
+    driver term) and scans ONLY those. The returned boolean asserts
+    the mechanism against the plan: the scan's inputFiles equal
+    live ∩ index-hosts exactly (never a file the index did not name,
+    never missing a host — the pruning-superset invariant keeps the
+    result identical to the full-scan variant, which the oracle
+    hash-checks)."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tbl = _lkj_fixture(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    batch = ev.filter("event_id % 997 = 0").select("user_id")
+    out = tbl.lookup_join(spark, batch, col="user_id", prune=True)
+    live = set(M.read_manifest(tbl.path).files)
+    hosts = set(
+        tbl.files_hosting_values(
+            spark, "user_id", batch.dropDuplicates()
+        )
+        or []
+    )
+    scanned = {
+        f.split("/data/", 1)[1]
+        for f in out.inputFiles()
+        if "/data/" in f
+    }
+    pruned_ok = scanned == (live & hosts)
+    return out.select(
+        *_COLS, F.lit(pruned_ok).alias("pruned_to_hosts")
+    )
+
+
+@query(
     "time_travel_as_of",
     """
     SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,

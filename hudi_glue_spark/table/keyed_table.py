@@ -1380,8 +1380,18 @@ class KeyedTable:
         )
         return cand.join(live, on="file", how="left_semi").select(k, "file")
 
+    #: pruned lookup_join refuses host lists beyond this many files —
+    #: past it the driver round-trip itself is the cost the full-scan
+    #: variant exists to avoid (same O(hosts) budget class as
+    #: DV_KEY_PRUNE_CAP's 20k key cap)
+    LOOKUP_PRUNE_MAX_FILES = 100_000
+
     def lookup_join(
-        self, spark: SparkSession, batch: DataFrame, col: str | None = None
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        col: str | None = None,
+        prune: bool = False,
     ) -> DataFrame:
         """Index-backed ENRICHMENT SEMI-JOIN (VERDICT r9 #5): the
         snapshot's current rows whose indexed value appears in
@@ -1401,7 +1411,18 @@ class KeyedTable:
 
         ``col=None`` consumes the record index; a column name consumes
         that column's secondary index (:meth:`build_column_index`).
-        Raises when the requested index is not registered."""
+        Raises when the requested index is not registered.
+
+        ``prune=True`` (§9e#2, the MID-SIZE batch shape): batches too
+        large for :meth:`read_keys`' driver probe but whose host files
+        are ≪ the live set additionally collect the DISTINCT HOST
+        FILES — O(hosts), the documented-acceptable driver term — and
+        scan only those instead of every live file. Exact by the same
+        pruning-superset invariant (a live row with a matching value
+        has its (value, host) pair indexed, so no match can live
+        outside the host set). Falls back to the full scan past
+        ``LOOKUP_PRUNE_MAX_FILES`` hosts, where the driver list
+        itself becomes the cost the full-scan variant avoids."""
         from hudi_glue_spark.table import record_index as RI
 
         man = M.read_manifest(self.path)
@@ -1432,7 +1453,21 @@ class KeyedTable:
             .select(F.col(k), F.col("file").alias("__file"))
             .dropDuplicates()
         )
-        rows = self._positioned_read(spark, man, list(man.files))
+        scan_files = list(man.files)
+        if prune:
+            hosts = {
+                r["file"]
+                for r in ent.join(keys, on=k, how="left_semi")
+                .select("file")
+                .distinct()
+                .limit(self.LOOKUP_PRUNE_MAX_FILES + 1)
+                .collect()
+            }
+            if len(hosts) <= self.LOOKUP_PRUNE_MAX_FILES:
+                # live ∩ hosts: index entries against removed files
+                # must not resurrect them into the scan
+                scan_files = [f for f in scan_files if f in hosts]
+        rows = self._positioned_read(spark, man, scan_files)
         out = rows.join(pairs, on=[k, "__file"], how="left_semi")
         return out.select(*[f.name for f in schema.fields])
 

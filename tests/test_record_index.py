@@ -339,6 +339,54 @@ def test_lookup_join_distributed(spark):
         t.lookup_join(spark, batch, col="nope")
 
 
+def test_lookup_join_pruned_scans_host_subset(spark):
+    """§9e#2: lookup_join(prune=True) collects the distinct HOST
+    files (O(hosts)) and scans only those — inputFiles is a STRICT
+    subset of the live set when hosts ≪ files — while returning
+    byte-identical rows to the full-scan variant, through CoW moves,
+    deletes, and DV masks."""
+    t = _mk(spark, "/tmp/rli_lkj_pruned")
+    t.build_record_index(spark)
+    t.upsert(  # moves pk=2 into a rewritten file
+        spark.createDataFrame(
+            [(2, "2", 5000, -1)], "pk long, part string, ts long, val long"
+        )
+    )
+    t.delete(spark.createDataFrame([(3,)], "pk long"))
+    t.delete_dv([9])
+    batch = spark.createDataFrame(
+        [(2,), (2,), (9,), (3,), (7,), (123456,)], "k long"
+    )
+    full = t.lookup_join(spark, batch)
+    pruned = t.lookup_join(spark, batch, prune=True)
+    assert rows_set(pruned) == rows_set(full) == {
+        (2, "2", 5000, -1),
+        (7, "3", 7, 14),
+    }
+    live = set(M.read_manifest(t.path).files)
+
+    def _rel(files):
+        return {
+            f.split("/data/", 1)[1] for f in files if "/data/" in f
+        }
+
+    scanned = _rel(pruned.inputFiles())
+    full_scanned = _rel(full.inputFiles())
+    assert scanned < full_scanned <= live  # STRICT host subset
+    # every true host is in the subset (superset invariant holds)
+    true_hosts = _true_hosts(t, spark, [2, 7])
+    assert true_hosts <= scanned
+    # past the cap the pruned variant falls back to the full scan
+    old = KeyedTable.LOOKUP_PRUNE_MAX_FILES
+    try:
+        KeyedTable.LOOKUP_PRUNE_MAX_FILES = 0
+        capped = t.lookup_join(spark, batch, prune=True)
+        assert rows_set(capped) == rows_set(full)
+        assert _rel(capped.inputFiles()) == full_scanned
+    finally:
+        KeyedTable.LOOKUP_PRUNE_MAX_FILES = old
+
+
 def test_registration_small_maps_stay_inline(spark):
     """Below the spill bound nothing changes: maps stay in the commit
     JSON (no pointer, no sidecar) — zero-surprise default."""

@@ -1,0 +1,404 @@
+"""Long-horizon multi-writer soak (VERDICT r10 #6).
+
+The per-round pytest walk (tests/test_lifecycle.py, seeds 7/23) caught
+a three-round-old silent lost-update only after an unrelated change
+widened the race window — interleaving coverage IS the walk's value.
+This tool is the scaled tier: more seeds × more writers × more
+batches, a randomized op mix that includes the r11 pinned-read paths
+(read_isin / read_range / read_keys / lookup_join / diff_commits /
+export / register) racing the writers, and a PER-SEED OP TRACE so the
+next finding bisects fast (the r10 forensics had to be reconstructed
+from commit stats).
+
+    python tools/soak_walk.py                 # default tier: 5 seeds
+    python tools/soak_walk.py --seeds 7 23    # reproduce one finding
+    SOAK_TRACE_DIR=/tmp/soak python tools/soak_walk.py
+
+Each seed runs: N writers (upsert_with_retry + randomized
+update_where / delete / merge_into on the writer's OWN key range), a
+DV writer (upsert_dv / delete_dv, whole-op retry), the composed
+maintenance loop (run_maintenance), a CDF stream consumer summing
+retraction deltas, and a READER thread hammering the pinned paths
+mid-churn (every read must be internally consistent: unique keys,
+values from the legal set, metadata count == snapshot count at the
+SAME pinned commit). Quiesce asserts the serializable outcome; any
+violation dumps the interleaved op trace as JSON and exits 1.
+
+Zero-finding runs are the documented evidence in docs/SCALING.md
+("Soak walk" section) — keep the numbers current when the tier grows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class Trace:
+    """Thread-safe append-only op log: (t, thread, op, outcome)."""
+
+    def __init__(self):
+        self._rows: list[dict] = []
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+
+    def add(self, who: str, op: str, outcome: str, **extra):
+        with self._lock:
+            self._rows.append(
+                {
+                    "t": round(time.time() - self._t0, 4),
+                    "who": who,
+                    "op": op,
+                    "outcome": outcome,
+                    **extra,
+                }
+            )
+
+    def dump(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self._rows, f, indent=1)
+
+
+def run_seed(spark, seed: int, writers: int, batches: int,
+             trace_dir: str) -> list[str]:
+    """One soak run; returns a list of violations (empty = green)."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+    from hudi_glue_spark.table import record_index as RI
+
+    # pack every registration: sidecar pointers ride every interleaving
+    old_spill = RI.REG_SPILL_BYTES
+    RI.REG_SPILL_BYTES = 0
+    root = f"/tmp/soak_walk_{seed}"
+    ck = root + "_ck"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    tr = Trace()
+    errors: list[str] = []
+
+    def _ts(day: int, b: int = 0) -> str:
+        return f"2024-01-{day:02d}T{b:02d}:00:00"
+
+    t0 = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    t0.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1))
+             for i in range(60)]
+        )
+    )
+    t0.build_record_index(spark)
+
+    def guard(who):
+        def wrap(fn):
+            try:
+                fn()
+            except Exception:  # noqa: BLE001
+                import traceback
+
+                tr.add(who, "FATAL", traceback.format_exc())
+                errors.append(f"{who}: {traceback.format_exc()}")
+        return wrap
+
+    def writer(w: int):
+        rng = random.Random(1000 * seed + w)
+        t = KeyedTable.load(root)
+        base_id = 1000 * (w + 1)
+        for b in range(batches):
+            batch = spark.createDataFrame(
+                [Row(id=base_id + i, grp=f"g{i % 3}", v=float(b),
+                     ts=_ts(2, b)) for i in range(15)]
+            )
+            t.upsert_with_retry(batch, retries=60)
+            tr.add(f"w{w}", "upsert", "ok", batch=b)
+            # randomized own-range predicate DML between batches —
+            # update_where/delete rewrite partitions under OCC and
+            # must never disturb other writers' rows
+            roll = rng.random()
+            if roll < 0.25:
+                for _ in range(30):
+                    try:
+                        t.update_where(
+                            spark, {"v": "v + 0.0"},
+                            f"id = {base_id}",  # no-op value, real rewrite
+                        )
+                        tr.add(f"w{w}", "update_where", "ok")
+                        break
+                    except M.ConcurrentCommitError:
+                        continue
+            elif roll < 0.4:
+                victim = base_id + 14  # re-upserted next batch
+                for _ in range(30):
+                    try:
+                        t.delete(
+                            spark.createDataFrame([(victim,)], "id long")
+                        )
+                        tr.add(f"w{w}", "delete", "ok", id=victim)
+                        break
+                    except M.ConcurrentCommitError:
+                        continue
+            if rng.random() < 0.5:
+                time.sleep(rng.random() * 0.15)
+        # merge_into converges the final state (update-or-insert)
+        final = spark.createDataFrame(
+            [Row(id=base_id + i, grp=f"g{i % 3}", v=float(batches - 1),
+                 ts=_ts(2, batches - 1)) for i in range(15)]
+        )
+        for _ in range(60):
+            try:
+                t.merge_into(final)
+                tr.add(f"w{w}", "merge_into", "ok")
+                break
+            except M.ConcurrentCommitError:
+                continue
+
+    def dv_writer():
+        rng = random.Random(7 * seed)
+        t = KeyedTable.load(root)
+
+        def with_retry(op, fn):
+            for _ in range(60):
+                try:
+                    fn()
+                    tr.add("dv", op, "ok")
+                    return
+                except M.ConcurrentCommitError:
+                    continue
+            raise AssertionError(f"dv {op} starved")
+
+        for b in range(batches):
+            batch = spark.createDataFrame(
+                [Row(id=9000 + i, grp=f"g{i % 3}", v=float(b),
+                     ts=_ts(2, b)) for i in range(15)]
+            )
+            with_retry("upsert_dv", lambda: t.upsert_dv(batch))
+            if rng.random() < 0.5:
+                time.sleep(rng.random() * 0.15)
+        with_retry("delete_dv",
+                   lambda: t.delete_dv([9000, 9001, 9002]))
+
+    def service():
+        rng = random.Random(99 * seed)
+        t = KeyedTable.load(root)
+        for _ in range(2):
+            time.sleep(0.5 + rng.random())
+            t.run_maintenance(
+                spark, retain_commits=8, target_file_mb=64,
+                small_file_mb=32, target_rows_per_file=20,
+                orphan_grace_s=300.0,
+            )
+            tr.add("svc", "run_maintenance", "ok")
+
+    def reader():
+        """The r11 pinned-read paths, hammered mid-churn. Every call
+        must be INTERNALLY consistent — one op, one manifest means a
+        racing commit can never make a single read contradict
+        itself."""
+        rng = random.Random(5 * seed)
+        t = KeyedTable.load(root)
+        legal_v = {float(b) for b in range(batches)} | {0.0}
+        for i in range(12):
+            time.sleep(0.15 + rng.random() * 0.3)
+            probe = [1000 + j for j in range(5)]
+            got = t.read_keys(spark, probe).select("id", "v").collect()
+            ids = [r.id for r in got]
+            if len(ids) != len(set(ids)):
+                raise AssertionError(f"read_keys dup ids {ids}")
+            if not all(r.v in legal_v for r in got):
+                raise AssertionError(f"read_keys illegal v {got}")
+            tr.add("rd", "read_keys", "ok", n=len(ids))
+            rr = t.read_range(spark, "id", 1000, 1010).collect()
+            if any(not (1000 <= r.id <= 1010) for r in rr):
+                raise AssertionError("read_range out-of-range row")
+            tr.add("rd", "read_range", "ok", n=len(rr))
+            ri = t.read_isin(spark, "id", probe).collect()
+            if {r.id for r in ri} - set(probe):
+                raise AssertionError("read_isin extra rows")
+            tr.add("rd", "read_isin", "ok", n=len(ri))
+            # snapshot self-consistency at ONE pinned commit
+            man = M.read_manifest(root)
+            if man is not None:
+                c1 = t.read(spark, at=man.commit_id).count()
+                c2 = t.count_rows_metadata(at=man.commit_id)
+                if c2 is not None and c1 != c2:
+                    raise AssertionError(
+                        f"pinned snapshot {man.commit_id}: scan {c1} "
+                        f"!= metadata {c2}"
+                    )
+                tr.add("rd", "pinned_count", "ok", commit=man.commit_id)
+            if rng.random() < 0.4:
+                t.export_live_files()
+                tr.add("rd", "export_live_files", "ok")
+            if rng.random() < 0.3:
+                try:
+                    t.lookup_join(
+                        spark,
+                        spark.createDataFrame([(1001,)], "id long"),
+                        prune=True,
+                    ).count()
+                    tr.add("rd", "lookup_join_pruned", "ok")
+                except ValueError:
+                    tr.add("rd", "lookup_join_pruned", "no-index")
+            if i % 4 == 0:
+                try:
+                    first = t.commits()[0]
+                    t.diff_commits(spark, first).count()
+                    tr.add("rd", "diff_commits", "ok")
+                except (ValueError, FileNotFoundError):
+                    # a racing clean() aged the oldest commit out
+                    # between the listing and the diff — the
+                    # documented retention-refusal contract
+                    tr.add("rd", "diff_commits", "aged-out")
+
+    def cdf_consumer_state():
+        return {"n": 0}
+
+    cdf_net = cdf_consumer_state()
+
+    from hudi_glue_spark.streaming.table_source import stream_changes
+
+    def cdf_drain():
+        for _attempt in range(5):
+            try:
+                t = KeyedTable.load(root)
+
+                def _apply(b, _bid):
+                    r = b.selectExpr(
+                        "sum(case when _change_type='insert' "
+                        "then 1 else -1 end) d"
+                    ).first()
+                    cdf_net["n"] += r["d"] or 0
+
+                q = (
+                    stream_changes(spark, t, mode="cdf")
+                    .writeStream.foreachBatch(_apply)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(240)
+                tr.add("cdf", "drain", "ok", net=cdf_net["n"])
+                return
+            except Exception as e:  # noqa: BLE001 — retention race
+                if "aged out" not in str(e):
+                    raise
+                shutil.rmtree(ck, ignore_errors=True)
+                cdf_net["n"] = 0
+                tr.add("cdf", "drain", "restart-from-earliest")
+
+    def cdf_consumer():
+        for _ in range(2):
+            time.sleep(0.8)
+            cdf_drain()
+
+    threads = [
+        threading.Thread(target=guard(f"w{w}")(lambda w=w: writer(w)))
+        for w in range(writers)
+    ]
+    threads += [
+        threading.Thread(target=guard("svc")(service)),
+        threading.Thread(target=guard("dv")(dv_writer)),
+        threading.Thread(target=guard("rd")(reader)),
+        threading.Thread(target=guard("cdf")(cdf_consumer)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    violations = list(errors)
+    try:
+        if not violations:
+            cdf_drain()
+            t = KeyedTable.load(root)
+            snap = t.read(spark)
+            rows = {r.id: r.v for r in snap.collect()}
+            for w in range(writers):
+                for i in range(15):
+                    k = 1000 * (w + 1) + i
+                    if rows.get(k) != float(batches - 1):
+                        violations.append(
+                            f"writer {w} key {k}: {rows.get(k)!r} != "
+                            f"{float(batches - 1)}"
+                        )
+            if {9000, 9001, 9002} & set(rows):
+                violations.append("dv deletes resurrected")
+            for i in range(3, 15):
+                if rows.get(9000 + i) != float(batches - 1):
+                    violations.append(f"dv survivor 9{i:03d} wrong")
+            n = snap.count()
+            if n != len(rows):
+                violations.append("duplicate keys in final snapshot")
+            if n != t.count_rows_metadata():
+                violations.append("metadata count != snapshot count")
+            if cdf_net["n"] != n:
+                violations.append(
+                    f"cdf net {cdf_net['n']} != snapshot {n}"
+                )
+            reg = t.record_index_info()
+            if reg is not None:
+                probe = [1003, 9007]
+                got = {
+                    r["id"]
+                    for r in t.read_keys(spark, probe)
+                    .select("id").collect()
+                }
+                if got != set(probe):
+                    violations.append(f"index probe wrong: {got}")
+            t.clean(retain_commits=2)
+            bad = t.validate()
+            if bad:
+                violations.append(f"validate: {bad}")
+    except Exception:  # noqa: BLE001
+        import traceback
+
+        violations.append(f"quiesce: {traceback.format_exc()}")
+    finally:
+        RI.REG_SPILL_BYTES = old_spill
+
+    os.makedirs(trace_dir, exist_ok=True)
+    tpath = os.path.join(trace_dir, f"soak_seed{seed}.json")
+    tr.dump(tpath)
+    status = "GREEN" if not violations else "VIOLATIONS"
+    print(f"seed {seed}: {status}  ops={len(tr._rows)}  trace={tpath}")
+    for v in violations:
+        print(f"  !! {v}")
+    return violations
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="*",
+                    default=[7, 23, 41, 59, 101])
+    ap.add_argument("--writers", type=int, default=5)
+    ap.add_argument("--batches", type=int, default=4)
+    args = ap.parse_args()
+    trace_dir = os.environ.get("SOAK_TRACE_DIR", "/tmp/soak_traces")
+
+    from hudi_glue_spark.session import get_spark
+
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    bad = 0
+    for seed in args.seeds:
+        bad += len(run_seed(spark, seed, args.writers, args.batches,
+                            trace_dir))
+    wall = time.time() - t0
+    print(f"\n{len(args.seeds)} seeds × {args.writers} writers × "
+          f"{args.batches} batches in {wall:.0f}s — "
+          f"{'ALL GREEN' if not bad else f'{bad} violations'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
