@@ -48,6 +48,7 @@ NON_SQL_QUERIES: set[str] = set()
 #: No row green in r9 or r10 sits ahead of an r7/r8-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "index_lookup_join_pruned",
+    "stream_cdf_changelog",
     "minhash_near_dup",
     "occ_disjoint_rebase",
     "orders_date_functions",

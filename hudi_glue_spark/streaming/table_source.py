@@ -82,6 +82,15 @@ _SILENT_OPS = frozenset(
     }
 )
 
+#: rewrite ops that may carry a write-time change log in their commit
+#: stats (KeyedTable._write_change_log). The gate matters: a rollback
+#: restores the TARGET's stats verbatim — a recorded "change_log"
+#: there describes the TARGET commit's delta, not the rollback's, so
+#: only the op that actually wrote the log may be served from it.
+_CHANGE_LOG_OPS = frozenset(
+    {"upsert", "delete", "update_where", "delete_where", "merge_into"}
+)
+
 
 def _added_files(root: str, prev, cur) -> list[str]:
     """Files ``cur`` references that ``prev`` doesn't — the shard-level
@@ -131,6 +140,11 @@ class _CommitSlice(InputPartition):
       ``(rel, dv|None)`` (own dv / parent dv); the task computes the
       full-row multiset diff and emits only truly-changed rows
       (mode="cdf" only; always a slice of its own)
+    - ``("chlog", token, None, None)`` — the commit carries a
+      WRITE-TIME change log (change_log tables): the exact logical
+      delta already sits under ``_changes/<token>/`` as full rows +
+      ``_change_type``; the task reads it verbatim and stamps the
+      commit id. Any rewrite size, O(delta) I/O (mode="cdf" only)
     """
 
     def __init__(self, cid: str, entries: tuple):
@@ -235,7 +249,23 @@ class TableChangesStreamReader(DataSourceStreamReader):
             pdvs = (prev.dvs or {}) if prev is not None else {}
             if cdf and prev is not None:
                 removed = _added_files(self.root, cur, prev)  # inverse
-            if (
+            chlog = (
+                ((cur.stats or {}).get("change_log") or {}).get("ref")
+                if cdf and cur.op in _CHANGE_LOG_OPS
+                else None
+            )
+            if chlog is not None and prev is not None:
+                # write-time change log (change_log tables): the op
+                # recorded its EXACT logical delta under
+                # _changes/<ref> at commit time — serve it directly,
+                # ANY rewrite size, O(delta) read, no diffing. The
+                # dvdiff entries below still cover carried-mask
+                # changes (rewrite ops don't touch carried masks, but
+                # the generic classification stays uniform).
+                out.append(
+                    _CommitSlice(cid, (("chlog", chlog, None, None),))
+                )
+            elif (
                 cdf
                 and added
                 and removed
@@ -557,7 +587,31 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 yield from new_t.filter(pa.array(ins_mask)).to_batches()
 
         for kind, rel, a, b in entries:
-            if kind == "rewrite":
+            if kind == "chlog":
+                # write-time change log: _changes/<rel> holds the
+                # commit's exact logical delta as full rows +
+                # _change_type, written by the op itself — read it
+                # verbatim, stamp the commit id. O(delta) I/O for any
+                # rewrite size; no diffing here.
+                cdir = os.path.join(self.root, "_changes", rel)
+                ch_phys = pa.schema(
+                    [f for f in target if f.name != COMMIT_COL]
+                )
+                scan = pds.dataset(
+                    cdir, format="parquet", schema=ch_phys
+                )
+                for batch in scan.to_batches(use_threads=False):
+                    n = batch.num_rows
+                    cols = [
+                        pa.array([cid] * n, type=pa.string())
+                        if field.name == COMMIT_COL
+                        else batch.column(field.name)
+                        for field in target
+                    ]
+                    yield pa.RecordBatch.from_arrays(
+                        cols, schema=target
+                    )
+            elif kind == "rewrite":
                 yield from rewrite_diff(rel, a)  # rel=adds, a=removes
             elif kind == "add" and a is not None:
                 yield from masked_scan(rel, a, "insert")

@@ -611,6 +611,119 @@ def q_stream_cdf_exact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdf_changelog",
+    _BATCHES_CTE
+    + """
+    , merged AS (
+      SELECT event_id, user_id, event_type, value, ts FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC, src DESC) AS rn
+        FROM u
+        WHERE src = 0 OR (src = 1 AND event_id % 11 = 0)
+      ) WHERE rn = 1
+    ), final AS (
+      SELECT * FROM merged WHERE event_id % 103 <> 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           TRUE AS changelog_exact
+    FROM final GROUP BY event_type
+    """,
+)
+def q_stream_cdf_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-TIME change log (r11; Delta CDC-file parity;
+    KeyedTable.change_log + table_source 'chlog' slices): the table
+    records each CoW op's exact logical delta at commit time, so the
+    CDF stream serves EXACT row deltas for rewrites of ANY size —
+    here the reader's size gate is zeroed, so without the log both
+    commits would stream coarse whole-partition pairs. A ~9%-of-
+    corpus upsert and a predicate delete stream ≤4×/≤2× their true
+    changed-row counts (volume-proved), the commits carry the
+    recorded refs (stats-proved), and the maintained per-type
+    aggregate hash-matches the from-scratch SQL of the final state."""
+    import decimal
+
+    from hudi_glue_spark.streaming.table_source import stream_changes
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = _workdir("cdfchlog", sf_dir)
+    src = KeyedTable(
+        f"{wd}/src",
+        key="event_id",
+        precombine="ts",
+        partition_by="event_type",
+        policy=EVENT_TIME_WINS,
+        change_log=True,
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    src.bulk_insert(b0.select(_COLS))
+    upd = b1.filter("event_id % 11 = 0").select(_COLS)
+    n_upd = upd.count()
+    src.upsert(upd)
+    c_up = src.commits()[-1]
+    n_del = src.read(spark).filter("event_id % 103 = 0").count()
+    src.delete(
+        src.read(spark).filter("event_id % 103 = 0").select("event_id")
+    )
+    c_del = src.commits()[-1]
+    logged = all(
+        ((M.read_manifest(src.path, c).stats or {})
+         .get("change_log") or {}).get("ref")
+        for c in (c_up, c_del)
+    )
+
+    acc: dict[str, list] = {}
+    vol: dict[str, int] = {}
+
+    def _apply(batch: DataFrame, _bid: int) -> None:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        rows = (
+            batch.groupBy("_commit", "event_type")
+            .agg(
+                F.count("*").alias("vol"),
+                F.sum(sign).alias("dn"),
+                F.sum(
+                    sign * F.col("value").cast("decimal(18,4)")
+                ).alias("dv"),
+            )
+            .collect()
+        )
+        for r in rows:
+            vol[r["_commit"]] = vol.get(r["_commit"], 0) + r["vol"]
+            slot = acc.setdefault(r["event_type"], [0, decimal.Decimal(0)])
+            slot[0] += r["dn"]
+            slot[1] += decimal.Decimal(r["dv"])
+
+    q = (
+        stream_changes(
+            spark, src, starting="earliest", mode="cdf",
+            exact_rewrite_max_bytes=0,  # gate OFF: only the log is exact
+        )
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{wd}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("change-log CDF stream did not drain in 300s")
+    exact = (
+        logged
+        and 0 < vol.get(c_up, 0) <= 4 * max(n_upd, 1)
+        and 0 < vol.get(c_del, 0) <= 2 * max(n_del, 1)
+    )
+    return spark.createDataFrame(
+        [(k, v[0], float(v[1]), exact) for k, v in sorted(acc.items())],
+        "event_type string, n_events long, sum_value double, "
+        "changelog_exact boolean",
+    )
+
+
+@query(
     "stream_cdf_changes",
     """
     WITH upd AS (

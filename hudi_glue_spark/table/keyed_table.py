@@ -184,6 +184,20 @@ class KeyedTable:
     #: so writers never hand-maintain the partition key and every
     #: partition dir provably matches its rows.
     derived_cols: dict | None = None
+    #: write-time CHANGE LOG (Delta Lake CDC-file parity): every CoW
+    #: rewrite op (upsert / delete / update_where / delete_where /
+    #: merge_into) additionally computes its EXACT logical row delta
+    #: distributed (two ``exceptAll`` passes over the touched
+    #: partitions — multiset semantics, so duplicate rows net by
+    #: instance count) and persists it under ``_changes/<token>/``,
+    #: recorded in the commit stats. The CDF stream source then serves
+    #: rewrite commits of ANY size from the recorded delta — O(delta)
+    #: read, no size gate — instead of diffing or the coarse
+    #: whole-partition contract. Opt-in: costs one extra aggregation
+    #: job over the rewritten partitions per commit. Tables with a
+    #: MapType column skip the log honestly (Spark cannot compare map
+    #: values; the gate/coarse contract remains).
+    change_log: bool = False
     #: indexes this table SHOULD carry — ``{"record_index": bool,
     #: "columns": [col, ...]}`` — maintained by build_*/drop_* and
     #: persisted in _meta.json. The OCC-rebase path drops a
@@ -255,6 +269,7 @@ class KeyedTable:
                     "constraints": self.constraints,
                     "on_violation": self.on_violation,
                     "derived_cols": self.derived_cols,
+                    "change_log": self.change_log,
                     "wanted_indexes": self.wanted_indexes,
                 },
                 f,
@@ -2322,8 +2337,20 @@ class KeyedTable:
         )
         if maintained is not None:
             extra_stats = {**(extra_stats or {}), "vector_index": maintained}
+        # change_log: persist the merge output so the file write and
+        # the exceptAll delta share ONE evaluation (unpersisted after
+        # publish; measured ~2x op cost without the cache)
+        if self.change_log:
+            merged = merged.persist()
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
+        chlog = self._write_change_log(
+            existing_touched, merged, existing.schema
+        )
+        if chlog is not None:
+            extra_stats = {**(extra_stats or {}), "change_log": chlog}
+        if self.change_log:
+            merged.unpersist()
         files = (
             M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
@@ -2402,8 +2429,18 @@ class KeyedTable:
         # deleting rows never invalidates the survivors' index
         # assignments — carry the vector index forward untouched
         vidx = (man.stats or {}).get("vector_index")
+        stats = {"vector_index": vidx} if vidx is not None else {}
+        if self.change_log:
+            remaining = remaining.persist()
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(remaining, cid, vidx)
+        chlog = self._write_change_log(
+            existing_touched, remaining, existing.schema
+        )
+        if chlog is not None:
+            stats["change_log"] = chlog
+        if self.change_log:
+            remaining.unpersist()
         files = (
             M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
@@ -2415,7 +2452,7 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
-            extra_stats={"vector_index": vidx} if vidx is not None else None,
+            extra_stats=stats or None,
             cid=cid,
             base=man if touched is not None else None,
             touched=touched,
@@ -3247,6 +3284,50 @@ class KeyedTable:
             "delete_where", vidx=vidx, man=man,
         )
 
+    def _write_change_log(
+        self, pre: DataFrame, post: DataFrame, schema: StructType
+    ) -> dict | None:
+        """Write-time exact CDC for a CoW rewrite (``change_log``
+        tables): the op's logical row delta — multiset
+        ``pre.exceptAll(post)`` as delete pre-images and the inverse
+        as insert post-images — lands under ``_changes/<token>/``
+        (full rows + ``_change_type``) BEFORE the commit publishes,
+        and the returned ``{"ref": token}`` rides the commit stats.
+        The CDF stream source then serves this commit from the
+        recorded delta at O(delta), regardless of rewrite size
+        (table_source.py plans a "chlog" slice). The token is a fresh
+        uuid, NOT the commit id: an OCC rebase republishes under a
+        new id but the logical delta — provably disjoint from the
+        rival's — stays valid, and a lost race's orphan dir is just
+        unreferenced bytes clean() sweeps. MapType columns cannot be
+        compared by exceptAll → None (coarse contract stays); an op
+        that changes nothing writes an empty delta and streams
+        nothing. Spark-side cost: one extra aggregation over the
+        touched partitions, the columns already in memory."""
+        from pyspark.sql.types import MapType
+
+        if not self.change_log:
+            return None
+        if any(isinstance(f.dataType, MapType) for f in schema.fields):
+            return None
+        import uuid as _uuid
+
+        cols = [f.name for f in schema.fields]
+        pre = pre.select(cols)
+        post = post.select(cols)
+        delta = (
+            pre.exceptAll(post)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                post.exceptAll(pre)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        )
+        token = _uuid.uuid4().hex[:16]
+        out_dir = os.path.join(self.path, "_changes", token)
+        delta.write.mode("error").parquet(out_dir)
+        return {"ref": token}
+
     def _rewrite_where(
         self,
         spark,
@@ -3314,8 +3395,18 @@ class KeyedTable:
                     f"{op} would write rows violating CHECK "
                     f"constraint(s) {bad}"
                 )
+        stats = {"vector_index": vidx} if vidx is not None else {}
+        if self.change_log:
+            rewritten = rewritten.persist()
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(rewritten, cid, vidx)
+        chlog = self._write_change_log(
+            existing_touched, rewritten, existing.schema
+        )
+        if chlog is not None:
+            stats["change_log"] = chlog
+        if self.change_log:
+            rewritten.unpersist()
         files = (
             M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
@@ -3327,7 +3418,7 @@ class KeyedTable:
             existing.schema,
             rows=nrows,
             rewritten=sorted(touched) if touched is not None else ["<all>"],
-            extra_stats={"vector_index": vidx} if vidx is not None else None,
+            extra_stats=stats or None,
             cid=cid,
             base=man if touched is not None else None,
             touched=touched,
@@ -3928,8 +4019,13 @@ class KeyedTable:
         merged, maintained = self._maintain_vector_index(
             merged, (man.stats or {}).get("vector_index")
         )
+        if self.change_log:
+            merged = merged.persist()
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
+        chlog = self._write_change_log(target, merged, existing.schema)
+        if self.change_log:
+            merged.unpersist()
         files = (
             M.with_new_files(M.carried_files_arrow(man, touched), new_files)
             if touched is not None
@@ -3954,6 +4050,7 @@ class KeyedTable:
                 {
                     **(qstats or {}),
                     **({"vector_index": maintained} if maintained is not None else {}),
+                    **({"change_log": chlog} if chlog is not None else {}),
                 }
                 or None
             ),
@@ -4161,7 +4258,34 @@ class KeyedTable:
             if fn not in all_rli
             and not _grace(os.path.join(RI.rli_dir(self.path), fn))
         ]
-        if not (drop or orphans or shards or dv_orphans or rli_orphans):
+        # change-log dirs no commit references (lost races, crashed
+        # writes) count as plan-worthy work too; the 900 s horizon
+        # protects a racing writer's just-staged delta. Execute
+        # recomputes liveness at delete time — this list only decides
+        # "is there anything to do" and documents the claim.
+        chdir = os.path.join(self.path, "_changes")
+        chlog_orphans: list[str] = []
+        if os.path.isdir(chdir):
+            ch_live = set()
+            for cid in ids:
+                m = M.read_manifest(self.path, cid)
+                ref = (
+                    ((m.stats or {}).get("change_log") or {}).get("ref")
+                    if m is not None
+                    else None
+                )
+                if ref:
+                    ch_live.add(ref)
+            chlog_orphans = [
+                tk
+                for tk in os.listdir(chdir)
+                if tk not in ch_live
+                and now - os.path.getmtime(os.path.join(chdir, tk)) > 900
+            ]
+        if not (
+            drop or orphans or shards or dv_orphans or rli_orphans
+            or chlog_orphans
+        ):
             return None
         return {
             "planned_at": M.utc_now_iso(),
@@ -4170,6 +4294,7 @@ class KeyedTable:
             "shards": sorted(shards),
             "dvs": sorted(dv_orphans),
             "rli": sorted(rli_orphans),
+            "chlog": sorted(chlog_orphans),
         }
 
     def _execute_clean(self, plan: dict) -> list[str]:
@@ -4370,6 +4495,34 @@ class KeyedTable:
                 try:
                     os.unlink(os.path.join(RI.rli_dir(self.path), fn))
                 except FileNotFoundError:
+                    pass
+        # change-log sweep (r11, change_log tables): _changes/<token>
+        # dirs referenced by NO retained commit's stats are dead —
+        # lost-race orphans, crashed writes, or aged-out commits. The
+        # age horizon keeps a racing writer's just-staged delta (its
+        # commit publishes moments later) out of the sweep.
+        chdir = os.path.join(self.path, "_changes")
+        if os.path.isdir(chdir):
+            live_refs: set[str] = set()
+            for cid in live_now:
+                m = M.read_manifest(self.path, cid)
+                ref = (
+                    ((m.stats or {}).get("change_log") or {}).get("ref")
+                    if m is not None
+                    else None
+                )
+                if ref:
+                    live_refs.add(ref)
+            now = time.time()
+            for token in os.listdir(chdir):
+                p = os.path.join(chdir, token)
+                try:
+                    if (
+                        token not in live_refs
+                        and now - os.path.getmtime(p) > 900
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
                     pass
         # crash-orphaned pack_reg staging: pack stages `.tmp-<ref>`
         # then os.replace's it live — anything still named .tmp-* and

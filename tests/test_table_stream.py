@@ -9,6 +9,7 @@ spark.readStream) — the consumption side of the reference's pipeline.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import functions as F
@@ -430,6 +431,116 @@ def test_stream_cdf_exact_rewrite_nested_binary_schema(spark):
     assert dele.meta.w == 3 and dele.meta.h == 4
     assert list(ins.emb) == [9.0, 9.5] and bytes(ins.payload) == b"\x02"
     assert (ins.meta.w, ins.meta.h) == (5, 6)
+
+
+def test_stream_cdf_write_time_change_log_any_size(spark):
+    """r11 change_log tables (Delta CDC-file parity): every CoW
+    rewrite op records its exact logical delta at WRITE time, and the
+    CDF stream serves it regardless of rewrite size — here the
+    size gate is zeroed (reader option), so without the log these
+    commits would stream the coarse whole-partition pairs. upsert,
+    update_where, delete, and merge_into each stream their true
+    row-level delta; the maintained aggregate equals the snapshot."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+    from hudi_glue_spark.table import manifest as M
+
+    root = "/tmp/ts_cdf_chlog"
+    _sh.rmtree(root, ignore_errors=True)
+    _sh.rmtree(root + "_ck", ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part",
+           change_log=True)
+    t.bulk_insert(
+        spark.range(0, 40).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 4).cast("string").alias("part"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 2).alias("val"),
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(0, "0", 9000, -99)], "pk long, part string, ts long, val long"
+        )
+    )
+    t.update_where(spark, {"val": "val + 1000"}, "pk IN (1, 2)")
+    t.delete(spark.createDataFrame([(3,)], "pk long"))
+    t.merge_into(
+        spark.createDataFrame(
+            [(4, "0", 9100, -4), (100, "0", 9100, 200)],
+            "pk long, part string, ts long, val long",
+        )
+    )
+    # every rewrite commit recorded its delta
+    for cid in t.commits()[1:]:
+        assert ((M.read_manifest(root, cid).stats or {})
+                .get("change_log") or {}).get("ref"), cid
+    out = _drain_cdf(
+        spark, t, root + "_ck", exact_rewrite_max_bytes=0
+    )
+    _c0, c1, c2, c3, c4 = t.commits()
+    got = {
+        cid: sorted(
+            (r._change_type, r.pk, r.val)
+            for r in out.filter(F.col("_commit") == cid).collect()
+        )
+        for cid in (c1, c2, c3, c4)
+    }
+    assert got[c1] == [("delete", 0, 0), ("insert", 0, -99)]
+    assert got[c2] == [
+        ("delete", 1, 2), ("delete", 2, 4),
+        ("insert", 1, 1002), ("insert", 2, 1004),
+    ]
+    assert got[c3] == [("delete", 3, 6)]
+    assert got[c4] == [
+        ("delete", 4, 8), ("insert", 4, -4), ("insert", 100, 200),
+    ]
+    net = out.selectExpr(
+        "sum(case when _change_type='insert' then 1 else -1 end)"
+    ).first()[0]
+    s = out.selectExpr(
+        "sum(case when _change_type='insert' then val else -val end)"
+    ).first()[0]
+    assert net == t.read(spark).count() == 40
+    assert s == t.read(spark).selectExpr("sum(val)").first()[0]
+    # clean() sweeps an aged ORPHAN token but keeps live refs
+    ch = os.path.join(root, "_changes")
+    orphan = os.path.join(ch, "deadbeef00000000")
+    os.makedirs(orphan)
+    os.utime(orphan, (os.path.getmtime(orphan) - 3600,) * 2)
+    live_before = {
+        ((M.read_manifest(root, cid).stats or {})
+         .get("change_log") or {}).get("ref")
+        for cid in t.commits()
+    } - {None}
+    t.clean(retain_commits=50)
+    assert not os.path.isdir(orphan)
+    assert live_before <= set(os.listdir(ch))
+
+
+def test_stream_cdf_change_log_skips_map_schema(spark):
+    """MapType columns cannot be compared by exceptAll — change_log
+    tables with a map column honestly record NO log and keep the
+    gate/coarse contract."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+    from hudi_glue_spark.table import manifest as M
+
+    root = "/tmp/ts_cdf_chlog_map"
+    _sh.rmtree(root, ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part",
+           change_log=True)
+    sch = "pk long, part string, ts long, v long, attrs map<string,long>"
+    t.bulk_insert(
+        spark.createDataFrame([(1, "0", 1, 5, {"a": 1})], sch),
+        dedupe=False,  # precombine tie-break hashes all columns; maps
+    )                  # are unhashable in Spark — dedup is off-path here
+    t.update_where(spark, {"v": "v + 1"}, "pk = 1")
+    assert "change_log" not in (
+        M.read_manifest(root, t.commits()[-1]).stats or {}
+    )
 
 
 def test_stream_cdf_rollback_streams_inverse_delta(spark):
