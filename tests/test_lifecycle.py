@@ -577,7 +577,14 @@ def test_multi_writer_randomized_serializability(
 
     monkeypatch.setattr(RI, "REG_SPILL_BYTES", 0)
     root = str(tmp_path / "nwriters")
-    t0 = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    # seed 23 runs with the r11 write-time change log ON: rebased
+    # upserts carry their recorded deltas, the CDF consumer drains
+    # "chlog" slices mid-churn, and cdf_net == final count proves
+    # them exact over the interleaving
+    t0 = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        change_log=(seed == 23),
+    )
     t0.bulk_insert(
         spark.createDataFrame(
             [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1)) for i in range(60)]

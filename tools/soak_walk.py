@@ -89,7 +89,15 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     def _ts(day: int, b: int = 0) -> str:
         return f"2024-01-{day:02d}T{b:02d}:00:00"
 
-    t0 = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    # odd seeds run with the write-time change log ON: every CoW op
+    # records its delta under OCC rebases, retries, and clean() — and
+    # the CDF consumer then drains "chlog" slices mid-churn, so
+    # cdf_net == final count proves the recorded deltas exact over
+    # whatever interleaving the seed produced
+    t0 = KeyedTable(
+        root, key="id", precombine="ts", partition_by="grp",
+        change_log=bool(seed % 2),
+    )
     t0.bulk_insert(
         spark.createDataFrame(
             [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1))
