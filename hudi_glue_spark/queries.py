@@ -49,6 +49,7 @@ NON_SQL_QUERIES: set[str] = set()
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "index_lookup_join_pruned",
     "stream_cdf_changelog",
+    "diff_commits_changelog",
     "minhash_near_dup",
     "occ_disjoint_rebase",
     "orders_date_functions",

@@ -247,6 +247,73 @@ def q_merge_into_scenario(spark, sf_dir):
 
 
 @query(
+    "diff_commits_changelog",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(value + 100.0 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts,
+           'update' AS _change_type, TRUE AS composed_from_log
+    FROM events WHERE event_id % 13 = 0 AND event_id % 17 <> 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts,
+           'delete' AS _change_type, TRUE AS composed_from_log
+    FROM events WHERE event_id % 17 = 0
+    UNION ALL
+    SELECT event_id + 2000000 AS event_id, user_id, event_type,
+           CAST(value + 100.0 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts,
+           'insert' AS _change_type, TRUE AS composed_from_log
+    FROM events WHERE event_id % 31 = 0
+    """,
+)
+def q_diff_commits_changelog(spark, sf_dir):
+    """BATCH CDF composed from recorded change logs (r11;
+    keyed_table._diff_chlog_fast): on a change_log table the
+    commit-range diff reads only the write-time deltas — O(changed
+    keys), no snapshot scan — and still nets correctly: a key
+    updated mid-range then deleted emits ONE delete carrying its
+    ORIGINAL pre-image (event_id % 13 ∩ % 17 here), updates carry
+    final post-images, new keys insert. The oracle restates the net
+    per-key outcome from the base table directly; the boolean proves
+    every commit in the range recorded its delta (the unit suite
+    pins diff_commits' actual routing through the composition)."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_difflog_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts",
+        partition_by="event_type", change_log=True,
+    )
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    c0 = tbl.bulk_insert(ev)
+    batch = (
+        ev.filter("event_id % 13 = 0")
+        .unionByName(
+            ev.filter("event_id % 31 = 0").withColumn(
+                "event_id", F.col("event_id") + 2000000
+            )
+        )
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    tbl.upsert(batch)
+    tbl.delete(ev.filter("event_id % 17 = 0").select("event_id"))
+    composed = all(
+        ((M.read_manifest(root, c).stats or {})
+         .get("change_log") or {}).get("ref")
+        for c in tbl.commits()[1:]
+    )
+    return tbl.diff_commits(spark, c0).select(
+        *_COLS,
+        "_change_type",
+        F.lit(composed).alias("composed_from_log"),
+    )
+
+
+@query(
     "change_feed_clicks",
     """
     SELECT event_id, user_id, event_type, value + 100.0 AS value,

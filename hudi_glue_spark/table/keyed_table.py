@@ -3607,10 +3607,128 @@ class KeyedTable:
                 raise FileNotFoundError(f"no commits at {self.path}")
             to_commit = head.commit_id
         fast = self._diff_dv_fast(spark, from_commit, to_commit, images)
+        if fast is None:
+            fast = self._diff_chlog_fast(
+                spark, from_commit, to_commit, images
+            )
         if fast is not None:
             return fast
         before = self.read(spark, at=from_commit)
         after = self.read(spark, at=to_commit)
+        return self._classify_diff(before, after, images)
+
+    def _diff_chlog_fast(
+        self, spark, from_commit: str, to_commit: str | None, images: str
+    ) -> DataFrame | None:
+        """O(delta) batch change feed COMPOSED from recorded change
+        logs (r11, ``change_log`` tables): when every non-layout
+        commit in the range carries a write-time delta, the key-wise
+        net change needs no snapshot diff at all — a key's pre-image
+        at ``from`` is its FIRST recorded event if that event is a
+        delete (an update logs delete-before-insert in one commit, so
+        a key that existed at ``from`` always leads with its old
+        row); its post-image at ``to`` is its LAST event if that is
+        an insert. Feeding those two O(changed keys) frames through
+        the shared :meth:`_classify_diff` yields identical
+        insert/update/delete classification to the full-outer
+        snapshot diff — the standard incremental-view-maintenance
+        shape at 100 TB, where the snapshot diff re-reads the table
+        but the recorded deltas are only what changed. Returns None
+        (honest fallback to the general diff) when any commit in the
+        range lacks a log (non-chlog op, MapType schema, pre-r11
+        history) or the deltas' schemas cannot union (type widening
+        mid-range)."""
+        from pyspark.sql.window import Window as W
+
+        from hudi_glue_spark.streaming.table_source import (
+            _CHANGE_LOG_OPS,
+            _SILENT_OPS,
+        )
+
+        b = M.read_manifest(self.path, from_commit)
+        a = M.read_manifest(self.path, to_commit)
+        if b is None or a is None:
+            return None
+        chain = [
+            c
+            for c in self.commits()
+            if int(b.commit_id) < int(c) <= int(a.commit_id)
+        ]
+        if not chain:
+            return None
+        refs: list[str] = []
+        for c in chain:
+            m = M.read_manifest(self.path, c)
+            if m is None:
+                return None
+            if m.op == "drop_columns":
+                return None  # schema shrank: general diff handles it
+            if m.op in _SILENT_OPS:
+                continue  # layout-only: no logical delta
+            ref = (
+                ((m.stats or {}).get("change_log") or {}).get("ref")
+                if m.op in _CHANGE_LOG_OPS
+                else None
+            )
+            if not ref:
+                return None
+            refs.append(ref)
+        schema = StructType.fromJson(json.loads(a.schema_json))
+        cols = [f.name for f in schema.fields]
+        empty = spark.createDataFrame([], schema)
+        if not refs:
+            return self._classify_diff(empty, empty, images)
+        try:
+            ev = None
+            for i, ref in enumerate(refs):
+                d = spark.read.parquet(
+                    os.path.join(self.path, "_changes", ref)
+                ).withColumn("__seq", F.lit(i))
+                ev = (
+                    d
+                    if ev is None
+                    else ev.unionByName(d, allowMissingColumns=True)
+                )
+            # a column added mid-range is absent from earlier deltas —
+            # exactly as the true pre-rows at `from` read (NULL)
+            ev = ev.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in ev.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in schema.fields
+                ],
+                "_change_type",
+                "__seq",
+            )
+        except Exception:  # noqa: BLE001 — un-unionable mid-range
+            return None  # schema churn: the general diff is the answer
+        # delete sorts before insert, so within one commit an update's
+        # pre-image leads and its post-image trails
+        w_first = W.partitionBy(*self.key).orderBy(
+            F.col("__seq").asc(), F.col("_change_type").asc()
+        )
+        w_last = W.partitionBy(*self.key).orderBy(
+            F.col("__seq").desc(), F.col("_change_type").desc()
+        )
+        before = (
+            ev.withColumn("__rn", F.row_number().over(w_first))
+            .filter(
+                (F.col("__rn") == 1)
+                & (F.col("_change_type") == "delete")
+            )
+            .select(cols)
+        )
+        after = (
+            ev.withColumn("__rn", F.row_number().over(w_last))
+            .filter(
+                (F.col("__rn") == 1)
+                & (F.col("_change_type") == "insert")
+            )
+            .select(cols)
+        )
         return self._classify_diff(before, after, images)
 
     def _diff_dv_fast(

@@ -392,6 +392,61 @@ def test_diff_commits_change_feed(spark, tmp_path):
     assert vals[1] == "upd1" and vals[4] == "init4"
 
 
+def test_diff_commits_composes_recorded_change_logs(spark, tmp_path):
+    """r11 change_log tables: diff_commits composes the range's
+    RECORDED write-time deltas (O(changed keys)) instead of the
+    full-outer snapshot diff — identical classification, including
+    the net-out cases: insert-then-delete vanishes, update-then-
+    delete carries the ORIGINAL pre-image, chained updates collapse
+    to one update with the final post-image."""
+    from pyspark.sql import functions as F
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part",
+                   change_log=True)
+    c0 = t.bulk_insert(day0(spark))     # pks 1-4
+    t.upsert(day1(spark))               # upd 1, move 2, new 5
+    t.upsert(spark.createDataFrame(     # chain: update 1 AGAIN; new 6
+        [Row(pk=1, part="a", val="upd1b", update_ts=ts(12)),
+         Row(pk=6, part="b", val="new6", update_ts=ts(12))]))
+    t.delete(spark.createDataFrame([Row(pk=4), Row(pk=6)]))
+    t.update_where(spark, {"val": "'pred3'"}, "pk = 3")
+    # the fast path engages (every commit in range carries a log)...
+    fast = t._diff_chlog_fast(spark, c0, t.commits()[-1], "post")
+    assert fast is not None
+    # ...and diff_commits (which routes through it) matches the
+    # general snapshot diff exactly, both image modes
+    general = t._classify_diff(
+        t.read(spark, at=c0), t.read(spark), "post"
+    )
+    got = {(r["pk"], r["_change_type"], r["val"])
+           for r in t.diff_commits(spark, c0).collect()}
+    want = {(r["pk"], r["_change_type"], r["val"])
+            for r in general.collect()}
+    assert got == want
+    assert got == {
+        (1, "update", "upd1b"),   # chained updates → final post
+        (2, "update", "upd2"),
+        (3, "update", "pred3"),
+        (4, "delete", "init4"),   # pre-image at c0
+        (5, "insert", "new5"),
+    }  # pk=6 inserted then deleted → nets to NOTHING
+    both = t.diff_commits(spark, c0, images="both")
+    pre1 = both.filter(
+        (F.col("pk") == 1)
+        & (F.col("_change_type") == "update_preimage")
+    ).first()
+    assert pre1["val"] == "init1"  # pre-image is the c0 row, not upd1
+    # a non-chlog commit in range → honest fallback to the general
+    # diff (rollback commits never carry a usable log)
+    t.rollback(t.commits()[-2])
+    assert t._diff_chlog_fast(spark, c0, t.commits()[-1], "post") is None
+    assert {
+        (r["pk"], r["_change_type"])
+        for r in t.diff_commits(spark, c0).collect()
+    } == {(1, "update"), (2, "update"), (4, "delete"), (5, "insert")}
+
+
 def test_rollback_metadata_only(spark, tmp_path):
     t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
                    partition_by="part")
