@@ -157,3 +157,76 @@ def test_merge_into_matches_model(
     want = {pk: (pk, part, val, _ts(pre))
             for pk, (_pk, part, val, pre) in state.items()}
     assert got == want
+
+
+# --- change-log composition equivalence (r11) --------------------------
+
+_OPSEQ = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _BATCH),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.integers(0, 5), min_size=1, max_size=3),
+        ),
+        st.tuples(st.just("update_where"), st.integers(0, 5)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPSEQ)
+def test_diff_chlog_fast_equals_snapshot_diff(
+    spark, tmp_path_factory, ops
+):
+    """r11 property: on a change_log table, ANY sequence of CoW ops
+    yields a composed diff (``_diff_chlog_fast``) identical to the
+    full-outer snapshot diff — inserts/updates/deletes, net-outs,
+    chained updates, monotone precombine so every upsert row wins."""
+    root = str(tmp_path_factory.mktemp("chlog_prop") / "t")
+    tbl = KeyedTable(
+        root, key="pk", precombine="update_ts", partition_by="part",
+        policy=ARRIVAL_WINS, change_log=True,
+    )
+    base = [(pk, "a" if pk % 2 else "b", -1, 0) for pk in range(4)]
+    c0 = tbl.bulk_insert(
+        spark.createDataFrame(
+            [Row(pk=pk, part=part, val=val, update_ts=_ts(pre))
+             for pk, part, val, pre in base]
+        )
+    )
+    day = 1
+    for kind, arg in ops:
+        if kind == "upsert":
+            batch = _dedup_ties(arg)
+            tbl.upsert(
+                spark.createDataFrame(
+                    [Row(pk=pk, part=part, val=val, update_ts=_ts(day))
+                     for pk, part, val, _pre in batch]
+                )
+            )
+        elif kind == "delete":
+            tbl.delete(
+                spark.createDataFrame([Row(pk=pk) for pk in set(arg)])
+            )
+        else:
+            tbl.update_where(
+                spark, {"val": "val + 100"}, f"pk = {arg}"
+            )
+        day = min(day + 1, 3)
+    head = tbl.commits()[-1]
+    for images in ("post", "both"):
+        fast = tbl._diff_chlog_fast(spark, c0, head, images)
+        assert fast is not None  # every commit recorded its delta
+        general = tbl._classify_diff(
+            tbl.read(spark, at=c0), tbl.read(spark, at=head), images
+        )
+        key = lambda r: (r["pk"], r["_change_type"])  # noqa: E731
+        got = sorted(map(tuple, fast.collect()), key=str)
+        want = sorted(map(tuple, general.collect()), key=str)
+        assert got == want, (images, got, want)
