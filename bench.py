@@ -170,6 +170,11 @@ def main() -> int:
         return qs_all["predicate_dml_scenario"](spark, sf_dir).count()
 
     from hudi_glue_spark.llm_queries import _mh_index
+    from hudi_glue_spark.streaming_queries import (
+        _cdfchanges_src,
+        _cdfchlog_src,
+        _cdfexact_src,
+    )
 
     for label, builder in (
         ("rli_scenario_build", _rli_point_fixture),
@@ -178,6 +183,9 @@ def main() -> int:
         ("pruned_table_build", _pruned_table),
         ("dml_scenario_build", _dml_build),
         ("mh_index_build", _mh_index),
+        ("cdfexact_src_build", _cdfexact_src),
+        ("cdfchanges_src_build", _cdfchanges_src),
+        ("cdfchlog_src_build", _cdfchlog_src),
     ):
         t0 = time.perf_counter()
         builder(spark, sf_dir)

