@@ -88,7 +88,14 @@ _SILENT_OPS = frozenset(
 #: there describes the TARGET commit's delta, not the rollback's, so
 #: only the op that actually wrote the log may be served from it.
 _CHANGE_LOG_OPS = frozenset(
-    {"upsert", "delete", "update_where", "delete_where", "merge_into"}
+    {
+        "upsert",
+        "delete",
+        "update_where",
+        "delete_where",
+        "merge_into",
+        "insert_overwrite",
+    }
 )
 
 

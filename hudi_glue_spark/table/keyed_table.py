@@ -2147,7 +2147,7 @@ class KeyedTable:
             batch = self._precombine(batch)
         # pinned: schema conform, untouched-file carry, and the child
         # commit id from ONE manifest (the upsert clobber window)
-        man = M.read_manifest(self.path)
+        man = self._pin_head()
         assert man is not None
         existing = self.read(spark, at=man.commit_id)
         batch_names = set(batch.columns)
@@ -2164,6 +2164,8 @@ class KeyedTable:
         batch, maintained = self._maintain_vector_index(
             batch, (man.stats or {}).get("vector_index")
         )
+        if self.change_log:
+            batch = batch.persist()
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(batch, cid, maintained)
         if self.partition_by:
@@ -2177,6 +2179,18 @@ class KeyedTable:
         else:
             replaced = None
             files = new_files
+        # change_log: the replaced partitions' prior rows vs the batch
+        # — a nightly partition refresh whose recompute barely changed
+        # anything streams only the true delta, not the partition ×2
+        chlog = self._write_change_log(
+            self._rows_in_partitions(existing, replaced)
+            if replaced is not None
+            else existing,
+            batch,
+            existing.schema,
+        )
+        if self.change_log:
+            batch.unpersist()
         self._commit(
             "insert_overwrite",
             files,
@@ -2191,6 +2205,7 @@ class KeyedTable:
                 {
                     **(qstats or {}),
                     **({"vector_index": maintained} if maintained is not None else {}),
+                    **({"change_log": chlog} if chlog is not None else {}),
                 }
                 or None
             ),

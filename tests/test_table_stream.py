@@ -472,6 +472,17 @@ def test_stream_cdf_write_time_change_log_any_size(spark):
             "pk long, part string, ts long, val long",
         )
     )
+    # partition refresh: part "1" recomputed with ONE value changed
+    # and ONE row dropped — the overwrite delta must be exactly those
+    ow = (
+        t.read(spark)
+        .filter("part = '1' AND pk <> 37")
+        .withColumn(
+            "val",
+            F.when(F.col("pk") == 5, F.lit(-55)).otherwise(F.col("val")),
+        )
+    )
+    t.insert_overwrite(ow, dedupe=False)
     # every rewrite commit recorded its delta
     for cid in t.commits()[1:]:
         assert ((M.read_manifest(root, cid).stats or {})
@@ -479,13 +490,13 @@ def test_stream_cdf_write_time_change_log_any_size(spark):
     out = _drain_cdf(
         spark, t, root + "_ck", exact_rewrite_max_bytes=0
     )
-    _c0, c1, c2, c3, c4 = t.commits()
+    _c0, c1, c2, c3, c4, c5 = t.commits()
     got = {
         cid: sorted(
             (r._change_type, r.pk, r.val)
             for r in out.filter(F.col("_commit") == cid).collect()
         )
-        for cid in (c1, c2, c3, c4)
+        for cid in (c1, c2, c3, c4, c5)
     }
     assert got[c1] == [("delete", 0, 0), ("insert", 0, -99)]
     assert got[c2] == [
@@ -496,13 +507,16 @@ def test_stream_cdf_write_time_change_log_any_size(spark):
     assert got[c4] == [
         ("delete", 4, 8), ("insert", 4, -4), ("insert", 100, 200),
     ]
+    assert got[c5] == [
+        ("delete", 5, 10), ("delete", 37, 74), ("insert", 5, -55),
+    ]  # a 10-row partition refresh streams its TRUE 3-row delta
     net = out.selectExpr(
         "sum(case when _change_type='insert' then 1 else -1 end)"
     ).first()[0]
     s = out.selectExpr(
         "sum(case when _change_type='insert' then val else -val end)"
     ).first()[0]
-    assert net == t.read(spark).count() == 40
+    assert net == t.read(spark).count() == 39
     assert s == t.read(spark).selectExpr("sum(val)").first()[0]
     # clean() sweeps an aged ORPHAN token but keeps live refs
     ch = os.path.join(root, "_changes")
