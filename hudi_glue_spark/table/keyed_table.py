@@ -3664,6 +3664,12 @@ class KeyedTable:
         a = M.read_manifest(self.path, to_commit)
         if b is None or a is None:
             return None
+        if int(b.commit_id) == int(a.commit_id):
+            # empty range: the diff is empty by definition — never
+            # worth the general path's full-outer self-join
+            schema = StructType.fromJson(json.loads(a.schema_json))
+            empty = spark.createDataFrame([], schema)
+            return self._classify_diff(empty, empty, images)
         chain = [
             c
             for c in self.commits()
