@@ -2188,6 +2188,7 @@ class KeyedTable:
             else existing,
             batch,
             existing.schema,
+            rows_written=nrows,
         )
         if self.change_log:
             batch.unpersist()
@@ -2360,7 +2361,8 @@ class KeyedTable:
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
         chlog = self._write_change_log(
-            existing_touched, merged, existing.schema
+            existing_touched, merged, existing.schema,
+            rows_written=nrows,
         )
         if chlog is not None:
             extra_stats = {**(extra_stats or {}), "change_log": chlog}
@@ -2450,7 +2452,8 @@ class KeyedTable:
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(remaining, cid, vidx)
         chlog = self._write_change_log(
-            existing_touched, remaining, existing.schema
+            existing_touched, remaining, existing.schema,
+            rows_written=nrows,
         )
         if chlog is not None:
             stats["change_log"] = chlog
@@ -3299,8 +3302,21 @@ class KeyedTable:
             "delete_where", vidx=vidx, man=man,
         )
 
+    #: skip the change log when the recorded delta would approach the
+    #: coarse stream volume itself: coarse ships pre+post ≈ 2× rows
+    #: written, so a delta above this fraction of that (default: 80%)
+    #: buys consumers almost nothing while doubling the op's write
+    #: amplification — the whole-table insert_overwrite / everything-
+    #: changed upsert shape (§9h#1). The commit then simply carries no
+    #: ref and the stream's coarse/gate contract nets the same answer.
+    CHANGE_LOG_MAX_FRACTION = 0.8
+
     def _write_change_log(
-        self, pre: DataFrame, post: DataFrame, schema: StructType
+        self,
+        pre: DataFrame,
+        post: DataFrame,
+        schema: StructType,
+        rows_written: int | None = None,
     ) -> dict | None:
         """Write-time exact CDC for a CoW rewrite (``change_log``
         tables): the op's logical row delta — multiset
@@ -3338,6 +3354,22 @@ class KeyedTable:
                 .withColumn("_change_type", F.lit("insert"))
             )
         )
+        if rows_written is not None:
+            delta = delta.persist()
+            try:
+                cap = (
+                    self.CHANGE_LOG_MAX_FRACTION
+                    * 2.0
+                    * max(rows_written, 1)
+                )
+                if delta.count() > cap:
+                    return None  # table-sized delta: coarse nets same
+                token = _uuid.uuid4().hex[:16]
+                out_dir = os.path.join(self.path, "_changes", token)
+                delta.write.mode("error").parquet(out_dir)
+                return {"ref": token}
+            finally:
+                delta.unpersist()
         token = _uuid.uuid4().hex[:16]
         out_dir = os.path.join(self.path, "_changes", token)
         delta.write.mode("error").parquet(out_dir)
@@ -3416,7 +3448,8 @@ class KeyedTable:
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(rewritten, cid, vidx)
         chlog = self._write_change_log(
-            existing_touched, rewritten, existing.schema
+            existing_touched, rewritten, existing.schema,
+            rows_written=nrows,
         )
         if chlog is not None:
             stats["change_log"] = chlog
@@ -4162,7 +4195,9 @@ class KeyedTable:
             merged = merged.persist()
         cid = M.child_id(man.commit_id)
         new_files, nrows = self._write_index_aware(merged, cid, maintained)
-        chlog = self._write_change_log(target, merged, existing.schema)
+        chlog = self._write_change_log(
+            target, merged, existing.schema, rows_written=nrows
+        )
         if self.change_log:
             merged.unpersist()
         files = (

@@ -533,6 +533,57 @@ def test_stream_cdf_write_time_change_log_any_size(spark):
     assert live_before <= set(os.listdir(ch))
 
 
+def test_change_log_skips_table_sized_delta(spark):
+    """§9h#1: a rewrite whose recorded delta would approach the
+    coarse stream volume (everything changed — here a partition
+    refresh replacing every value) records NO log: the coarse
+    contract nets the same rows, and the log would only double the
+    op's write amplification. A small refresh still logs."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+    from hudi_glue_spark.table import manifest as M
+
+    root = "/tmp/ts_chlog_cap"
+    _sh.rmtree(root, ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part",
+           change_log=True)
+    t.bulk_insert(
+        spark.range(0, 30).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 3).cast("string").alias("part"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 2).alias("val"),
+        )
+    )
+    # every row of part 0 changes → delta = 2x written rows → skip
+    t.insert_overwrite(
+        t.read(spark).filter("part = '0'")
+        .withColumn("val", F.col("val") + 1),
+        dedupe=False,
+    )
+    assert "change_log" not in (
+        M.read_manifest(root, t.commits()[-1]).stats or {}
+    )
+    # one row of part 1 changes → tiny delta → logged
+    t.insert_overwrite(
+        t.read(spark).filter("part = '1'")
+        .withColumn(
+            "val",
+            F.when(F.col("pk") == 1, F.lit(-1)).otherwise(F.col("val")),
+        ),
+        dedupe=False,
+    )
+    assert ((M.read_manifest(root, t.commits()[-1]).stats or {})
+            .get("change_log") or {}).get("ref")
+    # both commits still stream to the correct net state
+    out = _drain_cdf(spark, t, root + "_ck")
+    net = out.selectExpr(
+        "sum(case when _change_type='insert' then val else -val end)"
+    ).first()[0]
+    assert net == t.read(spark).selectExpr("sum(val)").first()[0]
+
+
 def test_stream_cdf_change_log_skips_map_schema(spark):
     """MapType columns cannot be compared by exceptAll — change_log
     tables with a map column honestly record NO log and keep the
