@@ -219,14 +219,32 @@ def test_diff_chlog_fast_equals_snapshot_diff(
                 spark, {"val": "val + 100"}, f"pk = {arg}"
             )
         day = min(day + 1, 3)
+    from hudi_glue_spark.table import manifest as M
+
     head = tbl.commits()[-1]
+    # an op whose delta reached the coarse-volume cap (e.g. a delete
+    # wiping a partition: rows_written 0) records NO ref by policy —
+    # composition is only promised when every commit logged
+    logged = all(
+        ((M.read_manifest(tbl.path, c).stats or {})
+         .get("change_log") or {}).get("ref")
+        for c in tbl.commits()[1:]
+        if (M.read_manifest(tbl.path, c).stats or {}).get(
+            "rows_written"
+        ) is not None
+    )
     for images in ("post", "both"):
         fast = tbl._diff_chlog_fast(spark, c0, head, images)
-        assert fast is not None  # every commit recorded its delta
+        if logged:
+            assert fast is not None  # every commit recorded its delta
+        # whichever path diff_commits routes through must equal the
+        # from-scratch snapshot diff
+        routed = tbl.diff_commits(spark, c0, head, images=images)
         general = tbl._classify_diff(
             tbl.read(spark, at=c0), tbl.read(spark, at=head), images
         )
-        key = lambda r: (r["pk"], r["_change_type"])  # noqa: E731
-        got = sorted(map(tuple, fast.collect()), key=str)
+        got = sorted(map(tuple, routed.collect()), key=str)
         want = sorted(map(tuple, general.collect()), key=str)
         assert got == want, (images, got, want)
+        if fast is not None:
+            assert sorted(map(tuple, fast.collect()), key=str) == want
