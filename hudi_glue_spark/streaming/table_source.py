@@ -261,17 +261,51 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if cdf and cur.op in _CHANGE_LOG_OPS
                 else None
             )
+            ch_files: list[str] | None = None
             if chlog is not None and prev is not None:
+                # list the delta's parquet files NOW: (a) one chlog
+                # entry per _FILES_PER_TASK group parallelizes the
+                # delta read like every other slice kind — near the
+                # coarse-volume cap a logged delta approaches ~1.6×
+                # the rewrite size, a straggler as a single task
+                # (ADVICE r11); (b) a dir folded away by change-log
+                # retention (fold_change_logs) surfaces here as
+                # missing, and the commit honestly falls through to
+                # the exact-rewrite gate / coarse path below.
+                cdir = os.path.join(self.root, "_changes", chlog)
+                try:
+                    ch_files = sorted(
+                        fn
+                        for fn in os.listdir(cdir)
+                        if fn.endswith(".parquet")
+                    )
+                except OSError:
+                    ch_files = None  # folded: general path below
+            if ch_files is not None:
                 # write-time change log (change_log tables): the op
                 # recorded its EXACT logical delta under
                 # _changes/<ref> at commit time — serve it directly,
                 # ANY rewrite size, O(delta) read, no diffing. The
                 # dvdiff entries below still cover carried-mask
                 # changes (rewrite ops don't touch carried masks, but
-                # the generic classification stays uniform).
-                out.append(
-                    _CommitSlice(cid, (("chlog", chlog, None, None),))
-                )
+                # the generic classification stays uniform). An empty
+                # delta (op changed nothing) plans no slice at all.
+                for i in range(0, len(ch_files), _FILES_PER_TASK):
+                    out.append(
+                        _CommitSlice(
+                            cid,
+                            (
+                                (
+                                    "chlog",
+                                    chlog,
+                                    tuple(
+                                        ch_files[i : i + _FILES_PER_TASK]
+                                    ),
+                                    None,
+                                ),
+                            ),
+                        )
+                    )
             elif (
                 cdf
                 and added
@@ -531,6 +565,18 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if isinstance(v, float):
                     return ("f", struct.pack("<d", v))
                 if isinstance(v, list):
+                    if v and isinstance(v[0], tuple):
+                        # map: entries surface in ENTRY order, but map
+                        # equality is order-insensitive — sort by
+                        # canonical key (keys are unique, so the key
+                        # alone decides; ADVICE r11) so a rewrite plan
+                        # that reorders entries of an untouched row
+                        # can't fabricate a delete+insert pair
+                        ents = [(canon(k), canon(x)) for k, x in v]
+                        return (
+                            "m",
+                            tuple(sorted(ents, key=lambda e: e[0])),
+                        )
                     return ("l", tuple(canon(x) for x in v))
                 if isinstance(v, dict):
                     return (
@@ -538,7 +584,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         tuple((k, canon(x)) for k, x in v.items()),
                     )
                 if isinstance(v, tuple):
-                    return ("m", tuple(canon(x) for x in v))
+                    return ("t", tuple(canon(x) for x in v))
                 return v
 
             def col_key(col):
@@ -605,7 +651,11 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     [f for f in target if f.name != COMMIT_COL]
                 )
                 scan = pds.dataset(
-                    cdir, format="parquet", schema=ch_phys
+                    [os.path.join(cdir, fn) for fn in a]
+                    if a
+                    else cdir,
+                    format="parquet",
+                    schema=ch_phys,
                 )
                 for batch in scan.to_batches(use_threads=False):
                     n = batch.num_rows

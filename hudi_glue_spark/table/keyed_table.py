@@ -3330,50 +3330,120 @@ class KeyedTable:
         uuid, NOT the commit id: an OCC rebase republishes under a
         new id but the logical delta — provably disjoint from the
         rival's — stays valid, and a lost race's orphan dir is just
-        unreferenced bytes clean() sweeps. MapType columns cannot be
-        compared by exceptAll → None (coarse contract stays); an op
-        that changes nothing writes an empty delta and streams
-        nothing. Spark-side cost: one extra aggregation over the
-        touched partitions, the columns already in memory."""
+        unreferenced bytes clean() sweeps.
+
+        Map columns (r12): ``exceptAll`` rejects map types anywhere in
+        the schema, so TOP-LEVEL map columns are compared through a
+        canonical twin — ``sort_array(map_entries(c))``, an
+        ``array<struct<key,value>>`` sorted by key, which keys
+        logically-equal maps identically regardless of entry order —
+        and the stored rows get their maps back via
+        ``map_from_entries`` before the delta lands (schema on disk ==
+        table schema). A map NESTED inside a struct/array, or a
+        map-valued map, would need the whole container rebuilt, so
+        those schemas keep the honest coarse contract (None) — and a
+        try/except guards the whole delta job so an uncomparable
+        schema can never fail the WRITE after its data files are
+        staged (ADVICE r11). An op that changes nothing writes an
+        empty delta and streams nothing. Spark-side cost: one extra
+        aggregation over the touched partitions, the columns already
+        in memory."""
         from pyspark.sql.types import MapType
 
         if not self.change_log:
             return None
-        if any(isinstance(f.dataType, MapType) for f in schema.fields):
-            return None
+        map_cols: list[str] = []
+        for f in schema.fields:
+            if isinstance(f.dataType, MapType):
+                if self._type_has_map(f.dataType.keyType) or (
+                    self._type_has_map(f.dataType.valueType)
+                ):
+                    return None  # map-valued map: coarse contract
+                map_cols.append(f.name)
+            elif self._type_has_map(f.dataType):
+                return None  # nested map: coarse contract
         import uuid as _uuid
 
         cols = [f.name for f in schema.fields]
-        pre = pre.select(cols)
-        post = post.select(cols)
-        delta = (
-            pre.exceptAll(post)
-            .withColumn("_change_type", F.lit("delete"))
-            .unionByName(
-                post.exceptAll(pre)
-                .withColumn("_change_type", F.lit("insert"))
+
+        def canon(df: DataFrame) -> DataFrame:
+            if not map_cols:
+                return df.select(cols)
+            return df.select(
+                [
+                    F.sort_array(F.map_entries(F.col(c))).alias(c)
+                    if c in map_cols
+                    else F.col(c)
+                    for c in cols
+                ]
             )
-        )
-        if rows_written is not None:
-            delta = delta.persist()
-            try:
-                cap = (
-                    self.CHANGE_LOG_MAX_FRACTION
-                    * 2.0
-                    * max(rows_written, 1)
+
+        def uncanon(df: DataFrame) -> DataFrame:
+            if not map_cols:
+                return df
+            return df.select(
+                *[
+                    F.map_from_entries(F.col(c)).alias(c)
+                    if c in map_cols
+                    else F.col(c)
+                    for c in cols
+                ],
+                "_change_type",
+            )
+
+        try:
+            pre_c, post_c = canon(pre), canon(post)
+            delta = uncanon(
+                pre_c.exceptAll(post_c)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    post_c.exceptAll(pre_c)
+                    .withColumn("_change_type", F.lit("insert"))
                 )
-                if delta.count() > cap:
-                    return None  # table-sized delta: coarse nets same
-                token = _uuid.uuid4().hex[:16]
-                out_dir = os.path.join(self.path, "_changes", token)
-                delta.write.mode("error").parquet(out_dir)
-                return {"ref": token}
-            finally:
-                delta.unpersist()
-        token = _uuid.uuid4().hex[:16]
-        out_dir = os.path.join(self.path, "_changes", token)
-        delta.write.mode("error").parquet(out_dir)
-        return {"ref": token}
+            )
+            if rows_written is not None:
+                delta = delta.persist()
+                try:
+                    cap = (
+                        self.CHANGE_LOG_MAX_FRACTION
+                        * 2.0
+                        * max(rows_written, 1)
+                    )
+                    if delta.count() > cap:
+                        return None  # table-sized delta: coarse nets same
+                    token = _uuid.uuid4().hex[:16]
+                    out_dir = os.path.join(self.path, "_changes", token)
+                    delta.write.mode("error").parquet(out_dir)
+                    return {"ref": token}
+                finally:
+                    delta.unpersist()
+            token = _uuid.uuid4().hex[:16]
+            out_dir = os.path.join(self.path, "_changes", token)
+            delta.write.mode("error").parquet(out_dir)
+            return {"ref": token}
+        except Exception:  # noqa: BLE001 — the log is an optimization:
+            # the commit simply carries no ref and the stream's
+            # coarse/gate contract nets the same answer; failing the
+            # op here would orphan its already-staged data files
+            return None
+
+    @staticmethod
+    def _type_has_map(dt) -> bool:
+        """True when a map type appears ANYWHERE inside ``dt`` — set
+        operations (exceptAll) and ``<=>`` reject such schemas, so the
+        change-log and diff paths must detect them recursively, not
+        just at the top level (ADVICE r11)."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return KeyedTable._type_has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(
+                KeyedTable._type_has_map(f.dataType) for f in dt.fields
+            )
+        return False
 
     def _rewrite_where(
         self,
@@ -3683,9 +3753,10 @@ class KeyedTable:
         shape at 100 TB, where the snapshot diff re-reads the table
         but the recorded deltas are only what changed. Returns None
         (honest fallback to the general diff) when any commit in the
-        range lacks a log (non-chlog op, MapType schema, pre-r11
-        history) or the deltas' schemas cannot union (type widening
-        mid-range)."""
+        range lacks a log (non-chlog op, nested-map schema, pre-r11
+        history, coarse-volume-capped delta), a referenced log was
+        folded away by retention (fold_change_logs), or the deltas'
+        schemas cannot union (type widening mid-range)."""
         from pyspark.sql.window import Window as W
 
         from hudi_glue_spark.streaming.table_source import (
@@ -3735,9 +3806,13 @@ class KeyedTable:
         try:
             ev = None
             for i, ref in enumerate(refs):
-                d = spark.read.parquet(
-                    os.path.join(self.path, "_changes", ref)
-                ).withColumn("__seq", F.lit(i))
+                cdir = os.path.join(self.path, "_changes", ref)
+                if not os.path.isdir(cdir):
+                    # folded away by change-log retention
+                    # (fold_change_logs): the recorded delta is gone,
+                    # the snapshot diff is still exact — general path
+                    return None
+                d = spark.read.parquet(cdir).withColumn("__seq", F.lit(i))
                 ev = (
                     d
                     if ev is None
@@ -3854,7 +3929,17 @@ class KeyedTable:
     ) -> DataFrame:
         """Key-wise full-outer change classification shared by the
         full-snapshot diff and the DV delta diff (whose inputs are only
-        the rows that could have changed)."""
+        the rows that could have changed). Top-level map columns are
+        compared through their canonical ``sort_array(map_entries())``
+        twin — Spark's ``<=>`` rejects map operands, and map equality
+        is entry-order-insensitive anyway (r12)."""
+        from pyspark.sql.types import MapType
+
+        map_cols = {
+            f.name
+            for f in after.schema.fields
+            if isinstance(f.dataType, MapType)
+        }
         before = before.withColumn("__b", F.lit(1))
         after = after.withColumn("__a", F.lit(1))
         cols = [c for c in after.columns if c != "__a"]
@@ -3863,11 +3948,20 @@ class KeyedTable:
         j = b.join(a, on=[b[k].eqNullSafe(a[k]) for k in self.key], how="full_outer")
         in_b = F.col("b.__b").isNotNull()
         in_a = F.col("a.__a").isNotNull()
+
+        def cmp_col(side: str, c: str):
+            col = F.col(f"{side}.{c}")
+            return (
+                F.sort_array(F.map_entries(col)) if c in map_cols else col
+            )
+
         # update = key present in both with any non-key column changed
         changed = F.lit(False)
         for c in cols:
             if c not in self.key:
-                changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
+                changed = changed | ~cmp_col("b", c).eqNullSafe(
+                    cmp_col("a", c)
+                )
         if images == "post":
             ctype = (
                 F.when(in_a & ~in_b, F.lit("insert"))
@@ -4433,10 +4527,15 @@ class KeyedTable:
             and not _grace(os.path.join(RI.rli_dir(self.path), fn))
         ]
         # change-log dirs no commit references (lost races, crashed
-        # writes) count as plan-worthy work too; the 900 s horizon
-        # protects a racing writer's just-staged delta. Execute
-        # recomputes liveness at delete time — this list only decides
-        # "is there anything to do" and documents the claim.
+        # writes) count as plan-worthy work too; the staging horizon
+        # protects a racing writer's just-staged delta — never LESS
+        # than 900 s, and never less than the caller's orphan_grace_s
+        # (a deployment that raises the grace for slow writers must
+        # have it bound ALL pre-publish artifact classes uniformly;
+        # ADVICE r11). Execute recomputes liveness at delete time —
+        # this list only decides "is there anything to do" and
+        # documents the claim.
+        stage_grace = max(900.0, orphan_grace_s)
         chdir = os.path.join(self.path, "_changes")
         chlog_orphans: list[str] = []
         if os.path.isdir(chdir):
@@ -4454,7 +4553,8 @@ class KeyedTable:
                 tk
                 for tk in os.listdir(chdir)
                 if tk not in ch_live
-                and now - os.path.getmtime(os.path.join(chdir, tk)) > 900
+                and now - os.path.getmtime(os.path.join(chdir, tk))
+                > stage_grace
             ]
         if not (
             drop or orphans or shards or dv_orphans or rli_orphans
@@ -4469,6 +4569,9 @@ class KeyedTable:
             "dvs": sorted(dv_orphans),
             "rli": sorted(rli_orphans),
             "chlog": sorted(chlog_orphans),
+            # execute-phase sweeps honor the SAME staging horizon the
+            # plan was computed under (a resumed plan keeps its grace)
+            "stage_grace_s": stage_grace,
         }
 
     def _execute_clean(self, plan: dict) -> list[str]:
@@ -4674,7 +4777,10 @@ class KeyedTable:
         # dirs referenced by NO retained commit's stats are dead —
         # lost-race orphans, crashed writes, or aged-out commits. The
         # age horizon keeps a racing writer's just-staged delta (its
-        # commit publishes moments later) out of the sweep.
+        # commit publishes moments later) out of the sweep; it honors
+        # the plan's recorded grace (≥ orphan_grace_s — ADVICE r11),
+        # defaulting to 900 s for pre-r12 plans.
+        stage_grace = float(plan.get("stage_grace_s", 900.0))
         chdir = os.path.join(self.path, "_changes")
         if os.path.isdir(chdir):
             live_refs: set[str] = set()
@@ -4693,16 +4799,17 @@ class KeyedTable:
                 try:
                     if (
                         token not in live_refs
-                        and now - os.path.getmtime(p) > 900
+                        and now - os.path.getmtime(p) > stage_grace
                     ):
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
         # crash-orphaned pack_reg staging: pack stages `.tmp-<ref>`
         # then os.replace's it live — anything still named .tmp-* and
-        # older than the staging horizon is a leak (the age guard
-        # keeps a clean racing an in-flight pack from unlinking a
-        # sidecar mid-write; ADVICE r10)
+        # older than the staging horizon (same plan-recorded grace as
+        # the change-log sweep) is a leak (the age guard keeps a clean
+        # racing an in-flight pack from unlinking a sidecar mid-write;
+        # ADVICE r10)
         rdir = RI.rli_dir(self.path)
         if os.path.isdir(rdir):
             now = time.time()
@@ -4711,7 +4818,7 @@ class KeyedTable:
                     continue
                 p = os.path.join(rdir, fn)
                 try:
-                    if now - os.path.getmtime(p) > 900:
+                    if now - os.path.getmtime(p) > stage_grace:
                         os.unlink(p)
                 except OSError:
                     pass
@@ -4736,6 +4843,46 @@ class KeyedTable:
                 os.rmdir(dirpath)
         M.clear_clean_plan(self.path)
         return removed
+
+    def fold_change_logs(self, keep_last: int = 10) -> list[str]:
+        """Change-log retention (§9h#2 / VERDICT r11 #4): drop the
+        recorded write-time deltas of commits older than the last
+        ``keep_last`` commits. A long-retention ``change_log=True``
+        table (hundreds of commits kept for time travel) otherwise
+        accumulates O(sum of deltas) bytes under ``_changes/`` —
+        the dirs' lifecycle is tied to COMMIT retention, but CDC
+        consumers only ever re-read a bounded recent window.
+
+        Folding is safe by construction: the commit itself is
+        untouched (its stats still carry the ref — manifests are
+        immutable), and every reader probes the dir at plan time —
+        the stream source falls through to the exact-rewrite gate /
+        coarse path (table_source.py plan), ``diff_commits`` to the
+        general snapshot diff (``_diff_chlog_fast`` → None) — so a
+        post-fold read degrades honestly to the pre-chlog contract,
+        it never breaks. Driver-side metadata work only; zero HEAD
+        reads (the commit list is a directory listing, manifests are
+        read pinned by id). Returns the folded tokens."""
+        ids = self.commits()
+        chdir = os.path.join(self.path, "_changes")
+        if not os.path.isdir(chdir) or len(ids) <= max(keep_last, 0):
+            return []
+        old = ids[: -keep_last] if keep_last > 0 else ids
+        folded: list[str] = []
+        for cid in old:
+            m = M.read_manifest(self.path, cid)
+            ref = (
+                ((m.stats or {}).get("change_log") or {}).get("ref")
+                if m is not None
+                else None
+            )
+            if not ref:
+                continue
+            p = os.path.join(chdir, ref)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                folded.append(ref)
+        return folded
 
     def optimize(
         self,
@@ -4886,6 +5033,7 @@ class KeyedTable:
         target_rows_per_file: int = 1_000_000,
         orphan_grace_s: float = 0.0,
         dv_fold_dead_fraction: float = 0.05,
+        chlog_keep_commits: int | None = None,
     ) -> dict:
         """ONE pass of the table-service policy loop — the cadence a
         100 TB deployment runs per table per hour, composed from the
@@ -4904,7 +5052,11 @@ class KeyedTable:
            IVF index with its stored parameters only when maintenance
            has loosened the range-clustered layout past the line;
         3. :meth:`clean` (plan-published, re-entrant) reclaims
-           unreferenced files past the retention window.
+           unreferenced files past the retention window;
+        4. :meth:`fold_change_logs` (``chlog_keep_commits``, default
+           ``retain_commits``) bounds the ``_changes/`` byte growth on
+           long-retention ``change_log`` tables — folded commits'
+           readers degrade honestly to the general/coarse paths.
 
         Returns a summary dict of what ran. Safe to run alongside
         writers: optimize/rebuild commit through OCC (disjoint rivals
@@ -5048,6 +5200,16 @@ class KeyedTable:
             retain_commits=retain_commits, orphan_grace_s=orphan_grace_s
         )
         summary["cleaned_files"] = len(removed)
+        if self.change_log:
+            folded = self.fold_change_logs(
+                keep_last=(
+                    retain_commits
+                    if chlog_keep_commits is None
+                    else chlog_keep_commits
+                )
+            )
+            if folded:
+                summary["folded_change_logs"] = len(folded)
         return summary
 
     # -- schema evolution ----------------------------------------------------
@@ -5429,9 +5591,36 @@ class KeyedTable:
 
     def _precombine(self, df: DataFrame) -> DataFrame:
         """Within-batch dedup: keep the max-precombine row per key
-        (§2a #23a), deterministically tie-broken by a row hash."""
+        (§2a #23a), deterministically tie-broken by a row hash. Map
+        columns enter the hash through their canonical
+        ``sort_array(map_entries())`` twin — Spark prohibits hashing
+        raw maps (entry order varies per plan), and the canonical form
+        is exactly the order-insensitive identity map equality defines
+        (r12); a map NESTED inside a struct/array is excluded from the
+        tie-break entirely (rows differing only there tie to a single
+        arbitrary winner — still one row per key)."""
+        from pyspark.sql.types import MapType
+
+        def hcol(f):
+            c = F.col(f.name)
+            if not self._type_has_map(f.dataType):
+                return c
+            if isinstance(f.dataType, MapType) and not (
+                self._type_has_map(f.dataType.keyType)
+                or self._type_has_map(f.dataType.valueType)
+            ):
+                return F.sort_array(F.map_entries(c))
+            return F.lit(None)
+
         w = Window.partitionBy(*self.key).orderBy(
-            F.desc(self.precombine), F.desc(F.xxhash64(F.struct(*df.columns)))
+            F.desc(self.precombine),
+            F.desc(
+                F.xxhash64(
+                    F.struct(
+                        *[hcol(f).alias(f.name) for f in df.schema.fields]
+                    )
+                )
+            ),
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))

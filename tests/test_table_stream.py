@@ -584,10 +584,12 @@ def test_change_log_skips_table_sized_delta(spark):
     assert net == t.read(spark).selectExpr("sum(val)").first()[0]
 
 
-def test_stream_cdf_change_log_skips_map_schema(spark):
-    """MapType columns cannot be compared by exceptAll — change_log
-    tables with a map column honestly record NO log and keep the
-    gate/coarse contract."""
+def test_stream_cdf_change_log_maps(spark):
+    """Top-level map columns are LIFTED into the exact change log
+    (r12): the delta job compares sorted ``map_entries`` twins —
+    entry-order-insensitive, as map equality demands — and the stored
+    delta carries real maps (``map_from_entries`` round trip). The
+    stream serves the recorded delta with the map values intact."""
     import shutil as _sh
 
     from hudi_glue_spark.table import KeyedTable as KT
@@ -595,17 +597,144 @@ def test_stream_cdf_change_log_skips_map_schema(spark):
 
     root = "/tmp/ts_cdf_chlog_map"
     _sh.rmtree(root, ignore_errors=True)
+    _sh.rmtree(root + "_ck", ignore_errors=True)
     t = KT(root, key="pk", precombine="ts", partition_by="part",
            change_log=True)
     sch = "pk long, part string, ts long, v long, attrs map<string,long>"
     t.bulk_insert(
-        spark.createDataFrame([(1, "0", 1, 5, {"a": 1})], sch),
+        spark.createDataFrame(
+            [(1, "0", 1, 5, {"a": 1, "b": 2}), (2, "0", 1, 6, {"c": 3}),
+             (3, "1", 1, 7, None)],
+            sch,
+        ),
         dedupe=False,  # precombine tie-break hashes all columns; maps
     )                  # are unhashable in Spark — dedup is off-path here
-    t.update_where(spark, {"v": "v + 1"}, "pk = 1")
+    # update that changes ONLY the map column: the delta must record it
+    t.update_where(
+        spark, {"attrs": "map('a', cast(9 as long))"}, "pk = 1"
+    )
+    ref = ((M.read_manifest(root, t.commits()[-1]).stats or {})
+           .get("change_log") or {}).get("ref")
+    assert ref, "top-level map schema must record an exact log"
+    logged = spark.read.parquet(os.path.join(root, "_changes", ref))
+    got = sorted(
+        (r._change_type, r.pk, dict(r.attrs)) for r in logged.collect()
+    )
+    assert got == [
+        ("delete", 1, {"a": 1, "b": 2}),
+        ("insert", 1, {"a": 9}),
+    ]
+    # a rewrite that reorders map entries but changes nothing logical
+    # records an EMPTY delta (canonicalization is order-insensitive)
+    reordered = t.read(spark).filter("part = '0'").select(
+        "pk", "part", "ts", "v",
+        F.map_from_entries(
+            F.reverse(F.map_entries(F.col("attrs")))
+        ).alias("attrs"),
+    )
+    t.insert_overwrite(reordered, dedupe=False)
+    ref2 = ((M.read_manifest(root, t.commits()[-1]).stats or {})
+            .get("change_log") or {}).get("ref")
+    assert ref2
+    assert spark.read.parquet(
+        os.path.join(root, "_changes", ref2)
+    ).count() == 0
+    # the stream serves the recorded deltas; net state == snapshot
+    out = _drain_cdf(spark, t, root + "_ck", exact_rewrite_max_bytes=0)
+    net = out.selectExpr(
+        "sum(case when _change_type='insert' then 1 else -1 end)"
+    ).first()[0]
+    assert net == t.read(spark).count() == 3
+    upd = sorted(
+        ((r._change_type, dict(r.attrs))
+         for r in out.filter(
+             (F.col("pk") == 1) & (F.col("_commit") == t.commits()[1])
+         ).collect()),
+        key=lambda p: p[0],
+    )
+    assert upd == [("delete", {"a": 1, "b": 2}), ("insert", {"a": 9})]
+    # diff_commits composes the map-bearing logs exactly (the
+    # classifier compares maps through their canonical twin)
+    d = t.diff_commits(spark, t.commits()[0])
+    rows = sorted((r._change_type, r.pk) for r in d.collect())
+    assert rows == [("update", 1)]
+
+
+def test_stream_cdf_change_log_skips_nested_map_schema(spark):
+    """A map NESTED inside a struct cannot be canonicalized without
+    rebuilding the container — the table honestly records NO log, and
+    (ADVICE r11) the WRITE ITSELF SUCCEEDS: exceptAll rejecting the
+    schema must degrade to the coarse contract, never fail the op
+    after its data files are staged."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+    from hudi_glue_spark.table import manifest as M
+
+    root = "/tmp/ts_cdf_chlog_nmap"
+    _sh.rmtree(root, ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part",
+           change_log=True)
+    sch = ("pk long, part string, ts long, v long, "
+           "meta struct<m: map<string,long>>")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, "0", 1, 5, {"m": {"a": 1}})], sch
+        ),
+        dedupe=False,
+    )
+    t.update_where(spark, {"v": "v + 1"}, "pk = 1")  # must not raise
     assert "change_log" not in (
         M.read_manifest(root, t.commits()[-1]).stats or {}
     )
+    assert t.read(spark).select("v").first()[0] == 6
+
+
+def test_stream_cdf_folded_change_log_falls_back(spark):
+    """After fold_change_logs, a commit whose recorded delta is gone
+    plans through the exact-rewrite gate / coarse path instead of
+    raising on the missing _changes dir — the maintained net state
+    still equals the snapshot (coarse pairs net out)."""
+    import shutil as _sh
+
+    from hudi_glue_spark.table import KeyedTable as KT
+    from hudi_glue_spark.table import manifest as M
+
+    root = "/tmp/ts_cdf_chlog_fold"
+    _sh.rmtree(root, ignore_errors=True)
+    _sh.rmtree(root + "_ck", ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part",
+           change_log=True)
+    t.bulk_insert(
+        spark.range(0, 40).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 4).cast("string").alias("part"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 2).alias("val"),
+        )
+    )
+    t.upsert(spark.createDataFrame(
+        [(0, "0", 9000, -99)], "pk long, part string, ts long, val long"
+    ))
+    t.delete(spark.createDataFrame([(3,)], "pk long"))
+    assert len(t.fold_change_logs(keep_last=1)) == 1  # upsert's log goes
+    out = _drain_cdf(spark, t, root + "_ck")
+    net = out.selectExpr(
+        "sum(case when _change_type='insert' then 1 else -1 end)"
+    ).first()[0]
+    s = out.selectExpr(
+        "sum(case when _change_type='insert' then val else -val end)"
+    ).first()[0]
+    assert net == t.read(spark).count() == 39
+    assert s == t.read(spark).selectExpr("sum(val)").first()[0]
+    # the folded upsert commit still streamed its logical delta (via
+    # the gate's exact rewrite diff at default caps)
+    c1 = t.commits()[1]
+    got = sorted(
+        (r._change_type, r.pk, r.val)
+        for r in out.filter(F.col("_commit") == c1).collect()
+    )
+    assert got == [("delete", 0, 0), ("insert", 0, -99)]
 
 
 def test_stream_cdf_rollback_streams_inverse_delta(spark):

@@ -248,3 +248,109 @@ def test_diff_chlog_fast_equals_snapshot_diff(
         assert got == want, (images, got, want)
         if fast is not None:
             assert sorted(map(tuple, fast.collect()), key=str) == want
+
+
+_MAP_OPSEQ = st.lists(
+    st.one_of(
+        st.tuples(st.just("set_map"), st.integers(0, 5), st.integers(0, 9)),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.integers(0, 5), min_size=1, max_size=2),
+        ),
+        st.tuples(st.just("upsert"), st.integers(0, 7), st.integers(0, 9)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _canon_row(r):
+    """Map fields surface as dicts (order-carrying, unorderable):
+    canonicalize to sorted item tuples so rows compare and sort by
+    VALUE, the way map equality is defined."""
+    return tuple(
+        tuple(sorted(v.items())) if isinstance(v, dict) else v
+        for v in tuple(r)
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MAP_OPSEQ)
+def test_diff_chlog_fast_equals_snapshot_diff_with_maps(
+    spark, tmp_path_factory, ops
+):
+    """r12 property: the composition equivalence holds on a schema
+    with a TOP-LEVEL MAP column — the delta job compares sorted
+    map_entries twins and stores real maps; the classifier compares
+    maps canonically; composed == snapshot for any op sequence that
+    inserts, rewrites, and deletes map-bearing rows."""
+    root = str(tmp_path_factory.mktemp("chlog_prop_map") / "t")
+    tbl = KeyedTable(
+        root, key="pk", precombine="update_ts", partition_by="part",
+        policy=ARRIVAL_WINS, change_log=True,
+    )
+    c0 = tbl.bulk_insert(
+        spark.createDataFrame(
+            [(pk, "a" if pk % 2 else "b", pk, {"k": pk, "z": pk % 2},
+              _ts(0)) for pk in range(4)],
+            "pk long, part string, val long, attrs map<string,long>, "
+            "update_ts timestamp",
+        ),
+        dedupe=False,  # in-batch dedup hashes all columns; maps can't
+    )
+    day = 1
+    for op in ops:
+        if op[0] == "set_map":
+            _, pk, v = op
+            tbl.update_where(
+                spark,
+                {"attrs": f"map('k', cast({v} as long))"},
+                f"pk = {pk}",
+            )
+        elif op[0] == "delete":
+            tbl.delete(
+                spark.createDataFrame(
+                    [(pk,) for pk in set(op[1])], "pk long"
+                )
+            )
+        else:
+            _, pk, v = op
+            tbl.upsert(
+                spark.createDataFrame(
+                    [(pk, "a" if pk % 2 else "b", v + 100,
+                      {"n": v}, _ts(day))],
+                    "pk long, part string, val long, "
+                    "attrs map<string,long>, update_ts timestamp",
+                )
+            )
+        day += 1
+    head = tbl.commits()[-1]
+    from hudi_glue_spark.table import manifest as M
+
+    logged = all(
+        ((M.read_manifest(tbl.path, c).stats or {})
+         .get("change_log") or {}).get("ref")
+        for c in tbl.commits()[1:]
+        if (M.read_manifest(tbl.path, c).stats or {}).get(
+            "rows_written"
+        ) is not None
+    )
+    for images in ("post", "both"):
+        fast = tbl._diff_chlog_fast(spark, c0, head, images)
+        if logged:
+            assert fast is not None
+        routed = tbl.diff_commits(spark, c0, head, images=images)
+        general = tbl._classify_diff(
+            tbl.read(spark, at=c0), tbl.read(spark, at=head), images
+        )
+        got = sorted(map(_canon_row, routed.collect()), key=str)
+        want = sorted(map(_canon_row, general.collect()), key=str)
+        assert got == want, (images, got, want)
+        if fast is not None:
+            assert (
+                sorted(map(_canon_row, fast.collect()), key=str) == want
+            )
