@@ -38,67 +38,69 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2-r10), so the r11 window is built for STALENESS, the
-#: same formula as r7-r10 (memory: round rituals, VERDICT r10 #3):
-#: (a) the new r11 rows (index_lookup_join_pruned) first, then (b)
-#: the 21 rows whose latest driver green dates from r7 (the judge
-#: re-proved all 21 EXACT in its own r10 session, but the driver
-#: record still says r7), then (c) the 49-row r8 cohort
-#: alphabetically up to the ~50 cap (the rest lead the r12 rotation).
-#: No row green in r9 or r10 sits ahead of an r7/r8-stale row.
+#: (cumulative r2-r11), so the r12 window is built for STALENESS, the
+#: same formula as r7-r11 (memory: round rituals, VERDICT r11 #3):
+#: (a) the new r12 rows (map-bearing exact CDC, change-log retention
+#: fold) first, then (b) the full 23-row cohort whose latest driver
+#: green dates from r8 — exactly the list VERDICT r11 #3 names, all
+#: 23 judge-re-proven EXACT that session — then (c) the oldest-r9
+#: cohort alphabetically up to the ~50 cap (the remaining 25 r9 rows
+#: lead the r13 rotation). No row green in r10 or r11 sits ahead of
+#: an r8/r9-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    "index_lookup_join_pruned",
-    "stream_cdf_changelog",
-    "diff_commits_changelog",
-    "minhash_near_dup",
-    "occ_disjoint_rebase",
-    "orders_date_functions",
-    "rollup_returnflag",
-    "savepoint_pinned_time_travel",
-    "scan_limit_sorted",
-    "semi_join_touched_keys",
-    "simhash_near_dup",
-    "stream_running_totals",
-    "stream_tumbling_counts",
-    "text_stats_per_doc",
-    "tf_idf_top_terms",
-    "time_travel_first_commit",
-    "topk_orders_per_segment",
-    "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
-    "union_tagged_batches",
-    "video_frame_sample",
-    "window_functions_suite",
-    "window_latest_event",
-    "word_jaccard_pairs",
-    "benchmark_decontamination",
-    "curation_pipeline_end_to_end",
-    "decontaminated_corpus",
-    "dedup_chain_fixpoint",
-    "docs_repetition_signals",
-    "domain_mix_resample",
-    "dual_path_read_agreement",
-    "dv_delete_read",
-    "dv_maintenance_fold",
-    "dv_predicate_dml",
-    "dv_upsert_scenario",
-    "events_moment_stats",
-    "events_value_histogram",
-    "fixed_size_eval_sample",
-    "global_shuffle_order",
-    "incremental_dedup_vs_corpus",
-    "insert_overwrite_partition",
-    "json_props_extract",
-    "jsonl_ingest_roundtrip",
-    "jsonl_shard_export",
-    "kmeans_embedding_clusters",
-    "knn_ivf_indexed",
-    "knn_lsh_indexed",
-    "manifest_relation_read",
-    "merge_into_disjoint_rebase",
-    "null_handling_suite",
+    # (a) new in r12
+    "chlog_map_exact_cdc",
+    "chlog_fold_general_path",
+    # (b) the complete r8-stale cohort (VERDICT r11 #3)
     "orc_ingest_roundtrip",
     "orders_above_avg_price",
+    "orders_price_quantiles",
+    "pii_redaction",
+    "pivot_user_event_matrix",
+    "point_lookup_keys",
+    "predicate_dml_scenario",
+    "quality_quantile_filter",
+    "salted_distinct_users_per_type",
+    "salted_join_user_activity",
+    "schema_widen_drop_scenario",
+    "sequence_pack_chunks",
+    "sequence_pack_greedy",
+    "sessions_batch",
+    "sliding_token_windows",
+    "source_median_tokens_udaf",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    # (c) oldest-r9 cohort, alphabetical fill to the cap
+    "ann_index_maintained_upsert",
+    "ann_recall_audit",
+    "approx_distinct_users",
+    "bucketed_colocated_join",
+    "c4_rule_filters",
+    "cdf_incremental_agg",
+    "change_feed_clicks",
+    "compaction_scenario",
+    "constraint_quarantine_flow",
+    "curated_pruned_scan",
+    "derived_day_partition_ingest",
+    "distinct_pairs",
+    "doc_winnowing_fingerprints",
+    "drop_partition_retention",
+    "dv_external_engine_read",
+    "embedding_quantize_int8",
+    "events_value_stats",
+    "fk_integrity_audit",
+    "forget_user_flow",
+    "hypertable_rollup_hierarchy",
+    "incremental_near_dup_vs_index",
+    "jaccard_dedup_survivors",
+    "join_key_skew_profile",
+    "keyword_search_indexed",
+    "knn_l2_bruteforce",
 ]
 
 
