@@ -80,9 +80,57 @@ PINNED_EXT: tuple[str, ...] = (
 )
 
 
+#: Rig calibration (VERDICT r11 #2): wall of the fixed CPU-bound
+#: microbenchmark below on a QUIET reference rig (r12 close, load avg
+#: < 0.5, median of start/end probes). Rounds r8-r11 each burned
+#: builder+judge effort adjudicating whether a +10% pinned-subset drift
+#: was code or machine; normalizing every row by ref/measured makes the
+#: rig state an explicit, recorded variable instead of a prose
+#: argument. The microbench touches NO repo code — a pinned-seed
+#: shuffle+agg over generated longs — so its wall moves only with the
+#: machine.
+CALIBRATION_REF_S = 2.07
+
+
+def _calibration_probe(spark) -> float:
+    """Fixed CPU-bound shuffle+agg microbenchmark, no repo code, no
+    data files, fully deterministic: generated longs → modular keys →
+    groupBy/agg (one full shuffle) → hash-reduce. Returns wall
+    seconds."""
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F401 — parity import
+
+    t0 = _time.perf_counter()
+    (
+        spark.range(0, 24_000_000, 1, numPartitions=32)
+        .selectExpr(
+            "id % 9973 AS k",
+            "(id * 2654435761) % 104729 AS v",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+            F.count("*").alias("c"),
+        )
+        .selectExpr("sum(hash(k, s, a, c)) AS h")
+        .collect()
+    )
+    return _time.perf_counter() - t0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Scale-rehearsal knobs (VERDICT r11 #1): SPARK_GRAFT_SUBSET=pinned
+    # restricts the timed registry rows to the two frozen comparator
+    # subsets (plus every commit: fixture row — those ARE the flagship
+    # multi-commit scenarios), so the same harness can run at sf1.0 in
+    # bounded wall; SPARK_GRAFT_FULL_OUT redirects the full-map sidecar
+    # so a rehearsal run never clobbers the round's BENCH_FULL.json.
+    subset_mode = os.environ.get("SPARK_GRAFT_SUBSET", "")
+    full_out = os.environ.get("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
 
     import __spark_entry__ as entry_mod
     from hudi_glue_spark.session import get_spark
@@ -103,6 +151,18 @@ def main() -> int:
 
     spark.range(1000, numPartitions=int(cpus)).select(_warm(F.col("id"))).count()
 
+    # Rig calibration, probe 1 of 2 (VERDICT r11 #2): measured right
+    # after warmup, again after the last timed row; the MEDIAN of the
+    # two (vs the pinned quiet-rig reference) normalizes every row so
+    # round-over-round comparisons separate code from machine. One
+    # un-timed throwaway first — the probe's own codegen shape JITs
+    # like any other.
+    loadavg_before = list(os.getloadavg())
+    _calibration_probe(spark)
+    cal_start = _calibration_probe(spark)
+    print(f"# calibration(start): {cal_start:.3f}s "
+          f"(ref {CALIBRATION_REF_S}s)", file=sys.stderr)
+
     # UNIVERSAL warmup (VERDICT r9 #2, replacing the hand-curated warm
     # list): run EVERY query once, un-timed, at sf0.001 before any
     # timed sample. First execution of a codegen shape is
@@ -114,6 +174,9 @@ def main() -> int:
     # ~1/100 the data cost. Warmup errors are ignored here — the timed
     # loop below surfaces them per-row.
     qs_all = entry_mod.queries()
+    if subset_mode == "pinned":
+        keep = set(PINNED_SUBSET) | set(PINNED_EXT)
+        qs_all = {n: f for n, f in qs_all.items() if n in keep}
     warm_fail = 0
     for warm_name in sorted(qs_all):
         try:
@@ -124,7 +187,7 @@ def main() -> int:
         print(f"# warmup: {warm_fail} rows errored (timed loop will "
               f"report)", file=sys.stderr)
 
-    qs = entry_mod.queries()
+    qs = dict(qs_all)
     timings: dict[str, float] = {}
     total = 0.0
 
@@ -166,8 +229,11 @@ def main() -> int:
 
     def _dml_build(spark, sf_dir):
         # first call = bulk load + UPDATE + DELETE (then cached);
-        # the registry row's timed samples hit the cache
-        return qs_all["predicate_dml_scenario"](spark, sf_dir).count()
+        # the registry row's timed samples hit the cache (full
+        # registry lookup — the row may be outside a pinned subset)
+        return entry_mod.queries()["predicate_dml_scenario"](
+            spark, sf_dir
+        ).count()
 
     from hudi_glue_spark.llm_queries import _mh_index
     from hudi_glue_spark.streaming_queries import (
@@ -315,6 +381,26 @@ def main() -> int:
         total += med - timings[name]
         timings[name] = med
 
+    # Rig calibration, probe 2 of 2 — and the normalization factor.
+    cal_end = _calibration_probe(spark)
+    loadavg_after = list(os.getloadavg())
+    cal = statistics.median([cal_start, cal_end])
+    factor = CALIBRATION_REF_S / cal if cal > 0 else 1.0
+    print(f"# calibration(end): {cal_end:.3f}s factor={factor:.3f} "
+          f"loadavg {loadavg_before} -> {loadavg_after}",
+          file=sys.stderr)
+    calibration = {
+        "probe": "range(24M)->mod-keys->groupBy.agg->hash-reduce, "
+                 "32 partitions, no repo code",
+        "start_s": round(cal_start, 3),
+        "end_s": round(cal_end, 3),
+        "median_s": round(cal, 3),
+        "ref_s": CALIBRATION_REF_S,
+        "factor": round(factor, 4),
+        "loadavg_before": [round(x, 2) for x in loadavg_before],
+        "loadavg_after": [round(x, 2) for x in loadavg_after],
+    }
+
     # The full per-query map once made the stdout JSON line long enough
     # that the driver's capture truncated it (BENCH_r03: parsed=null).
     # Emit a COMPACT line the driver can always parse — totals + the 10
@@ -325,9 +411,26 @@ def main() -> int:
     pext = [n for n in PINNED_EXT if n in timings]
     pext_total = sum(timings[n] for n in pext)
 
+    # Scale-rehearsal evidence (VERDICT r11 #1): when the rehearsal
+    # tool has produced its artifact, the headline BENCH line carries
+    # its compact summary so the driver-recorded BENCH_r{N}.json shows
+    # the sf1 curve without a second artifact hop.
+    scale = None
+    if not subset_mode:
+        sr_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "SCALE_REHEARSAL.json",
+        )
+        if os.path.exists(sr_path):
+            try:
+                with open(sr_path) as f:
+                    scale = json.load(f).get("compact")
+            except Exception:  # noqa: BLE001 — evidence, not gating
+                scale = None
+
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), full_out
     )
     summary = {
         "metric": "suite_wall_seconds",
@@ -337,21 +440,31 @@ def main() -> int:
         "sec_per_query": round(total / max(len(timings), 1), 3),
         "medians": "median-of-3 for the 20 slowest; min-of-2 for the rest",
         "warmup": "every query pre-run once at sf0.001 (JIT/codegen warm)",
+        "calibration": calibration,
+        "value_normalized": round(total * factor, 3),
         "pinned_subset": {
             "n": len(pinned),
             "wall_seconds": round(pinned_total, 3),
             "sec_per_query": round(pinned_total / max(len(pinned), 1), 3),
+            "sec_per_query_normalized": round(
+                pinned_total * factor / max(len(pinned), 1), 3
+            ),
             "membership": "r2 driver window, frozen",
         },
         "pinned_ext": {
             "n": len(pext),
             "wall_seconds": round(pext_total, 3),
             "sec_per_query": round(pext_total / max(len(pext), 1), 3),
+            "sec_per_query_normalized": round(
+                pext_total * factor / max(len(pext), 1), 3
+            ),
             "membership": "25 extension rows at r8 membership, frozen",
         },
         "queries": slowest,
         "queries_full_file": os.path.basename(full_path),
         "sf": sf_val,
+        **({"subset": subset_mode} if subset_mode else {}),
+        **({"scale_rehearsal": scale} if scale else {}),
         **({"errors": errors} if errors else {}),
     }
     with open(full_path, "w") as f:
@@ -360,7 +473,16 @@ def main() -> int:
             # the heavy tail, 2 elsewhere) — the audit trail for the
             # min/median filtering; a self-caching row's fixture cost
             # is visible as its sample1-sample2 gap
-            {**summary, "queries": timings, "samples": samples},
+            {
+                **summary,
+                "queries": timings,
+                # every row both raw and rig-normalized (VERDICT r11
+                # #2): diff_rounds flags regressions on THIS series
+                "queries_normalized": {
+                    n: round(v * factor, 3) for n, v in timings.items()
+                },
+                "samples": samples,
+            },
             f,
             indent=1,
         )

@@ -46,7 +46,36 @@ def diff_correctness(old: dict, new: dict) -> int:
 
 
 def diff_bench(old: dict, new: dict, threshold: float = 0.3) -> int:
-    qo, qn = old.get("queries", {}), new.get("queries", {})
+    # Regressions are flagged on the RIG-NORMALIZED series when both
+    # sides carry it (VERDICT r11 #2: four rounds of "is this +10%
+    # real?" adjudication were all environmental). A side without
+    # calibration (pre-r12 artifact) falls back to raw with a notice —
+    # the comparison is then rig-confounded, exactly as before.
+    def series(d: dict, label: str) -> tuple[dict, bool]:
+        qn = d.get("queries_normalized")
+        cal = d.get("calibration")
+        if qn and cal:
+            return qn, True
+        q = d.get("queries", {})
+        f = (cal or {}).get("factor")
+        if q and f:  # compact line: calibration but no per-row map
+            return {k: v * f for k, v in q.items()}, True
+        return q, False
+    qo, o_norm = series(old, "old")
+    qn, n_norm = series(new, "new")
+    if o_norm and n_norm:
+        print(
+            f"(normalized series: old factor "
+            f"{old.get('calibration', {}).get('factor')}, new factor "
+            f"{new.get('calibration', {}).get('factor')})"
+        )
+    else:
+        print(
+            "(RAW series — calibration missing on "
+            + ("both sides" if not (o_norm or n_norm)
+               else ("old side" if not o_norm else "new side"))
+            + "; rig drift is NOT factored out)"
+        )
     regress = 0
     for name in sorted(set(qo) | set(qn)):
         if name not in qo:
@@ -65,6 +94,11 @@ def diff_bench(old: dict, new: dict, threshold: float = 0.3) -> int:
         f"\ntotal: {old.get('value')}s -> {new.get('value')}s "
         f"({old.get('n_queries')} -> {new.get('n_queries')} queries)"
     )
+    if old.get("value_normalized") and new.get("value_normalized"):
+        print(
+            f"total normalized: {old['value_normalized']}s -> "
+            f"{new['value_normalized']}s"
+        )
     return regress
 
 
