@@ -16,9 +16,16 @@ The enforced budget (tests/test_head_read_guard.py asserts it):
 - mutations: **2** — the op's ``_pin_head()`` plus ``_commit``'s OCC
   conflict check, which MUST see the latest head to detect rivals
   (re-reads beyond that are exactly the lost-update window);
-- ``run_maintenance``: a composite driver that runs up to five
-  sub-operations (index compactions, optimize, DV fold, clean), each
-  independently pinned — budget is the sub-op count, not 1.
+- ``run_maintenance``: DERIVED per call from the executed plan
+  (VERDICT r11 #6 — a constant budget would silently absorb a new
+  sub-op's undeclared pin): base = the five always-run advisor reads
+  (compaction_report pin, the DV-fold advisor head read,
+  index_staleness pin, record_index_info pin, the head-stats read
+  driving secondary-index policy; clean() and fold_change_logs() are
+  HEAD-free — the commit list is a directory listing and manifests
+  read pinned by id), plus each executed sub-op's own op budget from
+  ``MAINTENANCE_SUBOP_HEAD``. A summary key with no declared budget
+  FAILS the guard.
 
 ``python tools/audit_head_reads.py`` prints the measured table; run
 it when the API surface changes, then update SURVEY §9f's audit table
@@ -63,6 +70,55 @@ class HeadReadCounter:
             M.read_manifest = orig
 
 
+#: Always-run advisor HEAD reads inside run_maintenance (measured:
+#: compaction_report 1, DV-fold advisor 1, index_staleness 1,
+#: record_index_info 1, head-stats for secondary-index policy 1).
+MAINTENANCE_BASE_HEAD = 5
+
+#: Per-executed-sub-op HEAD budget, keyed by the summary key the
+#: sub-op records. Mutations cost 2 (pin + OCC conflict check); a
+#: *_skipped key means the sub-op spent its pin and lost the commit
+#: race, so the reads still happened. Advisor outputs and HEAD-free
+#: services cost 0. A key missing here = an undeclared sub-op = guard
+#: failure by design.
+MAINTENANCE_SUBOP_HEAD: dict = {
+    "optimized": 2,
+    "optimize_skipped": 2,
+    "reclustered": 2,
+    "recluster_skipped": 2,
+    "record_index_compacted": 2,
+    "rli_compact_skipped": 2,
+    "record_index_rebuilt": 2,
+    "rli_rebuild_skipped": 2,
+    "column_index_compacted": lambda cols: 2 * len(cols),
+    "ci_compact_skipped": 2,
+    "column_index_rebuilt": lambda cols: 2 * len(cols),
+    "ci_rebuild_skipped": 2,
+    "dv_fold_partitions": 0,  # advisor output (part of the base)
+    "cleaned_files": 0,       # clean() reads manifests pinned only
+    "folded_change_logs": 0,  # fold reads manifests pinned only
+}
+
+
+def maintenance_budget(summary) -> int:
+    """Derived HEAD budget for one run_maintenance call: base advisor
+    reads + the declared cost of every sub-op the summary says ran."""
+    if not isinstance(summary, dict):
+        return MAINTENANCE_BASE_HEAD
+    budget = MAINTENANCE_BASE_HEAD
+    undeclared = [k for k in summary if k not in MAINTENANCE_SUBOP_HEAD]
+    assert not undeclared, (
+        f"run_maintenance recorded undeclared sub-op(s) {undeclared}: "
+        "declare their head-read budget in MAINTENANCE_SUBOP_HEAD "
+        "(tools/audit_head_reads.py) — an undeclared sub-op is how a "
+        "new pin drifts past the guard"
+    )
+    for k, v in summary.items():
+        cost = MAINTENANCE_SUBOP_HEAD[k]
+        budget += cost(v) if callable(cost) else cost
+    return budget
+
+
 def build_fixture(spark, root: str):
     """A table with record + column indexes, DV masks, and several
     commits — every interesting planning path is exercisable."""
@@ -98,8 +154,9 @@ def call_surface(t, spark):
     """(name, thunk, head-read budget) for every public planning path.
 
     Budgets: 1 = single-pin read path; 2 = mutation (pin + _commit's
-    OCC check); run_maintenance = 5 (composite: each sub-op pins its
-    own — index compaction ×2, optimize, DV fold, clean)."""
+    OCC check); run_maintenance's budget is a CALLABLE evaluated on
+    the call's return value — derived from the sub-ops that actually
+    ran (maintenance_budget)."""
     first = t.commits()[0]
     mk = spark.createDataFrame
 
@@ -177,7 +234,8 @@ def call_surface(t, spark):
          lambda: t.compact_record_index(spark), 2),
         ("compact_column_index",
          lambda: t.compact_column_index(spark, "val"), 2),
-        ("run_maintenance", lambda: t.run_maintenance(spark), 5),
+        ("run_maintenance", lambda: t.run_maintenance(spark),
+         maintenance_budget),
         ("rollback", lambda: t.rollback(t.commits()[-2]), 2),
         ("clean", lambda: t.clean(retain_commits=50), 2),
         ("change_partitioning",
@@ -194,16 +252,18 @@ def main():
     print(f"{'call':34s} {'head':>4s} {'budget':>6s} {'pinned':>6s}")
     over = []
     for name, fn, budget in call_surface(t, spark):
+        result = None
         with ctr.watch():
             try:
-                fn()
+                result = fn()
                 err = ""
             except Exception as e:  # noqa: BLE001
                 err = f"  ERR {type(e).__name__}: {e}"
-        flag = " OVER" if ctr.head > budget else ""
+        b = budget(result) if callable(budget) else budget
+        flag = " OVER" if ctr.head > b else ""
         if flag:
-            over.append((name, ctr.head, budget))
-        print(f"{name:34s} {ctr.head:4d} {budget:6d} {ctr.pinned:6d}"
+            over.append((name, ctr.head, b))
+        print(f"{name:34s} {ctr.head:4d} {b:6d} {ctr.pinned:6d}"
               f"{flag}{err[:100]}")
     print(f"\n{len(over)} calls over budget:",
           ", ".join(f"{n}={h}>{b}" for n, h, b in over) or "none")
