@@ -88,14 +88,17 @@ PINNED_EXT: tuple[str, ...] = (
 #: rig state an explicit, recorded variable instead of a prose
 #: argument. The microbench touches NO repo code — a pinned-seed
 #: shuffle+agg over generated longs — so its wall moves only with the
-#: machine.
-CALIBRATION_REF_S = 2.07
+#: machine. Sizing study (r12): 24M rows read 0.59-0.91 s (±30% —
+#: scheduler noise dominates), 400M rows read 1.57-1.70 s over five
+#: warm reps (±4%) — heavy enough that compute dominates, light
+#: enough to run twice per bench.
+CALIBRATION_REF_S = 1.62
 
 
 def _calibration_probe(spark) -> float:
     """Fixed CPU-bound shuffle+agg microbenchmark, no repo code, no
-    data files, fully deterministic: generated longs → modular keys →
-    groupBy/agg (one full shuffle) → hash-reduce. Returns wall
+    data files, fully deterministic: 400M generated longs → modular
+    keys → groupBy/agg (one full shuffle) → hash-reduce. Returns wall
     seconds."""
     import time as _time
 
@@ -103,9 +106,9 @@ def _calibration_probe(spark) -> float:
 
     t0 = _time.perf_counter()
     (
-        spark.range(0, 24_000_000, 1, numPartitions=32)
+        spark.range(0, 400_000_000, 1, numPartitions=32)
         .selectExpr(
-            "id % 9973 AS k",
+            "id % 99991 AS k",
             "(id * 2654435761) % 104729 AS v",
         )
         .groupBy("k")
@@ -390,7 +393,7 @@ def main() -> int:
           f"loadavg {loadavg_before} -> {loadavg_after}",
           file=sys.stderr)
     calibration = {
-        "probe": "range(24M)->mod-keys->groupBy.agg->hash-reduce, "
+        "probe": "range(400M)->mod-keys->groupBy.agg->hash-reduce, "
                  "32 partitions, no repo code",
         "start_s": round(cal_start, 3),
         "end_s": round(cal_end, 3),
