@@ -82,7 +82,7 @@ PINNED_EXT: tuple[str, ...] = (
 
 #: Rig calibration (VERDICT r11 #2): wall of the fixed CPU-bound
 #: microbenchmark below on a QUIET reference rig (r12 close, load avg
-#: < 0.5, median of start/end probes). Rounds r8-r11 each burned
+#: < 0.5, min of start/end probes). Rounds r8-r11 each burned
 #: builder+judge effort adjudicating whether a +10% pinned-subset drift
 #: was code or machine; normalizing every row by ref/measured makes the
 #: rig state an explicit, recorded variable instead of a prose
@@ -155,8 +155,8 @@ def main() -> int:
     spark.range(1000, numPartitions=int(cpus)).select(_warm(F.col("id"))).count()
 
     # Rig calibration, probe 1 of 2 (VERDICT r11 #2): measured right
-    # after warmup, again after the last timed row; the MEDIAN of the
-    # two (vs the pinned quiet-rig reference) normalizes every row so
+    # after warmup, again after the last timed row; the MIN of the two
+    # (vs the pinned quiet-rig reference) normalizes every row so
     # round-over-round comparisons separate code from machine. One
     # un-timed throwaway first — the probe's own codegen shape JITs
     # like any other.
@@ -385,9 +385,15 @@ def main() -> int:
         timings[name] = med
 
     # Rig calibration, probe 2 of 2 — and the normalization factor.
+    # Cached fixtures are released first: the end probe should read
+    # the MACHINE, not the session's accumulated heap pressure. The
+    # factor uses min(start, end): one-sidedly inflated probes (GC
+    # residue at either point) must not over-normalize the suite —
+    # a genuinely slower rig inflates BOTH probes, which min keeps.
+    spark.catalog.clearCache()
     cal_end = _calibration_probe(spark)
     loadavg_after = list(os.getloadavg())
-    cal = statistics.median([cal_start, cal_end])
+    cal = min(cal_start, cal_end)
     factor = CALIBRATION_REF_S / cal if cal > 0 else 1.0
     print(f"# calibration(end): {cal_end:.3f}s factor={factor:.3f} "
           f"loadavg {loadavg_before} -> {loadavg_after}",
@@ -397,7 +403,7 @@ def main() -> int:
                  "32 partitions, no repo code",
         "start_s": round(cal_start, 3),
         "end_s": round(cal_end, 3),
-        "median_s": round(cal, 3),
+        "min_s": round(cal, 3),
         "ref_s": CALIBRATION_REF_S,
         "factor": round(factor, 4),
         "loadavg_before": [round(x, 2) for x in loadavg_before],
