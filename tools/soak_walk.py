@@ -93,16 +93,32 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     # records its delta under OCC rebases, retries, and clean() — and
     # the CDF consumer then drains "chlog" slices mid-churn, so
     # cdf_net == final count proves the recorded deltas exact over
-    # whatever interleaving the seed produced
+    # whatever interleaving the seed produced. The same odd seeds
+    # carry a LIVE MAP COLUMN through every writer (r12): the map
+    # canonicalization in the delta job / classifier / precombine
+    # hash must hold under multi-writer chaos, not just unit tests.
+    maps = bool(seed % 2)
+
+    def mk_rows(items):
+        """items: (id, grp, v, ts) tuples; attrs derives
+        deterministically from the row so any writer's rewrite of a
+        carried row preserves it byte-for-byte."""
+        if maps:
+            return spark.createDataFrame(
+                [Row(id=i, grp=g, v=v, ts=ts,
+                     attrs={"g": g, "b": str(v)})
+                 for i, g, v, ts in items]
+            )
+        return spark.createDataFrame(
+            [Row(id=i, grp=g, v=v, ts=ts) for i, g, v, ts in items]
+        )
+
     t0 = KeyedTable(
         root, key="id", precombine="ts", partition_by="grp",
-        change_log=bool(seed % 2),
+        change_log=maps,
     )
     t0.bulk_insert(
-        spark.createDataFrame(
-            [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1))
-             for i in range(60)]
-        )
+        mk_rows([(i, f"g{i % 3}", 0.0, _ts(1)) for i in range(60)])
     )
     t0.build_record_index(spark)
 
@@ -122,9 +138,9 @@ def run_seed(spark, seed: int, writers: int, batches: int,
         t = KeyedTable.load(root)
         base_id = 1000 * (w + 1)
         for b in range(batches):
-            batch = spark.createDataFrame(
-                [Row(id=base_id + i, grp=f"g{i % 3}", v=float(b),
-                     ts=_ts(2, b)) for i in range(15)]
+            batch = mk_rows(
+                [(base_id + i, f"g{i % 3}", float(b), _ts(2, b))
+                 for i in range(15)]
             )
             t.upsert_with_retry(batch, retries=60)
             tr.add(f"w{w}", "upsert", "ok", batch=b)
@@ -157,9 +173,9 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             if rng.random() < 0.5:
                 time.sleep(rng.random() * 0.15)
         # merge_into converges the final state (update-or-insert)
-        final = spark.createDataFrame(
-            [Row(id=base_id + i, grp=f"g{i % 3}", v=float(batches - 1),
-                 ts=_ts(2, batches - 1)) for i in range(15)]
+        final = mk_rows(
+            [(base_id + i, f"g{i % 3}", float(batches - 1),
+              _ts(2, batches - 1)) for i in range(15)]
         )
         for _ in range(60):
             try:
@@ -184,9 +200,9 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             raise AssertionError(f"dv {op} starved")
 
         for b in range(batches):
-            batch = spark.createDataFrame(
-                [Row(id=9000 + i, grp=f"g{i % 3}", v=float(b),
-                     ts=_ts(2, b)) for i in range(15)]
+            batch = mk_rows(
+                [(9000 + i, f"g{i % 3}", float(b), _ts(2, b))
+                 for i in range(15)]
             )
             with_retry("upsert_dv", lambda: t.upsert_dv(batch))
             if rng.random() < 0.5:
@@ -343,6 +359,19 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             for i in range(3, 15):
                 if rows.get(9000 + i) != float(batches - 1):
                     violations.append(f"dv survivor 9{i:03d} wrong")
+            if maps:
+                # r12: the carried map column must survive every
+                # rewrite byte-for-byte (attrs derives from the row)
+                badm = [
+                    (r.id, dict(r.attrs or {}))
+                    for r in snap.collect()
+                    if dict(r.attrs or {}) != {"g": r.grp,
+                                               "b": str(r.v)}
+                ]
+                if badm:
+                    violations.append(
+                        f"map attrs drifted: {badm[:5]}"
+                    )
             n = snap.count()
             if n != len(rows):
                 violations.append("duplicate keys in final snapshot")
