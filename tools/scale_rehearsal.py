@@ -98,11 +98,19 @@ def _strides() -> dict[str, int]:
     return out
 
 
-def _shuffle_docs(tab: pa.Table, rep: int) -> pa.Table:
-    """Per-(replica, doc) seeded word shuffle — keeps length, vocab,
-    and per-doc word multiset (lang-ID, quality, token stats see the
-    same distributions) while breaking verbatim duplication across
-    replicas (near-dup queries see natural, not fabricated, overlap)."""
+def _shuffle_docs(tab: pa.Table, rep: int, vocab: list[str]) -> pa.Table:
+    """Per-(replica, doc) seeded rewrite: shuffle the words AND
+    replace ~45% of them with seeded draws from the global vocab.
+
+    The first rehearsal run used shuffle alone — which preserves the
+    word MULTISET, so every word-set similarity measure saw each doc
+    with 10 EXACT copies (replica-pair Jaccard = 1.0, measured) and
+    the near-dup rows paid a fabricated quadratic pair blowup (32× at
+    10× data) a real generator would never produce. Replacement drops
+    replica-pair word Jaccard to ~0.3, below every configured
+    threshold, while keeping vocab, lengths, and per-doc word-count
+    distributions (lang-ID/quality/token stats unaffected in
+    character). n_chars recomputes from the new text."""
     texts = tab.column("text").to_pylist()
     ids = tab.column("doc_id").to_pylist()
     out = []
@@ -110,22 +118,44 @@ def _shuffle_docs(tab: pa.Table, rep: int) -> pa.Table:
         if txt is None:
             out.append(None)
             continue
+        rng = random.Random((rep << 32) ^ (did or 0))
         words = txt.split(" ")
-        random.Random((rep << 32) ^ (did or 0)).shuffle(words)
+        rng.shuffle(words)
+        words = [
+            (vocab[rng.randrange(len(vocab))] if rng.random() < 0.45
+             else w)
+            for w in words
+        ]
         out.append(" ".join(words))
     i = tab.schema.get_field_index("text")
-    return tab.set_column(i, tab.schema.field(i), pa.array(out, pa.string()))
+    tab = tab.set_column(
+        i, tab.schema.field(i), pa.array(out, pa.string())
+    )
+    j = tab.schema.get_field_index("n_chars")
+    n = pa.array(
+        [len(t) if t is not None else None for t in out],
+        tab.schema.field(j).type,
+    )
+    return tab.set_column(j, tab.schema.field(j), n)
 
 
 def _perturb_embeddings(tab: pa.Table, rep: int) -> pa.Table:
-    """Seeded Gaussian noise per replica: neighbors stay neighbors,
-    exact duplicates don't multiply."""
+    """Seeded Gaussian noise per replica, sized to DECORRELATE
+    replicas: the vectors are unit-norm dim-64, and per-component
+    σ = 1/√d puts replica-pair cosine at ≈ 1/√2 ≈ 0.71 — well below
+    the near-dup thresholds, so scale-up doesn't fabricate 10-way
+    duplicate clusters (σ = 0.05 in the first rehearsal run left
+    replica cosine at 0.93, inside threshold, and the cosine near-dup
+    row paid a fabricated 23× blowup). kNN top-k rows are unaffected
+    in character — neighbors remain plentiful, just not degenerate."""
     col = tab.column("embedding").combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.chunk(0)
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    d = 64 if len(flat) == 0 else (len(flat) // max(tab.num_rows, 1))
     rng = np.random.default_rng(4242 + rep)
-    flat = flat + rng.normal(0.0, 0.05, flat.shape).astype(np.float32)
+    flat = flat + rng.normal(0.0, 1.0 / max(d, 1) ** 0.5,
+                             flat.shape).astype(np.float32)
     new = pa.ListArray.from_arrays(col.offsets, pa.array(flat, pa.float32()))
     i = tab.schema.get_field_index("embedding")
     return tab.set_column(i, tab.schema.field(i), new.cast(tab.schema.field(i).type))
@@ -142,6 +172,14 @@ def build() -> None:
         print(f"{name}: copied {t.num_rows} rows")
     for name, keys in _KEYED.items():
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        vocab: list[str] = []
+        if name == "documents":
+            vocab = sorted({
+                w
+                for t in src.column("text").to_pylist()
+                if t
+                for w in t.split(" ")
+            })
         reps = []
         for r in range(REPLICAS):
             t = src
@@ -153,7 +191,7 @@ def build() -> None:
                 )
                 t = t.set_column(i, t.schema.field(i), shifted)
             if name == "documents" and r > 0:
-                t = _shuffle_docs(t, r)
+                t = _shuffle_docs(t, r, vocab)
             if name == "embeddings" and r > 0:
                 t = _perturb_embeddings(t, r)
             reps.append(t)
