@@ -234,6 +234,9 @@ def call_surface(t, spark):
          lambda: t.compact_record_index(spark), 2),
         ("compact_column_index",
          lambda: t.compact_column_index(spark, "val"), 2),
+        # budget 0: fold lists commits from the directory and reads
+        # manifests PINNED by id — it must never consult HEAD
+        ("fold_change_logs", lambda: t.fold_change_logs(10), 0),
         ("run_maintenance", lambda: t.run_maintenance(spark),
          maintenance_budget),
         ("rollback", lambda: t.rollback(t.commits()[-2]), 2),
