@@ -180,6 +180,12 @@ def main() -> int:
     if subset_mode == "pinned":
         keep = set(PINNED_SUBSET) | set(PINNED_EXT)
         qs_all = {n: f for n, f in qs_all.items() if n in keep}
+    elif subset_mode == "rest":
+        # the complement tier: every registry row NOT in the pinned
+        # comparators — with "pinned", the two tiers cover the FULL
+        # registry at rehearsal scale (§9j#1)
+        skip = set(PINNED_SUBSET) | set(PINNED_EXT)
+        qs_all = {n: f for n, f in qs_all.items() if n not in skip}
     warm_fail = 0
     for warm_name in sorted(qs_all):
         try:

@@ -210,12 +210,12 @@ def build() -> None:
         print(f"{name}: {src.num_rows} -> {out.num_rows} rows")
 
 
-def _bench(sf_dir: str, out_name: str) -> dict:
+def _bench(sf_dir: str, out_name: str, subset: str = "pinned") -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    env["SPARK_GRAFT_SUBSET"] = "pinned"
+    env["SPARK_GRAFT_SUBSET"] = subset
     env["SPARK_GRAFT_FULL_OUT"] = out_name
-    print(f"== bench subset @ {sf_dir} -> {out_name}", flush=True)
+    print(f"== bench {subset} @ {sf_dir} -> {out_name}", flush=True)
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True,
@@ -358,6 +358,59 @@ def run() -> None:
     report()
 
 
+def run_rest() -> None:
+    """The complement tier (§9j#1): every registry row NOT in the
+    pinned comparators, at both scales — with `run`, the FULL
+    registry has a 10× datapoint. commit: fixture rows are excluded
+    from the stats here (the pinned tier already carries them)."""
+    import statistics
+
+    if not os.path.isdir(DST):
+        build()
+    b01 = _bench(SRC, "BENCH_SCALE_rest01.json", subset="rest")
+    b1 = _bench(DST, "BENCH_SCALE_rest1.json", subset="rest")
+    q01 = {k: v for k, v in b01["queries"].items()
+           if not k.startswith("commit:")}
+    q1 = {k: v for k, v in b1["queries"].items()
+          if not k.startswith("commit:")}
+    both = sorted(set(q01) & set(q1))
+    measurable = [n for n in both if q01[n] > 0.05]
+    ratios = {n: round(q1[n] / max(q01[n], 1e-9), 2) for n in both}
+    worst = sorted(measurable, key=lambda n: -ratios[n])[:15]
+    with open(ARTIFACT) as f:
+        art = json.load(f)
+    art["rest"] = {
+        "what": "registry complement of the pinned comparators at "
+                "sf0.1 vs sf1.0 (commit: rows excluded — pinned tier "
+                "carries them)",
+        "n": len(both),
+        "median_ratio_10x_data": round(
+            statistics.median(ratios[n] for n in measurable), 2
+        ),
+        "worst": {n: {"sf01": q01[n], "sf1": q1[n], "ratio": ratios[n]}
+                  for n in worst},
+        "queries": {
+            n: {"sf01": q01[n], "sf1": q1[n], "ratio": ratios[n]}
+            for n in both
+        },
+        "calibration": {
+            "sf01": b01.get("calibration"),
+            "sf1": b1.get("calibration"),
+        },
+    }
+    art["compact"]["rest_n"] = len(both)
+    art["compact"]["rest_median_ratio"] = art["rest"][
+        "median_ratio_10x_data"
+    ]
+    with open(ARTIFACT, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({"rest_n": len(both),
+                      "rest_median": art["rest"]["median_ratio_10x_data"]}))
+    for n in worst:
+        print(f"  {n:44s} {q01[n]:7.2f}s -> {q1[n]:7.2f}s "
+              f"{ratios[n]:5.2f}x")
+
+
 def report() -> None:
     with open(ARTIFACT) as f:
         art = json.load(f)
@@ -377,4 +430,5 @@ def report() -> None:
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
-    {"build": build, "run": run, "report": report}[cmd]()
+    {"build": build, "run": run, "run_rest": run_rest,
+     "report": report}[cmd]()
