@@ -245,6 +245,12 @@ def main() -> int:
         ).count()
 
     from hudi_glue_spark.llm_queries import _mh_index
+    from hudi_glue_spark.scenario_queries import (
+        _difflog_fixture,
+        _foldlog_fixture,
+        _maplog_fixture,
+        _nmaplog_fixture,
+    )
     from hudi_glue_spark.streaming_queries import (
         _cdfchanges_src,
         _cdfchlog_src,
@@ -261,6 +267,12 @@ def main() -> int:
         ("cdfexact_src_build", _cdfexact_src),
         ("cdfchanges_src_build", _cdfchanges_src),
         ("cdfchlog_src_build", _cdfchlog_src),
+        # r12: the chlog scenario fixtures (multi-commit DML + recorded
+        # deltas) — the query rows time diff_commits, not the ingest
+        ("difflog_scenario_build", _difflog_fixture),
+        ("maplog_scenario_build", _maplog_fixture),
+        ("nmaplog_scenario_build", _nmaplog_fixture),
+        ("foldlog_scenario_build", _foldlog_fixture),
     ):
         t0 = time.perf_counter()
         builder(spark, sf_dir)

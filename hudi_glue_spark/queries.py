@@ -50,6 +50,7 @@ NON_SQL_QUERIES: set[str] = set()
 DRIVER_WINDOW_PRIORITY: list[str] = [
     # (a) new in r12
     "chlog_map_exact_cdc",
+    "chlog_nested_map_cdc",
     "chlog_fold_general_path",
     # (b) the complete r8-stale cohort (VERDICT r11 #3)
     "orc_ingest_roundtrip",

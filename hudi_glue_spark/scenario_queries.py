@@ -278,39 +278,68 @@ def q_diff_commits_changelog(spark, sf_dir):
     per-key outcome from the base table directly; the boolean proves
     every commit in the range recorded its delta (the unit suite
     pins diff_commits' actual routing through the composition)."""
-    from hudi_glue_spark.table import manifest as M
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_difflog_{sf_tag(sf_dir)}"
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        root, key="event_id", precombine="ts",
-        partition_by="event_type", change_log=True,
-    )
-    ev = table(spark, sf_dir, "events").select(_COLS)
-    c0 = tbl.bulk_insert(ev)
-    batch = (
-        ev.filter("event_id % 13 = 0")
-        .unionByName(
-            ev.filter("event_id % 31 = 0").withColumn(
-                "event_id", F.col("event_id") + 2000000
-            )
-        )
-        .withColumn("value", F.col("value") + F.lit(100.0))
-        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
-    )
-    tbl.upsert(batch)
-    tbl.delete(ev.filter("event_id % 17 = 0").select("event_id"))
-    composed = all(
-        ((M.read_manifest(root, c).stats or {})
-         .get("change_log") or {}).get("ref")
-        for c in tbl.commits()[1:]
-    )
+    tbl, c0, composed = _difflog_fixture(spark, sf_dir)
     return tbl.diff_commits(spark, c0).select(
         *_COLS,
         "_change_type",
         F.lit(composed).alias("composed_from_log"),
     )
+
+
+#: per-process chlog scenario fixtures (same hygiene as _TT_CACHE:
+#: bench charges each build to an explicit ``commit:`` row so the
+#: query rows time the diff/read path, not the ingest)
+_CHLOG_FIX_CACHE: dict[str, tuple] = {}
+
+
+def _chlog_fixture(root: str, n_commits: int, build):
+    """Cached (root-keyed) chlog scenario fixture: rebuild from scratch
+    when absent or when the on-disk commit count doesn't match the
+    recipe (a previous process may have left a stale tree)."""
+    cached = _CHLOG_FIX_CACHE.get(root)
+    if cached is not None and len(cached[0].commits()) == n_commits:
+        return cached
+    shutil.rmtree(root, ignore_errors=True)
+    out = build()
+    _CHLOG_FIX_CACHE[root] = out
+    return out
+
+
+def _difflog_fixture(spark, sf_dir):
+    """bulk + logged upsert + logged delete on a change_log events
+    table (the diff_commits_changelog recipe); cached per process."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_difflog_{sf_tag(sf_dir)}"
+
+    def build():
+        tbl = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", change_log=True,
+        )
+        ev = table(spark, sf_dir, "events").select(_COLS)
+        c0 = tbl.bulk_insert(ev)
+        batch = (
+            ev.filter("event_id % 13 = 0")
+            .unionByName(
+                ev.filter("event_id % 31 = 0").withColumn(
+                    "event_id", F.col("event_id") + 2000000
+                )
+            )
+            .withColumn("value", F.col("value") + F.lit(100.0))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        tbl.upsert(batch)
+        tbl.delete(ev.filter("event_id % 17 = 0").select("event_id"))
+        composed = all(
+            ((M.read_manifest(root, c).stats or {})
+             .get("change_log") or {}).get("ref")
+            for c in tbl.commits()[1:]
+        )
+        return tbl, c0, composed
+
+    return _chlog_fixture(root, 3, build)
 
 
 @query(
@@ -340,35 +369,7 @@ def q_chlog_map_exact_cdc(spark, sf_dir):
     nets to one delete carrying its ORIGINAL attrs. Output maps
     serialize as sorted ``k=v`` joins so the DuckDB oracle states them
     as plain strings."""
-    from hudi_glue_spark.table import manifest as M
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_maplog_{sf_tag(sf_dir)}"
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        root, key="doc_id", precombine="n_chars",
-        partition_by="source", change_log=True,
-    )
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars",
-        F.create_map(
-            F.lit("lang"), F.col("lang"),
-            F.lit("src"), F.col("source"),
-        ).alias("attrs"),
-    )
-    c0 = tbl.bulk_insert(docs)
-    # map-ONLY update: every other column untouched
-    tbl.update_where(
-        spark,
-        {"attrs": "map('lang', attrs['lang'], 'rev', '2')"},
-        "doc_id % 7 = 0",
-    )
-    tbl.delete(docs.filter("doc_id % 11 = 0").select("doc_id"))
-    composed = all(
-        ((M.read_manifest(root, c).stats or {})
-         .get("change_log") or {}).get("ref")
-        for c in tbl.commits()[1:]
-    )
+    tbl, c0, composed = _maplog_fixture(spark, sf_dir)
     ent = F.sort_array(F.map_entries(F.col("attrs")))
     return tbl.diff_commits(spark, c0).select(
         "doc_id", "source", "n_chars",
@@ -381,6 +382,154 @@ def q_chlog_map_exact_cdc(spark, sf_dir):
         "_change_type",
         F.lit(composed).alias("composed_from_log"),
     )
+
+
+def _maplog_fixture(spark, sf_dir):
+    """Top-level-map chlog scenario (bulk + map-only update + delete);
+    cached per process."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_maplog_{sf_tag(sf_dir)}"
+
+    def build():
+        tbl = KeyedTable(
+            root, key="doc_id", precombine="n_chars",
+            partition_by="source", change_log=True,
+        )
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars",
+            F.create_map(
+                F.lit("lang"), F.col("lang"),
+                F.lit("src"), F.col("source"),
+            ).alias("attrs"),
+        )
+        c0 = tbl.bulk_insert(docs)
+        # map-ONLY update: every other column untouched
+        tbl.update_where(
+            spark,
+            {"attrs": "map('lang', attrs['lang'], 'rev', '2')"},
+            "doc_id % 7 = 0",
+        )
+        tbl.delete(docs.filter("doc_id % 11 = 0").select("doc_id"))
+        composed = all(
+            ((M.read_manifest(root, c).stats or {})
+             .get("change_log") or {}).get("ref")
+            for c in tbl.commits()[1:]
+        )
+        return tbl, c0, composed
+
+    return _chlog_fixture(root, 3, build)
+
+
+@query(
+    "chlog_nested_map_cdc",
+    """
+    SELECT doc_id, source, n_chars,
+           'lang=' || lang || ',rev=2' AS meta_m_str,
+           lang AS meta_s,
+           'update' AS _change_type,
+           TRUE AS composed_from_log, TRUE AS flip_logged_empty
+    FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id, source, n_chars,
+           'lang=' || lang || ',src=' || source AS meta_m_str,
+           lang AS meta_s,
+           'delete' AS _change_type,
+           TRUE AS composed_from_log, TRUE AS flip_logged_empty
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def q_chlog_nested_map_cdc(spark, sf_dir):
+    """Exact write-time CDC with maps NESTED inside struct columns
+    (r12 nested lift, §9j#4): ``change_log=True`` on a
+    ``struct<m:map<string,string>, s:string>`` schema records exact
+    deltas — the delta job canonicalizes maps at EVERY depth
+    (keyed_table._canon_expr: sorted map_entries twins inside rebuilt
+    containers) and stores real maps back (_uncanon_expr). Three
+    honesty pins ride the row: a nested-map-ONLY update classifies as
+    an update; an updated-then-deleted key nets one delete with its
+    ORIGINAL nested attrs; and a rewrite that merely REVERSES map
+    entry order logs an EMPTY delta (flip_logged_empty — no
+    fabricated delete+insert pairs). The oracle restates the net
+    per-key outcome; maps serialize as sorted ``k=v`` joins."""
+    tbl, c0, composed, flip_empty = _nmaplog_fixture(spark, sf_dir)
+    ent = F.sort_array(F.map_entries(F.col("meta.m")))
+    return tbl.diff_commits(spark, c0).select(
+        "doc_id", "source", "n_chars",
+        F.concat_ws(
+            ",",
+            F.transform(
+                ent, lambda e: F.concat_ws("=", e["key"], e["value"])
+            ),
+        ).alias("meta_m_str"),
+        F.col("meta.s").alias("meta_s"),
+        "_change_type",
+        F.lit(composed).alias("composed_from_log"),
+        F.lit(flip_empty).alias("flip_logged_empty"),
+    )
+
+
+def _nmaplog_fixture(spark, sf_dir):
+    """Nested-map chlog scenario (bulk + nested-map-only update +
+    entry-order flip + delete); cached per process."""
+    from hudi_glue_spark.table import manifest as M
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_nmaplog_{sf_tag(sf_dir)}"
+
+    def build():
+        tbl = KeyedTable(
+            root, key="doc_id", precombine="n_chars",
+            partition_by="source", change_log=True,
+        )
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars",
+            F.struct(
+                F.create_map(
+                    F.lit("lang"), F.col("lang"),
+                    F.lit("src"), F.col("source"),
+                ).alias("m"),
+                F.col("lang").alias("s"),
+            ).alias("meta"),
+        )
+        c0 = tbl.bulk_insert(docs)
+        # nested-map-ONLY update: meta.m rewritten, meta.s and every
+        # other column untouched
+        tbl.update_where(
+            spark,
+            {
+                "meta": "named_struct("
+                "'m', map('lang', meta.m['lang'], 'rev', '2'), 's', meta.s)"
+            },
+            "doc_id % 7 = 0",
+        )
+        # entry-order flip: logically identical maps, reversed entry
+        # order — must log an EMPTY delta and contribute nothing
+        flip = tbl.update_where(
+            spark,
+            {
+                "meta": "named_struct("
+                "'m', map_from_entries(reverse(sort_array("
+                "map_entries(meta.m)))), 's', meta.s)"
+            },
+            "doc_id % 5 = 0",
+        )
+        tbl.delete(docs.filter("doc_id % 11 = 0").select("doc_id"))
+        flip_ref = ((M.read_manifest(root, flip).stats or {})
+                    .get("change_log") or {}).get("ref")
+        flip_empty = bool(flip_ref) and (
+            spark.read.parquet(os.path.join(root, "_changes", flip_ref))
+            .count() == 0
+        )
+        composed = all(
+            ((M.read_manifest(root, c).stats or {})
+             .get("change_log") or {}).get("ref")
+            for c in tbl.commits()[1:]
+        )
+        return tbl, c0, composed, flip_empty
+
+    return _chlog_fixture(root, 4, build)
 
 
 @query(
@@ -408,33 +557,42 @@ def q_chlog_fold_general_path(spark, sf_dir):
     is unchanged. The boolean pins that the fold actually happened AND
     the fast path actually refused — the row would go red if folding
     ever silently served a stale log."""
-    from hudi_glue_spark.table import manifest as M  # noqa: F401
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = f"/tmp/hudi_glue_spark_scn_foldlog_{sf_tag(sf_dir)}"
-    shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        root, key="event_id", precombine="ts",
-        partition_by="event_type", change_log=True,
-    )
-    ev = table(spark, sf_dir, "events").select(_COLS)
-    c0 = tbl.bulk_insert(ev)
-    tbl.upsert(
-        ev.filter("event_id % 19 = 0")
-        .withColumn("value", F.col("value") + F.lit(50.0))
-        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
-    )
-    tbl.delete(ev.filter("event_id % 23 = 0").select("event_id"))
-    folded = tbl.fold_change_logs(keep_last=1)
-    refused = tbl._diff_chlog_fast(
-        spark, c0, tbl.commits()[-1], "post"
-    ) is None
-    ok = bool(folded) and refused
+    tbl, c0, ok = _foldlog_fixture(spark, sf_dir)
     return tbl.diff_commits(spark, c0).select(
         *_COLS,
         "_change_type",
         F.lit(ok).alias("served_general_path"),
     )
+
+
+def _foldlog_fixture(spark, sf_dir):
+    """Fold-honesty chlog scenario (bulk + upsert + delete, then fold
+    all but the newest log); cached per process. The cache revalidates
+    on the FOLDED state: a stale unfolded tree rebuilds."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_foldlog_{sf_tag(sf_dir)}"
+
+    def build():
+        tbl = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", change_log=True,
+        )
+        ev = table(spark, sf_dir, "events").select(_COLS)
+        c0 = tbl.bulk_insert(ev)
+        tbl.upsert(
+            ev.filter("event_id % 19 = 0")
+            .withColumn("value", F.col("value") + F.lit(50.0))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        tbl.delete(ev.filter("event_id % 23 = 0").select("event_id"))
+        folded = tbl.fold_change_logs(keep_last=1)
+        refused = tbl._diff_chlog_fast(
+            spark, c0, tbl.commits()[-1], "post"
+        ) is None
+        ok = bool(folded) and refused
+        return tbl, c0, ok
+
+    return _chlog_fixture(root, 3, build)
 
 
 @query(

@@ -194,9 +194,10 @@ class KeyedTable:
     #: rewrite commits of ANY size from the recorded delta — O(delta)
     #: read, no size gate — instead of diffing or the coarse
     #: whole-partition contract. Opt-in: costs one extra aggregation
-    #: job over the rewritten partitions per commit. Tables with a
-    #: MapType column skip the log honestly (Spark cannot compare map
-    #: values; the gate/coarse contract remains).
+    #: job over the rewritten partitions per commit. Map columns at
+    #: ANY depth participate via recursive canonical twins
+    #: (``_canon_expr``); a schema the twins still can't compare
+    #: skips the log honestly (the gate/coarse contract remains).
     change_log: bool = False
     #: indexes this table SHOULD carry — ``{"record_index": bool,
     #: "columns": [col, ...]}`` — maintained by build_*/drop_* and
@@ -817,12 +818,17 @@ class KeyedTable:
     @staticmethod
     def _conform(df: DataFrame, schema: StructType):
         """Project ``df`` onto the committed schema: cast present
-        columns, NULL-fill columns a pre-evolution file lacks."""
+        columns, NULL-fill columns a pre-evolution file lacks. Cast
+        targets are nullability-RELAXED — parquet reads surface
+        nullable nested fields, and Spark treats a cast to a NOT NULL
+        nested field as a type error, so a schema recorded from a
+        non-nullable source frame would otherwise make its own table
+        unreadable (r12)."""
         return [
             (
-                F.col(f.name).cast(f.dataType)
+                F.col(f.name).cast(KeyedTable._nullable_type(f.dataType))
                 if f.name in df.columns
-                else F.lit(None).cast(f.dataType)
+                else F.lit(None).cast(KeyedTable._nullable_type(f.dataType))
             ).alias(f.name)
             for f in schema.fields
         ]
@@ -3333,35 +3339,27 @@ class KeyedTable:
         unreferenced bytes clean() sweeps.
 
         Map columns (r12): ``exceptAll`` rejects map types anywhere in
-        the schema, so TOP-LEVEL map columns are compared through a
-        canonical twin — ``sort_array(map_entries(c))``, an
-        ``array<struct<key,value>>`` sorted by key, which keys
+        the schema, so map-bearing columns are compared through a
+        canonical twin (:meth:`_canon_expr`) — every map at ANY depth
+        (top-level, nested in struct/array, map-valued maps) becomes
+        its ``array<struct<key,value>>`` sorted by key, which keys
         logically-equal maps identically regardless of entry order —
         and the stored rows get their maps back via
-        ``map_from_entries`` before the delta lands (schema on disk ==
-        table schema). A map NESTED inside a struct/array, or a
-        map-valued map, would need the whole container rebuilt, so
-        those schemas keep the honest coarse contract (None) — and a
-        try/except guards the whole delta job so an uncomparable
-        schema can never fail the WRITE after its data files are
-        staged (ADVICE r11). An op that changes nothing writes an
-        empty delta and streams nothing. Spark-side cost: one extra
-        aggregation over the touched partitions, the columns already
-        in memory."""
-        from pyspark.sql.types import MapType
-
+        :meth:`_uncanon_expr` (``map_from_entries`` at each depth)
+        plus a cast to the exact field type before the delta lands
+        (schema on disk == table schema). A try/except guards the
+        whole delta job so an uncomparable schema can never fail the
+        WRITE after its data files are staged (ADVICE r11). An op
+        that changes nothing writes an empty delta and streams
+        nothing. Spark-side cost: one extra aggregation over the
+        touched partitions, the columns already in memory."""
         if not self.change_log:
             return None
-        map_cols: list[str] = []
-        for f in schema.fields:
-            if isinstance(f.dataType, MapType):
-                if self._type_has_map(f.dataType.keyType) or (
-                    self._type_has_map(f.dataType.valueType)
-                ):
-                    return None  # map-valued map: coarse contract
-                map_cols.append(f.name)
-            elif self._type_has_map(f.dataType):
-                return None  # nested map: coarse contract
+        map_cols = {
+            f.name: f.dataType
+            for f in schema.fields
+            if self._type_has_map(f.dataType)
+        }
         import uuid as _uuid
 
         cols = [f.name for f in schema.fields]
@@ -3371,7 +3369,7 @@ class KeyedTable:
                 return df.select(cols)
             return df.select(
                 [
-                    F.sort_array(F.map_entries(F.col(c))).alias(c)
+                    self._canon_expr(F.col(c), map_cols[c]).alias(c)
                     if c in map_cols
                     else F.col(c)
                     for c in cols
@@ -3381,9 +3379,15 @@ class KeyedTable:
         def uncanon(df: DataFrame) -> DataFrame:
             if not map_cols:
                 return df
+            # cast to the field's nullability-RELAXED type: the twin
+            # round-trip rebuilds containers as nullable, and casting
+            # to a NOT NULL nested field is a type error — parquet
+            # carries no hard nullability anyway
             return df.select(
                 *[
-                    F.map_from_entries(F.col(c)).alias(c)
+                    self._uncanon_expr(F.col(c), map_cols[c])
+                    .cast(self._nullable_type(map_cols[c]))
+                    .alias(c)
                     if c in map_cols
                     else F.col(c)
                     for c in cols
@@ -3444,6 +3448,119 @@ class KeyedTable:
                 KeyedTable._type_has_map(f.dataType) for f in dt.fields
             )
         return False
+
+    @staticmethod
+    def _nullable_type(dt):
+        """Recursively nullable clone of ``dt`` — cast targets for the
+        canonical-twin round-trip, whose container rebuilds are always
+        nullable (casting to a NOT NULL nested field is a type
+        error)."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        T = KeyedTable._nullable_type
+        if isinstance(dt, MapType):
+            return MapType(T(dt.keyType), T(dt.valueType), True)
+        if isinstance(dt, ArrayType):
+            return ArrayType(T(dt.elementType), True)
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(f.name, T(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        return dt
+
+    @classmethod
+    def _canon_expr(cls, col: Column, dt) -> Column:
+        """Order-insensitive canonical twin of ``col`` (type ``dt``)
+        with every map ANYWHERE in the type replaced by its sorted
+        ``map_entries`` array — recursively, so maps nested inside
+        struct/array (or map-valued maps) canonicalize too (r12
+        nested-map lift, §9j#4). The result contains no MapType, so it
+        is comparable (``exceptAll``/``<=>``), orderable, and hashable;
+        logically-equal maps (same entries, any order) produce
+        IDENTICAL twins because entries sort by their unique keys.
+        Containers rebuild null-preservingly (``F.when(isNotNull)``
+        yields NULL structs back as NULL, not struct-of-nulls); Spark
+        forbids map types inside map KEYS, so only values recurse.
+        Identity when ``dt`` is already map-free."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(dt, MapType):
+            ent = F.map_entries(col)
+            if cls._type_has_map(dt.valueType):
+                vt = dt.valueType
+                ent = F.transform(
+                    ent,
+                    lambda e: F.struct(
+                        e["key"].alias("key"),
+                        cls._canon_expr(e["value"], vt).alias("value"),
+                    ),
+                )
+            return F.sort_array(ent)
+        if isinstance(dt, ArrayType):
+            if not cls._type_has_map(dt.elementType):
+                return col
+            et = dt.elementType
+            return F.transform(col, lambda x: cls._canon_expr(x, et))
+        if isinstance(dt, StructType):
+            if not cls._type_has_map(dt):
+                return col
+            return F.when(
+                col.isNotNull(),
+                F.struct(
+                    *[
+                        cls._canon_expr(
+                            col.getField(f.name), f.dataType
+                        ).alias(f.name)
+                        for f in dt.fields
+                    ]
+                ),
+            )
+        return col
+
+    @classmethod
+    def _uncanon_expr(cls, col: Column, dt) -> Column:
+        """Inverse of :meth:`_canon_expr`: ``col`` holds the canonical
+        twin, ``dt`` is the ORIGINAL type — rebuild real maps via
+        ``map_from_entries`` at every depth so the value stored back
+        matches the table schema exactly. Same null-preservation as
+        the forward direction."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(dt, MapType):
+            ent = col
+            if cls._type_has_map(dt.valueType):
+                vt = dt.valueType
+                ent = F.transform(
+                    col,
+                    lambda e: F.struct(
+                        e["key"].alias("key"),
+                        cls._uncanon_expr(e["value"], vt).alias("value"),
+                    ),
+                )
+            return F.map_from_entries(ent)
+        if isinstance(dt, ArrayType):
+            if not cls._type_has_map(dt.elementType):
+                return col
+            et = dt.elementType
+            return F.transform(col, lambda x: cls._uncanon_expr(x, et))
+        if isinstance(dt, StructType):
+            if not cls._type_has_map(dt):
+                return col
+            return F.when(
+                col.isNotNull(),
+                F.struct(
+                    *[
+                        cls._uncanon_expr(
+                            col.getField(f.name), f.dataType
+                        ).alias(f.name)
+                        for f in dt.fields
+                    ]
+                ),
+            )
+        return col
 
     def _rewrite_where(
         self,
@@ -3753,8 +3870,8 @@ class KeyedTable:
         shape at 100 TB, where the snapshot diff re-reads the table
         but the recorded deltas are only what changed. Returns None
         (honest fallback to the general diff) when any commit in the
-        range lacks a log (non-chlog op, nested-map schema, pre-r11
-        history, coarse-volume-capped delta), a referenced log was
+        range lacks a log (non-chlog op, pre-r11 history,
+        coarse-volume-capped delta), a referenced log was
         folded away by retention (fold_change_logs), or the deltas'
         schemas cannot union (type widening mid-range)."""
         from pyspark.sql.window import Window as W
@@ -3820,12 +3937,15 @@ class KeyedTable:
                 )
             # a column added mid-range is absent from earlier deltas —
             # exactly as the true pre-rows at `from` read (NULL)
+            # nullability-relaxed cast targets: parquet reads surface
+            # nullable nested fields, and casting those to a schema
+            # recorded NOT NULL is a type error, not a widening
             ev = ev.select(
                 *[
                     (
-                        F.col(f.name).cast(f.dataType)
+                        F.col(f.name).cast(self._nullable_type(f.dataType))
                         if f.name in ev.columns
-                        else F.lit(None).cast(f.dataType)
+                        else F.lit(None).cast(self._nullable_type(f.dataType))
                     ).alias(f.name)
                     for f in schema.fields
                 ],
@@ -3929,16 +4049,15 @@ class KeyedTable:
     ) -> DataFrame:
         """Key-wise full-outer change classification shared by the
         full-snapshot diff and the DV delta diff (whose inputs are only
-        the rows that could have changed). Top-level map columns are
-        compared through their canonical ``sort_array(map_entries())``
-        twin — Spark's ``<=>`` rejects map operands, and map equality
-        is entry-order-insensitive anyway (r12)."""
-        from pyspark.sql.types import MapType
-
+        the rows that could have changed). Map-bearing columns — maps
+        at ANY depth, r12 nested lift — are compared through their
+        recursive canonical twin (:meth:`_canon_expr`): Spark's
+        ``<=>`` rejects map operands anywhere in the operand type, and
+        map equality is entry-order-insensitive anyway."""
         map_cols = {
-            f.name
+            f.name: f.dataType
             for f in after.schema.fields
-            if isinstance(f.dataType, MapType)
+            if self._type_has_map(f.dataType)
         }
         before = before.withColumn("__b", F.lit(1))
         after = after.withColumn("__a", F.lit(1))
@@ -3952,7 +4071,9 @@ class KeyedTable:
         def cmp_col(side: str, c: str):
             col = F.col(f"{side}.{c}")
             return (
-                F.sort_array(F.map_entries(col)) if c in map_cols else col
+                self._canon_expr(col, map_cols[c])
+                if c in map_cols
+                else col
             )
 
         # update = key present in both with any non-key column changed
@@ -4844,7 +4965,9 @@ class KeyedTable:
         M.clear_clean_plan(self.path)
         return removed
 
-    def fold_change_logs(self, keep_last: int = 10) -> list[str]:
+    def fold_change_logs(
+        self, keep_last: int = 10, max_bytes: int | None = None
+    ) -> list[str]:
         """Change-log retention (§9h#2 / VERDICT r11 #4): drop the
         recorded write-time deltas of commits older than the last
         ``keep_last`` commits. A long-retention ``change_log=True``
@@ -4852,6 +4975,16 @@ class KeyedTable:
         accumulates O(sum of deltas) bytes under ``_changes/`` —
         the dirs' lifecycle is tied to COMMIT retention, but CDC
         consumers only ever re-read a bounded recent window.
+
+        ``max_bytes`` (§9j#5, r12): a STORAGE SLO on ``_changes/`` —
+        deployments budget bytes, not commit counts. After the
+        count-based horizon, surviving logs are folded OLDEST-FIRST
+        until the referenced total is ≤ ``max_bytes``; the SLO wins
+        over ``keep_last`` (a recent log folds if that's what meeting
+        the budget takes), because folding is always safe and a
+        blown storage budget is the failure the knob exists to
+        prevent. Sizes come from the log dirs' own file stats —
+        driver-side metadata, O(files under _changes/).
 
         Folding is safe by construction: the commit itself is
         untouched (its stats still carry the ref — manifests are
@@ -4865,23 +4998,54 @@ class KeyedTable:
         read pinned by id). Returns the folded tokens."""
         ids = self.commits()
         chdir = os.path.join(self.path, "_changes")
-        if not os.path.isdir(chdir) or len(ids) <= max(keep_last, 0):
+        if not os.path.isdir(chdir):
             return []
-        old = ids[: -keep_last] if keep_last > 0 else ids
         folded: list[str] = []
-        for cid in old:
+
+        def ref_of(cid: str) -> str | None:
             m = M.read_manifest(self.path, cid)
-            ref = (
-                ((m.stats or {}).get("change_log") or {}).get("ref")
-                if m is not None
-                else None
-            )
-            if not ref:
-                continue
+            if m is None:
+                return None
+            return ((m.stats or {}).get("change_log") or {}).get("ref")
+
+        def fold(ref: str) -> bool:
             p = os.path.join(chdir, ref)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
                 folded.append(ref)
+                return True
+            return False
+
+        if len(ids) > max(keep_last, 0):
+            old = ids[: -keep_last] if keep_last > 0 else ids
+            for cid in old:
+                ref = ref_of(cid)
+                if ref:
+                    fold(ref)
+            survivors = ids[-keep_last:] if keep_last > 0 else []
+        else:
+            survivors = ids
+        if max_bytes is not None:
+            live: list[tuple[str, int]] = []  # (ref, bytes), oldest first
+            for cid in survivors:
+                ref = ref_of(cid)
+                if not ref:
+                    continue
+                p = os.path.join(chdir, ref)
+                if not os.path.isdir(p):
+                    continue
+                size = sum(
+                    os.path.getsize(os.path.join(dp, fn))
+                    for dp, _dirs, fns in os.walk(p)
+                    for fn in fns
+                )
+                live.append((ref, size))
+            total = sum(s for _, s in live)
+            for ref, size in live:
+                if total <= max_bytes:
+                    break
+                if fold(ref):
+                    total -= size
         return folded
 
     def optimize(
@@ -5034,6 +5198,7 @@ class KeyedTable:
         orphan_grace_s: float = 0.0,
         dv_fold_dead_fraction: float = 0.05,
         chlog_keep_commits: int | None = None,
+        chlog_max_bytes: int | None = None,
     ) -> dict:
         """ONE pass of the table-service policy loop — the cadence a
         100 TB deployment runs per table per hour, composed from the
@@ -5054,9 +5219,11 @@ class KeyedTable:
         3. :meth:`clean` (plan-published, re-entrant) reclaims
            unreferenced files past the retention window;
         4. :meth:`fold_change_logs` (``chlog_keep_commits``, default
-           ``retain_commits``) bounds the ``_changes/`` byte growth on
-           long-retention ``change_log`` tables — folded commits'
-           readers degrade honestly to the general/coarse paths.
+           ``retain_commits``; ``chlog_max_bytes`` adds the
+           storage-SLO bytes target, §9j#5) bounds the ``_changes/``
+           byte growth on long-retention ``change_log`` tables —
+           folded commits' readers degrade honestly to the
+           general/coarse paths.
 
         Returns a summary dict of what ran. Safe to run alongside
         writers: optimize/rebuild commit through OCC (disjoint rivals
@@ -5206,7 +5373,8 @@ class KeyedTable:
                     retain_commits
                     if chlog_keep_commits is None
                     else chlog_keep_commits
-                )
+                ),
+                max_bytes=chlog_max_bytes,
             )
             if folded:
                 summary["folded_change_logs"] = len(folded)
@@ -5592,25 +5760,17 @@ class KeyedTable:
     def _precombine(self, df: DataFrame) -> DataFrame:
         """Within-batch dedup: keep the max-precombine row per key
         (§2a #23a), deterministically tie-broken by a row hash. Map
-        columns enter the hash through their canonical
-        ``sort_array(map_entries())`` twin — Spark prohibits hashing
-        raw maps (entry order varies per plan), and the canonical form
-        is exactly the order-insensitive identity map equality defines
-        (r12); a map NESTED inside a struct/array is excluded from the
-        tie-break entirely (rows differing only there tie to a single
-        arbitrary winner — still one row per key)."""
-        from pyspark.sql.types import MapType
+        columns — at ANY depth, r12 nested lift — enter the hash
+        through their recursive canonical twin (:meth:`_canon_expr`):
+        Spark prohibits hashing raw maps (entry order varies per
+        plan), and the canonical form is exactly the order-insensitive
+        identity map equality defines."""
 
         def hcol(f):
             c = F.col(f.name)
             if not self._type_has_map(f.dataType):
                 return c
-            if isinstance(f.dataType, MapType) and not (
-                self._type_has_map(f.dataType.keyType)
-                or self._type_has_map(f.dataType.valueType)
-            ):
-                return F.sort_array(F.map_entries(c))
-            return F.lit(None)
+            return self._canon_expr(c, f.dataType)
 
         w = Window.partitionBy(*self.key).orderBy(
             F.desc(self.precombine),

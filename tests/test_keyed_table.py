@@ -502,6 +502,68 @@ def test_fold_change_logs_degrades_to_general_diff(spark, tmp_path):
     assert set(os.listdir(chdir)) <= allowed
 
 
+def test_fold_change_logs_bytes_target(spark, tmp_path):
+    """§9j#5: ``max_bytes`` is a storage SLO on _changes/ — surviving
+    logs fold OLDEST-FIRST until the total is under the target, the
+    SLO winning over keep_last; correctness degrades honestly to the
+    general diff exactly as count-based folding does."""
+    import os
+
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part",
+                   change_log=True)
+    c0 = t.bulk_insert(day0(spark))
+    t.upsert(day1(spark))
+    t.delete(spark.createDataFrame([Row(pk=4)]))
+    t.update_where(spark, {"val": "'pred3'"}, "pk = 3")
+    pre_fold = {(r["pk"], r["_change_type"], r["val"])
+                for r in t.diff_commits(spark, c0).collect()}
+    chdir = os.path.join(t.path, "_changes")
+
+    def size_of(ref):
+        p = os.path.join(chdir, ref)
+        return sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _d, fns in os.walk(p)
+            for fn in fns
+        )
+
+    refs = [r for r in (
+        ((M.read_manifest(t.path, c).stats or {})
+         .get("change_log") or {}).get("ref")
+        for c in t.commits()
+    ) if r]
+    assert len(refs) == 3
+    sizes = {r: size_of(r) for r in refs}
+    total = sum(sizes.values())
+    # target admits everything → nothing folds
+    assert t.fold_change_logs(keep_last=10, max_bytes=total) == []
+    # target forces exactly the OLDEST log out (keep_last would keep it)
+    target = total - 1
+    folded = t.fold_change_logs(keep_last=10, max_bytes=target)
+    assert folded == [refs[0]]
+    assert sum(size_of(r) for r in refs[1:]) <= target
+    # SLO of 0 folds every surviving log, newest included
+    folded2 = t.fold_change_logs(keep_last=10, max_bytes=0)
+    assert sorted(folded2) == sorted(refs[1:])
+    assert os.listdir(chdir) == []
+    # post-fold the answer is unchanged via the general snapshot diff
+    assert t._diff_chlog_fast(spark, c0, t.commits()[-1], "post") is None
+    post_fold = {(r["pk"], r["_change_type"], r["val"])
+                 for r in t.diff_commits(spark, c0).collect()}
+    assert post_fold == pre_fold
+    # run_maintenance plumbs the knob
+    t.upsert(day1(spark))
+    summary = t.run_maintenance(
+        spark, retain_commits=50, chlog_keep_commits=50,
+        chlog_max_bytes=0,
+    )
+    assert summary.get("folded_change_logs", 0) >= 1
+    assert os.listdir(chdir) == []
+
+
 def test_rollback_metadata_only(spark, tmp_path):
     t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
                    partition_by="part")

@@ -300,7 +300,9 @@ def test_diff_chlog_fast_equals_snapshot_diff_with_maps(
             "pk long, part string, val long, attrs map<string,long>, "
             "update_ts timestamp",
         ),
-        dedupe=False,  # in-batch dedup hashes all columns; maps can't
+        dedupe=False,  # exercise the no-dedup path (the nested-map
+        # property test below runs with dedupe ON via the canonical
+        # tie-break hash)
     )
     day = 1
     for op in ops:
@@ -354,3 +356,181 @@ def test_diff_chlog_fast_equals_snapshot_diff_with_maps(
             assert (
                 sorted(map(_canon_row, fast.collect()), key=str) == want
             )
+
+_NESTED_OPSEQ = st.lists(
+    st.one_of(
+        st.tuples(st.just("set_nested"), st.integers(0, 5), st.integers(0, 9)),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.integers(0, 5), min_size=1, max_size=2),
+        ),
+        st.tuples(st.just("upsert"), st.integers(0, 7), st.integers(0, 9)),
+        st.tuples(st.just("flip"), st.integers(0, 5)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _canon_any(v):
+    """Recursive value canon: dict (map) → sorted item tuples, Row
+    (struct) → field tuple, list → tuple — nested maps sort at every
+    depth so rows compare by VALUE."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_any(x)) for k, x in v.items()))
+    if isinstance(v, Row):
+        return tuple(_canon_any(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_any(x) for x in v)
+    return v
+
+
+def _canon_nested_row(r):
+    return tuple(_canon_any(v) for v in tuple(r))
+
+
+_NESTED_SCHEMA = (
+    "pk long, part string, val long, "
+    "meta struct<m:map<string,long>,s:string>, "
+    "tags array<map<string,long>>, update_ts timestamp"
+)
+
+
+def _nested_row(pk, v, day):
+    return (
+        pk,
+        "a" if pk % 2 else "b",
+        v,
+        {"m": {"k": v, "z": pk}, "s": str(pk)},
+        [{"t": v}],
+        _ts(day),
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_NESTED_OPSEQ)
+def test_diff_chlog_fast_equals_snapshot_diff_nested_maps(
+    spark, tmp_path_factory, ops
+):
+    """r12 nested-map lift (§9j#4): the composition equivalence holds
+    when maps live INSIDE struct and array columns — the delta job and
+    the classifier canonicalize recursively (_canon_expr), the stored
+    delta rebuilds real maps at every depth (_uncanon_expr), and an
+    entry-order-only rewrite ("flip") logs no spurious delta. The
+    table also runs with dedupe ON: _precombine's tie-break hashes
+    nested maps through the same canonical twin."""
+    root = str(tmp_path_factory.mktemp("chlog_prop_nested") / "t")
+    tbl = KeyedTable(
+        root, key="pk", precombine="update_ts", partition_by="part",
+        policy=ARRIVAL_WINS, change_log=True,
+    )
+    c0 = tbl.bulk_insert(
+        spark.createDataFrame(
+            [_nested_row(pk, pk, 0) for pk in range(4)], _NESTED_SCHEMA
+        ),
+    )
+    day = 1
+    for op in ops:
+        if op[0] == "set_nested":
+            _, pk, v = op
+            tbl.update_where(
+                spark,
+                {
+                    "meta": (
+                        "named_struct('m', map('k', cast({v} as long)),"
+                        " 's', meta.s)"
+                    ).format(v=v),
+                    "tags": f"array(map('t', cast({v} as long)))",
+                },
+                f"pk = {pk}",
+            )
+        elif op[0] == "delete":
+            tbl.delete(
+                spark.createDataFrame(
+                    [(pk,) for pk in set(op[1])], "pk long"
+                )
+            )
+        elif op[0] == "flip":
+            # rewrite the row's maps with entry order REVERSED but the
+            # same logical value: meta.m = {'z':..,'k':..} — canonical
+            # twins must see no change in the map columns
+            _, pk = op
+            tbl.update_where(
+                spark,
+                {"meta": "named_struct('m', map_from_entries(reverse("
+                         "sort_array(map_entries(meta.m)))), 's', meta.s)"},
+                f"pk = {pk}",
+            )
+        else:
+            _, pk, v = op
+            tbl.upsert(
+                spark.createDataFrame(
+                    [_nested_row(pk, v + 100, day)], _NESTED_SCHEMA
+                )
+            )
+        day += 1
+    head = tbl.commits()[-1]
+    from hudi_glue_spark.table import manifest as M
+
+    logged = all(
+        ((M.read_manifest(tbl.path, c).stats or {})
+         .get("change_log") or {}).get("ref")
+        for c in tbl.commits()[1:]
+        if (M.read_manifest(tbl.path, c).stats or {}).get(
+            "rows_written"
+        ) is not None
+    )
+    assert logged, "every nested-map DML commit must record its log"
+    for images in ("post", "both"):
+        fast = tbl._diff_chlog_fast(spark, c0, head, images)
+        assert fast is not None
+        routed = tbl.diff_commits(spark, c0, head, images=images)
+        general = tbl._classify_diff(
+            tbl.read(spark, at=c0), tbl.read(spark, at=head), images
+        )
+        got = sorted(map(_canon_nested_row, routed.collect()), key=str)
+        want = sorted(map(_canon_nested_row, general.collect()), key=str)
+        assert got == want, (images, got, want)
+        assert (
+            sorted(map(_canon_nested_row, fast.collect()), key=str)
+            == want
+        )
+
+
+def test_entry_order_flip_logs_empty_delta(spark, tmp_path_factory):
+    """A rewrite that only REORDERS map entries of untouched rows logs
+    an EMPTY delta (the canonical twins are identical), so the CDF
+    stream and the composed diff see zero change — no fabricated
+    delete+insert pairs (r12 nested lift; same guarantee the stream's
+    Python canon gives the exact-rewrite gate)."""
+    import os
+
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path_factory.mktemp("chlog_flip") / "t")
+    tbl = KeyedTable(
+        root, key="pk", precombine="update_ts",
+        policy=ARRIVAL_WINS, change_log=True,
+    )
+    c0 = tbl.bulk_insert(
+        spark.createDataFrame(
+            [_nested_row(pk, pk, 0) for pk in range(6)], _NESTED_SCHEMA
+        ),
+    )
+    tbl.update_where(
+        spark,
+        {"meta": "named_struct('m', map_from_entries(reverse("
+                 "sort_array(map_entries(meta.m)))), 's', meta.s)"},
+        "pk >= 0",
+    )
+    head = tbl.commits()[-1]
+    ref = ((M.read_manifest(root, head).stats or {})
+           .get("change_log") or {}).get("ref")
+    assert ref, "the rewrite commit must record a log"
+    delta = spark.read.parquet(os.path.join(root, "_changes", ref))
+    assert delta.count() == 0, "order-only flip must log an empty delta"
+    assert tbl.diff_commits(spark, c0, head).count() == 0

@@ -235,8 +235,11 @@ def call_surface(t, spark):
         ("compact_column_index",
          lambda: t.compact_column_index(spark, "val"), 2),
         # budget 0: fold lists commits from the directory and reads
-        # manifests PINNED by id — it must never consult HEAD
+        # manifests PINNED by id — it must never consult HEAD; the
+        # bytes-SLO path adds only os.walk sizing, still zero HEAD
         ("fold_change_logs", lambda: t.fold_change_logs(10), 0),
+        ("fold_change_logs_bytes",
+         lambda: t.fold_change_logs(10, max_bytes=1 << 40), 0),
         ("run_maintenance", lambda: t.run_maintenance(spark),
          maintenance_budget),
         ("rollback", lambda: t.rollback(t.commits()[-2]), 2),
