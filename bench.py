@@ -426,7 +426,20 @@ def main() -> int:
         "factor": round(factor, 4),
         "loadavg_before": [round(x, 2) for x in loadavg_before],
         "loadavg_after": [round(x, 2) for x in loadavg_after],
+        # re-pin protocol (§9j#2): a factor persistently outside ±20%
+        # means the rig no longer matches the pinned epoch — the flag
+        # makes the drift machine-visible in every artifact instead of
+        # relying on someone eyeballing the factor; on a flagged run,
+        # re-measure CALIBRATION_REF_S on a quiet rig and record the
+        # new epoch in docs/SCALING.md
+        "drift_exceeds_20pct": not (0.8 <= factor <= 1.25),
     }
+    if calibration["drift_exceeds_20pct"]:
+        print(
+            "# calibration DRIFT: factor outside [0.8, 1.25] — "
+            "re-pin CALIBRATION_REF_S (see docs/SCALING.md epoch log)",
+            file=sys.stderr,
+        )
 
     # The full per-query map once made the stdout JSON line long enough
     # that the driver's capture truncated it (BENCH_r03: parsed=null).

@@ -3828,7 +3828,23 @@ class KeyedTable:
         position) died, so pre-images scan only the affected base files
         (masked AT ``from_commit``) and post-images only the range's
         new files (masked at ``to_commit``) — the same full-outer
-        classification then runs over delta-sized inputs."""
+        classification then runs over delta-sized inputs.
+
+        General path (r12): pruned to CHANGED FILES. A file carried by
+        BOTH manifests with the SAME deletion-vector state contributes
+        byte-identical live rows to both snapshots, and the engine's
+        unique-key invariant (every snapshot holds one row per key —
+        upsert/merge/delete all maintain it) means those rows can pair
+        only with themselves in the key-wise join — net zero. Dropping
+        them from BOTH sides leaves the diff exact while the scan and
+        shuffle shrink from O(table) to O(files either rewritten,
+        added, removed, or re-masked in the range) — the property that
+        makes a commit-range diff on a 100 TB table cost its churn,
+        not its size. The pre-side conforms to the ``to`` schema
+        (columns added mid-range read NULL before — the same contract
+        the chlog composition documents), which also fixes the widened
+        range: the unconformed join used to fail on the pre-side's
+        missing columns."""
         if images not in ("post", "both"):
             raise ValueError(f"images must be 'post' or 'both', got {images!r}")
         if to_commit is None:
@@ -3848,8 +3864,68 @@ class KeyedTable:
             )
         if fast is not None:
             return fast
-        before = self.read(spark, at=from_commit)
-        after = self.read(spark, at=to_commit)
+        b_man = M.read_manifest(self.path, from_commit)
+        a_man = M.read_manifest(self.path, to_commit)
+        if b_man is None or a_man is None:
+            raise FileNotFoundError(
+                f"commit missing at {self.path}: "
+                f"{from_commit if b_man is None else to_commit}"
+            )
+        a_schema = StructType.fromJson(json.loads(a_man.schema_json))
+        b_schema = StructType.fromJson(json.loads(b_man.schema_json))
+        bdv = b_man.dvs or {}
+        adv = a_man.dvs or {}
+        if b_man.shards is not None and a_man.shards is not None:
+            # shard-level diff (read_incremental's pattern): files of
+            # SHARED shards are live on both sides by construction
+            # (shards are immutable; a referenced shard's files are
+            # all part of the snapshot), so only unshared shards'
+            # files are enumerated — O(changed shards + dv entries)
+            # driver-side, not O(table files)
+            shared = set(b_man.shards) & set(a_man.shards)
+            b_extra: set[str] = set()
+            for s in b_man.shards:
+                if s not in shared:
+                    b_extra |= M.shard_file_set(self.path, s)
+            a_extra: set[str] = set()
+            for s in a_man.shards:
+                if s not in shared:
+                    a_extra |= M.shard_file_set(self.path, s)
+            same = {
+                f
+                for f in b_extra & a_extra
+                if bdv.get(f) == adv.get(f)
+            }
+            # a shared shard's file with CHANGED dv state must stay in
+            # the diff on both sides (dv maps only name masked files,
+            # so this set is O(masked), never O(table))
+            dv_add = {
+                f
+                for f in set(bdv) | set(adv)
+                if bdv.get(f) != adv.get(f)
+                and f not in b_extra
+                and f not in a_extra
+            }
+            bkeep = sorted((b_extra - same) | dv_add)
+            akeep = sorted((a_extra - same) | dv_add)
+        else:
+            bset, aset = set(b_man.files), set(a_man.files)
+            unchanged = {
+                f for f in bset & aset if bdv.get(f) == adv.get(f)
+            }
+            bkeep = [f for f in b_man.files if f not in unchanged]
+            akeep = [f for f in a_man.files if f not in unchanged]
+        before = (
+            self._read_pruned(spark, b_man, bkeep, b_schema)
+            if bkeep
+            else spark.createDataFrame([], b_schema)
+        )
+        before = before.select(self._conform(before, a_schema))
+        after = (
+            self._read_pruned(spark, a_man, akeep, a_schema)
+            if akeep
+            else spark.createDataFrame([], a_schema)
+        )
         return self._classify_diff(before, after, images)
 
     def _diff_chlog_fast(

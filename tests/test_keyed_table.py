@@ -392,6 +392,75 @@ def test_diff_commits_change_feed(spark, tmp_path):
     assert vals[1] == "upd1" and vals[4] == "init4"
 
 
+def test_diff_commits_general_path_prunes_carried_files(spark, tmp_path):
+    """r12: the general snapshot diff scans only files that DIFFER
+    between the two manifests — a file carried with the same DV state
+    nets zero in the key-wise join by the unique-key invariant, so
+    partitions untouched by the range never enter the scan (O(churn),
+    not O(table) at 100 TB)."""
+    import os
+
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part")
+    c0 = t.bulk_insert(day0(spark))     # parts a (1,2), b (3,4)
+    # touch ONLY partition a
+    t.upsert(spark.createDataFrame(
+        [Row(pk=1, part="a", val="upd1", update_ts=ts(11))]
+    ))
+    out = t.diff_commits(spark, c0)
+    assert {(r["pk"], r["_change_type"]) for r in out.collect()} == {
+        (1, "update")
+    }
+    # the plan reads no file of the untouched partition b
+    b_files = {
+        os.path.basename(f)
+        for f in M.read_manifest(t.path).files
+        if "part=b" in f
+    }
+    scanned = {os.path.basename(f) for f in out.inputFiles()}
+    assert scanned, "expected a non-empty pruned scan"
+    assert not (scanned & b_files), (scanned, b_files)
+
+
+def test_diff_commits_general_path_widened_range(spark, tmp_path):
+    """r12: a diff across a schema-widening commit works on the
+    general path — the pre-side conforms to the `to` schema (added
+    columns read NULL before), matching the chlog composition's
+    contract. Previously this raised UNRESOLVED_COLUMN."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part")
+    c0 = t.bulk_insert(day0(spark))
+    t.upsert(spark.createDataFrame(
+        [Row(pk=1, part="a", val="upd1", update_ts=ts(11), extra="x")]
+    ))
+    out = t.diff_commits(spark, c0)
+    rows = {r["pk"]: (r["_change_type"], r["extra"]) for r in out.collect()}
+    # pk 1 carries the new column; pk 2 was rewritten (same partition)
+    # with extra=NULL — NULL <=> NULL pre/post, so it must NOT appear
+    assert rows == {1: ("update", "x")}
+
+
+def test_diff_commits_general_path_remasked_carried_file(spark, tmp_path):
+    """r12 pruning soundness: a file carried by BOTH manifests whose
+    DV state CHANGED in the range (point delete without rewrite) must
+    stay in the diff — its dv-deleted rows classify as deletes."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part")
+    c0 = t.bulk_insert(day0(spark))
+    # CoW op (breaks the DV fast path) + DV delete on a CARRIED file
+    t.upsert(spark.createDataFrame(
+        [Row(pk=1, part="a", val="upd1", update_ts=ts(11))]
+    ))
+    t.delete_dv(spark.createDataFrame([Row(pk=3)]))  # part b untouched by CoW
+    out = {
+        (r["pk"], r["_change_type"])
+        for r in t.diff_commits(spark, c0).collect()
+    }
+    assert out == {(1, "update"), (3, "delete")}
+
+
 def test_diff_commits_composes_recorded_change_logs(spark, tmp_path):
     """r11 change_log tables: diff_commits composes the range's
     RECORDED write-time deltas (O(changed keys)) instead of the

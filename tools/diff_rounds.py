@@ -69,6 +69,14 @@ def diff_bench(old: dict, new: dict, threshold: float = 0.3) -> int:
             f"{old.get('calibration', {}).get('factor')}, new factor "
             f"{new.get('calibration', {}).get('factor')})"
         )
+        for label, d in (("old", old), ("new", new)):
+            if (d.get("calibration") or {}).get("drift_exceeds_20pct"):
+                print(
+                    f"WARNING: {label} side's calibration factor is "
+                    "outside ±20% of the pinned epoch — normalization "
+                    "is extrapolating; re-pin CALIBRATION_REF_S "
+                    "(§9j#2 protocol, docs/SCALING.md epoch log)"
+                )
     else:
         print(
             "(RAW series — calibration missing on "

@@ -100,14 +100,19 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     maps = bool(seed % 2)
 
     def mk_rows(items):
-        """items: (id, grp, v, ts) tuples; attrs derives
-        deterministically from the row so any writer's rewrite of a
-        carried row preserves it byte-for-byte."""
+        """items: (id, grp, v, ts) tuples; attrs (top-level map) and
+        meta (struct with a NESTED map — the r12 recursive-canon path)
+        derive deterministically from the row so any writer's rewrite
+        of a carried row preserves them byte-for-byte."""
         if maps:
             return spark.createDataFrame(
                 [Row(id=i, grp=g, v=v, ts=ts,
-                     attrs={"g": g, "b": str(v)})
-                 for i, g, v, ts in items]
+                     attrs={"g": g, "b": str(v)},
+                     meta=Row(m={"k": str(i % 4)}, s=g))
+                 for i, g, v, ts in items],
+                "id long, grp string, v double, ts string, "
+                "attrs map<string,string>, "
+                "meta struct<m:map<string,string>,s:string>",
             )
         return spark.createDataFrame(
             [Row(id=i, grp=g, v=v, ts=ts) for i, g, v, ts in items]
@@ -360,13 +365,17 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                 if rows.get(9000 + i) != float(batches - 1):
                     violations.append(f"dv survivor 9{i:03d} wrong")
             if maps:
-                # r12: the carried map column must survive every
-                # rewrite byte-for-byte (attrs derives from the row)
+                # r12: the carried map columns — top-level AND
+                # struct-nested — must survive every rewrite
+                # byte-for-byte (both derive from the row)
                 badm = [
                     (r.id, dict(r.attrs or {}))
                     for r in snap.collect()
                     if dict(r.attrs or {}) != {"g": r.grp,
                                                "b": str(r.v)}
+                    or r.meta is None
+                    or dict(r.meta.m or {}) != {"k": str(r.id % 4)}
+                    or r.meta.s != r.grp
                 ]
                 if badm:
                     violations.append(
