@@ -249,6 +249,7 @@ def main() -> int:
         _difflog_fixture,
         _foldlog_fixture,
         _maplog_fixture,
+        _mixedlog_fixture,
         _nmaplog_fixture,
     )
     from hudi_glue_spark.streaming_queries import (
@@ -273,6 +274,7 @@ def main() -> int:
         ("maplog_scenario_build", _maplog_fixture),
         ("nmaplog_scenario_build", _nmaplog_fixture),
         ("foldlog_scenario_build", _foldlog_fixture),
+        ("mixedlog_scenario_build", _mixedlog_fixture),
     ):
         t0 = time.perf_counter()
         builder(spark, sf_dir)

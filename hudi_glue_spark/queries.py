@@ -52,6 +52,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "chlog_map_exact_cdc",
     "chlog_nested_map_cdc",
     "chlog_fold_general_path",
+    "diff_commits_mixed_dv",
     # (b) the complete r8-stale cohort (VERDICT r11 #3)
     "orc_ingest_roundtrip",
     "orders_above_avg_price",

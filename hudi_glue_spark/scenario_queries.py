@@ -286,6 +286,91 @@ def q_diff_commits_changelog(spark, sf_dir):
     )
 
 
+@query(
+    "diff_commits_mixed_dv",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(value + 300.0 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 2 DAY AS ts,
+           'update' AS _change_type, TRUE AS composed_from_log
+    FROM events WHERE event_id % 29 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           CAST(value + 100.0 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts,
+           'update' AS _change_type, TRUE AS composed_from_log
+    FROM events
+    WHERE event_id % 13 = 0 AND event_id % 17 <> 0 AND event_id % 29 <> 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts,
+           'delete' AS _change_type, TRUE AS composed_from_log
+    FROM events WHERE event_id % 17 = 0 AND event_id % 29 <> 0
+    UNION ALL
+    SELECT event_id + 3000000 AS event_id, user_id, event_type,
+           CAST(value + 300.0 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 2 DAY AS ts,
+           'insert' AS _change_type, TRUE AS composed_from_log
+    FROM events WHERE event_id % 41 = 0
+    """,
+)
+def q_diff_commits_mixed_dv(spark, sf_dir):
+    """Composed batch CDF across a MIXED CoW + deletion-vector range
+    (r12; keyed_table._dv_event_frame): DV commits never record a
+    change log, so they used to kill the O(changed keys) composition
+    — now their event frames are SYNTHESIZED at O(delta) (newly-dead
+    positions → positioned pre-image deletes, new files → inserts)
+    and the realistic workload (bulk CoW merges + DV point deletes)
+    stays off the snapshot diff. Cross-family net-outs pin the
+    ordering: a CoW-updated key dv-deleted mid-range nets ONE delete
+    with its ORIGINAL pre-image; a dv-deleted key re-inserted by a
+    later dv upsert nets an update. The boolean proves the fast path
+    actually served the range."""
+    tbl, c0, composed = _mixedlog_fixture(spark, sf_dir)
+    return tbl.diff_commits(spark, c0).select(
+        *_COLS,
+        "_change_type",
+        F.lit(composed).alias("composed_from_log"),
+    )
+
+
+def _mixedlog_fixture(spark, sf_dir):
+    """Mixed chlog + DV scenario (bulk + CoW upsert + delete_dv +
+    upsert_dv); cached per process."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_mixedlog_{sf_tag(sf_dir)}"
+
+    def build():
+        tbl = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", change_log=True,
+        )
+        ev = table(spark, sf_dir, "events").select(_COLS)
+        c0 = tbl.bulk_insert(ev)
+        tbl.upsert(
+            ev.filter("event_id % 13 = 0")
+            .withColumn("value", F.col("value") + F.lit(100.0))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        tbl.delete_dv(ev.filter("event_id % 17 = 0").select("event_id"))
+        tbl.upsert_dv(
+            ev.filter("event_id % 29 = 0")
+            .unionByName(
+                ev.filter("event_id % 41 = 0").withColumn(
+                    "event_id", F.col("event_id") + 3000000
+                )
+            )
+            .withColumn("value", F.col("value") + F.lit(300.0))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAY"))
+        )
+        composed = tbl._diff_chlog_fast(
+            spark, c0, tbl.commits()[-1], "post"
+        ) is not None
+        return tbl, c0, composed
+
+    return _chlog_fixture(root, 4, build)
+
+
 #: per-process chlog scenario fixtures (same hygiene as _TT_CACHE:
 #: bench charges each build to an explicit ``commit:`` row so the
 #: query rows time the diff/read path, not the ingest)

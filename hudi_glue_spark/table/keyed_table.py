@@ -3944,10 +3944,17 @@ class KeyedTable:
         insert/update/delete classification to the full-outer
         snapshot diff — the standard incremental-view-maintenance
         shape at 100 TB, where the snapshot diff re-reads the table
-        but the recorded deltas are only what changed. Returns None
-        (honest fallback to the general diff) when any commit in the
-        range lacks a log (non-chlog op, pre-r11 history,
-        coarse-volume-capped delta), a referenced log was
+        but the recorded deltas are only what changed. DV commits in
+        the range (delete_dv / upsert_dv — which never record a log)
+        SYNTHESIZE their event frame at O(delta) instead of killing
+        the composition (r12): newly-dead positions vs the parent's
+        masks become delete events (positioned pre-image read of just
+        the affected files), the commit's new files become insert
+        events — so the realistic mixed workload, bulk CoW merges
+        plus DV point deletes, keeps the O(changed keys) diff.
+        Returns None (honest fallback to the general diff) when any
+        commit in the range lacks a log (non-chlog CoW op, pre-r11
+        history, coarse-volume-capped delta), a referenced log was
         folded away by retention (fold_change_logs), or the deltas'
         schemas cannot union (type widening mid-range)."""
         from pyspark.sql.window import Window as W
@@ -3974,7 +3981,8 @@ class KeyedTable:
         ]
         if not chain:
             return None
-        refs: list[str] = []
+        sources: list[tuple[str, object]] = []
+        prev = b
         for c in chain:
             m = M.read_manifest(self.path, c)
             if m is None:
@@ -3982,7 +3990,14 @@ class KeyedTable:
             if m.op == "drop_columns":
                 return None  # schema shrank: general diff handles it
             if m.op in _SILENT_OPS:
+                prev = m
                 continue  # layout-only: no logical delta
+            if m.op in ("delete_dv", "upsert_dv"):
+                if not set(prev.files) <= set(m.files):
+                    return None  # defensive: DV ops never drop files
+                sources.append(("dv", (prev, m)))
+                prev = m
+                continue
             ref = (
                 ((m.stats or {}).get("change_log") or {}).get("ref")
                 if m.op in _CHANGE_LOG_OPS
@@ -3990,27 +4005,39 @@ class KeyedTable:
             )
             if not ref:
                 return None
-            refs.append(ref)
+            sources.append(("chlog", ref))
+            prev = m
         schema = StructType.fromJson(json.loads(a.schema_json))
         cols = [f.name for f in schema.fields]
         empty = spark.createDataFrame([], schema)
-        if not refs:
+        if not sources:
             return self._classify_diff(empty, empty, images)
         try:
             ev = None
-            for i, ref in enumerate(refs):
-                cdir = os.path.join(self.path, "_changes", ref)
-                if not os.path.isdir(cdir):
-                    # folded away by change-log retention
-                    # (fold_change_logs): the recorded delta is gone,
-                    # the snapshot diff is still exact — general path
-                    return None
-                d = spark.read.parquet(cdir).withColumn("__seq", F.lit(i))
+            for i, (kind, payload) in enumerate(sources):
+                if kind == "dv":
+                    d = self._dv_event_frame(spark, *payload)
+                    if d is None:
+                        continue  # mask-only no-op commit
+                    d = d.withColumn("__seq", F.lit(i))
+                else:
+                    cdir = os.path.join(self.path, "_changes", payload)
+                    if not os.path.isdir(cdir):
+                        # folded away by change-log retention
+                        # (fold_change_logs): the recorded delta is
+                        # gone, the snapshot diff is still exact —
+                        # general path
+                        return None
+                    d = spark.read.parquet(cdir).withColumn(
+                        "__seq", F.lit(i)
+                    )
                 ev = (
                     d
                     if ev is None
                     else ev.unionByName(d, allowMissingColumns=True)
                 )
+            if ev is None:
+                return self._classify_diff(empty, empty, images)
             # a column added mid-range is absent from earlier deltas —
             # exactly as the true pre-rows at `from` read (NULL)
             # nullability-relaxed cast targets: parquet reads surface
@@ -4055,6 +4082,66 @@ class KeyedTable:
             .select(cols)
         )
         return self._classify_diff(before, after, images)
+
+    def _dv_event_frame(
+        self, spark, parent: "M.Manifest", m: "M.Manifest"
+    ) -> DataFrame | None:
+        """ONE DV commit's logical delta as a chlog-shaped event frame
+        (full rows + ``_change_type``), for the composed diff (r12):
+        positions newly dead vs the PARENT's masks become delete
+        events — pre-images positioned-read from just the affected
+        files, O(rows that died) — and the commit's new files (an
+        upsert_dv's replacement rows, clean at their own commit)
+        become insert events. None = the commit changed nothing.
+        Driver cost is O(masked files) bitmap reads; the frames
+        compose lazily into the range's single diff job."""
+        m_schema = StructType.fromJson(json.loads(m.schema_json))
+        pfiles = set(parent.files)
+        pdvs = parent.dvs or {}
+        pairs: list[tuple[str, int]] = []
+        for f, (name, _nd) in (m.dvs or {}).items():
+            if f not in pfiles:
+                continue
+            new_pos = DVB.positions(DVB.read(self.path, name))
+            old_entry = pdvs.get(f)
+            if old_entry is not None:
+                old = set(
+                    DVB.positions(
+                        DVB.read(self.path, old_entry[0])
+                    ).tolist()
+                )
+                new_list = [q for q in new_pos.tolist() if q not in old]
+            else:
+                new_list = new_pos.tolist()
+            pairs.extend((f, int(q)) for q in new_list)
+        parts: list[DataFrame] = []
+        if pairs:
+            affected = sorted({f for f, _ in pairs})
+            marks = spark.createDataFrame(
+                pairs, "__file string, __pos long"
+            )
+            pre = self._positioned_read(spark, parent, affected).join(
+                F.broadcast(marks), on=["__file", "__pos"], how="left_semi"
+            )
+            parts.append(
+                pre.select(self._conform(pre, m_schema)).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        new_files = sorted(set(m.files) - pfiles)
+        if new_files:
+            parts.append(
+                self._read_pruned(
+                    spark, m, new_files, m_schema
+                ).withColumn("_change_type", F.lit("insert"))
+            )
+        if not parts:
+            return None
+        return (
+            parts[0]
+            if len(parts) == 1
+            else parts[0].unionByName(parts[1])
+        )
 
     def _diff_dv_fast(
         self, spark, from_commit: str, to_commit: str | None, images: str

@@ -461,6 +461,56 @@ def test_diff_commits_general_path_remasked_carried_file(spark, tmp_path):
     assert out == {(1, "update"), (3, "delete")}
 
 
+def test_diff_commits_composes_mixed_chlog_and_dv(spark, tmp_path):
+    """r12: DV commits inside a chlog range SYNTHESIZE their event
+    frame (newly-dead positions → delete events with positioned
+    pre-images, new files → inserts) instead of killing the
+    composition — the realistic mixed workload (bulk CoW merges + DV
+    point deletes) keeps the O(changed keys) diff. Net-out cases
+    cross families: a key CoW-updated then dv-deleted nets one delete
+    with its ORIGINAL pre-image; a dv-upserted key then CoW-deleted
+    nets the same way."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part",
+                   change_log=True)
+    c0 = t.bulk_insert(day0(spark))            # pks 1-4
+    t.upsert(day1(spark))                      # CoW: upd 1, move 2, new 5
+    t.delete_dv(spark.createDataFrame([Row(pk=1)]))   # DV delete of a CoW-updated key
+    t.upsert_dv(spark.createDataFrame(         # DV: update 3, new 6
+        [Row(pk=3, part="b", val="dv3", update_ts=ts(12)),
+         Row(pk=6, part="c", val="new6", update_ts=ts(12))]))
+    t.delete(spark.createDataFrame([Row(pk=6)]))      # CoW delete of a DV-inserted key
+    fast = t._diff_chlog_fast(spark, c0, t.commits()[-1], "post")
+    assert fast is not None, "mixed range must compose"
+    general = t._classify_diff(
+        t.read(spark, at=c0), t.read(spark), "post"
+    )
+    got = {(r["pk"], r["_change_type"], r["val"])
+           for r in t.diff_commits(spark, c0).collect()}
+    want = {(r["pk"], r["_change_type"], r["val"])
+            for r in general.collect()}
+    assert got == want
+    assert got == {
+        (1, "delete", "init1"),   # CoW-update then dv-delete → original pre
+        (2, "update", "upd2"),
+        (3, "update", "dv3"),
+        (5, "insert", "new5"),
+    }  # pk=6 dv-inserted then CoW-deleted → nets to NOTHING
+    g_both = {
+        tuple(r)
+        for r in t._classify_diff(
+            t.read(spark, at=c0), t.read(spark), "both"
+        ).collect()
+    }
+    f_both = {
+        tuple(r)
+        for r in t._diff_chlog_fast(
+            spark, c0, t.commits()[-1], "both"
+        ).collect()
+    }
+    assert f_both == g_both
+
+
 def test_diff_commits_composes_recorded_change_logs(spark, tmp_path):
     """r11 change_log tables: diff_commits composes the range's
     RECORDED write-time deltas (O(changed keys)) instead of the

@@ -169,6 +169,13 @@ _OPSEQ = st.lists(
             st.lists(st.integers(0, 5), min_size=1, max_size=3),
         ),
         st.tuples(st.just("update_where"), st.integers(0, 5)),
+        # r12: DV commits interleave with chlog CoW ops — the
+        # composition synthesizes their event frames (_dv_event_frame)
+        st.tuples(
+            st.just("dv_delete"),
+            st.lists(st.integers(0, 5), min_size=1, max_size=2),
+        ),
+        st.tuples(st.just("dv_upsert"), st.integers(0, 7), st.integers(0, 9)),
     ),
     min_size=1,
     max_size=4,
@@ -201,7 +208,8 @@ def test_diff_chlog_fast_equals_snapshot_diff(
         )
     )
     day = 1
-    for kind, arg in ops:
+    for op in ops:
+        kind, arg = op[0], op[1]
         if kind == "upsert":
             batch = _dedup_ties(arg)
             tbl.upsert(
@@ -214,6 +222,17 @@ def test_diff_chlog_fast_equals_snapshot_diff(
             tbl.delete(
                 spark.createDataFrame([Row(pk=pk) for pk in set(arg)])
             )
+        elif kind == "dv_delete":
+            tbl.delete_dv(
+                spark.createDataFrame([Row(pk=pk) for pk in set(arg)])
+            )
+        elif kind == "dv_upsert":
+            tbl.upsert_dv(
+                spark.createDataFrame(
+                    [Row(pk=arg, part="a" if arg % 2 else "b",
+                         val=op[2] + 200, update_ts=_ts(day))]
+                )
+            )
         else:
             tbl.update_where(
                 spark, {"val": "val + 100"}, f"pk = {arg}"
@@ -224,14 +243,17 @@ def test_diff_chlog_fast_equals_snapshot_diff(
     head = tbl.commits()[-1]
     # an op whose delta reached the coarse-volume cap (e.g. a delete
     # wiping a partition: rows_written 0) records NO ref by policy —
-    # composition is only promised when every commit logged
+    # composition is only promised when every commit logged; DV
+    # commits never log (their event frame is SYNTHESIZED, r12) so
+    # they always compose
     logged = all(
-        ((M.read_manifest(tbl.path, c).stats or {})
-         .get("change_log") or {}).get("ref")
-        for c in tbl.commits()[1:]
-        if (M.read_manifest(tbl.path, c).stats or {}).get(
-            "rows_written"
-        ) is not None
+        m.op in ("delete_dv", "upsert_dv")
+        or ((m.stats or {}).get("change_log") or {}).get("ref")
+        for m in (
+            M.read_manifest(tbl.path, c) for c in tbl.commits()[1:]
+        )
+        if m.op in ("delete_dv", "upsert_dv")
+        or (m.stats or {}).get("rows_written") is not None
     )
     for images in ("post", "both"):
         fast = tbl._diff_chlog_fast(spark, c0, head, images)
