@@ -2992,11 +2992,7 @@ class KeyedTable:
         batch = batch.select(
             [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        merge_keys = (
-            self.key + self.partition_by
-            if self.key_scope == "partition" and self.partition_by
-            else self.key
-        )
+        merge_keys = self._identity_cols
         if self.policy == ARRIVAL_WINS:
             best = batch.dropDuplicates(merge_keys)
         else:
@@ -3430,6 +3426,19 @@ class KeyedTable:
             # coarse/gate contract nets the same answer; failing the
             # op here would orphan its already-staged data files
             return None
+
+    @property
+    def _identity_cols(self) -> list[str]:
+        """Row-identity columns: the record key, plus the partition
+        columns under PARTITION key scope — there the same key may
+        live in two partitions as two rows, so any key-wise pairing
+        (merge, diff classification, composed-diff windows) must key
+        on (partition, key) or silently cross-join duplicate keys
+        (r12 fix: diff_commits on a key_scope='partition' table lost
+        rows when a shared key changed in two partitions)."""
+        if self.key_scope == "partition" and self.partition_by:
+            return self.key + self.partition_by
+        return self.key
 
     @staticmethod
     def _type_has_map(dt) -> bool:
@@ -4058,11 +4067,14 @@ class KeyedTable:
         except Exception:  # noqa: BLE001 — un-unionable mid-range
             return None  # schema churn: the general diff is the answer
         # delete sorts before insert, so within one commit an update's
-        # pre-image leads and its post-image trails
-        w_first = W.partitionBy(*self.key).orderBy(
+        # pre-image leads and its post-image trails; windows key on the
+        # ROW IDENTITY (key + partition under partition scope) so a
+        # shared key's histories in two partitions never interleave
+        ident = self._identity_cols
+        w_first = W.partitionBy(*ident).orderBy(
             F.col("__seq").asc(), F.col("_change_type").asc()
         )
-        w_last = W.partitionBy(*self.key).orderBy(
+        w_last = W.partitionBy(*ident).orderBy(
             F.col("__seq").desc(), F.col("_change_type").desc()
         )
         before = (
@@ -4225,9 +4237,12 @@ class KeyedTable:
         before = before.withColumn("__b", F.lit(1))
         after = after.withColumn("__a", F.lit(1))
         cols = [c for c in after.columns if c != "__a"]
+        ident = self._identity_cols
         b = before.alias("b")
         a = after.alias("a")
-        j = b.join(a, on=[b[k].eqNullSafe(a[k]) for k in self.key], how="full_outer")
+        j = b.join(
+            a, on=[b[k].eqNullSafe(a[k]) for k in ident], how="full_outer"
+        )
         in_b = F.col("b.__b").isNotNull()
         in_a = F.col("a.__a").isNotNull()
 
@@ -4239,10 +4254,10 @@ class KeyedTable:
                 else col
             )
 
-        # update = key present in both with any non-key column changed
+        # update = identity present in both with any other column changed
         changed = F.lit(False)
         for c in cols:
-            if c not in self.key:
+            if c not in ident:
                 changed = changed | ~cmp_col("b", c).eqNullSafe(
                     cmp_col("a", c)
                 )
@@ -5921,8 +5936,11 @@ class KeyedTable:
     # -- internals ---------------------------------------------------------
 
     def _precombine(self, df: DataFrame) -> DataFrame:
-        """Within-batch dedup: keep the max-precombine row per key
-        (§2a #23a), deterministically tie-broken by a row hash. Map
+        """Within-batch dedup: keep the max-precombine row per ROW
+        IDENTITY (§2a #23a) — the record key, or (partition, key)
+        under partition key scope (Hudi's non-global-index dedup
+        semantics: the same key in two partitions is two rows, r12
+        fix) — deterministically tie-broken by a row hash. Map
         columns — at ANY depth, r12 nested lift — enter the hash
         through their recursive canonical twin (:meth:`_canon_expr`):
         Spark prohibits hashing raw maps (entry order varies per
@@ -5935,7 +5953,7 @@ class KeyedTable:
                 return c
             return self._canon_expr(c, f.dataType)
 
-        w = Window.partitionBy(*self.key).orderBy(
+        w = Window.partitionBy(*self._identity_cols).orderBy(
             F.desc(self.precombine),
             F.desc(
                 F.xxhash64(
@@ -5954,11 +5972,7 @@ class KeyedTable:
     def _merge(self, existing: DataFrame, batch: DataFrame) -> DataFrame:
         # Under partition key scope, row identity is (partition, key):
         # the same key may live in two partitions as two rows.
-        merge_keys = (
-            self.key + self.partition_by
-            if self.key_scope == "partition" and self.partition_by
-            else self.key
-        )
+        merge_keys = self._identity_cols
         if self.policy == ARRIVAL_WINS:
             # Incoming batch replaces matched keys unconditionally.
             return existing.join(batch, on=merge_keys, how="left_anti").unionByName(batch)

@@ -461,6 +461,40 @@ def test_diff_commits_general_path_remasked_carried_file(spark, tmp_path):
     assert out == {(1, "update"), (3, "delete")}
 
 
+def test_diff_commits_partition_key_scope_identity(spark, tmp_path):
+    """r12 fix: under key_scope='partition' row identity is
+    (partition, key) — the diff classification and the composed-diff
+    windows key on it. Previously the join on the bare key
+    cross-joined a shared key's rows across partitions and LOST
+    updates (two-partition update of the same key returned one row).
+    Covers the general path (non-chlog) and the composition (chlog),
+    plus within-batch precombine keeping one row per (partition,
+    key)."""
+    for chlog in (False, True):
+        t = KeyedTable(str(tmp_path / f"t{int(chlog)}"), key="pk",
+                       precombine="update_ts", partition_by="part",
+                       key_scope="partition", change_log=chlog)
+        c0 = t.bulk_insert(spark.createDataFrame(
+            [Row(pk=1, part="a", val="a1", update_ts=ts(10)),
+             Row(pk=1, part="b", val="b1", update_ts=ts(10)),
+             Row(pk=2, part="a", val="a2", update_ts=ts(10))]))
+        # ONE batch carries the same key in both partitions: precombine
+        # must keep both rows (identity = partition+key)
+        t.upsert(spark.createDataFrame(
+            [Row(pk=1, part="a", val="a1x", update_ts=ts(11)),
+             Row(pk=1, part="b", val="b1x", update_ts=ts(11))]))
+        got = {(r["pk"], r["part"], r["val"], r["_change_type"])
+               for r in t.diff_commits(spark, c0).collect()}
+        assert got == {
+            (1, "a", "a1x", "update"),
+            (1, "b", "b1x", "update"),
+        }, (chlog, got)
+        if chlog:
+            assert t._diff_chlog_fast(
+                spark, c0, t.commits()[-1], "post"
+            ) is not None
+
+
 def test_diff_commits_composes_mixed_chlog_and_dv(spark, tmp_path):
     """r12: DV commits inside a chlog range SYNTHESIZE their event
     frame (newly-dead positions → delete events with positioned
