@@ -3401,25 +3401,25 @@ class KeyedTable:
                     .withColumn("_change_type", F.lit("insert"))
                 )
             )
-            if rows_written is not None:
-                delta = delta.persist()
-                try:
-                    cap = (
-                        self.CHANGE_LOG_MAX_FRACTION
-                        * 2.0
-                        * max(rows_written, 1)
-                    )
-                    if delta.count() > cap:
-                        return None  # table-sized delta: coarse nets same
-                    token = _uuid.uuid4().hex[:16]
-                    out_dir = os.path.join(self.path, "_changes", token)
-                    delta.write.mode("error").parquet(out_dir)
-                    return {"ref": token}
-                finally:
-                    delta.unpersist()
             token = _uuid.uuid4().hex[:16]
             out_dir = os.path.join(self.path, "_changes", token)
             delta.write.mode("error").parquet(out_dir)
+            if rows_written is not None:
+                # coarse-volume cap checked from the written files'
+                # FOOTERS (driver-side metadata): one evaluation of
+                # the delta total, no persist + count action pair
+                # (which cost a second job round-trip per DML)
+                import pyarrow.dataset as pds
+
+                n = pds.dataset(out_dir, format="parquet").count_rows()
+                cap = (
+                    self.CHANGE_LOG_MAX_FRACTION
+                    * 2.0
+                    * max(rows_written, 1)
+                )
+                if n > cap:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    return None  # table-sized delta: coarse nets same
             return {"ref": token}
         except Exception:  # noqa: BLE001 — the log is an optimization:
             # the commit simply carries no ref and the stream's
