@@ -2426,7 +2426,12 @@ class KeyedTable:
     def delete(self, keys: DataFrame) -> str:
         """Tombstone-free delete (§2a #9 ↦ EmptyHoodieRecordPayload,
         glue/HudiJarGlueJob.py:85): rewrite partitions holding the keys,
-        minus those keys."""
+        minus those keys. Under PARTITION key scope, a ``keys`` frame
+        that carries the partition columns deletes only those
+        (partition, key) rows — the same key's row in another
+        partition survives (r12; row identity = ``_identity_cols``).
+        A bare-key frame keeps the global-delete behavior: the key is
+        removed wherever it lives."""
         if not self.exists():
             raise FileNotFoundError(f"no table at {self.path}")
         spark = keys.sparkSession
@@ -2435,10 +2440,16 @@ class KeyedTable:
         man = self._pin_head()
         assert man is not None
         existing = self.read(spark, at=man.commit_id)
-        keys = keys.select(self.key).dropDuplicates()
+        ident = self._identity_cols
+        sel = (
+            ident
+            if all(c in keys.columns for c in ident)
+            else self.key
+        )
+        keys = keys.select(sel).dropDuplicates()
 
         if self.partition_by:
-            matched = existing.join(keys, on=self.key, how="left_semi")
+            matched = existing.join(keys, on=sel, how="left_semi")
             touched = {
                 self._dirname(r)
                 for r in matched.select(self.partition_by).distinct().collect()
@@ -2448,7 +2459,7 @@ class KeyedTable:
             touched = None
             existing_touched = existing
 
-        remaining = existing_touched.join(keys, on=self.key, how="left_anti")
+        remaining = existing_touched.join(keys, on=sel, how="left_anti")
         # deleting rows never invalidates the survivors' index
         # assignments — carry the vector index forward untouched
         vidx = (man.stats or {}).get("vector_index")
@@ -2688,12 +2699,21 @@ class KeyedTable:
         assert man is not None
         if isinstance(keys, DataFrame):
             spark = keys.sparkSession
-            keys_df = keys.select(self.key).dropDuplicates()
+            # PARTITION key scope + a frame carrying the partition
+            # columns → scope the marks to (partition, key), same
+            # contract as the CoW delete (r12)
+            ident = self._identity_cols
+            sel = (
+                ident
+                if all(c in keys.columns for c in ident)
+                else self.key
+            )
+            keys_df = keys.select(sel).dropDuplicates()
             key_list = None
             # record index (when built): one distributed join tags the
             # host files, so a DataFrame-shaped delete scans only them
             cand = (
-                self.files_hosting_keys(spark, keys_df)
+                self.files_hosting_keys(spark, keys_df.select(self.key))
                 if len(self.key) == 1
                 else None
             )
@@ -2721,9 +2741,15 @@ class KeyedTable:
             )
         if not cand:
             return None
-        df = self._positioned_read(spark, man, cand, columns=self.key)
+        df = self._positioned_read(
+            spark, man, cand,
+            columns=list(keys_df.columns) if keys_df is not None
+            else self.key,
+        )
         if keys_df is not None:
-            matched = df.join(keys_df, on=self.key, how="left_semi")
+            matched = df.join(
+                keys_df, on=list(keys_df.columns), how="left_semi"
+            )
             # only the DataFrame shape can be table-sized; list-shaped
             # marks are bounded by the (driver-resident) list itself
             if self._dv_mark_guard(

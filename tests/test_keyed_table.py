@@ -461,6 +461,35 @@ def test_diff_commits_general_path_remasked_carried_file(spark, tmp_path):
     assert out == {(1, "update"), (3, "delete")}
 
 
+def test_partition_scoped_delete(spark, tmp_path):
+    """r12: under key_scope='partition', a delete frame CARRYING the
+    partition columns removes only those (partition, key) rows — the
+    shared key's row in the other partition survives — for both the
+    CoW delete and the DV twin; a bare-key frame keeps the
+    global-delete behavior."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part",
+                   key_scope="partition")
+    rows = [Row(pk=1, part="a", val="a1", update_ts=ts(10)),
+            Row(pk=1, part="b", val="b1", update_ts=ts(10)),
+            Row(pk=2, part="a", val="a2", update_ts=ts(10)),
+            Row(pk=2, part="b", val="b2", update_ts=ts(10)),
+            Row(pk=3, part="a", val="a3", update_ts=ts(10))]
+    t.bulk_insert(spark.createDataFrame(rows))
+    # scoped CoW delete: only (1, a) goes
+    t.delete(spark.createDataFrame([Row(pk=1, part="a")]))
+    left = {(r["pk"], r["part"]) for r in t.read(spark).collect()}
+    assert left == {(1, "b"), (2, "a"), (2, "b"), (3, "a")}
+    # scoped DV delete: only (2, b) goes
+    t.delete_dv(spark.createDataFrame([Row(pk=2, part="b")]))
+    left = {(r["pk"], r["part"]) for r in t.read(spark).collect()}
+    assert left == {(1, "b"), (2, "a"), (3, "a")}
+    # bare-key delete stays global: pk 2 goes everywhere it lives
+    t.delete(spark.createDataFrame([Row(pk=2)]))
+    left = {(r["pk"], r["part"]) for r in t.read(spark).collect()}
+    assert left == {(1, "b"), (3, "a")}
+
+
 def test_diff_commits_partition_key_scope_identity(spark, tmp_path):
     """r12 fix: under key_scope='partition' row identity is
     (partition, key) — the diff classification and the composed-diff
