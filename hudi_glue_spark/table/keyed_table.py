@@ -4581,9 +4581,14 @@ class KeyedTable:
 
         t = target.withColumn("__t", F.lit(1)).alias("target")
         s = source.withColumn("__s", F.lit(1)).alias("source")
+        # match on the ROW IDENTITY — key + partition columns under
+        # partition key scope, where a shared key in two partitions is
+        # two independent rows (r12, same contract as _merge/diff)
         joined = t.join(
             s,
-            on=[t[k].eqNullSafe(s[k]) for k in self.key],
+            on=[
+                t[k].eqNullSafe(s[k]) for k in self._identity_cols
+            ],
             how="full_outer",
         )
         matched = F.col("target.__t").isNotNull() & F.col("source.__s").isNotNull()

@@ -490,6 +490,30 @@ def test_partition_scoped_delete(spark, tmp_path):
     assert left == {(1, "b"), (3, "a")}
 
 
+def test_merge_into_partition_key_scope_identity(spark, tmp_path):
+    """r12: merge_into matches on the row identity — a source row for
+    (key, partition a) must not touch the shared key's row in
+    partition b (previously the bare-key full-outer join
+    cross-matched them)."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part",
+                   key_scope="partition")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, part="a", val="a1", update_ts=ts(10)),
+         Row(pk=1, part="b", val="b1", update_ts=ts(10)),
+         Row(pk=2, part="a", val="a2", update_ts=ts(10))]))
+    t.merge_into(spark.createDataFrame(
+        [Row(pk=1, part="a", val="a1x", update_ts=ts(11)),
+         Row(pk=3, part="b", val="b3", update_ts=ts(11))]))
+    got = {(r["pk"], r["part"], r["val"]) for r in t.read(spark).collect()}
+    assert got == {
+        (1, "a", "a1x"),   # matched in a, updated
+        (1, "b", "b1"),    # same key, other partition: UNTOUCHED
+        (2, "a", "a2"),
+        (3, "b", "b3"),    # not-matched insert
+    }
+
+
 def test_diff_commits_partition_key_scope_identity(spark, tmp_path):
     """r12 fix: under key_scope='partition' row identity is
     (partition, key) — the diff classification and the composed-diff
