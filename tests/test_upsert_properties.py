@@ -561,3 +561,114 @@ def test_entry_order_flip_logs_empty_delta(spark, tmp_path_factory):
     delta = spark.read.parquet(os.path.join(root, "_changes", ref))
     assert delta.count() == 0, "order-only flip must log an empty delta"
     assert tbl.diff_commits(spark, c0, head).count() == 0
+
+
+# --- partition key scope: identity = (partition, key) (r12) ------------
+
+_SCOPED_OPSEQ = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _BATCH),
+        st.tuples(
+            st.just("delete_scoped"),
+            st.lists(
+                st.tuples(st.integers(0, 5), st.sampled_from(["a", "b"])),
+                min_size=1, max_size=3,
+            ),
+        ),
+        st.tuples(
+            st.just("delete_bare"),
+            st.lists(st.integers(0, 5), min_size=1, max_size=2),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _dedup_ties_scoped(batch: list) -> list:
+    """Tie-free per (pk, part, precombine) so the model needn't know
+    the engine's hash tie-break."""
+    seen: dict[tuple, tuple] = {}
+    for rec in batch:
+        k = (rec[0], rec[1], rec[3])
+        if k not in seen or rec > seen[k]:
+            seen[k] = rec
+    return list(seen.values())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=_SCOPED_OPSEQ,
+    policy=st.sampled_from([EVENT_TIME_WINS, ARRIVAL_WINS]),
+)
+def test_partition_scope_matches_model(spark, tmp_path_factory, ops, policy):
+    """r12 identity property: under key_scope='partition' the table
+    behaves as a dictionary keyed by (partition, key) — the same pk in
+    two partitions is two independent rows through upserts, scoped
+    deletes (frame carries partition), and bare-key deletes (pk goes
+    everywhere), under both late-data policies."""
+    root = str(tmp_path_factory.mktemp("scoped_prop") / "t")
+    tbl = KeyedTable(
+        root, key="pk", precombine="update_ts", partition_by="part",
+        key_scope="partition", policy=policy,
+    )
+    state: dict[tuple, tuple] = {}
+
+    def model_upsert(batch):
+        best: dict[tuple, tuple] = {}
+        for pk, part, val, pre in batch:
+            k = (pk, part)
+            cur = best.get(k)
+            if cur is None or (pre, val) > (cur[3], cur[2]):
+                best[k] = (pk, part, val, pre)
+        for k, rec in best.items():
+            old = state.get(k)
+            if old is None or policy == ARRIVAL_WINS or rec[3] >= old[3]:
+                state[k] = rec
+
+    first = True
+    for op in ops:
+        if op[0] == "upsert":
+            batch = _dedup_ties_scoped(op[1])
+            df = spark.createDataFrame(
+                [Row(pk=pk, part=part, val=val, update_ts=_ts(pre))
+                 for pk, part, val, pre in batch]
+            )
+            ingest(tbl, df)
+            model_upsert(batch)
+            first = False
+        elif op[0] == "delete_scoped":
+            if first:
+                continue  # need a table before deleting
+            pairs = sorted(set(op[1]))
+            tbl.delete(
+                spark.createDataFrame(
+                    [Row(pk=pk, part=part) for pk, part in pairs]
+                )
+            )
+            for k in pairs:
+                state.pop(k, None)
+        else:
+            if first:
+                continue
+            pks = sorted(set(op[1]))
+            tbl.delete(
+                spark.createDataFrame([Row(pk=pk) for pk in pks])
+            )
+            for k in [k for k in state if k[0] in set(pks)]:
+                del state[k]
+    if first:
+        return  # scenario never created the table
+    got = {
+        (r["pk"], r["part"]): (r["pk"], r["part"], r["val"], r["update_ts"])
+        for r in tbl.read(spark).collect()
+    }
+    want = {
+        k: (pk, part, val, _ts(pre))
+        for k, (pk, part, val, pre) in state.items()
+    }
+    assert got == want
