@@ -53,6 +53,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "chlog_nested_map_cdc",
     "chlog_fold_general_path",
     "diff_commits_mixed_dv",
+    "scoped_delete_partition_keys",
     # (b) the complete r8-stale cohort (VERDICT r11 #3)
     "orc_ingest_roundtrip",
     "orders_above_avg_price",

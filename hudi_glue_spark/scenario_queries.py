@@ -371,6 +371,57 @@ def _mixedlog_fixture(spark, sf_dir):
     return _chlog_fixture(root, 4, build)
 
 
+@query(
+    "scoped_delete_partition_keys",
+    """
+    SELECT user_id, event_type,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING NOT (user_id % 13 = 0)
+       AND NOT (user_id % 7 = 0 AND event_type = 'click')
+    """,
+)
+def q_scoped_delete_partition_keys(spark, sf_dir):
+    """Partition-scoped row identity end to end (r12;
+    keyed_table._identity_cols): with ``key_scope='partition'`` the
+    same user_id legitimately lives in EVERY event_type partition as
+    an independent row. A delete frame CARRYING the partition column
+    removes only those (partition, key) rows — here (user % 7,
+    'click') kills the click rows while the same users' page_view /
+    purchase rows survive — and a bare-key frame keeps global-delete
+    semantics (user % 13 disappears everywhere). The oracle restates
+    the surviving per-(user, type) aggregate directly; the row would
+    go red if scoped deletes leaked across partitions or bare-key
+    deletes missed one."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_scoped_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.max("value").cast("double").alias("max_value"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+    tbl = KeyedTable(
+        root, key="user_id", precombine="last_ts",
+        partition_by="event_type", key_scope="partition",
+    )
+    tbl.bulk_insert(agg, dedupe=False)  # unique per (user, type) already
+    # scoped: only the click partition's rows for these users
+    tbl.delete(
+        agg.filter("user_id % 7 = 0 AND event_type = 'click'")
+        .select("user_id", "event_type")
+    )
+    # bare-key: these users disappear from EVERY partition
+    tbl.delete(agg.filter("user_id % 13 = 0").select("user_id"))
+    return tbl.read(spark).select(
+        "user_id", "event_type", "max_value", "last_ts", "n_events"
+    )
+
+
 #: per-process chlog scenario fixtures (same hygiene as _TT_CACHE:
 #: bench charges each build to an explicit ``commit:`` row so the
 #: query rows time the diff/read path, not the ingest)
