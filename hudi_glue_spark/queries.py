@@ -38,72 +38,74 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2-r11), so the r12 window is built for STALENESS, the
-#: same formula as r7-r11 (memory: round rituals, VERDICT r11 #3):
-#: (a) the new r12 rows (map-bearing exact CDC, change-log retention
-#: fold) first, then (b) the full 23-row cohort whose latest driver
-#: green dates from r8 — exactly the list VERDICT r11 #3 names, all
-#: 23 judge-re-proven EXACT that session — then (c) the oldest-r9
-#: cohort alphabetically up to the ~50 cap (the remaining 25 r9 rows
-#: lead the r13 rotation). No row green in r10 or r11 sits ahead of
-#: an r8/r9-stale row.
+#: (cumulative r2-r12), so the r13 window is built for STALENESS, the
+#: same formula as r7-r12 (memory: round rituals; VERDICT r12 #2
+#: names the cohort): (a) the new r13 rows (SQL DML front-end,
+#: delete-heavy executor-side DV diff) first, then (b) the complete
+#: 28-row cohort whose latest driver green dates from r9 — exactly
+#: the list VERDICT r12 #2 names, all 28 judge-re-proven EXACT that
+#: session — then (c) the oldest-r10 cohort alphabetically up to the
+#: ~50 cap (the remaining r10 rows lead the r14 rotation). No row
+#: green in r11 or r12 sits ahead of an r9/r10-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    # (a) new in r12
-    "chlog_map_exact_cdc",
-    "chlog_nested_map_cdc",
-    "chlog_fold_general_path",
-    "diff_commits_mixed_dv",
-    "scoped_delete_partition_keys",
-    # (b) the complete r8-stale cohort (VERDICT r11 #3)
-    "orc_ingest_roundtrip",
-    "orders_above_avg_price",
-    "orders_price_quantiles",
-    "pii_redaction",
-    "pivot_user_event_matrix",
-    "point_lookup_keys",
-    "predicate_dml_scenario",
-    "quality_quantile_filter",
-    "salted_distinct_users_per_type",
-    "salted_join_user_activity",
-    "schema_widen_drop_scenario",
-    "sequence_pack_chunks",
-    "sequence_pack_greedy",
-    "sessions_batch",
-    "sliding_token_windows",
-    "source_median_tokens_udaf",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    # (c) oldest-r9 cohort, alphabetical fill to the cap
-    "ann_index_maintained_upsert",
-    "ann_recall_audit",
-    "approx_distinct_users",
-    "bucketed_colocated_join",
-    "c4_rule_filters",
-    "cdf_incremental_agg",
-    "change_feed_clicks",
-    "compaction_scenario",
-    "constraint_quarantine_flow",
-    "curated_pruned_scan",
-    "derived_day_partition_ingest",
-    "distinct_pairs",
-    "doc_winnowing_fingerprints",
-    "drop_partition_retention",
-    "dv_external_engine_read",
-    "embedding_quantize_int8",
-    "events_value_stats",
-    "fk_integrity_audit",
-    "forget_user_flow",
-    "hypertable_rollup_hierarchy",
-    "incremental_near_dup_vs_index",
-    "jaccard_dedup_survivors",
+    # (a) new in r13
+    "sql_merge_update_delete",
+    "diff_delete_heavy_dv",
+    # (b) the complete r9-stale cohort (VERDICT r12 #2)
     "join_key_skew_profile",
     "keyword_search_indexed",
     "knn_l2_bruteforce",
+    "manifest_metadata_table",
+    "merge_into_scenario",
+    "metadata_only_aggregates",
+    "near_dup_components",
+    "orders_price_quantiles_approx",
+    "partition_evolution_scenario",
+    "quality_model_filter",
+    "range_read_time_slice",
+    "record_index_dv_backfill",
+    "record_index_point_lookup",
+    "secondary_index_user_lookup",
+    "stream_cdf_changes",
+    "stream_session_windows",
+    "stream_stream_interval_join",
+    "stream_table_changes",
+    "time_travel_as_of",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "train_val_test_split",
+    "upsert_arrival_wins",
+    "upsert_event_time_wins",
+    "upsert_then_delete",
+    "user_event_type_sets",
+    "vocab_top_terms",
+    # (c) oldest-r9 cohort, alphabetical fill to the cap
+    # (c) oldest-r10 fill, alphabetical
+    "anti_join_new_keys",
+    "asof_last_view_before_purchase",
+    "bm25_scores",
+    "clean_plan_protocol",
+    "compaction_advisor",
+    "count_rows",
+    "csv_ingest_roundtrip",
+    "cube_returnflag_status",
+    "customer_name_features",
+    "customer_orders_full_outer",
+    "dim_broadcast_join",
+    "docs_quality_by_source",
+    "embedding_near_dup",
+    "events_value_band_join",
+    "exact_dedup",
+    "except_nations_without_suppliers",
+    "external_engine_read",
+    "fact_join_agg",
+    "filter_project_rewrite",
+    "hive_partition_paths",
+    "image_decode_meta",
+    "incremental_read_since_first",
+    "index_lookup_join_distributed",
+    "intersect_customer_supplier_nations",
 ]
 
 

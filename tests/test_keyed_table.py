@@ -490,6 +490,111 @@ def test_partition_scoped_delete(spark, tmp_path):
     assert left == {(1, "b"), (3, "a")}
 
 
+def test_delete_scope_explicit_flag(spark, tmp_path):
+    """r13 (ADVICE r12): ``scoped`` makes the partition-scope trigger
+    EXPLICIT — ``scoped=False`` forces global semantics from a frame
+    of FULL ROWS (the common caller shape that auto-detect would
+    silently scope), ``scoped=True`` refuses a frame lacking the
+    partition columns, and a key list is always global."""
+    import pytest as _pytest
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part",
+                   key_scope="partition")
+    rows = [Row(pk=1, part="a", val="a1", update_ts=ts(10)),
+            Row(pk=1, part="b", val="b1", update_ts=ts(10)),
+            Row(pk=2, part="a", val="a2", update_ts=ts(10)),
+            Row(pk=2, part="b", val="b2", update_ts=ts(10)),
+            Row(pk=3, part="a", val="a3", update_ts=ts(10))]
+    t.bulk_insert(spark.createDataFrame(rows))
+    # full-row frame + scoped=False → pk 1 dies in BOTH partitions
+    # (auto-detect would have deleted only (1, a))
+    t.delete(
+        spark.createDataFrame([rows[0]]), scoped=False
+    )
+    left = {(r["pk"], r["part"]) for r in t.read(spark).collect()}
+    assert left == {(2, "a"), (2, "b"), (3, "a")}
+    # DV twin honors the same flag
+    t.delete_dv(
+        spark.createDataFrame([Row(pk=2, part="a", val="a2",
+                                   update_ts=ts(10))]),
+        scoped=False,
+    )
+    left = {(r["pk"], r["part"]) for r in t.read(spark).collect()}
+    assert left == {(3, "a")}
+    # scoped=True without the partition columns refuses loudly
+    with _pytest.raises(ValueError, match="identity column"):
+        t.delete(spark.createDataFrame([Row(pk=3)]), scoped=True)
+    with _pytest.raises(ValueError, match="always global"):
+        t.delete_dv([3], scoped=True)
+    assert {(r["pk"], r["part"]) for r in t.read(spark).collect()} \
+        == {(3, "a")}
+
+
+def test_unsafe_duplicate_keys_routes_unpruned_diff(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (ADVICE r12): diff classification assumes unique row
+    identity; a bulk load declaring ``unique_keys=False`` plants a
+    STICKY flag that (a) survives later DML and (b) routes
+    diff_commits to the unpruned snapshot scan — the changed-file
+    pruning's net-zero argument needs the invariant.
+    ``validate_unique_keys`` audits the live table."""
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part")
+    dup = spark.createDataFrame(
+        [Row(pk=1, part="a", val="x", update_ts=ts(10)),
+         Row(pk=1, part="a", val="y", update_ts=ts(11)),
+         Row(pk=2, part="b", val="z", update_ts=ts(10))]
+    )
+    c0 = t.bulk_insert(dup, unique_keys=False)
+    assert t.validate_unique_keys(spark) == 1  # pk=1 twice
+    assert (M.read_manifest(t.path, c0).stats or {})[
+        "unsafe_duplicate_keys"
+    ]
+    # sticky across unrelated DML
+    t.upsert(spark.createDataFrame(
+        [Row(pk=3, part="b", val="w", update_ts=ts(12))]))
+    head = t.commits()[-1]
+    assert (M.read_manifest(t.path, head).stats or {}).get(
+        "unsafe_duplicate_keys"
+    )
+    # the diff reads FULL file lists on both sides, never a pruned
+    # subset (spy on _read_pruned's keep argument)
+    calls = []
+    orig = KeyedTable._read_pruned
+
+    def spy(self, spark_, man, keep, schema):
+        calls.append((man.commit_id, len(list(keep)), len(man.files)))
+        return orig(self, spark_, man, keep, schema)
+
+    monkeypatch.setattr(KeyedTable, "_read_pruned", spy)
+    t.diff_commits(spark, c0).collect()
+    monkeypatch.undo()
+    assert calls and all(kept == total for _, kept, total in calls)
+    # a clean table (no declaration) still prunes: the carried file
+    # of the untouched partition stays out of the diff
+    t2 = KeyedTable(str(tmp_path / "t2"), key="pk",
+                    precombine="update_ts", partition_by="part")
+    c0b = t2.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, part="a", val="x", update_ts=ts(10)),
+         Row(pk=2, part="b", val="z", update_ts=ts(10))]))
+    t2.upsert(spark.createDataFrame(
+        [Row(pk=3, part="b", val="w", update_ts=ts(12))]))
+    calls2 = []
+
+    def spy2(self, spark_, man, keep, schema):
+        calls2.append((len(list(keep)), len(man.files)))
+        return orig(self, spark_, man, keep, schema)
+
+    monkeypatch.setattr(KeyedTable, "_read_pruned", spy2)
+    t2.diff_commits(spark, c0b).collect()
+    monkeypatch.undo()
+    assert any(kept < total for kept, total in calls2), calls2
+
+
 def test_merge_into_partition_key_scope_identity(spark, tmp_path):
     """r12: merge_into matches on the row identity — a source row for
     (key, partition a) must not touch the shared key's row in
@@ -768,6 +873,48 @@ def test_fold_change_logs_bytes_target(spark, tmp_path):
     )
     assert summary.get("folded_change_logs", 0) >= 1
     assert os.listdir(chdir) == []
+
+
+def test_fold_change_logs_sweeps_aged_orphans(spark, tmp_path):
+    """r13 (ADVICE r12): the byte SLO must govern EVERYTHING under
+    ``_changes/`` — tokens referenced by no commit (lost races,
+    rolled-back commits) are dead storage, swept before referenced
+    logs fold; a FRESH unreferenced dir (a rival's just-staged delta
+    whose commit publishes moments later) survives the grace."""
+    import os
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part",
+                   change_log=True)
+    t.bulk_insert(day0(spark))
+    t.upsert(day1(spark))
+    chdir = os.path.join(t.path, "_changes")
+    aged = os.path.join(chdir, "deadbeef00000000")
+    fresh = os.path.join(chdir, "cafebabe00000000")
+    for p in (aged, fresh):
+        os.makedirs(p)
+        with open(os.path.join(p, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x" * 4096)
+    os.utime(aged, (os.path.getmtime(aged) - 3600,) * 2)
+    referenced = set(os.listdir(chdir)) - {
+        os.path.basename(aged), os.path.basename(fresh)
+    }
+    folded = t.fold_change_logs(keep_last=10, max_bytes=None)
+    assert os.path.basename(aged) in folded
+    assert not os.path.isdir(aged)  # dead bytes reclaimed
+    assert os.path.isdir(fresh)     # in-flight rival honored
+    assert referenced <= set(os.listdir(chdir))  # real logs untouched
+    # with the orphan gone, a byte target admitting the referenced
+    # total folds nothing further (the SLO no longer over-reports)
+    total = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for ref in referenced
+        for dp, _d, fns in os.walk(os.path.join(chdir, ref))
+        for fn in fns
+    )
+    assert t.fold_change_logs(
+        keep_last=10, max_bytes=total, orphan_grace_s=7200
+    ) == []
 
 
 def test_rollback_metadata_only(spark, tmp_path):

@@ -582,6 +582,66 @@ def test_change_log_skips_table_sized_delta(spark):
         "sum(case when _change_type='insert' then val else -val end)"
     ).first()[0]
     assert net == t.read(spark).selectExpr("sum(val)").first()[0]
+    # r13 (ADVICE r12): the capped delta's staged dir is reclaimed
+    # IMMEDIATELY by the writer, not left for clean()'s aged sweep —
+    # every surviving _changes token is referenced by a commit
+    refs = {
+        ((M.read_manifest(root, cid).stats or {})
+         .get("change_log") or {}).get("ref")
+        for cid in t.commits()
+    } - {None}
+    ch = os.path.join(root, "_changes")
+    assert set(os.listdir(ch)) <= refs if os.path.isdir(ch) else True
+
+
+def test_change_log_midflight_failure_leaves_no_orphan(spark, monkeypatch):
+    """r13 (ADVICE r12): an exception AFTER the delta parquet lands
+    (here: the footer count) must not fail the op NOR leak the staged
+    ``_changes/<token>`` dir — the finally-path rmtrees it and the
+    commit publishes refless (coarse contract)."""
+    import shutil as _sh
+
+    import pyarrow.dataset as pds
+
+    from hudi_glue_spark.table import KeyedTable as KT
+    from hudi_glue_spark.table import manifest as M
+
+    root = "/tmp/ts_chlog_midfail"
+    _sh.rmtree(root, ignore_errors=True)
+    t = KT(root, key="pk", precombine="ts", partition_by="part",
+           change_log=True)
+    t.bulk_insert(
+        spark.range(0, 20).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 2).cast("string").alias("part"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 2).alias("val"),
+        )
+    )
+    real = pds.dataset
+
+    def boom(src, *a, **k):
+        if isinstance(src, str) and "_changes" in src:
+            raise RuntimeError("post-write failure")
+        return real(src, *a, **k)
+
+    monkeypatch.setattr(pds, "dataset", boom)
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "1", 100, -5)], "pk long, part string, ts long, val long"
+        )
+    )
+    monkeypatch.undo()
+    stats = M.read_manifest(root, t.commits()[-1]).stats or {}
+    assert "change_log" not in stats  # refless, op survived
+    ch = os.path.join(root, "_changes")
+    leftover = set(os.listdir(ch)) if os.path.isdir(ch) else set()
+    refs = {
+        ((M.read_manifest(root, cid).stats or {})
+         .get("change_log") or {}).get("ref")
+        for cid in t.commits()
+    } - {None}
+    assert leftover <= refs, f"orphaned staged delta: {leftover - refs}"
 
 
 def test_stream_cdf_change_log_maps(spark):

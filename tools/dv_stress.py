@@ -10,6 +10,17 @@ partitions that host them.
 
 Usage: python tools/dv_stress.py [rows] [k]
        python tools/dv_stress.py chain [cycles] [retain] [rows]
+       python tools/dv_stress.py diffrange [rows]
+
+``diffrange`` is the DELETE-HEAVY-RANGE tier (VERDICT r12 #1): DV-mark
+a small then a ~100× larger row volume and run ``diff_commits`` over
+each range, measuring the PYTHON DRIVER's peak allocations during
+planning + execution (tracemalloc — the count() sink keeps result
+rows executor-side). Before r13 the driver synthesized every dead
+(file, position) as Python tuples, so peak memory tracked deleted
+rows; with executor-side expansion (_dv_dead_marks) it must stay
+flat. The tier asserts the large range's driver peak is bounded and
+does not scale with the ~100× delete volume.
 
 ``chain`` is the BLOB-CHAIN tier (VERDICT r8 ask #6): a hot file
 re-masked every commit accumulates one superseded union blob per
@@ -29,6 +40,8 @@ import os
 import shutil
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -117,7 +130,54 @@ def blob_chain(cycles: int, retain: int, rows: int) -> None:
     print(json.dumps(out, indent=2))
 
 
+def diff_range(rows: int) -> None:
+    import tracemalloc
+
+    spark = get_spark()
+    out: dict = {"tier": "diffrange", "rows": rows, "ranges": []}
+    for frac in (0.002, 0.2):
+        root = f"/tmp/dv_stress_diffrange_{frac}"
+        tbl = _mk(spark, root, rows)
+        c0 = tbl.commits()[-1]
+        n_del = int(rows * frac)
+        # two commits so the range exercises both triple shapes
+        # (fresh mask + re-mask setdiff) in _dv_dead_marks
+        tbl.delete_where_dv(
+            spark, f"pk < {n_del // 2}", on_large="force"
+        )
+        tbl.delete_where_dv(
+            spark, f"pk < {n_del}", on_large="force"
+        )
+        tracemalloc.start()
+        t0 = time.monotonic()
+        n = tbl.diff_commits(spark, c0).count()
+        wall = time.monotonic() - t0
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert n == n_del, (n, n_del)
+        out["ranges"].append(
+            {
+                "deleted_rows": n_del,
+                "diff_rows": n,
+                "diff_wall_s": round(wall, 2),
+                "driver_py_peak_mb": round(peak / 1e6, 2),
+            }
+        )
+    small, large = out["ranges"]
+    ratio = large["driver_py_peak_mb"] / max(
+        small["driver_py_peak_mb"], 0.01
+    )
+    out["peak_ratio_large_over_small"] = round(ratio, 2)
+    # 100× the deleted rows must NOT mean 100× the driver allocations;
+    # flat-ish (well under 10×) proves the positions never land driver-side
+    assert ratio < 10, out
+    print(json.dumps(out, indent=2))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "diffrange":
+        diff_range(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "chain":
         blob_chain(
             cycles=int(sys.argv[2]) if len(sys.argv) > 2 else 200,
