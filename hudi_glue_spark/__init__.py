@@ -17,6 +17,8 @@ Layout
                     semantics, re-built natively on Parquet + DataFrames).
 - ``plans``       : plan-inspection utilities (pushdown / broadcast asserts).
 - ``streaming``   : foreachBatch-compatible incremental-ingest wrappers.
+- ``sql_dml``     : restricted-grammar MERGE / UPDATE / DELETE / INSERT
+                    SQL strings routed onto the KeyedTable API (r13).
 """
 
 from hudi_glue_spark.session import get_spark

@@ -25,6 +25,20 @@ Supported::
       [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
     UPDATE <t> SET col = expr [, ...] [WHERE <pred>]
     DELETE FROM <t> [WHERE <pred>]
+    INSERT INTO <t> <SELECT ...| TABLE name | VALUES ...>
+    INSERT OVERWRITE [TABLE] <t> <SELECT ...| TABLE name | VALUES ...>
+
+``INSERT INTO`` on a keyed table is an UPSERT (Hudi's
+``hoodie.sql.insert.mode=upsert`` default for pk tables —
+duplicate-key appends would break the engine's unique-identity
+invariant, so the merge semantics are the honest mapping; the
+statement's rows win per the table's precombine policy). ``INSERT
+OVERWRITE`` maps to :meth:`insert_overwrite` — partition replace for
+the partitions present in the query, whole table when unpartitioned.
+The query after the target resolves through ``spark.sql``, so any
+SELECT Spark can parse works (sources are temp views / catalog
+tables); on an EMPTY table INSERT INTO falls through to the initial
+bulk load.
 
 Conditions are arbitrary Spark-SQL boolean expressions; inside MERGE
 they may reference the target/source aliases, which are rewritten to
@@ -321,6 +335,45 @@ def _parse_delete(
     return _resolve(name, tables).delete_where(spark, where or "true")
 
 
+def _parse_insert(
+    stmt: str, tables: dict[str, KeyedTable], spark: SparkSession
+) -> str:
+    m = re.match(
+        rf"INSERT (INTO|OVERWRITE) (?:TABLE )?({_IDENT})\s+(.*)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlDmlError(
+            "unparseable INSERT; supported shapes: INSERT INTO t "
+            "<SELECT ...|TABLE name|VALUES ...>, INSERT OVERWRITE "
+            "[TABLE] t <query> (no column lists — project in the "
+            "SELECT instead)"
+        )
+    mode, name, query = m.groups()
+    if query.lstrip().startswith("("):
+        raise SqlDmlError(
+            "INSERT column lists are not supported; project/alias the "
+            "columns in the SELECT instead"
+        )
+    tbl = _resolve(name, tables)
+    head = query.split(None, 1)[0].upper()
+    if head not in ("SELECT", "TABLE", "VALUES", "WITH", "FROM"):
+        raise SqlDmlError(
+            f"INSERT source must be a query (SELECT/TABLE/VALUES/"
+            f"WITH), got {query[:40]!r}"
+        )
+    batch = spark.sql(query)
+    if mode.upper() == "OVERWRITE":
+        return tbl.insert_overwrite(batch)
+    # INTO on a keyed table = upsert (Hudi pk-table INSERT semantics:
+    # duplicate-key appends would break the unique-identity
+    # invariant); first write on an empty table = the initial load
+    if not tbl.exists():
+        return tbl.bulk_insert(batch, dedupe=True)
+    return tbl.upsert(batch)
+
+
 def sql_dml(
     spark: SparkSession,
     statement: str,
@@ -342,8 +395,11 @@ def sql_dml(
         return _parse_update(stmt, tables, spark)
     if head == "DELETE":
         return _parse_delete(stmt, tables, spark)
+    if head == "INSERT":
+        return _parse_insert(stmt, tables, spark)
     raise SqlDmlError(
-        f"unsupported statement {head!r}: sql_dml handles MERGE "
-        f"INTO / UPDATE / DELETE FROM only (reads go through "
-        f"register()/register_external() and plain spark.sql)"
+        f"unsupported statement {head!r}: sql_dml handles MERGE INTO "
+        f"/ UPDATE / DELETE FROM / INSERT INTO / INSERT OVERWRITE "
+        f"only (reads go through register()/register_external() and "
+        f"plain spark.sql)"
     )

@@ -132,6 +132,43 @@ def test_merge_source_from_temp_view(spark, tmp_path):
     }
 
 
+def test_insert_into_is_upsert(spark, tmp_path):
+    """INSERT INTO a keyed table = upsert (pk-table semantics: a
+    duplicate-key append would break the unique-identity invariant);
+    on an EMPTY table it is the initial load; INSERT OVERWRITE maps
+    to insert_overwrite (partition replace)."""
+    t = _mk(spark, tmp_path / "t")
+    _src(spark).createOrReplaceTempView("sqldml_ins_src")
+    sql_dml(spark, "INSERT INTO t SELECT * FROM sqldml_ins_src",
+            tables={"t": t})
+    assert state(spark, t) == {
+        (1, "a", 11.0), (2, "a", 500.0), (3, "b", 30.0),
+        (4, "b", 40.0), (5, "c", 50.0),
+    }
+    spark.createDataFrame(
+        [Row(pk=9, part="b", val=9.0, update_ts=ts(3))]
+    ).createOrReplaceTempView("sqldml_ovr_src")
+    sql_dml(spark,
+            "INSERT OVERWRITE TABLE t SELECT * FROM sqldml_ovr_src",
+            tables={"t": t})
+    # partition b replaced wholesale; a and c untouched
+    assert state(spark, t) == {
+        (1, "a", 11.0), (2, "a", 500.0), (5, "c", 50.0), (9, "b", 9.0),
+    }
+    # empty table: INSERT INTO = initial bulk load
+    t2 = KeyedTable(str(tmp_path / "t2"), key="pk",
+                    precombine="update_ts", partition_by="part")
+    sql_dml(spark, "INSERT INTO t2 SELECT * FROM sqldml_ins_src",
+            tables={"t2": t2})
+    assert state(spark, t2) == {
+        (1, "a", 11.0), (2, "a", 500.0), (5, "c", 50.0)
+    }
+    with pytest.raises(SqlDmlError, match="column lists"):
+        sql_dml(spark,
+                "INSERT INTO t (pk, part) SELECT pk, part FROM "
+                "sqldml_ins_src", tables={"t": t})
+
+
 def test_refusals_are_loud(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     src = _src(spark)

@@ -97,7 +97,15 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     # carry a LIVE MAP COLUMN through every writer (r12): the map
     # canonicalization in the delta job / classifier / precombine
     # hash must hold under multi-writer chaos, not just unit tests.
+    # Odd seeds also FOLD change logs mid-walk (r13): retention must
+    # degrade every consumer honestly while writers race.
+    # EVEN seeds run key_scope='partition' with a SHADOW key family
+    # living in TWO partitions (r13): scoped CoW + DV deletes kill one
+    # partition's copy mid-churn and quiesce asserts the twin survives
+    # untouched — the lost-update class the r10 walk caught, now under
+    # the r12/r13 partition-scoped identity paths.
     maps = bool(seed % 2)
+    pscope = not maps
 
     def mk_rows(items):
         """items: (id, grp, v, ts) tuples; attrs (top-level map) and
@@ -121,10 +129,14 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     t0 = KeyedTable(
         root, key="id", precombine="ts", partition_by="grp",
         change_log=maps,
+        key_scope="partition" if pscope else "global",
     )
-    t0.bulk_insert(
-        mk_rows([(i, f"g{i % 3}", 0.0, _ts(1)) for i in range(60)])
-    )
+    seed_rows = [(i, f"g{i % 3}", 0.0, _ts(1)) for i in range(60)]
+    if pscope:
+        # shadow family: each id holds an INDEPENDENT row in g0 and g1
+        seed_rows += [(5000 + j, g, 123.0, _ts(1))
+                      for j in range(5) for g in ("g0", "g1")]
+    t0.bulk_insert(mk_rows(seed_rows))
     t0.build_record_index(spark)
 
     def guard(who):
@@ -166,12 +178,25 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                         continue
             elif roll < 0.4:
                 victim = base_id + 14  # re-upserted next batch
+                if pscope and rng.random() < 0.5:
+                    # scoped delete: same outcome here (each writer id
+                    # lives in ONE partition) but exercises the
+                    # (partition, key) identity path under OCC races
+                    frame = spark.createDataFrame(
+                        [(victim, f"g{14 % 3}")], "id long, grp string"
+                    )
+                    kw = {"scoped": True}
+                    op = "delete_scoped"
+                else:
+                    frame = spark.createDataFrame(
+                        [(victim,)], "id long"
+                    )
+                    kw = {}
+                    op = "delete"
                 for _ in range(30):
                     try:
-                        t.delete(
-                            spark.createDataFrame([(victim,)], "id long")
-                        )
-                        tr.add(f"w{w}", "delete", "ok", id=victim)
+                        t.delete(frame, **kw)
+                        tr.add(f"w{w}", op, "ok", id=victim)
                         break
                     except M.ConcurrentCommitError:
                         continue
@@ -210,6 +235,29 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                  for i in range(15)]
             )
             with_retry("upsert_dv", lambda: t.upsert_dv(batch))
+            if pscope and b == 1:
+                # scoped kills of the shadow family's g0 copies
+                # mid-churn: CoW twin for 5000/5001, DV twin for 5002
+                # — the g1 copies must survive every interleaving
+                with_retry(
+                    "delete_scoped_shadow",
+                    lambda: t.delete(
+                        spark.createDataFrame(
+                            [(5000, "g0"), (5001, "g0")],
+                            "id long, grp string",
+                        ),
+                        scoped=True,
+                    ),
+                )
+                with_retry(
+                    "delete_dv_scoped_shadow",
+                    lambda: t.delete_dv(
+                        spark.createDataFrame(
+                            [(5002, "g0")], "id long, grp string"
+                        ),
+                        scoped=True,
+                    ),
+                )
             if rng.random() < 0.5:
                 time.sleep(rng.random() * 0.15)
         with_retry("delete_dv",
@@ -226,6 +274,18 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                 orphan_grace_s=300.0,
             )
             tr.add("svc", "run_maintenance", "ok")
+            if maps:
+                # mid-walk retention fold (r13): recorded deltas of
+                # all but the newest commits go away WHILE writers
+                # commit and the CDF consumer drains — every reader
+                # must degrade to the coarse/general contract, and
+                # the final cdf_net == count assert proves no delta
+                # was lost or double-served
+                folded = t.fold_change_logs(
+                    keep_last=6, orphan_grace_s=300.0
+                )
+                tr.add("svc", "fold_change_logs", "ok",
+                       n=len(folded))
 
     def reader():
         """The r11 pinned-read paths, hammered mid-churn. Every call
@@ -288,24 +348,27 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                     # documented retention-refusal contract
                     tr.add("rd", "diff_commits", "aged-out")
 
-    def cdf_consumer_state():
-        return {"n": 0}
+    # per-batch-id applied deltas: a batch that FAILS mid-apply (e.g.
+    # the fold race below) re-runs under the SAME bid on restart, so
+    # replace-by-bid keeps the accounting exactly-once
+    cdf_net = {"applied": {}}
 
-    cdf_net = cdf_consumer_state()
+    def _cdf_total() -> int:
+        return sum(cdf_net["applied"].values())
 
     from hudi_glue_spark.streaming.table_source import stream_changes
 
     def cdf_drain():
-        for _attempt in range(5):
+        for _attempt in range(6):
             try:
                 t = KeyedTable.load(root)
 
-                def _apply(b, _bid):
+                def _apply(b, bid):
                     r = b.selectExpr(
                         "sum(case when _change_type='insert' "
                         "then 1 else -1 end) d"
                     ).first()
-                    cdf_net["n"] += r["d"] or 0
+                    cdf_net["applied"][bid] = r["d"] or 0
 
                 q = (
                     stream_changes(spark, t, mode="cdf")
@@ -315,14 +378,23 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                     .start()
                 )
                 assert q.awaitTermination(240)
-                tr.add("cdf", "drain", "ok", net=cdf_net["n"])
+                tr.add("cdf", "drain", "ok", net=_cdf_total())
                 return
-            except Exception as e:  # noqa: BLE001 — retention race
-                if "aged out" not in str(e):
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "aged out" in msg:  # retention race
+                    shutil.rmtree(ck, ignore_errors=True)
+                    cdf_net["applied"] = {}
+                    tr.add("cdf", "drain", "restart-from-earliest")
+                elif "_changes" in msg or "FileNotFound" in msg:
+                    # fold race (r13): a 'chlog' slice planned before a
+                    # mid-walk fold_change_logs read after it — SAME
+                    # checkpoint replans the uncommitted offsets, which
+                    # now see the folded state and take the
+                    # coarse/gate path (net-identical by contract)
+                    tr.add("cdf", "drain", "fold-race-replan")
+                else:
                     raise
-                shutil.rmtree(ck, ignore_errors=True)
-                cdf_net["n"] = 0
-                tr.add("cdf", "drain", "restart-from-earliest")
 
     def cdf_consumer():
         for _ in range(2):
@@ -350,7 +422,9 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             cdf_drain()
             t = KeyedTable.load(root)
             snap = t.read(spark)
-            rows = {r.id: r.v for r in snap.collect()}
+            collected = snap.collect()
+            rows = {r.id: r.v for r in collected}
+            idents = [(r.id, r.grp) for r in collected]
             for w in range(writers):
                 for i in range(15):
                     k = 1000 * (w + 1) + i
@@ -364,6 +438,28 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             for i in range(3, 15):
                 if rows.get(9000 + i) != float(batches - 1):
                     violations.append(f"dv survivor 9{i:03d} wrong")
+            if pscope:
+                # shadow family: g0 copies of 5000-5002 scoped-dead
+                # (CoW twins 5000/5001, DV twin 5002), every g1 copy
+                # and the untouched ids' BOTH copies alive at 123.0
+                shadow = {
+                    (r.id, r.grp): r.v
+                    for r in collected if 5000 <= r.id < 5010
+                }
+                for j in range(3):
+                    if (5000 + j, "g0") in shadow:
+                        violations.append(
+                            f"scoped delete leaked: (500{j}, g0) alive"
+                        )
+                want = {(5000 + j, "g1") for j in range(5)} | {
+                    (5000 + j, "g0") for j in range(3, 5)
+                }
+                for key in want:
+                    if shadow.get(key) != 123.0:
+                        violations.append(
+                            f"shadow twin {key} lost or drifted: "
+                            f"{shadow.get(key)!r}"
+                        )
             if maps:
                 # r12: the carried map columns — top-level AND
                 # struct-nested — must survive every rewrite
@@ -382,13 +478,17 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                         f"map attrs drifted: {badm[:5]}"
                     )
             n = snap.count()
-            if n != len(rows):
+            if n != len(set(idents)):  # identity = (key, partition)
+                violations.append(
+                    "duplicate identities in final snapshot"
+                )
+            if not pscope and n != len(rows):
                 violations.append("duplicate keys in final snapshot")
             if n != t.count_rows_metadata():
                 violations.append("metadata count != snapshot count")
-            if cdf_net["n"] != n:
+            if _cdf_total() != n:
                 violations.append(
-                    f"cdf net {cdf_net['n']} != snapshot {n}"
+                    f"cdf net {_cdf_total()} != snapshot {n}"
                 )
             reg = t.record_index_info()
             if reg is not None:
@@ -423,8 +523,11 @@ def run_seed(spark, seed: int, writers: int, batches: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    # default tier mixes parities DELIBERATELY: odd seeds = chlog +
+    # live map columns + mid-walk retention folds; even seeds =
+    # key_scope='partition' + shadow-family scoped deletes (r13)
     ap.add_argument("--seeds", type=int, nargs="*",
-                    default=[7, 23, 41, 59, 101])
+                    default=[7, 22, 23, 58, 101])
     ap.add_argument("--writers", type=int, default=5)
     ap.add_argument("--batches", type=int, default=4)
     args = ap.parse_args()
