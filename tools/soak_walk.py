@@ -134,7 +134,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     seed_rows = [(i, f"g{i % 3}", 0.0, _ts(1)) for i in range(60)]
     if pscope:
         # shadow family: each id holds an INDEPENDENT row in g0 and g1
-        seed_rows += [(5000 + j, g, 123.0, _ts(1))
+        seed_rows += [(40000 + j, g, 123.0, _ts(1))
                       for j in range(5) for g in ("g0", "g1")]
     t0.bulk_insert(mk_rows(seed_rows))
     t0.build_record_index(spark)
@@ -237,13 +237,13 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             with_retry("upsert_dv", lambda: t.upsert_dv(batch))
             if pscope and b == 1:
                 # scoped kills of the shadow family's g0 copies
-                # mid-churn: CoW twin for 5000/5001, DV twin for 5002
+                # mid-churn: CoW twin for 40000/40001, DV twin for 40002
                 # — the g1 copies must survive every interleaving
                 with_retry(
                     "delete_scoped_shadow",
                     lambda: t.delete(
                         spark.createDataFrame(
-                            [(5000, "g0"), (5001, "g0")],
+                            [(40000, "g0"), (40001, "g0")],
                             "id long, grp string",
                         ),
                         scoped=True,
@@ -253,7 +253,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                     "delete_dv_scoped_shadow",
                     lambda: t.delete_dv(
                         spark.createDataFrame(
-                            [(5002, "g0")], "id long, grp string"
+                            [(40002, "g0")], "id long, grp string"
                         ),
                         scoped=True,
                     ),
@@ -439,20 +439,20 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                 if rows.get(9000 + i) != float(batches - 1):
                     violations.append(f"dv survivor 9{i:03d} wrong")
             if pscope:
-                # shadow family: g0 copies of 5000-5002 scoped-dead
-                # (CoW twins 5000/5001, DV twin 5002), every g1 copy
+                # shadow family: g0 copies of 40000-40002 scoped-dead
+                # (CoW twins 40000/40001, DV twin 40002), every g1 copy
                 # and the untouched ids' BOTH copies alive at 123.0
                 shadow = {
                     (r.id, r.grp): r.v
-                    for r in collected if 5000 <= r.id < 5010
+                    for r in collected if 40000 <= r.id < 40010
                 }
                 for j in range(3):
-                    if (5000 + j, "g0") in shadow:
+                    if (40000 + j, "g0") in shadow:
                         violations.append(
-                            f"scoped delete leaked: (500{j}, g0) alive"
+                            f"scoped delete leaked: (4000{j}, g0) alive"
                         )
-                want = {(5000 + j, "g1") for j in range(5)} | {
-                    (5000 + j, "g0") for j in range(3, 5)
+                want = {(40000 + j, "g1") for j in range(5)} | {
+                    (40000 + j, "g0") for j in range(3, 5)
                 }
                 for key in want:
                     if shadow.get(key) != 123.0:
