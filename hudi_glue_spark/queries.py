@@ -50,6 +50,7 @@ NON_SQL_QUERIES: set[str] = set()
 DRIVER_WINDOW_PRIORITY: list[str] = [
     # (a) new in r13
     "sql_merge_update_delete",
+    "sql_merge_partial_update",
     "diff_delete_heavy_dv",
     # (b) the complete r9-stale cohort (VERDICT r12 #2)
     "join_key_skew_profile",

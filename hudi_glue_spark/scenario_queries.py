@@ -330,6 +330,73 @@ def q_sql_merge_update_delete(spark, sf_dir):
 
 
 @query(
+    "sql_merge_partial_update",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    src AS (
+      SELECT CASE WHEN user_id % 11 = 0 THEN event_id + 5000000
+                  ELSE event_id END AS event_id,
+             user_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT t.event_id, t.user_id, t.event_type,
+           CASE WHEN src.event_id IS NOT NULL AND src.user_id % 3 = 0
+                THEN t.value + src.value ELSE t.value END AS value,
+           t.ts
+    FROM t LEFT JOIN src ON t.event_id = src.event_id
+    UNION ALL
+    SELECT src.event_id, src.user_id, src.event_type,
+           src.value / 2 AS value, src.ts
+    FROM src LEFT JOIN t ON src.event_id = t.event_id
+    WHERE t.event_id IS NULL
+    """,
+)
+def q_sql_merge_partial_update(spark, sf_dir):
+    """PARTIAL-update MERGE (r13; merge_into update_set /
+    insert_values — true SQL ``UPDATE SET col = expr`` semantics, not
+    a row replace): matched rows with user%3=0 get ``value = t.value
+    + s.value`` while their ``ts`` KEEPS THE TARGET VALUE (the oracle
+    pins that — a row-replace bug would surface as a shifted ts), and
+    new keys insert through an ``INSERT (cols) VALUES (exprs)`` list
+    (``value/2``). Exprs see both join aliases; evaluated inside the
+    merge's one pinned snapshot."""
+    from hudi_glue_spark.sql_dml import sql_dml
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_sqlpart_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts",
+                     partition_by="event_type")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    clicks = ev.filter(F.col("event_type") == "click")
+    src = clicks.withColumn(
+        "event_id",
+        F.when(F.col("user_id") % 11 == 0,
+               F.col("event_id") + 5000000).otherwise(F.col("event_id")),
+    ).withColumn("value", F.col("value") + F.lit(100.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    )
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.event_id = s.event_id
+           WHEN MATCHED AND s.user_id % 3 = 0
+             THEN UPDATE SET value = t.value + s.value
+           WHEN NOT MATCHED THEN
+             INSERT (event_id, user_id, event_type, value, ts)
+             VALUES (s.event_id, s.user_id, s.event_type,
+                     s.value / 2, s.ts)""",
+        tables={"t": tbl}, sources={"s": src},
+    )
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
     "diff_commits_changelog",
     """
     SELECT event_id, user_id, event_type,

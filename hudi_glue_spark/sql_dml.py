@@ -14,15 +14,16 @@ Python DataSource API does not expose (re-checked on pyspark 4.1.2)
 — so the statement is parsed here, ONCE, into the exact API calls a
 Python caller would write. The grammar is deliberately small and
 REFUSES LOUDLY anything it cannot map 1:1 onto engine semantics
-(e.g. partial ``UPDATE SET`` lists inside MERGE, which the
-replace-row merge cannot express); nothing is silently reinterpreted.
+(non-key ON conditions, unreachable clauses, re-keyed INSERT
+values); nothing is silently reinterpreted.
 
 Supported::
 
     MERGE INTO <t> [AS a] USING <s> [AS b] ON <key equality>
       [WHEN MATCHED [AND <cond>] THEN DELETE]
-      [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
-      [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+      [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr, ...]
+      [WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+                                        | INSERT (cols) VALUES (exprs)]
     UPDATE <t> SET col = expr [, ...] [WHERE <pred>]
     DELETE FROM <t> [WHERE <pred>]
     INSERT INTO <t> <SELECT ...| TABLE name | VALUES ...>
@@ -224,7 +225,21 @@ def _parse_merge(
         raise SqlDmlError(
             f"unparseable WHEN clause(s) in {clauses_txt!r}"
         )
+    def strip_target(col: str) -> str:
+        col = col.strip().strip("`")
+        low = col.lower()
+        for pre in (t_alias.lower() + ".", "target."):
+            if low.startswith(pre):
+                return col[len(pre):].strip("`")
+        if "." in col:
+            raise SqlDmlError(
+                f"column {col!r} must be bare or target-qualified"
+            )
+        return col
+
     upd = dele = ins = None  # (cond_text_or_None, order_index)
+    upd_set: dict[str, str] | None = None  # None = SET * (full replace)
+    ins_vals: dict[str, str] | None = None  # None = INSERT *
     for i, cm in enumerate(parsed):
         kind, cond, action = (
             cm.group(1).upper(),
@@ -238,31 +253,64 @@ def _parse_merge(
                     raise SqlDmlError("duplicate WHEN MATCHED DELETE")
                 dele = (cond, i)
             elif act.startswith("UPDATE SET"):
-                if act != "UPDATE SET *":
-                    raise SqlDmlError(
-                        "MERGE UPDATE supports only SET * (the engine "
-                        "merge replaces the matched row with the "
-                        "source row); for column-wise SET use the "
-                        "UPDATE statement or merge a pre-shaped source"
-                    )
                 if upd is not None:
                     raise SqlDmlError("duplicate WHEN MATCHED UPDATE")
                 upd = (cond, i)
+                body = action[len("UPDATE SET"):].strip()
+                if body != "*":
+                    # partial update: listed columns take the expr,
+                    # unlisted KEEP the target value (merge_into
+                    # update_set, r13)
+                    upd_set = {}
+                    for item in _split_top(body):
+                        sm = re.match(r"^(.+?)=(.+)$", item)
+                        if not sm:
+                            raise SqlDmlError(
+                                f"unparseable SET item {item!r}"
+                            )
+                        col = strip_target(sm.group(1))
+                        if col in upd_set:
+                            raise SqlDmlError(
+                                f"duplicate SET column {col!r}"
+                            )
+                        upd_set[col] = canon(sm.group(2).strip())
+                    if not upd_set:
+                        raise SqlDmlError("empty UPDATE SET list")
             else:
                 raise SqlDmlError(
-                    f"WHEN MATCHED supports UPDATE SET * or DELETE, "
-                    f"got {action!r}"
+                    f"WHEN MATCHED supports UPDATE SET */SET col=expr "
+                    f"or DELETE, got {action!r}"
                 )
         else:
-            if act != "INSERT *":
-                raise SqlDmlError(
-                    "WHEN NOT MATCHED supports only INSERT * (the "
-                    "source row inserts as-is; shape the source frame "
-                    "for anything else)"
-                )
             if ins is not None:
                 raise SqlDmlError("duplicate WHEN NOT MATCHED INSERT")
             ins = (cond, i)
+            if act != "INSERT *":
+                im = re.match(
+                    r"INSERT\s*\((.*)\)\s*VALUES\s*\((.*)\)\s*$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise SqlDmlError(
+                        f"WHEN NOT MATCHED supports INSERT * or "
+                        f"INSERT (cols) VALUES (exprs), got {action!r}"
+                    )
+                ins_cols = [
+                    strip_target(c) for c in _split_top(im.group(1))
+                ]
+                ins_exprs = _split_top(im.group(2))
+                if len(ins_cols) != len(ins_exprs):
+                    raise SqlDmlError(
+                        f"INSERT lists {len(ins_cols)} columns but "
+                        f"{len(ins_exprs)} values"
+                    )
+                if len(set(ins_cols)) != len(ins_cols):
+                    raise SqlDmlError("duplicate INSERT column")
+                ins_vals = {
+                    c: canon(v.strip())
+                    for c, v in zip(ins_cols, ins_exprs)
+                }
 
     # SQL first-wins → engine delete-wins translation
     update_condition = canon(upd[0]) if upd and upd[0] else None
@@ -290,6 +338,8 @@ def _parse_merge(
         delete_condition=delete_condition,
         when_not_matched_insert=ins is not None,
         insert_condition=(canon(ins[0]) if ins and ins[0] else None),
+        update_set=upd_set,
+        insert_values=ins_vals,
     )
 
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -4690,6 +4691,8 @@ class KeyedTable:
         delete_condition=None,
         when_not_matched_insert: bool = True,
         insert_condition=None,
+        update_set: dict[str, str] | None = None,
+        insert_values: dict[str, str] | None = None,
     ) -> str:
         """SQL-style MERGE (Delta/Hudi ``MERGE INTO`` parity), keyed on
         the table's record key:
@@ -4706,7 +4709,24 @@ class KeyedTable:
         precombine-deduped first so one key carries one action. Executes
         as ONE full-outer join over the touched partitions only — the
         same CoW scoping as :meth:`upsert`.
-        """
+
+        ``update_set`` (r13 — SQL ``WHEN MATCHED THEN UPDATE SET col =
+        expr`` parity): a {column: SQL-expr} map evaluated over the
+        SAME joined aliases; listed columns take the expression,
+        UNLISTED columns KEEP THE TARGET VALUE (partial update — the
+        default ``None`` keeps the full source-row replace). Key,
+        partition, and generated columns may not be SET (same rules as
+        :meth:`update_where`); generated columns recompute for the
+        touched rows. ``insert_values`` (``WHEN NOT MATCHED THEN
+        INSERT (cols) VALUES (exprs)`` parity): a {column: SQL-expr}
+        map over the ``source.`` alias for inserted rows; unlisted
+        NON-structural columns insert NULL (SQL semantics), while
+        unlisted key/partition/precombine columns default to the
+        source value — and a listed key/partition column must be
+        exactly ``source.<same col>`` (re-keying an insert could
+        collide with an unmatched existing key and silently break the
+        unique-identity invariant). Evaluated inside the op's ONE
+        pinned snapshot — no extra read, no TOCTOU."""
 
         def _cond(c, default):
             if c is None:
@@ -4721,6 +4741,46 @@ class KeyedTable:
         man = self._pin_head()
         assert man is not None
         existing = self.read(spark, at=man.commit_id)
+        structural = set(self.key) | set(self.partition_by or []) | {
+            self.precombine
+        }
+        if update_set is not None:
+            frozen = (set(self.key) | set(self.partition_by or [])) & set(
+                update_set
+            )
+            if frozen:
+                raise ValueError(
+                    f"cannot SET key/partition column(s) "
+                    f"{sorted(frozen)} in a merge update"
+                )
+            gen = set(self.derived_cols or {}) & set(update_set)
+            if gen:
+                raise ValueError(
+                    f"cannot SET generated column(s) {sorted(gen)}: "
+                    "SET the rule's inputs and the column recomputes"
+                )
+            unknown = set(update_set) - set(existing.columns)
+            if unknown:
+                raise ValueError(
+                    f"cannot SET unknown column(s) {sorted(unknown)}"
+                )
+        if insert_values is not None:
+            unknown = set(insert_values) - set(existing.columns)
+            if unknown:
+                raise ValueError(
+                    f"cannot INSERT unknown column(s) {sorted(unknown)}"
+                )
+            for c in (set(self.key) | set(self.partition_by or [])) & set(
+                insert_values
+            ):
+                expr_txt = re.sub(r"\s+", "", insert_values[c].lower())
+                if expr_txt not in (f"source.{c.lower()}", c.lower()):
+                    raise ValueError(
+                        f"INSERT value for key/partition column {c!r} "
+                        f"must be source.{c} verbatim — re-keying an "
+                        "insert could collide with an unmatched "
+                        "existing key (unique-identity invariant)"
+                    )
         cols = existing.columns
         src_names = set(source.columns)
         source = self._precombine(source).select(
@@ -4763,19 +4823,66 @@ class KeyedTable:
             & F.lit(when_not_matched_insert)
             & _cond(insert_condition, F.lit(True))
         )
-        use_source = upd_c | ins_c
         keep = target_only | upd_c | ins_c | (matched & ~del_c)
+        types = {f.name: f.dataType for f in existing.schema.fields}
+
+        def upd_val(c: str):
+            if update_set is None:
+                return F.col(f"source.{c}")
+            if c in update_set:
+                return F.expr(update_set[c]).cast(types[c])
+            return F.col(f"target.{c}")  # partial update keeps target
+
+        def ins_val(c: str):
+            if insert_values is None:
+                return F.col(f"source.{c}")
+            if c in insert_values:
+                return F.expr(insert_values[c]).cast(types[c])
+            if c in structural:  # key/partition/precombine: source
+                return F.col(f"source.{c}")
+            return F.lit(None).cast(types[c])  # SQL: unlisted = NULL
+
+        partial = update_set is not None or insert_values is not None
         merged = joined.filter(keep).select(
-            [
-                F.when(use_source, F.col(f"source.{c}"))
+            *[
+                F.when(upd_c, upd_val(c))
+                .when(ins_c, ins_val(c))
                 .otherwise(F.col(f"target.{c}"))
                 .alias(c)
                 for c in cols
-            ]
+            ],
+            *(
+                [upd_c.alias("__upd"), ins_c.alias("__ins")]
+                if partial and self.derived_cols
+                else []
+            ),
         )
-        merged, maintained = self._maintain_vector_index(
-            merged, (man.stats or {}).get("vector_index")
-        )
+        if partial and self.derived_cols:
+            # generated columns recompute for the rows whose inputs
+            # this merge may have touched (same contract as
+            # update_where: the stored column never drifts from its
+            # rule; a recomputed partition key relocates on write)
+            touched_row = F.col("__upd") | F.col("__ins")
+            for name, rule in self.derived_cols.items():
+                merged = merged.withColumn(
+                    name,
+                    F.when(touched_row, F.expr(rule)).otherwise(
+                        F.col(name)
+                    ),
+                )
+            merged = merged.drop("__upd", "__ins")
+        vreg = (man.stats or {}).get("vector_index")
+        if vreg is not None and update_set is not None:
+            # a partial SET leaves the TARGET's assignment on the row
+            # (maintenance only assigns NULL rows) — a SET touching the
+            # index's columns would strand stale assignments, so drop
+            # honestly, same rule as update_where
+            icols = {vreg.get("vec_col"), vreg.get("cell_col")} | set(
+                vreg.get("bucket_cols") or []
+            )
+            if icols & set(update_set):
+                vreg = None
+        merged, maintained = self._maintain_vector_index(merged, vreg)
         if self.change_log:
             merged = merged.persist()
         cid = M.child_id(man.commit_id)

@@ -132,6 +132,55 @@ def test_merge_source_from_temp_view(spark, tmp_path):
     }
 
 
+def test_merge_partial_set_and_insert_values(spark, tmp_path):
+    """r13: WHEN MATCHED THEN UPDATE SET col=expr updates ONLY the
+    listed columns (unlisted keep the target value — true SQL partial
+    update, not a row replace), and INSERT (cols) VALUES (exprs)
+    shapes inserted rows (unlisted non-structural columns NULL,
+    structural default to source). Exprs see both aliases."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk",
+                   precombine="update_ts", partition_by="part")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, part="a", val=10.0, tag="keepme", update_ts=ts(1)),
+         Row(pk=2, part="b", val=20.0, tag="alsokeep", update_ts=ts(1))]
+    ))
+    src = spark.createDataFrame(
+        [Row(pk=1, part="a", val=5.0, tag="SRC", update_ts=ts(2)),
+         Row(pk=9, part="c", val=90.0, tag="SRCNEW", update_ts=ts(2))])
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.pk = s.pk
+           WHEN MATCHED THEN UPDATE SET val = t.val + s.val
+           WHEN NOT MATCHED THEN INSERT (pk, part, val, update_ts)
+             VALUES (s.pk, s.part, s.val * 2, s.update_ts)""",
+        tables={"t": t}, sources={"s": src},
+    )
+    got = {(r["pk"], r["part"], r["val"], r["tag"])
+           for r in t.read(spark).collect()}
+    assert got == {
+        (1, "a", 15.0, "keepme"),   # val = t+s; tag KEPT from target
+        (2, "b", 20.0, "alsokeep"),
+        (9, "c", 180.0, None),      # val = s*2; tag unlisted -> NULL
+    }
+    # API twin agrees
+    t2 = KeyedTable(str(tmp_path / "t2"), key="pk",
+                    precombine="update_ts", partition_by="part")
+    t2.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, part="a", val=10.0, tag="keepme", update_ts=ts(1)),
+         Row(pk=2, part="b", val=20.0, tag="alsokeep", update_ts=ts(1))]
+    ))
+    t2.merge_into(
+        src,
+        update_set={"val": "target.val + source.val"},
+        insert_values={"pk": "source.pk", "part": "source.part",
+                       "val": "source.val * 2",
+                       "update_ts": "source.update_ts"},
+    )
+    got2 = {(r["pk"], r["part"], r["val"], r["tag"])
+            for r in t2.read(spark).collect()}
+    assert got2 == got
+
+
 def test_insert_into_is_upsert(spark, tmp_path):
     """INSERT INTO a keyed table = upsert (pk-table semantics: a
     duplicate-key append would break the unique-identity invariant);
@@ -173,9 +222,6 @@ def test_refusals_are_loud(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     src = _src(spark)
     cases = [
-        # partial SET inside MERGE: replace-row merge can't express it
-        ("MERGE INTO t USING s ON t.pk = s.pk "
-         "WHEN MATCHED THEN UPDATE SET val = s.val", "SET \\*"),
         # non-key ON condition
         ("MERGE INTO t USING s ON t.val = s.val "
          "WHEN MATCHED THEN DELETE", "record key"),
@@ -186,12 +232,23 @@ def test_refusals_are_loud(spark, tmp_path):
         ("MERGE INTO t USING s ON t.pk = s.pk "
          "WHEN MATCHED THEN UPDATE SET * "
          "WHEN MATCHED THEN DELETE", "unreachable"),
-        # INSERT with a column list
+        # SETting the key inside a merge update
         ("MERGE INTO t USING s ON t.pk = s.pk "
-         "WHEN NOT MATCHED THEN INSERT (pk) VALUES (s.pk)", "INSERT \\*"),
+         "WHEN MATCHED THEN UPDATE SET pk = s.pk + 1", "key/partition"),
+        # re-keying an INSERT could collide with an unmatched key
+        ("MERGE INTO t USING s ON t.pk = s.pk "
+         "WHEN NOT MATCHED THEN INSERT (pk, val) "
+         "VALUES (s.pk + 1000, s.val)", "verbatim"),
+        # INSERT arity mismatch
+        ("MERGE INTO t USING s ON t.pk = s.pk "
+         "WHEN NOT MATCHED THEN INSERT (pk, val) VALUES (s.pk)",
+         "columns but"),
     ]
+    # grammar refusals raise SqlDmlError; engine-level guards (key
+    # SET, re-keyed INSERT) surface as the API's own ValueError —
+    # both are ValueError, both abort before any commit
     for stmt, msg in cases:
-        with pytest.raises(SqlDmlError, match=msg):
+        with pytest.raises(ValueError, match=msg):
             sql_dml(spark, stmt, tables={"t": t}, sources={"s": src})
     with pytest.raises(SqlDmlError, match="unknown table"):
         sql_dml(spark, "DELETE FROM nope WHERE 1=1", tables={"t": t})
