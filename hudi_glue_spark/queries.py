@@ -51,6 +51,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # (a) new in r13
     "sql_merge_update_delete",
     "sql_merge_partial_update",
+    "sql_merge_by_source_sync",
     "diff_delete_heavy_dv",
     # (b) the complete r9-stale cohort (VERDICT r12 #2)
     "join_key_skew_profile",

@@ -397,6 +397,72 @@ def q_sql_merge_partial_update(spark, sf_dir):
 
 
 @query(
+    "sql_merge_by_source_sync",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    src AS (
+      SELECT CASE WHEN user_id % 13 = 0 THEN event_id + 7000000
+                  ELSE event_id END AS event_id,
+             user_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT src.event_id, src.user_id, src.event_type, src.value, src.ts
+    FROM src JOIN t ON src.event_id = t.event_id
+    UNION ALL
+    SELECT src.event_id, src.user_id, src.event_type, src.value, src.ts
+    FROM src LEFT JOIN t ON src.event_id = t.event_id
+    WHERE t.event_id IS NULL
+    UNION ALL
+    SELECT t.event_id, t.user_id, t.event_type, t.value, t.ts
+    FROM t LEFT JOIN src ON t.event_id = src.event_id
+    WHERE src.event_id IS NULL AND NOT (t.user_id % 2 = 0)
+    """,
+)
+def q_sql_merge_by_source_sync(spark, sf_dir):
+    """``WHEN NOT MATCHED BY SOURCE`` end to end (r13, Delta parity —
+    merge_into by_source_delete): the snapshot-sync MERGE shape. The
+    source is the refreshed click snapshot (some keys re-minted);
+    matched rows replace, new keys insert, and target rows the source
+    does NOT carry — every non-click row plus the re-minted clicks'
+    originals — conditionally DELETE (even user_id). The clause
+    examines every target row, so the merge scopes to the whole table
+    (the documented cost contract); the oracle restates all three row
+    populations."""
+    from hudi_glue_spark.sql_dml import sql_dml
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_sqlbsrc_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts",
+                     partition_by="event_type")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    clicks = ev.filter(F.col("event_type") == "click")
+    src = clicks.withColumn(
+        "event_id",
+        F.when(F.col("user_id") % 13 == 0,
+               F.col("event_id") + 7000000).otherwise(F.col("event_id")),
+    ).withColumn("value", F.col("value") + F.lit(100.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    )
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.event_id = s.event_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND t.user_id % 2 = 0
+             THEN DELETE""",
+        tables={"t": tbl}, sources={"s": src},
+    )
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
     "diff_commits_changelog",
     """
     SELECT event_id, user_id, event_type,

@@ -24,6 +24,8 @@ Supported::
       [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr, ...]
       [WHEN NOT MATCHED [AND <cond>] THEN INSERT *
                                         | INSERT (cols) VALUES (exprs)]
+      [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+                                        | UPDATE SET c = expr, ...]
     UPDATE <t> SET col = expr [, ...] [WHERE <pred>]
     DELETE FROM <t> [WHERE <pred>]
     INSERT INTO <t> <SELECT ...| TABLE name | VALUES ...>
@@ -209,7 +211,8 @@ def _parse_merge(
         )
 
     clause_re = re.compile(
-        r" WHEN (NOT MATCHED|MATCHED)(?: AND (.*?))? THEN "
+        r" WHEN (NOT MATCHED BY SOURCE|NOT MATCHED|MATCHED)"
+        r"(?: AND (.*?))? THEN "
         r"(DELETE|UPDATE SET (?:\*|.*?)|INSERT (?:\*|\(.*?\) VALUES \(.*?\)))"
         r"(?=( WHEN |$))",
         re.IGNORECASE,
@@ -237,9 +240,27 @@ def _parse_merge(
             )
         return col
 
+    def parse_set_list(body: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for item in _split_top(body):
+            sm = re.match(r"^(.+?)=(.+)$", item)
+            if not sm:
+                raise SqlDmlError(f"unparseable SET item {item!r}")
+            col = strip_target(sm.group(1))
+            if col in out:
+                raise SqlDmlError(f"duplicate SET column {col!r}")
+            out[col] = canon(sm.group(2).strip())
+        if not out:
+            raise SqlDmlError("empty UPDATE SET list")
+        return out
+
     upd = dele = ins = None  # (cond_text_or_None, order_index)
     upd_set: dict[str, str] | None = None  # None = SET * (full replace)
     ins_vals: dict[str, str] | None = None  # None = INSERT *
+    bs_del = None  # None off | "true" | cond text
+    bs_set: dict[str, str] | None = None
+    bs_upd_cond: str | None = None
+    bs_del_idx = bs_upd_idx = None
     for i, cm in enumerate(parsed):
         kind, cond, action = (
             cm.group(1).upper(),
@@ -247,7 +268,34 @@ def _parse_merge(
             cm.group(3),
         )
         act = action.upper()
-        if kind == "MATCHED":
+        if kind == "NOT MATCHED BY SOURCE":
+            if act == "DELETE":
+                if bs_del is not None:
+                    raise SqlDmlError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE DELETE"
+                    )
+                bs_del = canon(cond) if cond else "true"
+                bs_del_idx = i
+            elif act.startswith("UPDATE SET"):
+                body = action[len("UPDATE SET"):].strip()
+                if body == "*":
+                    raise SqlDmlError(
+                        "NOT MATCHED BY SOURCE has no source row — "
+                        "UPDATE needs an explicit SET list"
+                    )
+                if bs_set is not None:
+                    raise SqlDmlError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE UPDATE"
+                    )
+                bs_set = parse_set_list(body)
+                bs_upd_cond = canon(cond) if cond else None
+                bs_upd_idx = i
+            else:
+                raise SqlDmlError(
+                    f"NOT MATCHED BY SOURCE supports UPDATE SET "
+                    f"col=expr or DELETE, got {action!r}"
+                )
+        elif kind == "MATCHED":
             if act == "DELETE":
                 if dele is not None:
                     raise SqlDmlError("duplicate WHEN MATCHED DELETE")
@@ -261,21 +309,7 @@ def _parse_merge(
                     # partial update: listed columns take the expr,
                     # unlisted KEEP the target value (merge_into
                     # update_set, r13)
-                    upd_set = {}
-                    for item in _split_top(body):
-                        sm = re.match(r"^(.+?)=(.+)$", item)
-                        if not sm:
-                            raise SqlDmlError(
-                                f"unparseable SET item {item!r}"
-                            )
-                        col = strip_target(sm.group(1))
-                        if col in upd_set:
-                            raise SqlDmlError(
-                                f"duplicate SET column {col!r}"
-                            )
-                        upd_set[col] = canon(sm.group(2).strip())
-                    if not upd_set:
-                        raise SqlDmlError("empty UPDATE SET list")
+                    upd_set = parse_set_list(body)
             else:
                 raise SqlDmlError(
                     f"WHEN MATCHED supports UPDATE SET */SET col=expr "
@@ -332,6 +366,21 @@ def _parse_merge(
         # UNTOUCHED, not updated: engine default update_condition is
         # True, so pin updates off
         update_condition = "false"
+    # by-source clause order: same SQL first-wins translation as the
+    # matched side (engine precedence is delete-wins)
+    by_source_delete = bs_del
+    if (
+        bs_del is not None
+        and bs_set is not None
+        and bs_upd_idx < bs_del_idx
+    ):
+        if bs_upd_cond is None:
+            raise SqlDmlError(
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE without AND "
+                "makes the later BY SOURCE DELETE unreachable; "
+                "reorder or add a condition"
+            )
+        by_source_delete = f"(NOT ({bs_upd_cond})) AND ({bs_del})"
     return tbl.merge_into(
         src,
         update_condition=update_condition,
@@ -340,6 +389,9 @@ def _parse_merge(
         insert_condition=(canon(ins[0]) if ins and ins[0] else None),
         update_set=upd_set,
         insert_values=ins_vals,
+        by_source_delete=by_source_delete,
+        by_source_update_set=bs_set,
+        by_source_update_condition=bs_upd_cond,
     )
 
 

@@ -4693,6 +4693,9 @@ class KeyedTable:
         insert_condition=None,
         update_set: dict[str, str] | None = None,
         insert_values: dict[str, str] | None = None,
+        by_source_delete=None,
+        by_source_update_set: dict[str, str] | None = None,
+        by_source_update_condition=None,
     ) -> str:
         """SQL-style MERGE (Delta/Hudi ``MERGE INTO`` parity), keyed on
         the table's record key:
@@ -4726,7 +4729,22 @@ class KeyedTable:
         exactly ``source.<same col>`` (re-keying an insert could
         collide with an unmatched existing key and silently break the
         unique-identity invariant). Evaluated inside the op's ONE
-        pinned snapshot — no extra read, no TOCTOU."""
+        pinned snapshot — no extra read, no TOCTOU.
+
+        ``WHEN NOT MATCHED BY SOURCE`` (r13, Delta parity — the
+        snapshot-sync clause): ``by_source_delete`` (True, or a
+        condition over the ``target.`` alias) deletes target rows the
+        source does NOT carry; ``by_source_update_set`` (+ optional
+        ``by_source_update_condition``) partially updates them
+        instead (delete wins when both clauses select a row, same
+        precedence as the matched side). COST CONTRACT: a by-source
+        clause must examine EVERY target row, so the merge scopes to
+        the whole table — partition-carry is off and the commit
+        rewrites all partitions (exactly what a full snapshot sync
+        means); without by-source clauses the touched-partition
+        scoping is unchanged. By-source merges also disable the
+        disjointness rebase proof (they touch keys outside the
+        source), so an OCC conflict re-merges."""
 
         def _cond(c, default):
             if c is None:
@@ -4764,6 +4782,18 @@ class KeyedTable:
                 raise ValueError(
                     f"cannot SET unknown column(s) {sorted(unknown)}"
                 )
+        if by_source_update_set is not None:
+            frozen = (set(self.key) | set(self.partition_by or [])) & set(
+                by_source_update_set
+            )
+            gen = set(self.derived_cols or {}) & set(by_source_update_set)
+            unknown = set(by_source_update_set) - set(existing.columns)
+            if frozen or gen or unknown:
+                raise ValueError(
+                    f"by-source SET refuses key/partition "
+                    f"{sorted(frozen)}, generated {sorted(gen)}, "
+                    f"unknown {sorted(unknown)} column(s)"
+                )
         if insert_values is not None:
             unknown = set(insert_values) - set(existing.columns)
             if unknown:
@@ -4793,10 +4823,16 @@ class KeyedTable:
                 for f in existing.schema.fields
             ]
         )
-        if self.partition_by:
+        by_source = (
+            by_source_delete is not None
+            or by_source_update_set is not None
+        )
+        if self.partition_by and not by_source:
             touched = self._touched_partitions(existing, source, man=man)
             target = self._rows_in_partitions(existing, touched)
         else:
+            # by-source clauses examine EVERY target row — the whole
+            # table is the target (see the docstring's cost contract)
             touched = None
             target = existing
 
@@ -4823,7 +4859,21 @@ class KeyedTable:
             & F.lit(when_not_matched_insert)
             & _cond(insert_condition, F.lit(True))
         )
-        keep = target_only | upd_c | ins_c | (matched & ~del_c)
+        if by_source_delete is None:
+            bsd_c = F.lit(False)
+        elif by_source_delete is True:
+            bsd_c = target_only
+        else:
+            bsd_c = target_only & _cond(by_source_delete, F.lit(False))
+        bsu_c = (
+            target_only
+            & ~bsd_c
+            & F.lit(by_source_update_set is not None)
+            & _cond(by_source_update_condition, F.lit(True))
+        )
+        keep = (
+            (target_only & ~bsd_c) | upd_c | ins_c | (matched & ~del_c)
+        )
         types = {f.name: f.dataType for f in existing.schema.fields}
 
         def upd_val(c: str):
@@ -4842,17 +4892,31 @@ class KeyedTable:
                 return F.col(f"source.{c}")
             return F.lit(None).cast(types[c])  # SQL: unlisted = NULL
 
-        partial = update_set is not None or insert_values is not None
+        def bsu_val(c: str):
+            if by_source_update_set and c in by_source_update_set:
+                return F.expr(by_source_update_set[c]).cast(types[c])
+            return F.col(f"target.{c}")
+
+        partial = (
+            update_set is not None
+            or insert_values is not None
+            or by_source_update_set is not None
+        )
         merged = joined.filter(keep).select(
             *[
                 F.when(upd_c, upd_val(c))
                 .when(ins_c, ins_val(c))
+                .when(bsu_c, bsu_val(c))
                 .otherwise(F.col(f"target.{c}"))
                 .alias(c)
                 for c in cols
             ],
             *(
-                [upd_c.alias("__upd"), ins_c.alias("__ins")]
+                [
+                    upd_c.alias("__upd"),
+                    ins_c.alias("__ins"),
+                    bsu_c.alias("__bsu"),
+                ]
                 if partial and self.derived_cols
                 else []
             ),
@@ -4862,7 +4926,9 @@ class KeyedTable:
             # this merge may have touched (same contract as
             # update_where: the stored column never drifts from its
             # rule; a recomputed partition key relocates on write)
-            touched_row = F.col("__upd") | F.col("__ins")
+            touched_row = (
+                F.col("__upd") | F.col("__ins") | F.col("__bsu")
+            )
             for name, rule in self.derived_cols.items():
                 merged = merged.withColumn(
                     name,
@@ -4870,9 +4936,10 @@ class KeyedTable:
                         F.col(name)
                     ),
                 )
-            merged = merged.drop("__upd", "__ins")
+            merged = merged.drop("__upd", "__ins", "__bsu")
         vreg = (man.stats or {}).get("vector_index")
-        if vreg is not None and update_set is not None:
+        set_cols = set(update_set or {}) | set(by_source_update_set or {})
+        if vreg is not None and set_cols:
             # a partial SET leaves the TARGET's assignment on the row
             # (maintenance only assigns NULL rows) — a SET touching the
             # index's columns would strand stale assignments, so drop
@@ -4880,7 +4947,7 @@ class KeyedTable:
             icols = {vreg.get("vec_col"), vreg.get("cell_col")} | set(
                 vreg.get("bucket_cols") or []
             )
-            if icols & set(update_set):
+            if icols & set_cols:
                 vreg = None
         merged, maintained = self._maintain_vector_index(merged, vreg)
         if self.change_log:
@@ -4909,8 +4976,15 @@ class KeyedTable:
             # rebase; the proof runs against the SOURCE keys (lazy,
             # conflict-only) because the staged files may omit
             # source-only keys whose insert condition failed
-            probe_keys_df=source.select(*self.key),
-            delete_free=delete_condition is None,
+            # a by-source merge touches keys OUTSIDE the source, so the
+            # disjointness rebase proof (which runs over source keys)
+            # would be unsound — disable it; an OCC conflict re-merges
+            probe_keys_df=(
+                None if by_source else source.select(*self.key)
+            ),
+            delete_free=(
+                delete_condition is None and by_source_delete is None
+            ),
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats=(
                 {

@@ -181,6 +181,56 @@ def test_merge_partial_set_and_insert_values(spark, tmp_path):
     assert got2 == got
 
 
+def test_merge_not_matched_by_source(spark, tmp_path):
+    """r13 (Delta parity): WHEN NOT MATCHED BY SOURCE reaches target
+    rows the source does NOT carry — conditional delete, partial
+    update, and the full-snapshot-sync shape (unconditional delete →
+    table == source)."""
+    t = _mk(spark, tmp_path / "t")  # pk1=10(a) pk2=400(a) pk3=30(b) pk4=40(b)
+    src = spark.createDataFrame(
+        [Row(pk=1, part="a", val=11.0, update_ts=ts(2)),
+         Row(pk=5, part="c", val=50.0, update_ts=ts(2))])
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.pk = s.pk
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND t.val >= 40 THEN DELETE""",
+        tables={"t": t}, sources={"s": src},
+    )
+    # pk2 (400) and pk4 (40) were not in source and matched the
+    # condition -> deleted; pk3 (30) survives untouched
+    assert state(spark, t) == {
+        (1, "a", 11.0), (3, "b", 30.0), (5, "c", 50.0)
+    }
+    # by-source partial UPDATE: flag the leftovers instead of deleting
+    sql_dml(
+        spark,
+        "MERGE INTO t USING s ON t.pk = s.pk "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = t.val * 0.0",
+        tables={"t": t}, sources={"s": src},
+    )
+    assert state(spark, t) == {
+        (1, "a", 11.0), (3, "b", 0.0), (5, "c", 50.0)
+    }
+    # full snapshot sync: unconditional by-source delete
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.pk = s.pk
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        tables={"t": t}, sources={"s": src},
+    )
+    assert state(spark, t) == {(1, "a", 11.0), (5, "c", 50.0)}
+    # SET * is meaningless without a source row
+    with pytest.raises(SqlDmlError, match="no source row"):
+        sql_dml(spark,
+                "MERGE INTO t USING s ON t.pk = s.pk "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+                tables={"t": t}, sources={"s": src})
+
+
 def test_insert_into_is_upsert(spark, tmp_path):
     """INSERT INTO a keyed table = upsert (pk-table semantics: a
     duplicate-key append would break the unique-identity invariant);
