@@ -159,6 +159,84 @@ def test_merge_into_matches_model(
     assert got == want
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    initial=_BATCH,
+    src=_BATCH,
+    bs_threshold=st.integers(0, 99),
+)
+def test_merge_partial_by_source_matches_model(
+    spark, tmp_path_factory, initial, src, bs_threshold
+):
+    """r13 property: one merge combining a PARTIAL update (``val =
+    t.val + s.val``; part/tag/update_ts keep the target), a shaped
+    INSERT VALUES list (``val*2``; unlisted ``tag`` NULL), and a
+    conditional NOT-MATCHED-BY-SOURCE delete (``t.val >= thr``) —
+    against a dictionary model. The ``tag`` column exists purely to
+    catch a row-replace bug masquerading as a partial update."""
+    initial = _dedup_ties(initial)
+    src = _dedup_ties(src)
+    root = str(tmp_path_factory.mktemp("bsprop") / "t")
+    tbl = KeyedTable(root, key="pk", precombine="update_ts",
+                     partition_by="part")
+    tbl.bulk_insert(
+        spark.createDataFrame(
+            [Row(pk=pk, part=part, val=val, tag=f"t{pk}",
+                 update_ts=_ts(pre))
+             for pk, part, val, pre in initial]
+        ),
+        dedupe=True,
+    )
+    state: dict[int, tuple] = {}  # pk -> (part, val, tag, pre)
+    best0: dict[int, tuple] = {}
+    for pk, part, val, pre in initial:
+        cur = best0.get(pk)
+        if cur is None or (pre, val) > (cur[3], cur[1]):
+            best0[pk] = (part, val, f"t{pk}", pre)
+    state.update(best0)
+
+    best: dict[int, tuple] = {}
+    for pk, part, val, pre in src:
+        cur = best.get(pk)
+        if cur is None or (pre, val) > (cur[3], cur[1]):
+            best[pk] = (part, val, None, pre)
+    for pk in list(state):
+        if pk in best:  # matched: partial update, rest keeps target
+            part, val, tag, pre = state[pk]
+            state[pk] = (part, val + best[pk][1], tag, pre)
+        elif state[pk][1] >= bs_threshold:  # by-source delete
+            del state[pk]
+    for pk, (part, val, _tag, pre) in best.items():
+        if pk not in state:
+            state[pk] = (part, val * 2, None, pre)
+
+    tbl.merge_into(
+        spark.createDataFrame(
+            [Row(pk=pk, part=part, val=val, update_ts=_ts(pre))
+             for pk, part, val, pre in src]
+        ),
+        update_set={"val": "target.val + source.val"},
+        insert_values={
+            "pk": "source.pk",
+            "part": "source.part",
+            "val": "source.val * 2",
+            "update_ts": "source.update_ts",
+        },
+        by_source_delete=f"target.val >= {bs_threshold}",
+    )
+    got = {
+        r["pk"]: (r["part"], r["val"], r["tag"], r["update_ts"])
+        for r in tbl.read(spark).collect()
+    }
+    want = {pk: (part, val, tag, _ts(pre))
+            for pk, (part, val, tag, pre) in state.items()}
+    assert got == want
+
+
 # --- change-log composition equivalence (r11) --------------------------
 
 _OPSEQ = st.lists(
