@@ -361,10 +361,14 @@ def _parse_merge(
             delete_condition = (
                 f"(NOT ({canon(upd[0])})) AND ({delete_condition})"
             )
-    if upd is None and dele is not None:
-        # matched rows outside the delete condition must stay
-        # UNTOUCHED, not updated: engine default update_condition is
-        # True, so pin updates off
+    if upd is None:
+        # no WHEN MATCHED UPDATE clause → matched rows must stay
+        # UNTOUCHED (SQL semantics). The engine's DEFAULT
+        # update_condition is True (API callers mean "merge" when
+        # they pass nothing), so pin updates off explicitly — an
+        # insert-only MERGE must never rewrite matched rows (r13
+        # fix: the first cut only pinned this when a DELETE clause
+        # was present).
         update_condition = "false"
     # by-source clause order: same SQL first-wins translation as the
     # matched side (engine precedence is delete-wins)

@@ -181,6 +181,28 @@ def test_merge_partial_set_and_insert_values(spark, tmp_path):
     assert got2 == got
 
 
+def test_insert_only_merge_leaves_matched_untouched(spark, tmp_path):
+    """r13 bug fix: a MERGE with ONLY a WHEN NOT MATCHED clause must
+    not touch matched rows (the engine's default update_condition is
+    True for API callers; the SQL front-end pins it off whenever no
+    UPDATE clause appears — the first cut only did so when a DELETE
+    clause was present)."""
+    t = _mk(spark, tmp_path / "t")
+    src = _src(spark)  # pk1/pk2 matched with NEW values, pk5 new
+    sql_dml(
+        spark,
+        "MERGE INTO t USING s ON t.pk = s.pk "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": t}, sources={"s": src},
+    )
+    assert state(spark, t) == {
+        (1, "a", 10.0),   # matched: UNTOUCHED (not 11.0)
+        (2, "a", 400.0),  # matched: UNTOUCHED (not 500.0)
+        (3, "b", 30.0), (4, "b", 40.0),
+        (5, "c", 50.0),   # inserted
+    }
+
+
 def test_merge_not_matched_by_source(spark, tmp_path):
     """r13 (Delta parity): WHEN NOT MATCHED BY SOURCE reaches target
     rows the source does NOT carry — conditional delete, partial
