@@ -20,12 +20,18 @@ values); nothing is silently reinterpreted.
 Supported::
 
     MERGE INTO <t> [AS a] USING <s> [AS b] ON <key equality>
-      [WHEN MATCHED [AND <cond>] THEN DELETE]
-      [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr, ...]
+      {WHEN MATCHED [AND <cond>] THEN DELETE
+                                      | UPDATE SET * | SET c = expr, ...}*
       [WHEN NOT MATCHED [AND <cond>] THEN INSERT *
                                         | INSERT (cols) VALUES (exprs)]
       [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
                                         | UPDATE SET c = expr, ...]
+
+ANY number of WHEN MATCHED clauses is accepted (r13) — they evaluate
+in statement order, first-wins, via ``merge_into(matched_clauses=)``;
+only the LAST matched clause may omit its AND condition (an earlier
+unconditional clause would make the rest unreachable — refused, same
+rule as Delta).
     UPDATE <t> SET col = expr [, ...] [WHERE <pred>]
     DELETE FROM <t> [WHERE <pred>]
     INSERT INTO <t> <SELECT ...| TABLE name | VALUES ...>
@@ -45,11 +51,12 @@ bulk load.
 
 Conditions are arbitrary Spark-SQL boolean expressions; inside MERGE
 they may reference the target/source aliases, which are rewritten to
-the engine's canonical ``target.`` / ``source.`` names. SQL clause
-order is honored: with UPDATE before DELETE, a row matching the
-update condition updates (first-wins), expressed to the delete-wins
-engine as ``delete ∧ ¬update``; an UNCONDITIONAL earlier clause makes
-the later one unreachable — refused, not ignored.
+the engine's canonical ``target.`` / ``source.`` names. Matched
+clauses pass to the engine's ordered first-wins evaluation verbatim;
+the BY SOURCE pair (at most one delete + one update) keeps the SQL
+first-wins order via the ``delete ∧ ¬update`` translation, and an
+UNCONDITIONAL earlier clause that shadows a later one is refused,
+not ignored.
 """
 
 from __future__ import annotations
@@ -254,8 +261,12 @@ def _parse_merge(
             raise SqlDmlError("empty UPDATE SET list")
         return out
 
-    upd = dele = ins = None  # (cond_text_or_None, order_index)
-    upd_set: dict[str, str] | None = None  # None = SET * (full replace)
+    ins = None  # (cond_text_or_None, order_index)
+    # ordered WHEN MATCHED clauses, passed VERBATIM to the engine's
+    # first-wins evaluation (merge_into matched_clauses, r13) —
+    # multiple UPDATE/DELETE clauses with distinct conditions are
+    # full SQL MERGE, no two-clause translation needed
+    m_clauses: list[dict] = []
     ins_vals: dict[str, str] | None = None  # None = INSERT *
     bs_del = None  # None off | "true" | cond text
     bs_set: dict[str, str] | None = None
@@ -296,20 +307,33 @@ def _parse_merge(
                     f"col=expr or DELETE, got {action!r}"
                 )
         elif kind == "MATCHED":
+            if m_clauses and m_clauses[-1]["condition"] is None:
+                raise SqlDmlError(
+                    "an unconditional WHEN MATCHED clause makes every "
+                    "later MATCHED clause unreachable; reorder or add "
+                    "a condition (only the LAST matched clause may "
+                    "omit AND)"
+                )
             if act == "DELETE":
-                if dele is not None:
-                    raise SqlDmlError("duplicate WHEN MATCHED DELETE")
-                dele = (cond, i)
+                m_clauses.append(
+                    {
+                        "action": "delete",
+                        "condition": canon(cond) if cond else None,
+                    }
+                )
             elif act.startswith("UPDATE SET"):
-                if upd is not None:
-                    raise SqlDmlError("duplicate WHEN MATCHED UPDATE")
-                upd = (cond, i)
                 body = action[len("UPDATE SET"):].strip()
-                if body != "*":
-                    # partial update: listed columns take the expr,
-                    # unlisted KEEP the target value (merge_into
-                    # update_set, r13)
-                    upd_set = parse_set_list(body)
+                m_clauses.append(
+                    {
+                        "action": "update",
+                        "condition": canon(cond) if cond else None,
+                        # SET * = full source-row replace (set None);
+                        # a SET list = partial update
+                        "set": (
+                            None if body == "*" else parse_set_list(body)
+                        ),
+                    }
+                )
             else:
                 raise SqlDmlError(
                     f"WHEN MATCHED supports UPDATE SET */SET col=expr "
@@ -346,32 +370,11 @@ def _parse_merge(
                     for c, v in zip(ins_cols, ins_exprs)
                 }
 
-    # SQL first-wins → engine delete-wins translation
-    update_condition = canon(upd[0]) if upd and upd[0] else None
-    delete_condition = None
-    if dele is not None:
-        delete_condition = canon(dele[0]) if dele[0] else "true"
-        if upd is not None and upd[1] < dele[1]:
-            if upd[0] is None:
-                raise SqlDmlError(
-                    "WHEN MATCHED THEN UPDATE SET * without AND makes "
-                    "the later DELETE clause unreachable; reorder or "
-                    "add a condition"
-                )
-            delete_condition = (
-                f"(NOT ({canon(upd[0])})) AND ({delete_condition})"
-            )
-    if upd is None:
-        # no WHEN MATCHED UPDATE clause → matched rows must stay
-        # UNTOUCHED (SQL semantics). The engine's DEFAULT
-        # update_condition is True (API callers mean "merge" when
-        # they pass nothing), so pin updates off explicitly — an
-        # insert-only MERGE must never rewrite matched rows (r13
-        # fix: the first cut only pinned this when a DELETE clause
-        # was present).
-        update_condition = "false"
-    # by-source clause order: same SQL first-wins translation as the
-    # matched side (engine precedence is delete-wins)
+    # the ORDERED matched clauses go to the engine verbatim — its
+    # first-wins evaluation IS SQL's; an empty list means matched
+    # rows stay untouched (the insert-only merge)
+    # by-source clause order: SQL first-wins translated to the
+    # engine's delete-wins by-source pair
     by_source_delete = bs_del
     if (
         bs_del is not None
@@ -387,12 +390,10 @@ def _parse_merge(
         by_source_delete = f"(NOT ({bs_upd_cond})) AND ({bs_del})"
     return tbl.merge_into(
         src,
-        update_condition=update_condition,
-        delete_condition=delete_condition,
         when_not_matched_insert=ins is not None,
         insert_condition=(canon(ins[0]) if ins and ins[0] else None),
-        update_set=upd_set,
         insert_values=ins_vals,
+        matched_clauses=m_clauses,
         by_source_delete=by_source_delete,
         by_source_update_set=bs_set,
         by_source_update_condition=bs_upd_cond,

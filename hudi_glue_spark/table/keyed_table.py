@@ -4696,6 +4696,7 @@ class KeyedTable:
         by_source_delete=None,
         by_source_update_set: dict[str, str] | None = None,
         by_source_update_condition=None,
+        matched_clauses: list[dict] | None = None,
     ) -> str:
         """SQL-style MERGE (Delta/Hudi ``MERGE INTO`` parity), keyed on
         the table's record key:
@@ -4731,6 +4732,18 @@ class KeyedTable:
         unique-identity invariant). Evaluated inside the op's ONE
         pinned snapshot — no extra read, no TOCTOU.
 
+        ``matched_clauses`` (r13 — full multi-clause SQL MERGE): an
+        ORDERED list of ``{"action": "update"|"delete", "condition":
+        <str|Column|None>, "set": <dict|None>}`` evaluated FIRST-WINS
+        per matched row, exactly SQL's WHEN-clause semantics — a row
+        takes the first clause whose condition holds, later clauses
+        never see it, unselected rows stay untouched. An empty list =
+        no matched clause at all (matched rows untouched — the
+        insert-only merge). Mutually exclusive with
+        ``update_condition`` / ``delete_condition`` / ``update_set``,
+        which remain the two-clause sugar (where delete wins over
+        update, the engine's historical rule).
+
         ``WHEN NOT MATCHED BY SOURCE`` (r13, Delta parity — the
         snapshot-sync clause): ``by_source_delete`` (True, or a
         condition over the ``target.`` alias) deletes target rows the
@@ -4762,26 +4775,51 @@ class KeyedTable:
         structural = set(self.key) | set(self.partition_by or []) | {
             self.precombine
         }
-        if update_set is not None:
-            frozen = (set(self.key) | set(self.partition_by or [])) & set(
-                update_set
-            )
+
+        def _check_set(set_dict: dict, what: str) -> None:
+            frozen = (
+                set(self.key) | set(self.partition_by or [])
+            ) & set(set_dict)
             if frozen:
                 raise ValueError(
                     f"cannot SET key/partition column(s) "
-                    f"{sorted(frozen)} in a merge update"
+                    f"{sorted(frozen)} in a merge {what}"
                 )
-            gen = set(self.derived_cols or {}) & set(update_set)
+            gen = set(self.derived_cols or {}) & set(set_dict)
             if gen:
                 raise ValueError(
                     f"cannot SET generated column(s) {sorted(gen)}: "
                     "SET the rule's inputs and the column recomputes"
                 )
-            unknown = set(update_set) - set(existing.columns)
+            unknown = set(set_dict) - set(existing.columns)
             if unknown:
                 raise ValueError(
                     f"cannot SET unknown column(s) {sorted(unknown)}"
                 )
+
+        if update_set is not None:
+            _check_set(update_set, "update")
+        if matched_clauses is not None:
+            if (
+                update_condition is not None
+                or delete_condition is not None
+                or update_set is not None
+            ):
+                raise ValueError(
+                    "matched_clauses is mutually exclusive with "
+                    "update_condition/delete_condition/update_set"
+                )
+            for cl in matched_clauses:
+                act = cl.get("action")
+                if act not in ("update", "delete"):
+                    raise ValueError(
+                        f"matched clause action must be 'update' or "
+                        f"'delete', got {act!r}"
+                    )
+                if act == "delete" and cl.get("set"):
+                    raise ValueError("a delete clause takes no SET")
+                if act == "update" and cl.get("set") is not None:
+                    _check_set(cl["set"], "update")
         if by_source_update_set is not None:
             frozen = (set(self.key) | set(self.partition_by or [])) & set(
                 by_source_update_set
@@ -4852,8 +4890,30 @@ class KeyedTable:
         target_only = F.col("source.__s").isNull()
         source_only = F.col("target.__t").isNull()
 
-        del_c = matched & _cond(delete_condition, F.lit(False))
-        upd_c = matched & _cond(update_condition, F.lit(True)) & ~del_c
+        if matched_clauses is not None:
+            # ordered first-wins evaluation (SQL WHEN semantics): a
+            # matched row takes the FIRST clause whose condition
+            # holds; rows no clause selects stay untouched
+            taken = F.lit(False)
+            del_c = F.lit(False)
+            upd_branches: list[tuple] = []  # (applies, set_dict|None)
+            for cl in matched_clauses:
+                c_expr = _cond(cl.get("condition"), F.lit(True))
+                applies = matched & c_expr & ~taken
+                taken = taken | (matched & c_expr)
+                if cl["action"] == "delete":
+                    del_c = del_c | applies
+                else:
+                    upd_branches.append((applies, cl.get("set")))
+            upd_c = F.lit(False)
+            for applies, _s in upd_branches:
+                upd_c = upd_c | applies
+        else:
+            del_c = matched & _cond(delete_condition, F.lit(False))
+            upd_c = (
+                matched & _cond(update_condition, F.lit(True)) & ~del_c
+            )
+            upd_branches = [(upd_c, update_set)]
         ins_c = (
             source_only
             & F.lit(when_not_matched_insert)
@@ -4876,11 +4936,11 @@ class KeyedTable:
         )
         types = {f.name: f.dataType for f in existing.schema.fields}
 
-        def upd_val(c: str):
-            if update_set is None:
+        def upd_val(set_dict: dict | None, c: str):
+            if set_dict is None:  # full source-row replace
                 return F.col(f"source.{c}")
-            if c in update_set:
-                return F.expr(update_set[c]).cast(types[c])
+            if c in set_dict:
+                return F.expr(set_dict[c]).cast(types[c])
             return F.col(f"target.{c}")  # partial update keeps target
 
         def ins_val(c: str):
@@ -4898,19 +4958,22 @@ class KeyedTable:
             return F.col(f"target.{c}")
 
         partial = (
-            update_set is not None
+            any(s is not None for _a, s in upd_branches)
             or insert_values is not None
             or by_source_update_set is not None
         )
+
+        def row_val(c: str):
+            e = None
+            for applies, set_dict in upd_branches:
+                v = upd_val(set_dict, c)
+                e = F.when(applies, v) if e is None else e.when(applies, v)
+            for cond, v in ((ins_c, ins_val(c)), (bsu_c, bsu_val(c))):
+                e = F.when(cond, v) if e is None else e.when(cond, v)
+            return e.otherwise(F.col(f"target.{c}")).alias(c)
+
         merged = joined.filter(keep).select(
-            *[
-                F.when(upd_c, upd_val(c))
-                .when(ins_c, ins_val(c))
-                .when(bsu_c, bsu_val(c))
-                .otherwise(F.col(f"target.{c}"))
-                .alias(c)
-                for c in cols
-            ],
+            *[row_val(c) for c in cols],
             *(
                 [
                     upd_c.alias("__upd"),
@@ -4938,7 +5001,9 @@ class KeyedTable:
                 )
             merged = merged.drop("__upd", "__ins", "__bsu")
         vreg = (man.stats or {}).get("vector_index")
-        set_cols = set(update_set or {}) | set(by_source_update_set or {})
+        set_cols = set(by_source_update_set or {})
+        for _a, s in upd_branches:
+            set_cols |= set(s or {})
         if vreg is not None and set_cols:
             # a partial SET leaves the TARGET's assignment on the row
             # (maintenance only assigns NULL rows) — a SET touching the
@@ -4983,7 +5048,12 @@ class KeyedTable:
                 None if by_source else source.select(*self.key)
             ),
             delete_free=(
-                delete_condition is None and by_source_delete is None
+                delete_condition is None
+                and by_source_delete is None
+                and not any(
+                    cl["action"] == "delete"
+                    for cl in (matched_clauses or [])
+                )
             ),
             rewritten=sorted(touched) if touched is not None else ["<all>"],
             extra_stats=(

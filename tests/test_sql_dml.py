@@ -181,6 +181,51 @@ def test_merge_partial_set_and_insert_values(spark, tmp_path):
     assert got2 == got
 
 
+def test_merge_multiple_matched_clauses_first_wins(spark, tmp_path):
+    """r13: ANY number of WHEN MATCHED clauses, evaluated in statement
+    order first-wins (merge_into matched_clauses) — three clauses with
+    overlapping conditions route each row to exactly the first one
+    that selects it; unselected matched rows stay untouched."""
+    t = _mk(spark, tmp_path / "t")  # pk1=10 pk2=400 pk3=30 pk4=40
+    src = spark.createDataFrame(
+        [Row(pk=1, part="a", val=1.0, update_ts=ts(2)),
+         Row(pk=2, part="a", val=2.0, update_ts=ts(2)),
+         Row(pk=3, part="b", val=3.0, update_ts=ts(2))])
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.pk = s.pk
+           WHEN MATCHED AND t.val > 300 THEN DELETE
+           WHEN MATCHED AND t.val > 20 THEN UPDATE SET val = t.val + 1000
+           WHEN MATCHED AND t.val > 5 THEN UPDATE SET *""",
+        tables={"t": t}, sources={"s": src},
+    )
+    # pk2 (400): first clause wins -> deleted (also matched 2nd/3rd)
+    # pk3 (30): second clause -> +1000 partial (also matched 3rd)
+    # pk1 (10): third clause -> replaced by source row
+    # pk4: not matched by source at all -> untouched
+    assert state(spark, t) == {
+        (1, "a", 1.0), (3, "b", 1030.0), (4, "b", 40.0)
+    }
+    # API twin: same ordered clauses through matched_clauses directly
+    t2 = _mk(spark, tmp_path / "t2")
+    t2.merge_into(
+        src,
+        when_not_matched_insert=False,
+        matched_clauses=[
+            {"action": "delete", "condition": "target.val > 300"},
+            {"action": "update", "condition": "target.val > 20",
+             "set": {"val": "target.val + 1000"}},
+            {"action": "update", "condition": "target.val > 5",
+             "set": None},
+        ],
+    )
+    assert state(spark, t2) == state(spark, t)
+    # exclusivity guard
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t2.merge_into(src, update_condition="true",
+                      matched_clauses=[])
+
+
 def test_insert_only_merge_leaves_matched_untouched(spark, tmp_path):
     """r13 bug fix: a MERGE with ONLY a WHEN NOT MATCHED clause must
     not touch matched rows (the engine's default update_condition is
