@@ -52,6 +52,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "sql_merge_update_delete",
     "sql_merge_partial_update",
     "sql_merge_by_source_sync",
+    "sql_truncate_reload",
     "diff_delete_heavy_dv",
     # (b) the complete r9-stale cohort (VERDICT r12 #2)
     "join_key_skew_profile",

@@ -463,6 +463,45 @@ def q_sql_merge_by_source_sync(spark, sf_dir):
 
 
 @query(
+    "sql_truncate_reload",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(value + 100.0 AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_sql_truncate_reload(spark, sf_dir):
+    """``TRUNCATE TABLE`` end to end (r13; KeyedTable.truncate — ONE
+    metadata-only commit referencing zero files, O(1) at any table
+    size, prior commits still time-travelable): load the events
+    table, TRUNCATE it via the SQL front-end, reload with INSERT INTO
+    (= upsert; here the initial load of the emptied table's next
+    life). The final state is exactly the reload source — any
+    truncate leak (a surviving file reference) or reload
+    short-circuit would surface as extra/missing rows."""
+    from hudi_glue_spark.sql_dml import sql_dml
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_sqltrunc_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(root, key="event_id", precombine="ts",
+                     partition_by="event_type")
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    sql_dml(spark, "TRUNCATE TABLE t", tables={"t": tbl})
+    reload = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    reload.createOrReplaceTempView("sqltrunc_reload_src")
+    sql_dml(spark, "INSERT INTO t SELECT * FROM sqltrunc_reload_src",
+            tables={"t": tbl})
+    return tbl.read(spark).select(_COLS)
+
+
+@query(
     "diff_commits_changelog",
     """
     SELECT event_id, user_id, event_type,

@@ -36,6 +36,7 @@ rule as Delta).
     DELETE FROM <t> [WHERE <pred>]
     INSERT INTO <t> <SELECT ...| TABLE name | VALUES ...>
     INSERT OVERWRITE [TABLE] <t> <SELECT ...| TABLE name | VALUES ...>
+    TRUNCATE [TABLE] <t>
 
 ``INSERT INTO`` on a keyed table is an UPSERT (Hudi's
 ``hoodie.sql.insert.mode=upsert`` default for pk tables —
@@ -504,9 +505,18 @@ def sql_dml(
         return _parse_delete(stmt, tables, spark)
     if head == "INSERT":
         return _parse_insert(stmt, tables, spark)
+    if head == "TRUNCATE":
+        m = re.match(
+            rf"TRUNCATE (?:TABLE )?({_IDENT})$", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise SqlDmlError(
+                "unparseable TRUNCATE; supported: TRUNCATE [TABLE] t"
+            )
+        return _resolve(m.group(1), tables).truncate()
     raise SqlDmlError(
         f"unsupported statement {head!r}: sql_dml handles MERGE INTO "
-        f"/ UPDATE / DELETE FROM / INSERT INTO / INSERT OVERWRITE "
-        f"only (reads go through register()/register_external() and "
-        f"plain spark.sql)"
+        f"/ UPDATE / DELETE FROM / INSERT INTO / INSERT OVERWRITE / "
+        f"TRUNCATE only (reads go through register()/"
+        f"register_external() and plain spark.sql)"
     )

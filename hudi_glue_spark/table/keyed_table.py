@@ -3388,6 +3388,33 @@ class KeyedTable:
             enforce_updated=True, man=man,
         )
 
+    def truncate(self) -> str:
+        """Empty the table in ONE metadata-only commit (Hudi/Delta
+        ``TRUNCATE TABLE`` parity): the new snapshot references zero
+        files — no scan, no rewrite, O(1) regardless of table size
+        (``DELETE FROM t`` without WHERE would rewrite every
+        partition to produce nothing). Prior commits stay
+        time-travelable until :meth:`clean` reclaims their files; the
+        CDF stream serves the commit as the removed files' delete
+        pre-images (the generic remove planning — exact). Conflicts
+        with ANY concurrent writer under OCC (it rewrites
+        ``<all>``), which is the correct semantics for a
+        table-wide wipe."""
+        man = self._pin_head()
+        if man is None:
+            raise FileNotFoundError(f"no table at {self.path}")
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        cid = M.child_id(man.commit_id)
+        self._commit(
+            "truncate",
+            [],
+            schema,
+            rows=0,
+            rewritten=["<all>"],
+            cid=cid,
+        )
+        return self.commits()[-1]
+
     def delete_where(self, spark: SparkSession, predicate) -> str:
         """Predicate delete (Spark-SQL ``DELETE FROM t WHERE ...``,
         ``predicate`` a SQL string or Column): rewrite only partitions

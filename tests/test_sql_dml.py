@@ -335,6 +335,40 @@ def test_insert_into_is_upsert(spark, tmp_path):
                 "sqldml_ins_src", tables={"t": t})
 
 
+def test_truncate_metadata_only_and_reload(spark, tmp_path):
+    """r13: TRUNCATE TABLE is ONE metadata-only commit (zero files
+    referenced, no rewrite of anything), time travel still reaches
+    the pre-truncate snapshot, and an INSERT INTO reloads the empty
+    table."""
+    import os
+
+    from hudi_glue_spark.table import manifest as M
+
+    t = _mk(spark, tmp_path / "t")
+    pre = t.commits()[-1]
+    data_dir = M.data_dir(str(tmp_path / "t"))
+    files_before = sum(len(fs) for _d, _s, fs in os.walk(data_dir))
+    cid = sql_dml(spark, "TRUNCATE TABLE t", tables={"t": t})
+    man = M.read_manifest(t.path, cid)
+    assert man.op == "truncate" and list(man.files) == []
+    assert t.read(spark).count() == 0
+    assert t.count_rows_metadata() == 0
+    # METADATA-ONLY: not a single data file written or removed
+    assert sum(len(fs) for _d, _s, fs in os.walk(data_dir)) \
+        == files_before
+    # time travel still sees the old rows
+    assert t.read(spark, at=pre).count() == 4
+    # reload the empty (but existing) table
+    _src(spark).createOrReplaceTempView("sqldml_trunc_src")
+    sql_dml(spark, "INSERT INTO t SELECT * FROM sqldml_trunc_src",
+            tables={"t": t})
+    assert state(spark, t) == {
+        (1, "a", 11.0), (2, "a", 500.0), (5, "c", 50.0)
+    }
+    with pytest.raises(SqlDmlError, match="unparseable TRUNCATE"):
+        sql_dml(spark, "TRUNCATE TABLE t CASCADE", tables={"t": t})
+
+
 def test_refusals_are_loud(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     src = _src(spark)

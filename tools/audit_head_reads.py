@@ -246,6 +246,8 @@ def call_surface(t, spark):
         ("clean", lambda: t.clean(retain_commits=50), 2),
         ("change_partitioning",
          lambda: t.change_partitioning(spark, []), 2),
+        # LAST: truncate empties the table (pin + OCC publish check)
+        ("truncate", lambda: t.truncate(), 2),
     ]
 
 
