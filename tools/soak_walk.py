@@ -521,6 +521,215 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     return violations
 
 
+def run_sync_seed(spark, seed: int, batches: int,
+                  trace_dir: str) -> list[str]:
+    """by-source sync tier (r13, SURVEY §9l#4): the main walk's
+    convergence model assumes writers own their key ranges, which a
+    WHEN NOT MATCHED BY SOURCE merge violates by design (it deletes
+    every row the source doesn't carry). This dedicated shape races
+    ONE snapshot-sync writer (merge_into(by_source_delete=True) —
+    whole-table scope, rebase proofs disabled, so every OCC conflict
+    re-merges) against a DV writer whose rows each sync wipes, a
+    consistency reader, and a CDF consumer. Quiesce: one final sync
+    makes the table EQUAL the last source snapshot; cdf net == count;
+    validate() clean."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = f"/tmp/soak_sync_{seed}"
+    ck = root + "_ck"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    tr = Trace()
+    errors: list[str] = []
+    maps = bool(seed % 2)  # odd: chlog on (table-sized deltas cap →
+    # refless commits → the coarse stream contract under sync churn)
+
+    def _ts(day: int, b: int = 0) -> str:
+        return f"2024-02-{day:02d}T{b:02d}:00:00"
+
+    def snap(b: int):
+        return spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}", v=float(b), ts=_ts(2, b))
+             for i in range(60)]
+        )
+
+    t0 = KeyedTable(root, key="id", precombine="ts",
+                    partition_by="grp", change_log=maps)
+    t0.bulk_insert(snap(0))
+
+    def guard(who):
+        def wrap(fn):
+            try:
+                fn()
+            except Exception:  # noqa: BLE001
+                import traceback
+
+                tr.add(who, "FATAL", traceback.format_exc())
+                errors.append(f"{who}: {traceback.format_exc()}")
+        return wrap
+
+    def with_retry(t, who, op, fn):
+        for _ in range(80):
+            try:
+                fn()
+                tr.add(who, op, "ok")
+                return
+            except M.ConcurrentCommitError:
+                continue
+        raise AssertionError(f"{who} {op} starved")
+
+    def sync_writer():
+        rng = random.Random(11 * seed)
+        t = KeyedTable.load(root)
+        for b in range(1, batches + 1):
+            with_retry(
+                t, "sync", f"by_source_sync_b{b}",
+                lambda b=b: t.merge_into(
+                    snap(b), by_source_delete=True
+                ),
+            )
+            time.sleep(rng.random() * 0.2)
+
+    def dv_writer():
+        rng = random.Random(13 * seed)
+        t = KeyedTable.load(root)
+        for b in range(batches):
+            batch = spark.createDataFrame(
+                [Row(id=9000 + i, grp=f"g{i % 3}", v=1000.0 + b,
+                     ts=_ts(3, b)) for i in range(10)]
+            )
+            with_retry(t, "dv", "upsert_dv",
+                       lambda: t.upsert_dv(batch))
+            time.sleep(rng.random() * 0.2)
+
+    def reader():
+        rng = random.Random(17 * seed)
+        t = KeyedTable.load(root)
+        for _ in range(10):
+            time.sleep(0.1 + rng.random() * 0.3)
+            rows = t.read(spark).select("id", "v").collect()
+            ids = [r.id for r in rows]
+            if len(ids) != len(set(ids)):
+                raise AssertionError(f"dup ids mid-sync: {ids}")
+            if not all(
+                (0 <= r.id < 60 and 0.0 <= r.v <= batches)
+                or (9000 <= r.id < 9010 and r.v >= 1000.0)
+                for r in rows
+            ):
+                raise AssertionError(f"illegal row mid-sync: {rows}")
+            tr.add("rd", "read", "ok", n=len(ids))
+            man = M.read_manifest(root)
+            if man is not None:
+                c1 = t.read(spark, at=man.commit_id).count()
+                c2 = t.count_rows_metadata(at=man.commit_id)
+                if c2 is not None and c1 != c2:
+                    raise AssertionError(
+                        f"pinned {man.commit_id}: scan {c1} != meta {c2}"
+                    )
+
+    applied: dict = {}
+
+    def cdf_drain():
+        from hudi_glue_spark.streaming.table_source import (
+            stream_changes,
+        )
+
+        for _ in range(6):
+            try:
+                t = KeyedTable.load(root)
+
+                def _apply(b, bid):
+                    r = b.selectExpr(
+                        "sum(case when _change_type='insert' "
+                        "then 1 else -1 end) d"
+                    ).first()
+                    applied[bid] = r["d"] or 0
+
+                q = (
+                    stream_changes(spark, t, mode="cdf")
+                    .writeStream.foreachBatch(_apply)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(240)
+                tr.add("cdf", "drain", "ok",
+                       net=sum(applied.values()))
+                return
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "aged out" in msg:
+                    shutil.rmtree(ck, ignore_errors=True)
+                    applied.clear()
+                    tr.add("cdf", "drain", "restart-from-earliest")
+                elif "_changes" in msg or "FileNotFound" in msg:
+                    tr.add("cdf", "drain", "fold-race-replan")
+                else:
+                    raise
+
+    def cdf_consumer():
+        for _ in range(2):
+            time.sleep(0.6)
+            cdf_drain()
+
+    threads = [
+        threading.Thread(target=guard("sync")(sync_writer)),
+        threading.Thread(target=guard("dv")(dv_writer)),
+        threading.Thread(target=guard("rd")(reader)),
+        threading.Thread(target=guard("cdf")(cdf_consumer)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    violations = list(errors)
+    try:
+        if not violations:
+            t = KeyedTable.load(root)
+            with_retry(
+                t, "sync", "final_sync",
+                lambda: t.merge_into(
+                    snap(batches), by_source_delete=True
+                ),
+            )
+            cdf_drain()
+            rows = {r.id: r.v for r in t.read(spark).collect()}
+            want = {i: float(batches) for i in range(60)}
+            if rows != want:
+                bad = {k: v for k, v in rows.items()
+                       if want.get(k) != v}
+                violations.append(
+                    f"post-sync state != source snapshot: {bad} "
+                    f"(missing: {sorted(set(want) - set(rows))[:5]})"
+                )
+            n = t.read(spark).count()
+            if sum(applied.values()) != n:
+                violations.append(
+                    f"cdf net {sum(applied.values())} != snapshot {n}"
+                )
+            bad_v = t.validate()
+            if bad_v:
+                violations.append(f"validate: {bad_v}")
+    except Exception:  # noqa: BLE001
+        import traceback
+
+        violations.append(f"quiesce: {traceback.format_exc()}")
+
+    os.makedirs(trace_dir, exist_ok=True)
+    tpath = os.path.join(trace_dir, f"soak_sync_seed{seed}.json")
+    tr.dump(tpath)
+    status = "GREEN" if not violations else "VIOLATIONS"
+    print(f"sync seed {seed}: {status}  ops={len(tr._rows)}  "
+          f"trace={tpath}")
+    for v in violations:
+        print(f"  !! {v}")
+    return violations
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     # default tier mixes parities DELIBERATELY: odd seeds = chlog +
@@ -530,6 +739,9 @@ def main() -> int:
                     default=[7, 22, 23, 58, 101])
     ap.add_argument("--writers", type=int, default=5)
     ap.add_argument("--batches", type=int, default=4)
+    # by-source sync tier (r13): one odd (chlog) + one even seed
+    ap.add_argument("--sync-seeds", type=int, nargs="*",
+                    default=[5, 8])
     args = ap.parse_args()
     trace_dir = os.environ.get("SOAK_TRACE_DIR", "/tmp/soak_traces")
 
@@ -542,9 +754,12 @@ def main() -> int:
     for seed in args.seeds:
         bad += len(run_seed(spark, seed, args.writers, args.batches,
                             trace_dir))
+    for seed in args.sync_seeds:
+        bad += len(run_sync_seed(spark, seed, args.batches, trace_dir))
     wall = time.time() - t0
     print(f"\n{len(args.seeds)} seeds × {args.writers} writers × "
-          f"{args.batches} batches in {wall:.0f}s — "
+          f"{args.batches} batches + {len(args.sync_seeds)} sync "
+          f"seeds in {wall:.0f}s — "
           f"{'ALL GREEN' if not bad else f'{bad} violations'}")
     return 1 if bad else 0
 
