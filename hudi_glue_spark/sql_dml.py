@@ -440,7 +440,17 @@ def _parse_delete(
             "DELETE FROM t [WHERE pred]"
         )
     name, where = m.groups()
-    return _resolve(name, tables).delete_where(spark, where or "true")
+    tbl = _resolve(name, tables)
+    if where is None:
+        # Delta-parity optimization: DELETE without WHERE is the
+        # whole-table wipe — one metadata-only commit (truncate)
+        # instead of scanning and rewriting every partition to
+        # produce nothing. Same final state, same CDC events (remove
+        # planning), same retention/time-travel behavior. A LITERAL
+        # 'WHERE true' keeps the rewrite path (the caller asked for
+        # predicate semantics explicitly).
+        return tbl.truncate()
+    return tbl.delete_where(spark, where)
 
 
 def _parse_insert(

@@ -367,6 +367,18 @@ def test_truncate_metadata_only_and_reload(spark, tmp_path):
     }
     with pytest.raises(SqlDmlError, match="unparseable TRUNCATE"):
         sql_dml(spark, "TRUNCATE TABLE t CASCADE", tables={"t": t})
+    # DELETE without WHERE routes to the metadata-only wipe (Delta
+    # parity) — op recorded as truncate, zero files referenced
+    cid2 = sql_dml(spark, "DELETE FROM t", tables={"t": t})
+    m2 = M.read_manifest(t.path, cid2)
+    assert m2.op == "truncate" and list(m2.files) == []
+    assert t.read(spark).count() == 0
+    # an explicit literal predicate keeps the rewrite path
+    t3 = _mk(spark, tmp_path / "t3")
+    cid3 = sql_dml(spark, "DELETE FROM t WHERE true",
+                   tables={"t": t3})
+    assert M.read_manifest(t3.path, cid3).op == "delete_where"
+    assert t3.read(spark).count() == 0
 
 
 def test_refusals_are_loud(spark, tmp_path):
