@@ -19,6 +19,10 @@ Layout
 - ``streaming``   : foreachBatch-compatible incremental-ingest wrappers.
 - ``sql_dml``     : restricted-grammar MERGE / UPDATE / DELETE / INSERT
                     SQL strings routed onto the KeyedTable API (r13).
+- ``sql_read``    : SELECT with VERSION AS OF / TIMESTAMP AS OF time
+                    travel routed onto read(at=/as_of=) (r14).
+- ``sql_ddl``     : CREATE TABLE [AS SELECT] / DROP TABLE routed onto
+                    the KeyedTable constructor (r14).
 """
 
 from hudi_glue_spark.session import get_spark

@@ -230,7 +230,6 @@ def q_minhash_near_dup(spark, sf_dir):
 
 _MH_HASHES, _MH_BANDS, _MH_ROWS, _MH_THR = 16, 4, 4, 0.8
 
-_MHIDX_CACHE: dict[str, object] = {}
 _INC_BB_CACHE: list = []
 
 #: Above this many distinct batch band-keys, incremental-dedup
@@ -249,41 +248,56 @@ def _mh_index(spark: SparkSession, sf_dir: str):
     the manifest, so an incoming batch's hash probes prune to the files
     whose key range they land in. Built ONCE per corpus; every future
     batch joins against it instead of re-shingling the corpus."""
-    import shutil as _shutil
-
+    from hudi_glue_spark.scenario_queries import _chlog_fixture
     from hudi_glue_spark.table import KeyedTable
 
     root = "/tmp/hudi_glue_spark_mhidx_" + sf_tag(sf_dir)
-    cached = _MHIDX_CACHE.get(root)
-    if cached is not None and cached.exists():
-        return cached
-    _shutil.rmtree(root, ignore_errors=True)
-    tbl = KeyedTable(
-        root, key=["bk", "doc_id"], precombine="doc_id", stats_cols=["bk"]
-    )
-    rows = D.minhash_band_rows(
-        table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        num_hashes=_MH_HASHES,
-        bands=_MH_BANDS,
-        shingle_n=3,
-    ).withColumn(
-        "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("bh"))
-    )
-    # persist before the range-clustered write: repartitionByRange runs
-    # a SAMPLING job over its input first, which would otherwise
-    # re-evaluate the whole shingling+minhash fold a second time —
-    # measured at ~2x the build cost
-    rows = rows.persist()
-    try:
-        tbl.bulk_insert(
-            rows.repartitionByRange(8, "bk").sortWithinPartitions("bk", "doc_id")
+
+    def _open():
+        return KeyedTable(
+            root, key=["bk", "doc_id"], precombine="doc_id",
+            stats_cols=["bk"],
         )
-    finally:
-        rows.unpersist()
-    _MHIDX_CACHE[root] = tbl
-    return tbl
+
+    def build():
+        tbl = _open()
+        rows = D.minhash_band_rows(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            num_hashes=_MH_HASHES,
+            bands=_MH_BANDS,
+            shingle_n=3,
+        ).withColumn(
+            "bk",
+            F.concat_ws(":", F.col("band").cast("string"), F.col("bh")),
+        )
+        # persist before the range-clustered write: repartitionByRange
+        # runs a SAMPLING job over its input first, which would
+        # otherwise re-evaluate the whole shingling+minhash fold a
+        # second time — measured at ~2x the build cost
+        rows = rows.persist()
+        try:
+            tbl.bulk_insert(
+                rows.repartitionByRange(8, "bk")
+                .sortWithinPartitions("bk", "doc_id")
+            )
+        finally:
+            rows.unpersist()
+        return (tbl,)
+
+    # disk-revalidated like the chlog fixtures (VERDICT r13 #6 — this
+    # build was the single largest bench row): the recipe string pins
+    # the minhash family parameters, so any change rebuilds
+    return _chlog_fixture(
+        root,
+        1,
+        build,
+        recipe=(
+            f"mhidx-v1:h{_MH_HASHES}b{_MH_BANDS}s3"
+        ),
+        reopen=lambda: (_open(),),
+    )[0]
 
 
 def _inc_near_dup_oracle() -> str:

@@ -38,70 +38,21 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2-r12), so the r13 window is built for STALENESS, the
-#: same formula as r7-r12 (memory: round rituals; VERDICT r12 #2
-#: names the cohort): (a) the new r13 rows (SQL DML front-end,
-#: delete-heavy executor-side DV diff) first, then (b) the complete
-#: 28-row cohort whose latest driver green dates from r9 — exactly
-#: the list VERDICT r12 #2 names, all 28 judge-re-proven EXACT that
-#: session — then (c) the oldest-r10 cohort alphabetically up to the
-#: ~50 cap (the remaining r10 rows lead the r14 rotation). No row
-#: green in r11 or r12 sits ahead of an r9/r10-stale row.
+#: (cumulative r2-r13), so the r14 window is built for STALENESS, the
+#: same formula as r7-r13 (memory: round rituals; VERDICT r13 #4
+#: names the cohort): (a) the new r14 rows (SQL time travel, live
+#: registration, CREATE TABLE DDL) first, then (b) the complete
+#: 33-row cohort whose latest driver green dates from r10 — exactly
+#: the list VERDICT r13 #4 names, all 33 judge-re-proven EXACT that
+#: session — then (c) the oldest-r11 cohort alphabetically up to the
+#: ~50 cap (the remaining r11 rows lead the r15 rotation). No row
+#: green in r12 or r13 sits ahead of an r10/r11-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    # (a) new in r13
-    "sql_merge_update_delete",
-    "sql_merge_partial_update",
-    "sql_merge_by_source_sync",
-    "sql_truncate_reload",
-    "diff_delete_heavy_dv",
-    # (b) the complete r9-stale cohort (VERDICT r12 #2)
-    "join_key_skew_profile",
-    "keyword_search_indexed",
-    "knn_l2_bruteforce",
-    "manifest_metadata_table",
-    "merge_into_scenario",
-    "metadata_only_aggregates",
-    "near_dup_components",
-    "orders_price_quantiles_approx",
-    "partition_evolution_scenario",
-    "quality_model_filter",
-    "range_read_time_slice",
-    "record_index_dv_backfill",
-    "record_index_point_lookup",
-    "secondary_index_user_lookup",
-    "stream_cdf_changes",
-    "stream_session_windows",
-    "stream_stream_interval_join",
-    "stream_table_changes",
-    "time_travel_as_of",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "train_val_test_split",
-    "upsert_arrival_wins",
-    "upsert_event_time_wins",
-    "upsert_then_delete",
-    "user_event_type_sets",
-    "vocab_top_terms",
-    # (c) oldest-r9 cohort, alphabetical fill to the cap
-    # (c) oldest-r10 fill, alphabetical
-    "anti_join_new_keys",
-    "asof_last_view_before_purchase",
-    "bm25_scores",
-    "clean_plan_protocol",
-    "compaction_advisor",
-    "count_rows",
-    "csv_ingest_roundtrip",
-    "cube_returnflag_status",
-    "customer_name_features",
-    "customer_orders_full_outer",
-    "dim_broadcast_join",
-    "docs_quality_by_source",
-    "embedding_near_dup",
-    "events_value_band_join",
-    "exact_dedup",
-    "except_nations_without_suppliers",
-    "external_engine_read",
+    # (a) new in r14
+    "sql_time_travel_read",
+    "live_register_read_after_write",
+    "sql_create_table_ddl",
+    # (b) the complete r10-stale cohort (VERDICT r13 #4)
     "fact_join_agg",
     "filter_project_rewrite",
     "hive_partition_paths",
@@ -109,6 +60,47 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "incremental_read_since_first",
     "index_lookup_join_distributed",
     "intersect_customer_supplier_nations",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+    "lang_id_accuracy",
+    "lineitem_pricing_summary",
+    "media_meta_extract",
+    "rollback_scenario",
+    "segment_dedup_reassembled",
+    "sql_pruned_point_range",
+    "stratified_split_exact",
+    "stream_cdf_agg_maintenance",
+    "stream_cdf_exact_rewrite",
+    "stream_dedup_exact",
+    "stream_dim_join_windowed",
+    "stream_keyed_ingest",
+    "stream_text_pipeline",
+    "table_history_audit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipment_priority_classes",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # (c) oldest-r11 fill, alphabetical
+    "benchmark_decontamination",
+    "curation_pipeline_end_to_end",
+    "decontaminated_corpus",
+    "dedup_chain_fixpoint",
+    "diff_commits_changelog",
+    "docs_repetition_signals",
+    "domain_mix_resample",
+    "dual_path_read_agreement",
+    "dv_delete_read",
+    "dv_maintenance_fold",
+    "dv_predicate_dml",
+    "dv_upsert_scenario",
+    "events_moment_stats",
+    "events_value_histogram",
 ]
 
 

@@ -3423,3 +3423,147 @@ def q_time_travel_as_of(spark, sf_dir):
     ts0 = M.read_manifest(root, tbl.commits()[0]).ts
     assert tbl.commit_as_of(ts0) == tbl.commits()[0]
     return tbl.read(spark, as_of=ts0).select(_COLS)
+
+
+@query(
+    "sql_time_travel_read",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts, TRUE AS paths_agree
+    FROM events
+    """,
+)
+def q_sql_time_travel_read(spark, sf_dir):
+    """SQL time travel == API time travel (VERDICT r13 #2; Delta
+    ``VERSION AS OF`` / Hudi ``as.of.instant`` SQL parity the Glue
+    reference gets from Hudi's SQL options). ``sql_read`` rewrites the
+    managed reference onto ``read(at=)`` — here the pre-upsert commit,
+    addressed BOTH by commit id and by Delta-style ordinal 0 — and the
+    multiset-equality of the two SQL paths against the raw API path is
+    returned as a hashed column, so any divergence fails the driver's
+    value check, not just an assert. The snapshot itself must equal
+    the day-0 batch (the oracle), proving the rewrite didn't leak
+    head-state rows through the alias."""
+    from hudi_glue_spark.sql_read import sql_read
+
+    tbl = _two_batch_table(spark, sf_dir)
+    c0 = tbl.commits()[0]
+    cols_txt = ", ".join(_COLS)
+    via_id = sql_read(
+        spark,
+        f"SELECT {cols_txt} FROM kt VERSION AS OF '{c0}'",
+        tables={"kt": tbl},
+    )
+    via_ord = sql_read(
+        spark,
+        f"SELECT {cols_txt} FROM kt VERSION AS OF 0",
+        tables={"kt": tbl},
+    )
+    api = tbl.read(spark, at=c0).select(_COLS)
+
+    def _same(a, b):
+        return (
+            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        )
+
+    agree = _same(via_id, api) and _same(via_ord, api)
+    return via_id.select(*_COLS, F.lit(agree).alias("paths_agree"))
+
+
+@query(
+    "live_register_read_after_write",
+    _BATCHES_CTE.replace("b2 AS", "b2_unused AS").replace(
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2",
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1",
+    )
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_live_register_read_after_write(spark, sf_dir):
+    """Read-after-write THROUGH a registered view (VERDICT r13 #2:
+    Hudi's hive_sync keeps the catalog pointing at the live table,
+    glue/HudiJarGlueJob.py:80-82 — a temp view pinned to the
+    registration-time snapshot is not parity). The view registers
+    BEFORE the update batch commits; the rows the driver hashes come
+    from ``spark.sql`` over that same view AFTER the commit, so a
+    stale registration returns day-0 state and fails the value check
+    against the merged-two-batch oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_livereg_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    ingest(tbl, b0)
+    tbl.register(spark, "kt_live_reg")  # live=True default
+    ingest(tbl, b1)  # commits AFTER registration
+    return spark.sql(
+        "SELECT event_id, user_id, event_type, value, ts FROM kt_live_reg"
+    )
+
+
+@query(
+    "sql_create_table_ddl",
+    _BATCHES_CTE.replace("b2 AS", "b2_unused AS").replace(
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2",
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1",
+    )
+    + """
+    SELECT event_id, user_id, event_type, value, ts FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_sql_create_table_ddl(spark, sf_dir):
+    """Full SQL-statement lifecycle (VERDICT r13 #3, self-parked
+    §9l#3): CREATE TABLE with a DECLARED schema (O(1) empty commit) →
+    INSERT INTO … SELECT (initial load) → INSERT INTO again (keyed
+    upsert — Hudi pk-table INSERT semantics) → read back through
+    ``sql_read``. Every hop is a SQL string; no Python constructor or
+    API call touches the data path (reference parity: Hudi SQL's
+    CREATE TABLE … USING hudi TBLPROPERTIES(primaryKey,
+    preCombineField) = the Glue jobs' table_config,
+    glue/HudiJarGlueJob.py:36-40). The final state must equal the
+    merged-two-batch oracle — a stale/partial hop (empty CREATE not
+    readable, second INSERT appending instead of upserting) breaks
+    the hash."""
+    from hudi_glue_spark.sql_ddl import sql_ddl
+    from hudi_glue_spark.sql_dml import sql_dml
+    from hudi_glue_spark.sql_read import sql_read
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_ddl_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    b0.select(_COLS).createOrReplaceTempView("ddl_b0")
+    b1.select(_COLS).createOrReplaceTempView("ddl_b1")
+    tables: dict = {}
+    sql_ddl(
+        spark,
+        f"""CREATE TABLE kt_ddl (
+              event_id BIGINT, user_id BIGINT, event_type STRING,
+              value DOUBLE, ts TIMESTAMP)
+            USING keyed
+            PARTITIONED BY (event_type)
+            LOCATION '{root}'
+            TBLPROPERTIES ('primaryKey' = 'event_id',
+                           'preCombineField' = 'ts')""",
+        tables,
+    )
+    sql_dml(spark, "INSERT INTO kt_ddl SELECT * FROM ddl_b0",
+            tables=tables)
+    sql_dml(spark, "INSERT INTO kt_ddl SELECT * FROM ddl_b1",
+            tables=tables)
+    return sql_read(
+        spark,
+        "SELECT event_id, user_id, event_type, value, ts FROM kt_ddl",
+        tables=tables,
+    )

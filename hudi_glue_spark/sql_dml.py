@@ -389,6 +389,20 @@ def _parse_merge(
                 "reorder or add a condition"
             )
         by_source_delete = f"(NOT ({bs_upd_cond})) AND ({bs_del})"
+    elif (
+        bs_del is not None
+        and bs_set is not None
+        and bs_del_idx < bs_upd_idx
+        and bs_del == "true"
+    ):
+        # mirror of the update-first case: an UNCONDITIONAL delete
+        # placed first shadows the later BY SOURCE UPDATE — refuse,
+        # not silently drop the update (module contract)
+        raise SqlDmlError(
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE without AND "
+            "makes the later BY SOURCE UPDATE unreachable; "
+            "reorder or add a condition"
+        )
     return tbl.merge_into(
         src,
         when_not_matched_insert=ins is not None,
@@ -482,6 +496,16 @@ def _parse_insert(
             f"WITH), got {query[:40]!r}"
         )
     batch = spark.sql(query)
+    if head == "VALUES" and tbl.exists():
+        # bare VALUES rows are positional in SQL; spark.sql names them
+        # col1..colN — map onto the committed schema's column order
+        tcols = tbl.read(spark).columns
+        if len(batch.columns) != len(tcols):
+            raise SqlDmlError(
+                f"INSERT VALUES arity {len(batch.columns)} != table "
+                f"arity {len(tcols)} ({tcols})"
+            )
+        batch = batch.toDF(*tcols)
     if mode.upper() == "OVERWRITE":
         return tbl.insert_overwrite(batch)
     # INTO on a keyed table = upsert (Hudi pk-table INSERT semantics:

@@ -1932,3 +1932,76 @@ def test_read_as_of_timestamp(spark, tmppath):
     tzm5 = datetime.timezone(datetime.timedelta(hours=-5))
     early = (head_dt - datetime.timedelta(hours=3)).astimezone(tzm5)
     assert tbl.commit_as_of(early.isoformat()) is None
+
+
+def test_merge_null_conditions_do_not_drop_rows(spark, tmp_path):
+    """ADVICE r13 (high): a clause condition that evaluates to SQL NULL
+    must mean 'clause does not apply' — NOT poison `keep`/`taken` and
+    silently delete the row.  Three-valued logic: NULL never selects."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, part="a", flag="x", update_ts=ts(10)),
+         Row(pk=2, part="a", flag=None, update_ts=ts(10)),
+         Row(pk=3, part="b", flag="y", update_ts=ts(10))]))
+    # by_source_delete with a NULL-valued condition: pk=2 (flag NULL)
+    # must SURVIVE — SQL keeps a row whose delete predicate is NULL
+    src = spark.createDataFrame(
+        [Row(pk=3, part="b", flag="y", update_ts=ts(11))])
+    t.merge_into(src, when_not_matched_insert=False,
+                 by_source_delete="target.flag = 'x'")
+    assert {r["pk"] for r in t.read(spark).collect()} == {2, 3}
+
+
+def test_merge_null_matched_condition_falls_through(spark, tmp_path):
+    """ADVICE r13 (high), second repro: a NULL-valued first matched
+    clause must fall through to the next ordered clause, not swallow
+    the row (NULL poisoning the `taken` accumulator deleted it)."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    sch = "pk bigint, flag string, val string, update_ts timestamp"
+    t.bulk_insert(spark.createDataFrame(
+        [(1, None, "old", ts(10))], schema=sch))
+    src = spark.createDataFrame([(1, None, "new", ts(11))], schema=sch)
+    t.merge_into(
+        src,
+        when_not_matched_insert=False,
+        matched_clauses=[
+            {"action": "delete", "condition": "target.flag = 'x'"},
+            {"action": "update"},
+        ],
+    )
+    rows = t.read(spark).collect()
+    assert [(r["pk"], r["val"]) for r in rows] == [(1, "new")]
+
+
+def test_merge_null_update_condition_keeps_row(spark, tmp_path):
+    """NULL update_condition = clause does not apply; row untouched."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    sch = "pk bigint, flag string, val string, update_ts timestamp"
+    t.bulk_insert(spark.createDataFrame(
+        [(1, None, "old", ts(10))], schema=sch))
+    src = spark.createDataFrame([(1, "z", "new", ts(11))], schema=sch)
+    t.merge_into(src, when_not_matched_insert=False,
+                 update_condition="target.flag = 'x'")
+    rows = t.read(spark).collect()
+    assert [(r["pk"], r["val"]) for r in rows] == [(1, "old")]
+
+
+def test_merge_insert_values_bare_column_name(spark, tmp_path):
+    """ADVICE r13 (low): a bare column name for a key/partition INSERT
+    value is accepted by validation — it must then resolve as the
+    source column, not die ambiguous over the aliased join."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    ingest(t, day0(spark))
+    src = spark.createDataFrame(
+        [Row(pk=9, part="c", val="new9", update_ts=ts(11))])
+    t.merge_into(
+        src,
+        matched_clauses=[],
+        insert_values={"pk": "pk", "part": "part",
+                       "val": "upper(source.val)",
+                       "update_ts": "source.update_ts"},
+    )
+    rows = {r["pk"]: (r["part"], r["val"]) for r in t.read(spark).collect()}
+    assert rows[9] == ("c", "NEW9")

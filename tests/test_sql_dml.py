@@ -427,3 +427,49 @@ def test_update_refuses_key_and_unknown_columns(spark, tmp_path):
         sql_dml(spark, "UPDATE t SET pk = 9", tables={"t": t})
     with pytest.raises(ValueError, match="unknown column"):
         sql_dml(spark, "UPDATE t SET nope = 1", tables={"t": t})
+
+
+def test_by_source_unconditional_delete_first_refused(spark, tmp_path):
+    """ADVICE r13 (low): the unreachable-clause refusal must be
+    symmetric — an UNCONDITIONAL BY SOURCE DELETE placed before a BY
+    SOURCE UPDATE shadows the update and is refused, same as the
+    mirror (unconditional UPDATE before DELETE)."""
+    t = _mk(spark, tmp_path / "t")
+    src = _src(spark)
+    with pytest.raises(SqlDmlError, match="unreachable"):
+        sql_dml(
+            spark,
+            """MERGE INTO t USING s ON t.pk = s.pk
+               WHEN NOT MATCHED BY SOURCE THEN DELETE
+               WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = 0""",
+            tables={"t": t}, sources={"s": src},
+        )
+    # the conditional delete-first form is still fine
+    sql_dml(
+        spark,
+        """MERGE INTO t USING s ON t.pk = s.pk
+           WHEN NOT MATCHED BY SOURCE AND t.val > 35 THEN DELETE
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = 0""",
+        tables={"t": t}, sources={"s": src},
+    )
+    assert state(spark, t) == {
+        (1, "a", 10.0), (2, "a", 400.0), (3, "b", 0.0)
+    }
+
+
+def test_merge_null_condition_sql_semantics(spark, tmp_path):
+    """ADVICE r13 (high), via the SQL surface: a WHEN clause whose
+    condition is NULL for a row does not apply to that row."""
+    t = _mk(spark, tmp_path / "t")
+    spark.createDataFrame(
+        [Row(pk=1, part="a", val=None, update_ts=ts(2)),
+         Row(pk=3, part="b", val=999.0, update_ts=ts(2))]
+    ).createOrReplaceTempView("nulls_src")
+    sql_dml(
+        spark,
+        """MERGE INTO t USING nulls_src AS s ON t.pk = s.pk
+           WHEN MATCHED AND s.val > 500 THEN DELETE""",
+        tables={"t": t},
+    )
+    # pk=1 (source val NULL → predicate NULL) survives; pk=3 deleted
+    assert {p for p, *_ in state(spark, t)} == {1, 2, 4}

@@ -67,6 +67,30 @@ class Trace:
             json.dump(self._rows, f, indent=1)
 
 
+def _assert_interleaved(tr: Trace, violations: list[str]) -> None:
+    """The walk's value IS interleaving — a trace whose writer ops are
+    perfectly grouped by thread means the threads ran back-to-back
+    (the r14 guard bug), and the seed proved nothing. Writers emit
+    multiple ops each; the odds of chance perfect grouping across
+    3+ writers are negligible, so grouped == harness defect."""
+    wrows = [r for r in tr._rows
+             if r["who"] not in ("rd", "cdf") and r["op"] != "FATAL"]
+    whos = [r["who"] for r in wrows]
+    distinct = set(whos)
+    if len(distinct) < 2 or len(whos) <= len(distinct):
+        return  # too few ops to judge
+    if any(r.get("retries") for r in wrows):
+        return  # a lost OCC race IS a rival interleaving (a 2-writer
+        # tier can group its SUCCESSES while contending hard)
+    transitions = sum(1 for a, b in zip(whos, whos[1:]) if a != b)
+    if transitions <= len(distinct) - 1:
+        violations.append(
+            f"no interleaving observed: {len(whos)} writer ops from "
+            f"{len(distinct)} threads ran perfectly grouped with zero "
+            f"OCC retries — harness concurrency is broken"
+        )
+
+
 def run_seed(spark, seed: int, writers: int, batches: int,
              trace_dir: str) -> list[str]:
     """One soak run; returns a list of violations (empty = green)."""
@@ -139,8 +163,17 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     t0.bulk_insert(mk_rows(seed_rows))
     t0.build_record_index(spark)
 
-    def guard(who):
-        def wrap(fn):
+    def guard(who, fn):
+        # returns a ZERO-ARG thunk for Thread(target=...). The r10-r13
+        # shape — guard(who)(fn) — executed fn EAGERLY at Thread
+        # construction and handed Thread a None target, so every prior
+        # walk of THIS TOOL ran its "concurrent" ops sequentially
+        # (found r14 when the new wipe tier's trace showed perfect
+        # per-thread ordering; the pytest walk in test_lifecycle.py
+        # passes real targets and was never affected). The
+        # _assert_interleaved() check on every tier's trace keeps the
+        # tool honest against any future regression of this class.
+        def wrap():
             try:
                 fn()
             except Exception:  # noqa: BLE001
@@ -402,14 +435,14 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             cdf_drain()
 
     threads = [
-        threading.Thread(target=guard(f"w{w}")(lambda w=w: writer(w)))
+        threading.Thread(target=guard(f"w{w}", lambda w=w: writer(w)))
         for w in range(writers)
     ]
     threads += [
-        threading.Thread(target=guard("svc")(service)),
-        threading.Thread(target=guard("dv")(dv_writer)),
-        threading.Thread(target=guard("rd")(reader)),
-        threading.Thread(target=guard("cdf")(cdf_consumer)),
+        threading.Thread(target=guard("svc", service)),
+        threading.Thread(target=guard("dv", dv_writer)),
+        threading.Thread(target=guard("rd", reader)),
+        threading.Thread(target=guard("cdf", cdf_consumer)),
     ]
     for th in threads:
         th.start()
@@ -417,6 +450,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
         th.join()
 
     violations = list(errors)
+    _assert_interleaved(tr, violations)
     try:
         if not violations:
             cdf_drain()
@@ -560,8 +594,17 @@ def run_sync_seed(spark, seed: int, batches: int,
                     partition_by="grp", change_log=maps)
     t0.bulk_insert(snap(0))
 
-    def guard(who):
-        def wrap(fn):
+    def guard(who, fn):
+        # returns a ZERO-ARG thunk for Thread(target=...). The r10-r13
+        # shape — guard(who)(fn) — executed fn EAGERLY at Thread
+        # construction and handed Thread a None target, so every prior
+        # walk of THIS TOOL ran its "concurrent" ops sequentially
+        # (found r14 when the new wipe tier's trace showed perfect
+        # per-thread ordering; the pytest walk in test_lifecycle.py
+        # passes real targets and was never affected). The
+        # _assert_interleaved() check on every tier's trace keeps the
+        # tool honest against any future regression of this class.
+        def wrap():
             try:
                 fn()
             except Exception:  # noqa: BLE001
@@ -572,10 +615,13 @@ def run_sync_seed(spark, seed: int, batches: int,
         return wrap
 
     def with_retry(t, who, op, fn):
-        for _ in range(80):
+        for attempt in range(80):
             try:
                 fn()
-                tr.add(who, op, "ok")
+                # retries recorded: each lost OCC race IS interleaving
+                # evidence (_assert_interleaved counts it — a 2-writer
+                # tier can group its SUCCESSES while contending hard)
+                tr.add(who, op, "ok", retries=attempt)
                 return
             except M.ConcurrentCommitError:
                 continue
@@ -676,10 +722,10 @@ def run_sync_seed(spark, seed: int, batches: int,
             cdf_drain()
 
     threads = [
-        threading.Thread(target=guard("sync")(sync_writer)),
-        threading.Thread(target=guard("dv")(dv_writer)),
-        threading.Thread(target=guard("rd")(reader)),
-        threading.Thread(target=guard("cdf")(cdf_consumer)),
+        threading.Thread(target=guard("sync", sync_writer)),
+        threading.Thread(target=guard("dv", dv_writer)),
+        threading.Thread(target=guard("rd", reader)),
+        threading.Thread(target=guard("cdf", cdf_consumer)),
     ]
     for th in threads:
         th.start()
@@ -687,6 +733,7 @@ def run_sync_seed(spark, seed: int, batches: int,
         th.join()
 
     violations = list(errors)
+    _assert_interleaved(tr, violations)
     try:
         if not violations:
             t = KeyedTable.load(root)
@@ -711,6 +758,7 @@ def run_sync_seed(spark, seed: int, batches: int,
                 violations.append(
                     f"cdf net {sum(applied.values())} != snapshot {n}"
                 )
+            t.clean(retain_commits=2, orphan_grace_s=0.0)
             bad_v = t.validate()
             if bad_v:
                 violations.append(f"validate: {bad_v}")
@@ -730,6 +778,294 @@ def run_sync_seed(spark, seed: int, batches: int,
     return violations
 
 
+def run_wipe_seed(spark, seed: int, batches: int,
+                  trace_dir: str) -> list[str]:
+    """TRUNCATE / INSERT OVERWRITE tier (r14, VERDICT r13 #5): the two
+    r13 SQL write surfaces are property-tested but were never in the
+    randomized multi-writer mix — both are commit types a CDF consumer
+    and an OCC rival must survive. Every write in this tier goes
+    through the SQL FRONT-END (sql_dml strings), so the soak covers
+    the parser→engine routing too, not just the API:
+
+    - an overwrite writer repeatedly ``INSERT OVERWRITE``-s partition
+      g0 (whole-partition replace commits),
+    - an upsert writer ``INSERT INTO``-s the g1/g2 rows (keyed upsert),
+    - a DV writer races positional marks on its own g1/g2 family,
+    - a WIPER lands one mid-walk ``TRUNCATE TABLE`` (metadata-only
+      rewrite of <all> — conflicts with EVERY rival under OCC) and
+      immediately reloads the base snapshot,
+    - a reader asserts internal consistency mid-churn, and a CDF
+      consumer drains across the truncate (restart-from-earliest on
+      retention races, per the documented contract).
+
+    Phase 2 (after the chaos joins) issues one final op per writer, so
+    the end state is DETERMINISTIC regardless of whether the truncate
+    landed before or after any given chaos op. Quiesce: exact final
+    state, cdf net == snapshot count, validate() clean."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.sql_dml import sql_dml
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = f"/tmp/soak_wipe_{seed}"
+    ck = root + "_ck"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    tr = Trace()
+    errors: list[str] = []
+    maps = bool(seed % 2)  # odd: write-time change log on
+
+    def _ts(day: int, b: int = 0) -> str:
+        return f"2024-03-{day:02d}T{b:02d}:00:00"
+
+    def g0_rows(b: int):
+        # ids ≡ 0 (mod 3) live in g0 — the overwrite writer's scope
+        return spark.createDataFrame(
+            [Row(id=i, grp="g0", v=float(b), ts=_ts(2, b))
+             for i in range(0, 60, 3)]
+        )
+
+    def g12_rows(b: int):
+        return spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}", v=float(b), ts=_ts(2, b))
+             for i in range(60) if i % 3],
+        )
+
+    def base_rows():
+        return spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}", v=0.0, ts=_ts(1))
+             for i in range(60)]
+        )
+
+    t0 = KeyedTable(root, key="id", precombine="ts",
+                    partition_by="grp", change_log=maps)
+    t0.bulk_insert(base_rows())
+    tables = {"wt": t0}
+
+    def guard(who, fn):
+        # returns a ZERO-ARG thunk for Thread(target=...). The r10-r13
+        # shape — guard(who)(fn) — executed fn EAGERLY at Thread
+        # construction and handed Thread a None target, so every prior
+        # walk of THIS TOOL ran its "concurrent" ops sequentially
+        # (found r14 when the new wipe tier's trace showed perfect
+        # per-thread ordering; the pytest walk in test_lifecycle.py
+        # passes real targets and was never affected). The
+        # _assert_interleaved() check on every tier's trace keeps the
+        # tool honest against any future regression of this class.
+        def wrap():
+            try:
+                fn()
+            except Exception:  # noqa: BLE001
+                import traceback
+
+                tr.add(who, "FATAL", traceback.format_exc())
+                errors.append(f"{who}: {traceback.format_exc()}")
+        return wrap
+
+    def with_retry(who, op, fn):
+        for attempt in range(80):
+            try:
+                fn()
+                tr.add(who, op, "ok", retries=attempt)
+                return
+            except M.ConcurrentCommitError:
+                continue
+        raise AssertionError(f"{who} {op} starved")
+
+    vlock = threading.Lock()
+
+    def _sql_write(who, op, stmt_fmt, df):
+        # per-call unique view name: temp views are session-global
+        vname = f"wipe_{seed}_{who}_{abs(hash(stmt_fmt)) % 997}_{time.monotonic_ns()}"
+        with vlock:
+            df.createOrReplaceTempView(vname)
+        with_retry(
+            who, op,
+            lambda: sql_dml(spark, stmt_fmt.format(v=vname),
+                            tables=tables),
+        )
+
+    def ow_writer():
+        rng = random.Random(11 * seed)
+        for b in range(1, batches + 1):
+            _sql_write("ow", f"insert_overwrite_b{b}",
+                       "INSERT OVERWRITE wt SELECT * FROM {v}",
+                       g0_rows(b))
+            time.sleep(rng.random() * 0.2)
+
+    def up_writer():
+        rng = random.Random(13 * seed)
+        for b in range(1, batches + 1):
+            _sql_write("up", f"insert_into_b{b}",
+                       "INSERT INTO wt SELECT * FROM {v}",
+                       g12_rows(b))
+            time.sleep(rng.random() * 0.2)
+
+    def dv_writer():
+        rng = random.Random(17 * seed)
+        t = KeyedTable.load(root)
+        for b in range(batches):
+            batch = spark.createDataFrame(
+                [Row(id=9000 + i, grp=f"g{1 + i % 2}",
+                     v=1000.0 + b, ts=_ts(3, b)) for i in range(10)]
+            )
+            with_retry("dv", "upsert_dv",
+                       lambda: t.upsert_dv(batch))
+            time.sleep(rng.random() * 0.2)
+
+    def wiper():
+        rng = random.Random(19 * seed)
+        time.sleep(0.4 + rng.random() * 0.5)
+        with_retry(
+            "wipe", "truncate",
+            lambda: sql_dml(spark, "TRUNCATE TABLE wt",
+                            tables=tables),
+        )
+        _sql_write("wipe", "reload",
+                   "INSERT INTO wt SELECT * FROM {v}", base_rows())
+
+    def reader():
+        rng = random.Random(23 * seed)
+        t = KeyedTable.load(root)
+        for _ in range(10):
+            time.sleep(0.1 + rng.random() * 0.3)
+            rows = t.read(spark).select("id", "grp").collect()
+            idents = [(r.id, r.grp) for r in rows]
+            ids = [r.id for r in rows]
+            if len(ids) != len(set(ids)):
+                raise AssertionError(f"dup ids mid-wipe: {sorted(ids)}")
+            tr.add("rd", "read", "ok", n=len(idents))
+            man = M.read_manifest(root)
+            if man is not None:
+                c1 = t.read(spark, at=man.commit_id).count()
+                c2 = t.count_rows_metadata(at=man.commit_id)
+                if c2 is not None and c1 != c2:
+                    raise AssertionError(
+                        f"pinned {man.commit_id}: scan {c1} != meta {c2}"
+                    )
+
+    applied: dict = {}
+
+    def cdf_drain():
+        from hudi_glue_spark.streaming.table_source import (
+            stream_changes,
+        )
+
+        for _ in range(6):
+            try:
+                t = KeyedTable.load(root)
+
+                def _apply(b, bid):
+                    r = b.selectExpr(
+                        "sum(case when _change_type='insert' "
+                        "then 1 else -1 end) d"
+                    ).first()
+                    applied[bid] = r["d"] or 0
+
+                q = (
+                    stream_changes(spark, t, mode="cdf")
+                    .writeStream.foreachBatch(_apply)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(240)
+                tr.add("cdf", "drain", "ok",
+                       net=sum(applied.values()))
+                return
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "aged out" in msg:
+                    shutil.rmtree(ck, ignore_errors=True)
+                    applied.clear()
+                    tr.add("cdf", "drain", "restart-from-earliest")
+                elif "_changes" in msg or "FileNotFound" in msg:
+                    tr.add("cdf", "drain", "fold-race-replan")
+                else:
+                    raise
+
+    def cdf_consumer():
+        for _ in range(2):
+            time.sleep(0.6)
+            cdf_drain()
+
+    threads = [
+        threading.Thread(target=guard("ow", ow_writer)),
+        threading.Thread(target=guard("up", up_writer)),
+        threading.Thread(target=guard("dv", dv_writer)),
+        threading.Thread(target=guard("wipe", wiper)),
+        threading.Thread(target=guard("rd", reader)),
+        threading.Thread(target=guard("cdf", cdf_consumer)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    violations = list(errors)
+    _assert_interleaved(tr, violations)
+    try:
+        if not violations:
+            # phase 2: one final op per writer — deterministic end
+            # state no matter where the truncate landed in phase 1
+            fb = batches + 1
+            _sql_write("ow", "final_overwrite",
+                       "INSERT OVERWRITE wt SELECT * FROM {v}",
+                       g0_rows(fb))
+            _sql_write("up", "final_upsert",
+                       "INSERT INTO wt SELECT * FROM {v}",
+                       g12_rows(fb))
+            t = KeyedTable.load(root)
+            final_dv = spark.createDataFrame(
+                [Row(id=9000 + i, grp=f"g{1 + i % 2}",
+                     v=1000.0 + fb, ts=_ts(3, fb))
+                 for i in range(10)]
+            )
+            with_retry("dv", "final_upsert_dv",
+                       lambda: t.upsert_dv(final_dv))
+            cdf_drain()
+            rows = {r.id: r.v for r in t.read(spark).collect()}
+            want = {i: float(fb) for i in range(60)}
+            want.update({9000 + i: 1000.0 + fb for i in range(10)})
+            if rows != want:
+                bad = {k: v for k, v in rows.items()
+                       if want.get(k) != v}
+                violations.append(
+                    f"post-wipe state wrong: {bad} (missing: "
+                    f"{sorted(set(want) - set(rows))[:5]})"
+                )
+            n = t.read(spark).count()
+            if sum(applied.values()) != n:
+                violations.append(
+                    f"cdf net {sum(applied.values())} != snapshot {n}"
+                )
+            if n != t.count_rows_metadata():
+                violations.append("metadata count != snapshot count")
+            # OCC losers' staged files and truncated-away versions are
+            # EXPECTED cleanable orphans under real contention — sweep
+            # them (grace 0: the walk is quiesced) before validate,
+            # the same order run_seed uses
+            t.clean(retain_commits=2, orphan_grace_s=0.0)
+            bad_v = t.validate()
+            if bad_v:
+                violations.append(f"validate: {bad_v}")
+    except Exception:  # noqa: BLE001
+        import traceback
+
+        violations.append(f"quiesce: {traceback.format_exc()}")
+
+    os.makedirs(trace_dir, exist_ok=True)
+    tpath = os.path.join(trace_dir, f"soak_wipe_seed{seed}.json")
+    tr.dump(tpath)
+    status = "GREEN" if not violations else "VIOLATIONS"
+    print(f"wipe seed {seed}: {status}  ops={len(tr._rows)}  "
+          f"trace={tpath}")
+    for v in violations:
+        print(f"  !! {v}")
+    return violations
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     # default tier mixes parities DELIBERATELY: odd seeds = chlog +
@@ -742,6 +1078,9 @@ def main() -> int:
     # by-source sync tier (r13): one odd (chlog) + one even seed
     ap.add_argument("--sync-seeds", type=int, nargs="*",
                     default=[5, 8])
+    # truncate/insert-overwrite tier (r14): one odd + one even seed
+    ap.add_argument("--wipe-seeds", type=int, nargs="*",
+                    default=[3, 12])
     args = ap.parse_args()
     trace_dir = os.environ.get("SOAK_TRACE_DIR", "/tmp/soak_traces")
 
@@ -756,10 +1095,12 @@ def main() -> int:
                             trace_dir))
     for seed in args.sync_seeds:
         bad += len(run_sync_seed(spark, seed, args.batches, trace_dir))
+    for seed in args.wipe_seeds:
+        bad += len(run_wipe_seed(spark, seed, args.batches, trace_dir))
     wall = time.time() - t0
     print(f"\n{len(args.seeds)} seeds × {args.writers} writers × "
           f"{args.batches} batches + {len(args.sync_seeds)} sync "
-          f"seeds in {wall:.0f}s — "
+          f"+ {len(args.wipe_seeds)} wipe seeds in {wall:.0f}s — "
           f"{'ALL GREEN' if not bad else f'{bad} violations'}")
     return 1 if bad else 0
 
