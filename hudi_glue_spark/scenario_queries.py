@@ -3567,3 +3567,67 @@ def q_sql_create_table_ddl(spark, sf_dir):
         "SELECT event_id, user_id, event_type, value, ts FROM kt_ddl",
         tables=tables,
     )
+
+
+@query(
+    "sql_alter_add_drop_columns",
+    """
+    WITH b0 AS (
+      SELECT event_id, user_id, event_type,
+             CAST(value AS DOUBLE) AS value, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(NULL AS DOUBLE) AS score, 0 AS src
+      FROM events
+    ), b1 AS (
+      SELECT event_id, user_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts,
+             (value + 100.0) * 2 AS score, 1 AS src
+      FROM events WHERE event_type = 'click'
+    ), u AS (
+      SELECT * FROM b0 UNION ALL SELECT * FROM b1
+    )
+    SELECT event_id, event_type, value, ts, score FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_sql_alter_add_drop_columns(spark, sf_dir):
+    """Metadata-only schema evolution through SQL (r14, extends
+    VERDICT r13 #3's DDL ask): CTAS from the day-0 batch, ``ALTER
+    TABLE ADD COLUMNS (score DOUBLE)`` (zero files rewritten — the
+    Iceberg add-column idiom; pre-add rows read NULL on both
+    engines), upsert the click batch WITH scores, then ``ALTER TABLE
+    DROP COLUMN user_id`` (metadata-only retire). The oracle replays
+    the same evolution in SQL: click rows carry the new scores,
+    non-click rows read score NULL from pre-add files, and no
+    user_id column anywhere."""
+    from hudi_glue_spark.sql_ddl import sql_ddl
+    from hudi_glue_spark.sql_dml import sql_dml
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_alter_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    b0.select(_COLS).createOrReplaceTempView("alter_b0")
+    b1.select(_COLS).withColumn(
+        "score", F.col("value") * 2
+    ).createOrReplaceTempView("alter_b1")
+    tables: dict = {}
+    sql_ddl(
+        spark,
+        f"""CREATE TABLE kt_alter USING keyed
+            PARTITIONED BY (event_type) LOCATION '{root}'
+            TBLPROPERTIES ('primaryKey' = 'event_id',
+                           'preCombineField' = 'ts')
+            AS SELECT * FROM alter_b0""",
+        tables,
+    )
+    sql_ddl(spark, "ALTER TABLE kt_alter ADD COLUMNS (score DOUBLE)",
+            tables)
+    sql_dml(spark, "INSERT INTO kt_alter SELECT * FROM alter_b1",
+            tables=tables)
+    sql_ddl(spark, "ALTER TABLE kt_alter DROP COLUMN user_id", tables)
+    return tables["kt_alter"].read(spark).select(
+        "event_id", "event_type", "value", "ts", "score"
+    )

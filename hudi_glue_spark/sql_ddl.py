@@ -30,6 +30,9 @@ Supported::
 
     DROP TABLE [IF EXISTS] <name> [PURGE]   -- PURGE deletes the files
 
+    ALTER TABLE <name> ADD COLUMN[S] (c type, ...)   -- metadata-only
+    ALTER TABLE <name> DROP COLUMN[S] c [, ...]      -- metadata-only
+
 Mapping is 1:1 and refuses loudly outside it: ``USING`` anything but
 ``keyed`` (this engine has ONE table format), unknown TBLPROPERTIES
 keys (a typo'd ``primarykey`` must not silently produce an unkeyed
@@ -203,11 +206,75 @@ def sql_ddl(
         if purge:
             shutil.rmtree(tbl.path, ignore_errors=True)
         return None
+    if head == "ALTER":
+        return _alter(stmt, tables)
     raise SqlDdlError(
         f"unsupported DDL {head!r}: sql_ddl handles CREATE TABLE "
-        f"[AS SELECT] and DROP TABLE only (schema changes go through "
-        f"the evolution API: add/drop/rename/widen methods)"
+        f"[AS SELECT], ALTER TABLE ADD/DROP COLUMN(S), and DROP "
+        f"TABLE only"
     )
+
+
+def _alter(stmt: str, tables: dict[str, KeyedTable]):
+    """ALTER TABLE t ADD COLUMN[S] (c type, ...) | DROP COLUMN[S]
+    c [, ...] — mapped onto the metadata-only evolution methods
+    (add_columns / drop_columns: zero files rewritten at any size).
+    RENAME and ALTER COLUMN TYPE are refused: the engine reads old
+    files BY NAME (no Iceberg field ids), so either would need a full
+    rewrite — an explicit refusal beats a silent one."""
+    m = re.match(
+        rf"^ALTER TABLE ({_IDENT})\s+(ADD|DROP|RENAME|ALTER)\s+"
+        rf"COLUMNS?\s*(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise SqlDdlError(
+            "unparseable ALTER; supported: ALTER TABLE t ADD COLUMN[S] "
+            "(c type, ...) | DROP COLUMN[S] c [, ...]"
+        )
+    name, verb, rest = m.groups()
+    tbl = tables.get(name) or tables.get(name.lower())
+    if tbl is None:
+        raise SqlDdlError(f"unknown table {name!r}")
+    verb = verb.upper()
+    if verb in ("RENAME", "ALTER"):
+        raise SqlDdlError(
+            f"ALTER TABLE ... {verb} COLUMN is not supported: old "
+            f"files are read by column NAME, so a rename/retype needs "
+            f"a rewrite — drop and add under a new name, or rewrite "
+            f"through a query"
+        )
+    rest = rest.strip()
+    if verb == "ADD":
+        inner = rest
+        if inner.startswith("("):
+            inner, trailing = _take_parens(inner)
+            if trailing:
+                raise SqlDdlError(
+                    f"unexpected text after column list: {trailing!r}"
+                )
+        cols: dict[str, str] = {}
+        for item in _split_top(inner):
+            cm = re.match(
+                r"^(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.+)$", item
+            )
+            if not cm:
+                raise SqlDdlError(f"unparseable ADD COLUMN item {item!r}")
+            cols[cm.group(1).strip("`")] = cm.group(2).strip()
+        return tbl.add_columns(cols)
+    # DROP COLUMN(S): bare names, optionally parenthesized
+    inner = rest
+    if inner.startswith("("):
+        inner, trailing = _take_parens(inner)
+        if trailing:
+            raise SqlDdlError(
+                f"unexpected text after column list: {trailing!r}"
+            )
+    names = [c.strip().strip("`") for c in _split_top(inner)]
+    if not names or any(not n for n in names):
+        raise SqlDdlError("DROP COLUMN needs column name(s)")
+    return tbl.drop_columns(names)
 
 
 def _create(

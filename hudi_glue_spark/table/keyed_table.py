@@ -6208,6 +6208,66 @@ class KeyedTable:
             self._want_index("column", c, want=False)
         return self.commits()[-1]
 
+    def add_columns(self, cols: dict[str, str]) -> str:
+        """Metadata-only column ADD (the Iceberg add-column idiom,
+        twin of :meth:`drop_columns`): publishes a commit whose schema
+        carries the new nullable columns — zero files rewritten. Both
+        read engines fill the column with NULL for pre-add files (the
+        native scan's explicit schema, and the manifest relation's
+        ``pds.dataset(schema=...)`` — probed on pyarrow: a dataset
+        schema superset of the file fills nulls). On a 100 TB table
+        this is a metadata operation instead of a full rewrite.
+
+        ``cols`` maps name → Spark DDL type string (e.g. ``{"score":
+        "double"}``). Refuses an existing name, a RETIRED name (an
+        explicit-schema read of a pre-drop file would resurrect its
+        stale bytes under the re-added name — the drop_columns
+        contract), and a name colliding with a derived column."""
+        if not cols:
+            raise ValueError("add_columns needs at least one column")
+        man = M.read_manifest(self.path)
+        if man is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        schema = StructType.fromJson(json.loads(man.schema_json))
+        have = {f.name for f in schema.fields}
+        dup = set(cols) & have
+        if dup:
+            raise ValueError(f"column(s) already exist: {sorted(dup)}")
+        retired = self._retired_columns(man) & set(cols)
+        if retired:
+            raise ValueError(
+                f"cannot re-add dropped column(s) {sorted(retired)}: "
+                f"old files still hold the former bytes"
+            )
+        gen = set(self.derived_cols or {}) & set(cols)
+        if gen:
+            raise ValueError(
+                f"column(s) {sorted(gen)} are generated — declared via "
+                f"derived_cols, not ADD COLUMN"
+            )
+        new_fields = list(schema.fields)
+        for name, ddl in cols.items():
+            try:
+                dt = StructType.fromDDL(f"`{name}` {ddl}").fields[0].dataType
+            except Exception as e:
+                raise ValueError(
+                    f"unparseable type {ddl!r} for column {name!r}: {e}"
+                ) from e
+            new_fields.append(StructField(name, dt, True))
+        vidx = (man.stats or {}).get("vector_index")
+        self._commit(
+            "add_columns",
+            man.files,
+            StructType(new_fields),
+            rows=0,
+            extra_stats={
+                "added_cols": sorted(cols),
+                **({"vector_index": vidx} if vidx is not None else {}),
+            },
+            cid=M.child_id(man.commit_id),
+        )
+        return self.commits()[-1]
+
     def _retired_columns(self, man: "M.Manifest | None" = None) -> set[str]:
         """Union of all column names ever dropped — these may never be
         re-added (see drop_columns). The latest manifest's carried-

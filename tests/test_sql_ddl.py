@@ -115,7 +115,8 @@ def test_refusals(spark, tmp_path):
          "TBLPROPERTIES ('primaryKey'='pk','preCombineField'='pk') "
          "AS SELECT 1", "no column list"),
         # other DDL verbs
-        ("ALTER TABLE t ADD COLUMN x INT", "unsupported DDL"),
+        ("ALTER TABLE t ADD COLUMN x INT", "unknown table"),
+        ("GRANT SELECT ON t TO x", "unsupported DDL"),
         ("CREATE VIEW v AS SELECT 1", "unparseable CREATE"),
     ]
     for stmt, msg in cases:
@@ -142,3 +143,65 @@ def test_nested_type_parens_parse(spark, tmp_path):
         tables, base_dir=str(tmp_path))
     dt = dict(tbl.read(spark).dtypes)
     assert dt["amt"] == "decimal(12,3)" and dt["emb"] == "array<float>"
+
+
+def test_alter_add_and_drop_columns(spark, tmp_path):
+    """ALTER TABLE maps onto the metadata-only evolution methods:
+    ADD publishes a schema commit (old files read the new column as
+    NULL on BOTH engines), DROP retires the name; RENAME / retype
+    refuse."""
+    tables = {}
+    tbl = sql_ddl(
+        spark,
+        "CREATE TABLE at (pk BIGINT, part STRING, v DOUBLE, "
+        "update_ts TIMESTAMP) USING keyed PARTITIONED BY (part) "
+        "TBLPROPERTIES ('primaryKey'='pk', "
+        "'preCombineField'='update_ts')",
+        tables, base_dir=str(tmp_path))
+    sql_dml(spark,
+            "INSERT INTO at VALUES (1, 'a', 1.5, TIMESTAMP'2024-01-01')",
+            tables=tables)
+    files_before = None
+    from hudi_glue_spark.table import manifest as M
+    files_before = set(M.read_manifest(tbl.path).files)
+    sql_ddl(spark, "ALTER TABLE at ADD COLUMNS (score DOUBLE, tag STRING)",
+            tables)
+    # metadata-only: identical file set
+    assert set(M.read_manifest(tbl.path).files) == files_before
+    row = tbl.read(spark).collect()[0]
+    assert row["score"] is None and row["tag"] is None
+    # new column is writable; old rows stay NULL
+    sql_dml(spark,
+            "INSERT INTO at SELECT 2 pk, 'a' part, 2.5 v, "
+            "TIMESTAMP'2024-01-01' update_ts, 9.0 score, 'x' tag",
+            tables=tables)
+    got = {r["pk"]: r["score"] for r in tbl.read(spark).collect()}
+    assert got == {1: None, 2: 9.0}
+    # DROP retires; re-ADD refuses
+    sql_ddl(spark, "ALTER TABLE at DROP COLUMN tag", tables)
+    assert "tag" not in tbl.read(spark).columns
+    with pytest.raises(ValueError, match="re-add"):
+        sql_ddl(spark, "ALTER TABLE at ADD COLUMN (tag STRING)", tables)
+    # refusals
+    with pytest.raises(SqlDdlError, match="not supported"):
+        sql_ddl(spark, "ALTER TABLE at RENAME COLUMN v TO w", tables)
+    with pytest.raises(ValueError, match="already exist"):
+        sql_ddl(spark, "ALTER TABLE at ADD COLUMN (v DOUBLE)", tables)
+    with pytest.raises(ValueError, match="key/precombine/partition"):
+        sql_ddl(spark, "ALTER TABLE at DROP COLUMN pk", tables)
+
+
+def test_add_columns_manifest_engine_nulls(spark, tmp_path):
+    """The manifest (pyarrow) read engine must fill a post-add column
+    with NULL for pre-add files, same as the native engine."""
+    from hudi_glue_spark.table import KeyedTable
+    import datetime
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, v=1.0, update_ts=ts(1))]))
+    t.add_columns({"score": "double"})
+    native = t.read(spark, engine="native").collect()
+    man = t.read(spark, engine="manifest").collect()
+    assert [r.asDict() for r in native] == [r.asDict() for r in man]
+    assert native[0]["score"] is None
