@@ -4978,6 +4978,13 @@ class KeyedTable:
                     insert_values = {**insert_values, c: f"source.{c}"}
         cols = existing.columns
         src_names = set(source.columns)
+        # EXTRA source columns (not in the target schema) ride through
+        # the join so clause conditions / SET / INSERT expressions can
+        # reference them — standard SQL MERGE scoping (a staging batch
+        # carrying an op flag like `source.is_delete` is the canonical
+        # shape). They are never written: the output projection below
+        # selects target-schema columns only.
+        extras = [c for c in source.columns if c not in set(cols)]
         source = self._precombine(source).select(
             [
                 (
@@ -4987,6 +4994,7 @@ class KeyedTable:
                 ).alias(f.name)
                 for f in existing.schema.fields
             ]
+            + [F.col(c) for c in extras]
         )
         by_source = (
             by_source_delete is not None

@@ -2005,3 +2005,28 @@ def test_merge_insert_values_bare_column_name(spark, tmp_path):
     )
     rows = {r["pk"]: (r["part"], r["val"]) for r in t.read(spark).collect()}
     assert rows[9] == ("c", "NEW9")
+
+
+def test_merge_condition_on_source_only_column(spark, tmp_path):
+    """Standard SQL MERGE scoping: clause conditions / SET / INSERT
+    expressions may reference SOURCE columns outside the target
+    schema (the staging-batch op-flag shape). Extras ride through the
+    join and are never written."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts")
+    ingest(t, day0(spark))  # pks 1-4
+    src = spark.createDataFrame([
+        Row(pk=1, part="a", val="u1", update_ts=ts(11), op="U"),
+        Row(pk=2, part="a", val="x", update_ts=ts(11), op="D"),
+        Row(pk=9, part="c", val="n9", update_ts=ts(11), op="I"),
+    ])
+    t.merge_into(
+        src,
+        matched_clauses=[
+            {"action": "delete", "condition": "source.op = 'D'"},
+            {"action": "update", "condition": "source.op = 'U'"},
+        ],
+        insert_condition="source.op = 'I'",
+    )
+    rows = {r["pk"]: r["val"] for r in t.read(spark).collect()}
+    assert rows == {1: "u1", 3: "init3", 4: "init4", 9: "n9"}
+    assert "op" not in t.read(spark).columns

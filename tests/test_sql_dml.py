@@ -473,3 +473,25 @@ def test_merge_null_condition_sql_semantics(spark, tmp_path):
     )
     # pk=1 (source val NULL → predicate NULL) survives; pk=3 deleted
     assert {p for p, *_ in state(spark, t)} == {1, 2, 4}
+
+
+def test_merge_condition_on_source_only_column_sql(spark, tmp_path):
+    """The op-flag staging shape through the SQL front-end: WHEN
+    clauses conditioned on a source column the target doesn't have."""
+    t = _mk(spark, tmp_path / "t")
+    spark.createDataFrame(
+        [Row(pk=1, part="a", val=11.0, update_ts=ts(2), op="U"),
+         Row(pk=2, part="a", val=0.0, update_ts=ts(2), op="D"),
+         Row(pk=9, part="c", val=90.0, update_ts=ts(2), op="I")]
+    ).createOrReplaceTempView("opflag_src")
+    sql_dml(
+        spark,
+        """MERGE INTO t USING opflag_src AS s ON t.pk = s.pk
+           WHEN MATCHED AND s.op = 'D' THEN DELETE
+           WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *""",
+        tables={"t": t},
+    )
+    assert state(spark, t) == {
+        (1, "a", 11.0), (3, "b", 30.0), (4, "b", 40.0), (9, "c", 90.0)
+    }
