@@ -120,6 +120,21 @@ def sql_read(
     CALL time from the table's manifest (plain references read HEAD),
     so this is also a live read path needing no prior register()."""
     lowered = {k.lower(): t for k, t in tables.items()}
+    dh = re.match(
+        rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if dh:
+        # Delta's DESCRIBE HISTORY → the commit-timeline DataFrame
+        # (history() — metadata-only, one row per retained commit)
+        tbl = lowered.get(dh.group(1).lower())
+        if tbl is None:
+            raise SqlReadError(
+                f"DESCRIBE HISTORY {dh.group(1)!r}: not a managed "
+                f"table (known: {sorted(tables)})"
+            )
+        return tbl.history(spark)
     params: dict[str, DataFrame] = {}
 
     def sub(m: re.Match) -> str:

@@ -142,3 +142,12 @@ def test_register_pinned_snapshot(spark, tbl):
     assert spark.sql("SELECT count(*) c FROM pin_t") \
                 .collect()[0]["c"] == 3
     tbl.unregister(spark, "pin_t")
+
+
+def test_describe_history(spark, tbl):
+    hist = sql_read(spark, "DESCRIBE HISTORY t", tables={"t": tbl})
+    rows = hist.collect()
+    assert [r["op"] for r in rows] == ["bulk_insert", "upsert"]
+    assert rows[-1]["commit_id"] == tbl.commits()[-1]
+    with pytest.raises(SqlReadError, match="not a managed"):
+        sql_read(spark, "DESCRIBE HISTORY nope", tables={"t": tbl})
