@@ -53,6 +53,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "live_register_read_after_write",
     "sql_create_table_ddl",
     "sql_alter_add_drop_columns",
+    "sql_merge_source_op_flags",
     # (b) the complete r10-stale cohort (VERDICT r13 #4)
     "fact_join_agg",
     "filter_project_rewrite",
@@ -100,7 +101,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "dv_maintenance_fold",
     "dv_predicate_dml",
     "dv_upsert_scenario",
-    "events_moment_stats",
 ]
 
 

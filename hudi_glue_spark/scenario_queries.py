@@ -3631,3 +3631,72 @@ def q_sql_alter_add_drop_columns(spark, sf_dir):
     return tables["kt_alter"].read(spark).select(
         "event_id", "event_type", "value", "ts", "score"
     )
+
+
+@query(
+    "sql_merge_source_op_flags",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(value AS DOUBLE) AS value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_id % 5 <> 0
+    ), upd AS (
+      SELECT event_id, user_id, event_type, value + 100.0 AS value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts
+      FROM events WHERE event_id % 5 = 0 AND event_id % 15 <> 0
+    ), ins AS (
+      SELECT event_id + 3000000 AS event_id, user_id, event_type,
+             value + 0.5 AS value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT * FROM base UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def q_sql_merge_source_op_flags(spark, sf_dir):
+    """The CDC-staging MERGE shape (r14): ONE source batch carrying a
+    per-row op flag the TARGET SCHEMA DOES NOT HAVE — matched 'D'
+    rows delete, matched 'U' rows update, unmatched 'I' rows insert,
+    all in one statement with conditions on ``s.op``. Standard SQL
+    scopes source columns into every clause; the engine keeps extra
+    source columns through the merge join for expression scope only
+    (they are never written — the read-back proves the target schema
+    is unchanged). This is how every Debezium/CDC feed lands in
+    Hudi/Delta, so the shape gets its own oracle row."""
+    from hudi_glue_spark.sql_dml import sql_dml
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_opflag_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    ev = table(spark, sf_dir, "events").select(_COLS)
+    tbl.bulk_insert(ev)
+    mod5 = ev.filter("event_id % 5 = 0")
+    src = (
+        mod5.withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn(
+            "op",
+            F.when(F.col("event_id") % 15 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .unionByName(
+            ev.filter("event_id % 10 = 0")
+            .withColumn("event_id", F.col("event_id") + F.lit(3000000))
+            .withColumn("value", F.col("value") + F.lit(0.5))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    src.createOrReplaceTempView("opflag_batch")
+    sql_dml(
+        spark,
+        """MERGE INTO kt USING opflag_batch AS s ON kt.event_id = s.event_id
+           WHEN MATCHED AND s.op = 'D' THEN DELETE
+           WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *""",
+        tables={"kt": tbl},
+    )
+    return tbl.read(spark).select(_COLS)
