@@ -34,7 +34,7 @@ unconditional clause would make the rest unreachable — refused, same
 rule as Delta).
     UPDATE <t> SET col = expr [, ...] [WHERE <pred>]
     DELETE FROM <t> [WHERE <pred>]
-    INSERT INTO <t> <SELECT ...| TABLE name | VALUES ...>
+    INSERT INTO <t> [(c1, c2, ...)] <SELECT ...| TABLE name | VALUES ...>
     INSERT OVERWRITE [TABLE] <t> <SELECT ...| TABLE name | VALUES ...>
     TRUNCATE [TABLE] <t>
 
@@ -483,20 +483,71 @@ def _parse_insert(
             "SELECT instead)"
         )
     mode, name, query = m.groups()
-    if query.lstrip().startswith("("):
-        raise SqlDmlError(
-            "INSERT column lists are not supported; project/alias the "
-            "columns in the SELECT instead"
-        )
     tbl = _resolve(name, tables)
-    head = query.split(None, 1)[0].upper()
+    ins_cols: list[str] | None = None
+    if query.lstrip().startswith("("):
+        # INSERT INTO t (c1, c2, ...) <query>: SQL column-list form —
+        # the query's columns map POSITIONALLY onto the listed names;
+        # unlisted columns land NULL (the engine then refuses if a
+        # structural column is missing, its normal contract)
+        lm = re.match(r"^\s*\(([^)]*)\)\s*(.*)$", query, re.DOTALL)
+        if not lm:
+            raise SqlDmlError("unparseable INSERT column list")
+        ins_cols = [c.strip().strip("`") for c in lm.group(1).split(",")]
+        query = lm.group(2)
+        if not tbl.exists():
+            raise SqlDmlError(
+                "INSERT with a column list needs an existing table "
+                "schema to resolve unlisted columns — CREATE the "
+                "table first (sql_ddl) or insert full rows"
+            )
+    head = query.split(None, 1)[0].upper() if query.strip() else ""
     if head not in ("SELECT", "TABLE", "VALUES", "WITH", "FROM"):
         raise SqlDmlError(
             f"INSERT source must be a query (SELECT/TABLE/VALUES/"
             f"WITH), got {query[:40]!r}"
         )
     batch = spark.sql(query)
-    if head == "VALUES" and tbl.exists():
+    if ins_cols is not None:
+        from pyspark.sql import functions as F
+
+        tschema = tbl.read(spark).schema
+        tcols = [f.name for f in tschema.fields]
+        unknown = set(ins_cols) - set(tcols)
+        if unknown:
+            raise SqlDmlError(
+                f"INSERT column(s) not in table: {sorted(unknown)}"
+            )
+        if len(set(ins_cols)) != len(ins_cols):
+            raise SqlDmlError("duplicate INSERT column")
+        if len(batch.columns) != len(ins_cols):
+            raise SqlDmlError(
+                f"INSERT lists {len(ins_cols)} columns but the query "
+                f"produces {len(batch.columns)}"
+            )
+        structural = (
+            set(tbl.key) | {tbl.precombine} | set(tbl.partition_by or [])
+        ) - set(tbl.derived_cols or {})
+        absent = structural - set(ins_cols)
+        if absent:
+            raise SqlDmlError(
+                f"INSERT column list must include the key/precombine/"
+                f"partition column(s) {sorted(absent)} — unlisted "
+                f"columns land NULL, and a NULL row identity on a "
+                f"keyed table is almost never what you meant"
+            )
+        listed = set(ins_cols)
+        batch = batch.toDF(*ins_cols).select(
+            [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in listed
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in tschema.fields
+            ]
+        )
+    elif head == "VALUES" and tbl.exists():
         # bare VALUES rows are positional in SQL; spark.sql names them
         # col1..colN — map onto the committed schema's column order
         tcols = tbl.read(spark).columns

@@ -329,7 +329,9 @@ def test_insert_into_is_upsert(spark, tmp_path):
     assert state(spark, t2) == {
         (1, "a", 11.0), (2, "a", 500.0), (5, "c", 50.0)
     }
-    with pytest.raises(SqlDmlError, match="column lists"):
+    # a column list omitting the precombine column refuses (r14 —
+    # column lists are supported now; NULL identity is not)
+    with pytest.raises(SqlDmlError, match="must include the key"):
         sql_dml(spark,
                 "INSERT INTO t (pk, part) SELECT pk, part FROM "
                 "sqldml_ins_src", tables={"t": t})
@@ -495,3 +497,39 @@ def test_merge_condition_on_source_only_column_sql(spark, tmp_path):
     assert state(spark, t) == {
         (1, "a", 11.0), (3, "b", 30.0), (4, "b", 40.0), (9, "c", 90.0)
     }
+
+
+def test_insert_column_list_and_positional_values(spark, tmp_path):
+    """INSERT INTO t (cols) maps the query positionally onto the
+    listed names; unlisted columns land NULL typed to the committed
+    schema. Structural columns must still be present (engine refusal)."""
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   partition_by="part")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, part="a", val=10.0, tag="x", update_ts=ts(1))]))
+    sql_dml(
+        spark,
+        "INSERT INTO t (pk, part, val, update_ts) VALUES "
+        "(2, 'b', 20.0, TIMESTAMP'2024-01-01 02:00:00')",
+        tables={"t": t})
+    got = {(r["pk"], r["val"], r["tag"]) for r in t.read(spark).collect()}
+    assert got == {(1, 10.0, "x"), (2, 20.0, None)}
+    # SELECT source through a column list, reordered names
+    spark.createDataFrame([Row(a="c", b=3, c=30.0)]) \
+         .createOrReplaceTempView("cl_src")
+    sql_dml(
+        spark,
+        "INSERT INTO t (part, pk, val, update_ts) SELECT a, b, c, "
+        "TIMESTAMP'2024-01-01 03:00:00' FROM cl_src",
+        tables={"t": t})
+    assert (3, 30.0, None) in {
+        (r["pk"], r["val"], r["tag"]) for r in t.read(spark).collect()}
+    # refusals: unknown name, dup, arity, missing structural column
+    for stmt, msg in [
+        ("INSERT INTO t (nope) VALUES (1)", "not in table"),
+        ("INSERT INTO t (pk, pk) VALUES (1, 2)", "duplicate"),
+        ("INSERT INTO t (pk, val) VALUES (1)", "lists 2 columns"),
+        ("INSERT INTO t (val) VALUES (1.0)", "must include the key"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sql_dml(spark, stmt, tables={"t": t})
