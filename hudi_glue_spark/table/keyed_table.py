@@ -1034,18 +1034,45 @@ class KeyedTable:
         man = M.read_manifest(self.path)
         if man is None:
             raise FileNotFoundError(f"no commits at {self.path}")
+        # NULL probes: the engine's row identity treats NULL as a
+        # legal key value (eqNullSafe everywhere), but neither blooms
+        # nor the record index can attest NULL hosts and `isin` is
+        # NULL-poisoned — a silent drop, not a miss. The NULL portion
+        # reads the PINNED snapshot unpruned (filter isNull); the
+        # non-null portion keeps the indexed fast path.
+        keys = list(keys)
+        nn_keys = [k for k in keys if k is not None]
+        want_null = len(nn_keys) != len(keys)
         # record index first (exact live hosts + supersets, no bloom
         # false positives, O(probe-span) index bytes instead of
         # O(live files) driver-side bloom decodes); bloom fallback.
         # Pinned to the manifest read above (rival-commit race).
-        keep = self.files_hosting_keys(spark, list(keys), man=man)
+        keep = (
+            self.files_hosting_keys(spark, nn_keys, man=man)
+            if nn_keys
+            else []
+        )
         if keep is None:
-            keep = self.files_with_keys(keys, man=man)
+            keep = self.files_with_keys(nn_keys, man=man)
         schema = StructType.fromJson(json.loads(man.schema_json))
-        cond = F.col(self.key[0]).isin(list(keys))
+        cond = (
+            F.col(self.key[0]).isin(nn_keys)
+            if nn_keys
+            else F.lit(False)
+        )
         if not keep:
-            return spark.createDataFrame([], schema).filter(cond)
-        return self._read_pruned(spark, man, keep, schema).filter(cond)
+            out = spark.createDataFrame([], schema).filter(cond)
+        else:
+            out = self._read_pruned(spark, man, keep, schema).filter(
+                cond
+            )
+        if want_null:
+            out = out.unionByName(
+                self.read(spark, at=man.commit_id).filter(
+                    F.col(self.key[0]).isNull()
+                )
+            )
+        return out
 
     # -- record-level index (key → file; Hudi 1.0 RLI parity) --------------
 

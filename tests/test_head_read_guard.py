@@ -50,7 +50,12 @@ def test_maintenance_budget_derivation():
 
 
 def test_head_read_budget_across_public_api(spark):
-    t = build_fixture(spark, "/tmp/head_read_guard")
+    import os
+
+    # per-process root: two pytest invocations overlapping on one
+    # fixture table race each other's commits, and the loser's OCC
+    # retries read HEAD extra times — a false budget violation
+    t = build_fixture(spark, f"/tmp/head_read_guard_{os.getpid()}")
     ctr = HeadReadCounter()
     over: list[str] = []
     errs: list[str] = []

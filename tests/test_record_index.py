@@ -691,3 +691,29 @@ def test_wanted_index_converges_when_marker_not_at_head(
     summary2 = t.run_maintenance(spark)
     assert "record_index_rebuilt" not in summary2
     assert "column_index_rebuilt" not in summary2
+
+
+def test_read_keys_null_probe(spark, tmp_path):
+    """r14: a NULL record key is a legal row identity (eqNullSafe
+    everywhere), so a NULL probe must RETURN the row — blooms and the
+    record index can't attest NULL hosts and `isin` is NULL-poisoned,
+    which used to silently drop it. The NULL portion reads the pinned
+    snapshot unpruned; non-null probes keep the indexed path."""
+    import datetime
+
+    from hudi_glue_spark.table import KeyedTable
+
+    ts = lambda h: datetime.datetime(2024, 1, 1, h)  # noqa: E731
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="update_ts",
+                   key_bloom=True)
+    sch = "pk bigint, val double, update_ts timestamp"
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 1.0, ts(1)), (2, 2.0, ts(1)), (None, 9.0, ts(1))], sch))
+    got = {(r["pk"], r["val"])
+           for r in t.read_keys(spark, [None, 1]).collect()}
+    assert got == {(1, 1.0), (None, 9.0)}
+    # all-null probe list; and the fast path alone is unchanged
+    assert {(r["pk"], r["val"])
+            for r in t.read_keys(spark, [None]).collect()} == {(None, 9.0)}
+    assert {(r["pk"], r["val"])
+            for r in t.read_keys(spark, [2]).collect()} == {(2, 2.0)}
