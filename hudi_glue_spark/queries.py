@@ -54,6 +54,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "sql_create_table_ddl",
     "sql_alter_add_drop_columns",
     "sql_merge_source_op_flags",
+    "sql_call_rollback_clean",
     # (b) the complete r10-stale cohort (VERDICT r13 #4)
     "fact_join_agg",
     "filter_project_rewrite",
@@ -100,7 +101,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "dv_delete_read",
     "dv_maintenance_fold",
     "dv_predicate_dml",
-    "dv_upsert_scenario",
 ]
 
 

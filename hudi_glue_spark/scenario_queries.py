@@ -3700,3 +3700,54 @@ def q_sql_merge_source_op_flags(spark, sf_dir):
         tables={"kt": tbl},
     )
     return tbl.read(spark).select(_COLS)
+
+
+@query(
+    "sql_call_rollback_clean",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts, TRUE AS head_is_rollback
+    FROM events
+    """,
+)
+def q_sql_call_rollback_clean(spark, sf_dir):
+    """Table-service procedures through SQL (r14; Hudi SQL's CALL
+    run_clean / rollback_to_instant / create_savepoint,
+    sql_dml.sql_call): savepoint the initial commit, upsert an update
+    batch, CALL rollback back onto the savepointed commit
+    (metadata-only restore), CALL run_clean with a 2-commit window —
+    the savepoint must keep the restore target alive through the
+    clean. The read-back must equal the day-0 batch exactly; the
+    boolean column pins that the head commit IS the rollback (op
+    recorded in history())."""
+    from hudi_glue_spark.sql_dml import sql_call
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_call_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    tbl.bulk_insert(b0.select(_COLS))
+    c0 = tbl.commits()[0]
+    tbl.upsert(b1.select(_COLS))
+    tables = {"kt": tbl}
+    sql_call(
+        spark, f"CALL create_savepoint(table => 'kt', commit => '{c0}')",
+        tables,
+    )
+    sql_call(
+        spark, f"CALL rollback_to_instant(table => 'kt', commit => '{c0}')",
+        tables,
+    )
+    sql_call(
+        spark, "CALL run_clean(table => 'kt', retain_commits => 2)",
+        tables,
+    )
+    head_op = [
+        r["op"] for r in tbl.history(spark).collect()
+    ][-1]
+    return tbl.read(spark).select(
+        *_COLS, F.lit(head_op == "rollback").alias("head_is_rollback")
+    )

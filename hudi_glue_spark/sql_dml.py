@@ -68,7 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hudi_glue_spark.table.keyed_table import KeyedTable
 
-__all__ = ["sql_dml"]
+__all__ = ["sql_dml", "sql_call"]
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 
@@ -599,9 +599,134 @@ def sql_dml(
                 "unparseable TRUNCATE; supported: TRUNCATE [TABLE] t"
             )
         return _resolve(m.group(1), tables).truncate()
+    if head == "CALL":
+        # sql_dml's contract returns a commit id; use sql_call
+        # directly for the procedure's own return value
+        sql_call(spark, stmt, tables)
+        try:
+            t = _resolve(
+                re.search(r"table\s*(?:=>|=)\s*['\"]?([A-Za-z_][A-Za-z0-9_.]*)",
+                          stmt, re.IGNORECASE).group(1),
+                tables,
+            )
+            return t.commits()[-1]
+        except Exception:  # noqa: BLE001 — best-effort head report
+            return ""
     raise SqlDmlError(
         f"unsupported statement {head!r}: sql_dml handles MERGE INTO "
         f"/ UPDATE / DELETE FROM / INSERT INTO / INSERT OVERWRITE / "
         f"TRUNCATE only (reads go through register()/"
         f"register_external() and plain spark.sql)"
     )
+
+
+# -- CALL procedures (Hudi-SQL parity: CALL run_clean(table => 't')) -----
+
+#: procedure name (+ Hudi-SQL aliases) → (method, {arg: coercion},
+#: needs_spark). `table =>` is always required and resolves through
+#: the same dict as every other statement.
+_COMMA_LIST = "comma-list"
+_PROCS: dict[str, tuple[str, dict, bool]] = {
+    "clean": ("clean", {"retain_commits": int,
+                        "orphan_grace_s": float}, False),
+    "run_clean": ("clean", {"retain_commits": int,
+                            "orphan_grace_s": float}, False),
+    "optimize": ("optimize", {"target_file_mb": float,
+                              "small_file_mb": float,
+                              "sort_by": _COMMA_LIST,
+                              "zorder_by": _COMMA_LIST}, True),
+    "run_compaction": ("optimize", {"target_file_mb": float,
+                                    "small_file_mb": float}, True),
+    "rollback": ("rollback", {"commit": str}, False),
+    "rollback_to_instant": ("rollback", {"commit": str}, False),
+    "savepoint": ("savepoint", {"commit": str}, False),
+    "create_savepoint": ("savepoint", {"commit": str}, False),
+    "release_savepoint": ("release_savepoint", {"commit": str}, False),
+    "delete_savepoint": ("release_savepoint", {"commit": str}, False),
+    "fold_change_logs": ("fold_change_logs", {"keep_last": int,
+                                              "max_bytes": int}, False),
+    "run_maintenance": ("run_maintenance", {
+        "retain_commits": int, "target_file_mb": float,
+        "small_file_mb": float, "target_rows_per_file": int,
+        "orphan_grace_s": float, "dv_fold_dead_fraction": float,
+        "chlog_keep_commits": int, "chlog_max_bytes": int}, True),
+}
+
+#: engine parameter name when it differs from the CALL arg name
+_PROC_ARG_RENAME = {
+    ("rollback", "commit"): "to_commit",
+    ("savepoint", "commit"): "commit_id",
+    ("release_savepoint", "commit"): "commit_id",
+}
+
+
+def sql_call(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, KeyedTable],
+):
+    """Execute one ``CALL <proc>(name => value, ...)`` table-service
+    statement (Hudi's SQL procedures: run_clean, run_compaction,
+    rollback_to_instant, create/delete_savepoint — plus this engine's
+    own maintenance verbs). Named arguments only (``=>`` per the
+    Hudi/Iceberg convention; ``=`` accepted); ``table => '<name>'``
+    is required and resolves through ``tables``. Returns whatever the
+    underlying method returns (commit id, summary dict, folded-token
+    list). Unknown procedures/arguments refuse loudly."""
+    stmt = _strip(statement)
+    m = re.match(
+        rf"^CALL ({_IDENT})\s*\((.*)\)$", stmt, re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        raise SqlDmlError(
+            "unparseable CALL; supported: CALL proc(name => value, "
+            f"...) with proc one of {sorted(_PROCS)}"
+        )
+    proc, inner = m.group(1).lower(), m.group(2)
+    if proc not in _PROCS:
+        raise SqlDmlError(
+            f"unknown procedure {proc!r} (supported: {sorted(_PROCS)})"
+        )
+    method, allowed, needs_spark = _PROCS[proc]
+    kw: dict = {}
+    tbl_name = None
+    for item in _split_top(inner):
+        am = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*(?:=>|=)\s*(.+)$",
+                      item, re.DOTALL)
+        if not am:
+            raise SqlDmlError(
+                f"unparseable CALL argument {item!r} (named form "
+                f"only: name => value)"
+            )
+        name, raw = am.group(1).lower(), am.group(2).strip()
+        val = raw[1:-1] if raw[:1] in "'\"" and raw[-1:] == raw[:1] else raw
+        if name == "table":
+            tbl_name = val
+            continue
+        if name not in allowed:
+            raise SqlDmlError(
+                f"procedure {proc!r} takes no argument {name!r} "
+                f"(supported: table, {sorted(allowed)})"
+            )
+        if name in kw:
+            raise SqlDmlError(f"duplicate CALL argument {name!r}")
+        co = allowed[name]
+        try:
+            kw[name] = (
+                [c.strip() for c in val.split(",")]
+                if co is _COMMA_LIST
+                else co(val)
+            )
+        except ValueError as e:
+            raise SqlDmlError(
+                f"CALL argument {name!r}: cannot read {val!r} as "
+                f"{getattr(co, '__name__', co)}"
+            ) from e
+    if tbl_name is None:
+        raise SqlDmlError("CALL needs table => '<name>'")
+    tbl = _resolve(tbl_name, tables)
+    kw = {
+        _PROC_ARG_RENAME.get((method, k), k): v for k, v in kw.items()
+    }
+    fn = getattr(tbl, method)
+    return fn(spark, **kw) if needs_spark else fn(**kw)

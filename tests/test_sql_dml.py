@@ -533,3 +533,43 @@ def test_insert_column_list_and_positional_values(spark, tmp_path):
     ]:
         with pytest.raises(ValueError, match=msg):
             sql_dml(spark, stmt, tables={"t": t})
+
+
+def test_call_procedures(spark, tmp_path):
+    """CALL <proc>(name => value) — Hudi SQL procedure parity routed
+    onto the table-service API: savepoint/rollback round-trip, clean,
+    optimize, run_maintenance; unknown procedures/args refuse."""
+    from hudi_glue_spark.sql_dml import sql_call
+
+    t = _mk(spark, tmp_path / "t")
+    c0 = t.commits()[0]
+    sql_dml(spark, "UPDATE t SET val = val + 1", tables={"t": t})
+    # savepoint the head, roll back to c0, verify, then clean
+    sql_call(spark, f"CALL create_savepoint(table => 't', commit => '{c0}')",
+             tables={"t": t})
+    assert t.savepoints() == [c0]
+    cid = sql_dml(spark, f"CALL rollback(table => 't', commit => '{c0}')",
+                  tables={"t": t})
+    assert cid == t.commits()[-1]
+    assert state(spark, t) == {
+        (1, "a", 10.0), (2, "a", 400.0), (3, "b", 30.0), (4, "b", 40.0)}
+    sql_call(spark, "CALL release_savepoint(table => 't', commit => '%s')" % c0,
+             tables={"t": t})
+    assert t.savepoints() == []
+    dropped = sql_call(spark,
+                       "CALL run_clean(table => 't', retain_commits => 1)",
+                       tables={"t": t})
+    assert isinstance(dropped, list)
+    out = sql_call(spark, "CALL run_maintenance(table => 't', "
+                          "retain_commits => 2)", tables={"t": t})
+    assert isinstance(out, dict)
+    # refusals
+    for stmt, msg in [
+        ("CALL nope(table => 't')", "unknown procedure"),
+        ("CALL run_clean(table => 't', nope => 1)", "no argument"),
+        ("CALL run_clean(retain_commits => 1)", "needs table"),
+        ("CALL run_clean(table => 't', retain_commits => 'x')",
+         "cannot read"),
+    ]:
+        with pytest.raises(SqlDmlError, match=msg):
+            sql_call(spark, stmt, tables={"t": t})
