@@ -37,6 +37,7 @@ rule as Delta).
     INSERT INTO <t> [(c1, c2, ...)] <SELECT ...| TABLE name | VALUES ...>
     INSERT OVERWRITE [TABLE] <t> <SELECT ...| TABLE name | VALUES ...>
     TRUNCATE [TABLE] <t>
+    CALL <proc>(table => 't', name => value, ...)   -- table services
 
 ``INSERT INTO`` on a keyed table is an UPSERT (Hudi's
 ``hoodie.sql.insert.mode=upsert`` default for pk tables —
