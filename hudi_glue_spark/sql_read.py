@@ -36,11 +36,25 @@ is refused loudly (this front-end cannot snapshot a table it does
 not manage); unmanaged plain references pass through untouched so
 ordinary temp views keep working inside the same statement.
 
-Restrictions (refused or documented, never silently misread):
-comma-style joins put only the FIRST table through the rewriter —
-use explicit JOIN syntax; literal ``{``/``}`` in a statement that
-also references a managed table is refused (they would collide with
-the parameter formatter).
+Scoping/safety rules (ADVICE r14, all three verified by tests):
+
+- Quoted string literals are MASKED before the rewriter runs, so a
+  literal containing ``... FROM t ...`` is never rewritten (the r14
+  behavior silently corrupted such literals into parameter holes).
+- ``WITH`` names SHADOW managed tables for the whole statement, per
+  standard SQL CTE resolution: ``WITH t AS (…) SELECT … FROM t``
+  reads the CTE, never the managed snapshot. Time travel on a
+  shadowed name is refused (a CTE has no timeline). A WITH nested in
+  a subquery shadows globally here (coarser than SQL's lexical
+  scope); the failure mode is an unresolved-relation error from
+  Spark, never a silent misread.
+- Comma-style and parenthesized join syntax is REFUSED when a
+  managed name appears after ``,`` or ``(`` (those positions bypass
+  the FROM/JOIN rewriter) — use explicit JOIN syntax. This check is
+  textual, so a SELECT-list column that shares a managed table's
+  name trips it too; qualify the column (``x.t``) or rename it.
+- Literal ``{``/``}`` in a statement that also references a managed
+  table is refused (collides with the parameter formatter).
 """
 
 from __future__ import annotations
@@ -76,9 +90,66 @@ _REF = re.compile(
     re.IGNORECASE,
 )
 
+#: Spark string literals: single/double quoted, backslash escapes and
+#: doubled-quote escapes both honored (Spark accepts both forms).
+_STR = re.compile(r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"")
+
 
 class SqlReadError(ValueError):
     """Statement outside the restricted read grammar."""
+
+
+def _mask_strings(stmt: str) -> str:
+    """Same-LENGTH copy of ``stmt`` with every quoted literal's body
+    blanked to spaces (quotes kept, so the time-travel literal shape
+    still matches). Positions align 1:1 with the original, letting the
+    rewriter take match SPANS from the masked text and SLICES from the
+    original — identifiers inside string literals become invisible to
+    every structural regex without any reassembly bookkeeping."""
+
+    def blank(m: re.Match) -> str:
+        s = m.group(0)
+        return s[0] + " " * (len(s) - 2) + s[-1]
+
+    return _STR.sub(blank, stmt)
+
+
+def _cte_names(masked: str) -> set[str]:
+    """Names bound by WITH clauses anywhere in the (masked) statement.
+    Walks each ``WITH`` keyword: ``name [(cols)] AS ( … )`` items
+    separated by commas, skipping the balanced-paren bodies. Names
+    found here shadow managed tables (standard SQL resolution order)."""
+    names: set[str] = set()
+    for w in re.finditer(r"\bWITH\b", masked, re.IGNORECASE):
+        i = w.end()
+        rec = re.match(r"\s+RECURSIVE\b", masked[i:], re.IGNORECASE)
+        if rec:
+            i += rec.end()
+        while True:
+            mm = re.match(
+                rf"\s*({_IDENT})\s*(\([^)]*\))?\s*AS\s*\(",
+                masked[i:],
+                re.IGNORECASE,
+            )
+            if not mm:
+                break
+            names.add(mm.group(1).lower())
+            j = i + mm.end() - 1  # the AS-body's opening '('
+            depth = 0
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            i = j + 1
+            comma = re.match(r"\s*,", masked[i:])
+            if not comma:
+                break
+            i += comma.end()
+    return names
 
 
 def _snapshot(
@@ -135,23 +206,69 @@ def sql_read(
                 f"table (known: {sorted(tables)})"
             )
         return tbl.history(spark)
+
+    masked = _mask_strings(stmt)
+    shadowed = _cte_names(masked) & set(lowered)
     params: dict[str, DataFrame] = {}
 
-    def sub(m: re.Match) -> str:
-        kw, name, kind, lit, alias = m.groups()
-        tbl = lowered.get(name.lower())
+    # Rewrite over the MASKED text, emitting ORIGINAL slices — string
+    # literals can't match, but the output keeps their exact content.
+    out_parts: list[str] = []
+    out_masked_parts: list[str] = []
+    pos = 0
+    for m in _REF.finditer(masked):
+        kw, name, kind, _lit, alias = m.groups()
+        key = name.lower()
+        tbl = lowered.get(key)
+        if key in shadowed:
+            if kind is not None:
+                raise SqlReadError(
+                    f"time travel on {name!r}: the name is bound by a "
+                    f"WITH clause in this statement (CTEs shadow "
+                    f"managed tables and have no timeline)"
+                )
+            continue  # CTE wins; leave the reference untouched
         if tbl is None:
             if kind is not None:
                 raise SqlReadError(
                     f"time travel on {name!r}: not a managed table "
                     f"(known: {sorted(tables)})"
                 )
-            return m.group(0)
+            continue  # unmanaged plain reference passes through
+        lit = stmt[m.start(4): m.end(4)] if m.group(4) is not None else None
         p = f"__tt{len(params)}"
         params[p] = _snapshot(spark, tbl, kind, lit)
-        return f"{kw} {{{p}}} AS {alias or name}"
+        rep = f"{kw} {{{p}}} AS {alias or name}"
+        out_parts.append(stmt[pos: m.start()])
+        out_parts.append(rep)
+        out_masked_parts.append(masked[pos: m.start()])
+        out_masked_parts.append(rep)
+        pos = m.end()
+    out_parts.append(stmt[pos:])
+    out_masked_parts.append(masked[pos:])
+    out = "".join(out_parts)
+    out_masked = "".join(out_masked_parts)
 
-    out = _REF.sub(sub, stmt)
+    # Loud refusal for table-reference positions the FROM/JOIN grammar
+    # cannot see (VERDICT r14 #6): a managed name right after ',' or
+    # '(' is a comma-join / parenthesized-join reference this rewriter
+    # would silently skip. (Followed-by '.'/'(' occurrences are
+    # qualified columns / calls, not references.)
+    visible = set(lowered) - shadowed
+    if visible:
+        alt = "|".join(re.escape(n) for n in sorted(visible))
+        stray = re.search(
+            rf"[,(]\s*({alt})\b(?!\s*[.(])", out_masked, re.IGNORECASE
+        )
+        if stray:
+            raise SqlReadError(
+                f"managed table {stray.group(1)!r} referenced after "
+                f"','/'(' — comma-style and parenthesized joins bypass "
+                f"the snapshot rewriter; use explicit JOIN syntax. (A "
+                f"SELECT-list column sharing the table's name trips "
+                f"this too: qualify or rename it.)"
+            )
+
     if not params:
         return spark.sql(stmt)
     if "{" in stmt or "}" in stmt:

@@ -117,6 +117,73 @@ def test_unmanaged_view_passthrough_and_refusals(spark, tbl):
         sql_read(spark, "SELECT '{x}' FROM t", tables={"t": tbl})
 
 
+def test_string_literal_not_rewritten(spark, tbl):
+    # ADVICE r14 (medium): a quoted literal containing "FROM t" must
+    # survive the rewrite byte-for-byte — the r14 rewriter replaced it
+    # with a parameter hole, silently changing the comparison result.
+    out = sql_read(
+        spark,
+        "SELECT pk FROM t WHERE 'x FROM t y' = 'x FROM t y'",
+        tables={"t": tbl})
+    assert out.count() == 3
+    # double-quoted and escaped forms too
+    out2 = sql_read(
+        spark,
+        "SELECT pk, 'join t later' AS note FROM t WHERE pk = 1",
+        tables={"t": tbl})
+    assert out2.collect()[0]["note"] == "join t later"
+
+
+def test_cte_shadows_managed_table(spark, tbl):
+    # ADVICE r14 (medium): standard SQL resolves the CTE first.
+    out = sql_read(
+        spark,
+        "WITH t AS (SELECT 99 AS a) SELECT * FROM t",
+        tables={"t": tbl})
+    assert [r["a"] for r in out.collect()] == [99]
+    # multi-CTE list: the second name shadows too
+    out2 = sql_read(
+        spark,
+        "WITH x AS (SELECT 1 AS a), t AS (SELECT 2 AS a) "
+        "SELECT t.a + x.a AS s FROM t JOIN x",
+        tables={"t": tbl})
+    assert [r["s"] for r in out2.collect()] == [3]
+    # a CTE that does NOT collide leaves the managed read intact
+    out3 = sql_read(
+        spark,
+        "WITH top AS (SELECT 1 AS want) "
+        "SELECT count(*) AS n FROM t JOIN top ON t.pk = top.want",
+        tables={"t": tbl})
+    assert out3.collect()[0]["n"] == 1
+    # time travel on a shadowed name is meaningless → loud refusal
+    with pytest.raises(SqlReadError, match="WITH clause"):
+        sql_read(
+            spark,
+            "WITH t AS (SELECT 1 AS a) SELECT * FROM t VERSION AS OF 0",
+            tables={"t": tbl})
+
+
+def test_comma_join_refused(spark, tbl):
+    # VERDICT r14 #6: managed name after ','/'(' bypasses the
+    # rewriter → loud up-front refusal with explicit-JOIN guidance.
+    spark.createDataFrame([Row(pk=1)]).createOrReplaceTempView("side2")
+    with pytest.raises(SqlReadError, match="explicit JOIN"):
+        sql_read(spark, "SELECT * FROM side2, t", tables={"t": tbl})
+    with pytest.raises(SqlReadError, match="explicit JOIN"):
+        sql_read(spark, "SELECT * FROM (t JOIN side2 ON t.pk = side2.pk)",
+                 tables={"t": tbl})
+    # ...but a comma-join inside a string literal is fine
+    out = sql_read(spark, "SELECT pk, 'from side2, t' AS s FROM t",
+                   tables={"t": tbl})
+    assert out.count() == 3
+    # and a subquery FROM over the managed table still rewrites
+    out2 = sql_read(
+        spark,
+        "SELECT count(*) AS n FROM (SELECT * FROM t WHERE val > 15) q",
+        tables={"t": tbl})
+    assert out2.collect()[0]["n"] == 2
+
+
 def test_register_live_tracks_head(spark, tbl):
     tbl.register(spark, "live_t")
     assert spark.sql("SELECT count(*) c FROM live_t") \
