@@ -111,6 +111,27 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _unwrap_parens(s: str) -> str | None:
+    """``s`` starts (after whitespace) with '(': return the inner text
+    when that paren's MATCH is the final character, else None.
+    Quote-aware — a ')' inside a string literal never closes."""
+    s = s.strip()
+    depth, q = 0, None
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:i].strip() if i == len(s) - 1 else None
+    return None
+
+
 def _rewrite_alias(cond: str, alias: str, canon: str) -> str:
     """``<alias>.col`` → ``<canon>.col`` (word-bounded, outside
     quotes — condition strings here are short expressions, so a
@@ -486,6 +507,24 @@ def _parse_insert(
     mode, name, query = m.groups()
     tbl = _resolve(name, tables)
     ins_cols: list[str] | None = None
+    # A parenthesized QUERY — INSERT INTO t (SELECT …) — is not a
+    # column list (ADVICE r14: misreading it as one produced a
+    # baffling "column(s) not in table" error). Unwrap it when the
+    # opening paren closes at the statement's end; otherwise fall
+    # through so the mismatched shape gets the column-list error.
+    while re.match(
+        r"^\s*\(\s*(?:SELECT|VALUES|TABLE|WITH|FROM|\()",
+        query,
+        re.IGNORECASE,
+    ):
+        inner = _unwrap_parens(query)
+        if inner is None:
+            raise SqlDmlError(
+                "INSERT source looks like a parenthesized query but "
+                "its parentheses do not wrap the whole source — drop "
+                "the outer parentheses (column lists are (c1, c2, …))"
+            )
+        query = inner
     if query.lstrip().startswith("("):
         # INSERT INTO t (c1, c2, ...) <query>: SQL column-list form —
         # the query's columns map POSITIONALLY onto the listed names;

@@ -337,6 +337,37 @@ def test_insert_into_is_upsert(spark, tmp_path):
                 "sqldml_ins_src", tables={"t": t})
 
 
+def test_insert_parenthesized_query_unwrapped(spark, tmp_path):
+    """ADVICE r14 (low): INSERT INTO t (SELECT …) is a parenthesized
+    QUERY, not a column list — it must run, not produce a confusing
+    'column(s) not in table: ["SELECT * FROM …"]' error."""
+    t = _mk(spark, tmp_path / "t")
+    _src(spark).createOrReplaceTempView("sqldml_par_src")
+    sql_dml(spark, "INSERT INTO t (SELECT * FROM sqldml_par_src)",
+            tables={"t": t})
+    assert state(spark, t) == {
+        (1, "a", 11.0), (2, "a", 500.0), (3, "b", 30.0),
+        (4, "b", 40.0), (5, "c", 50.0),
+    }
+    # inner parens (function calls) must not truncate the unwrap,
+    # and a string literal ')' must not close it
+    sql_dml(spark,
+            "INSERT INTO t (SELECT pk, part, round(val + 0.0, 1) AS "
+            "val, update_ts FROM sqldml_par_src WHERE ')' = ')')",
+            tables={"t": t})
+    # a paren-wrapped prefix that does NOT wrap the whole source is
+    # refused with guidance, not misparsed
+    with pytest.raises(SqlDmlError, match="drop the outer"):
+        sql_dml(spark,
+                "INSERT INTO t (SELECT pk FROM sqldml_par_src) x",
+                tables={"t": t})
+    # the column-list form still works alongside
+    with pytest.raises(SqlDmlError, match="must include the key"):
+        sql_dml(spark,
+                "INSERT INTO t (pk, part) SELECT pk, part FROM "
+                "sqldml_par_src", tables={"t": t})
+
+
 def test_truncate_metadata_only_and_reload(spark, tmp_path):
     """r13: TRUNCATE TABLE is ONE metadata-only commit (zero files
     referenced, no rewrite of anything), time travel still reaches
