@@ -52,6 +52,23 @@ from hudi_glue_spark.table import bloom as B
 from hudi_glue_spark.table import dv as DVB
 from hudi_glue_spark.table import manifest as M
 
+#: process-wide view-name ownership: (id(session), view name) →
+#: (session, owning table path). The latest register() wins the name;
+#: a previous owner's live refresh checks this before re-pointing, so
+#: two handles can't fight over one view (ADVICE r14). The session
+#: object rides in the value only to keep id() from being recycled.
+_VIEW_OWNERS: dict = {}
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    """True when the session's JVM context is gone (stop() nulls the
+    backing _jsc) — the one refresh failure that can never heal."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
 ARRIVAL_WINS = "arrival_wins"
 EVENT_TIME_WINS = "event_time_wins"
 
@@ -1863,6 +1880,10 @@ class KeyedTable:
         registration-time snapshot (the old semantics — an AS OF view).
         """
         self.read(spark).createOrReplaceTempView(name)
+        # claim the name: the LATEST register() owns it, so an older
+        # handle's live refresh can never silently steal the view back
+        # (ADVICE r14) — the loser drops tracking on its next commit
+        _VIEW_OWNERS[(id(spark), name)] = (spark, self.path)
         if live:
             self._live_views[name] = spark
         else:
@@ -1871,6 +1892,7 @@ class KeyedTable:
     def unregister(self, spark: SparkSession, name: str) -> None:
         """Drop a temp-view registration and stop live tracking."""
         self._live_views.pop(name, None)
+        _VIEW_OWNERS.pop((id(spark), name), None)
         spark.catalog.dropTempView(name)
 
     def _refresh_live_views(self) -> None:
@@ -1881,21 +1903,30 @@ class KeyedTable:
         extra HEAD manifest read here would break the one-op-one-
         manifest budget (tests/test_head_read_guard.py); a rival
         landing between publish and refresh re-points the view again
-        from ITS OWN refresh. Best-effort per view: a stopped session
-        is dropped from tracking, never fails the commit that already
-        landed."""
+        from ITS OWN refresh. Best-effort per view, with two rules
+        hardened per ADVICE r14: a name another table has since
+        register()ed is ceded (ownership check, never re-pointed
+        back), and tracking is dropped only when the SESSION is
+        stopped — any other error leaves the view stale THIS commit
+        and retries on the next, instead of silently untracking
+        forever. Never fails the commit that already landed."""
         if not self._live_views:
             return
         cids = M.list_commit_ids(self.path)
         if not cids:
             return
         for name, spark in list(self._live_views.items()):
+            owner = _VIEW_OWNERS.get((id(spark), name))
+            if owner is not None and owner[1] != self.path:
+                self._live_views.pop(name, None)  # name was taken over
+                continue
             try:
                 self.read(spark, at=cids[-1]).createOrReplaceTempView(
                     name
                 )
             except Exception:
-                self._live_views.pop(name, None)
+                if _session_stopped(spark):
+                    self._live_views.pop(name, None)
 
     def export_live_files(self, dest: str | None = None) -> str:
         """Write the HEAD snapshot's live data files as one parquet of

@@ -201,6 +201,56 @@ def test_register_live_tracks_head(spark, tbl):
     assert "live_t" not in [v.name for v in spark.catalog.listTables()]
 
 
+def test_register_name_takeover_not_stolen_back(spark, tbl, tmp_path):
+    # ADVICE r14 (low): after tableB.register() takes a view name,
+    # tableA's next commit must CEDE the name, not re-point it back.
+    other = KeyedTable(str(tmp_path / "other"), key="pk",
+                       precombine="update_ts")
+    other.bulk_insert(spark.createDataFrame(
+        [Row(pk=100, val=1.0, update_ts=ts(1))]))
+    tbl.register(spark, "shared_v")
+    other.register(spark, "shared_v")  # takeover
+    q = "SELECT count(*) AS c FROM shared_v"
+    assert spark.sql(q).collect()[0]["c"] == 1
+    # a commit through the OLD owner leaves the view with the new one
+    tbl.upsert(spark.createDataFrame(
+        [Row(pk=7, part="a", val=70.0, update_ts=ts(3))]))
+    assert spark.sql(q).collect()[0]["c"] == 1
+    assert "shared_v" not in tbl._live_views  # ceded, not retried
+    # ...and the NEW owner's live refresh still tracks its head
+    other.upsert(spark.createDataFrame(
+        [Row(pk=101, val=2.0, update_ts=ts(3))]))
+    assert spark.sql(q).collect()[0]["c"] == 2
+    other.unregister(spark, "shared_v")
+
+
+def test_live_refresh_survives_transient_error(spark, tbl, monkeypatch):
+    # ADVICE r14 (low): a transient refresh failure must NOT drop the
+    # registration forever — the view heals on the next commit.
+    from pyspark.sql import DataFrame
+
+    tbl.register(spark, "flaky_v")
+    orig = DataFrame.createOrReplaceTempView
+    state = {"fail": 1}
+
+    def flaky(self, name):
+        if name == "flaky_v" and state["fail"]:
+            state["fail"] = 0
+            raise RuntimeError("transient catalog hiccup")
+        return orig(self, name)
+
+    monkeypatch.setattr(DataFrame, "createOrReplaceTempView", flaky)
+    tbl.upsert(spark.createDataFrame(
+        [Row(pk=8, part="a", val=80.0, update_ts=ts(3))]))
+    # refresh failed once; tracking retained (session is alive)
+    assert "flaky_v" in tbl._live_views
+    tbl.upsert(spark.createDataFrame(
+        [Row(pk=9, part="a", val=90.0, update_ts=ts(4))]))
+    assert spark.sql("SELECT count(*) AS c FROM flaky_v") \
+                .collect()[0]["c"] == 5
+    tbl.unregister(spark, "flaky_v")
+
+
 def test_register_pinned_snapshot(spark, tbl):
     tbl.register(spark, "pin_t", live=False)
     tbl.upsert(spark.createDataFrame(
