@@ -3751,3 +3751,76 @@ def q_sql_call_rollback_clean(spark, sf_dir):
     return tbl.read(spark).select(
         *_COLS, F.lit(head_op == "rollback").alias("head_is_rollback")
     )
+
+
+@query(
+    "catalog_reopen_by_name",
+    _BATCHES_CTE.replace("b2 AS", "b2_unused AS").replace(
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2",
+        "SELECT * FROM b0 UNION ALL SELECT * FROM b1",
+    )
+    + """
+    SELECT event_id, user_id, event_type, value, ts,
+           TRUE AS reopened_fresh FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, src DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def q_catalog_reopen_by_name(spark, sf_dir):
+    """Persistent name→path catalog (VERDICT r14 "Next round" #2;
+    reference parity: hive_sync makes Hudi table NAMES durable in the
+    metastore, glue/HudiJarGlueJob.py:80-82 — here the warehouse
+    DIRECTORY is the metastore). Session half 1: CREATE by name into
+    a warehouse dir (no LOCATION — sql_ddl roots it at
+    ``<base>/<name>``) and load the day-0 batch. Session half 2 uses
+    a FRESH handle set built by ``catalog_open(base)`` from the
+    directory alone — no paths, no carried objects — and must be able
+    to WRITE (INSERT the update batch through sql_dml) and READ
+    (sql_read by name). The final state must equal the merged
+    two-batch oracle: a catalog that reopened the wrong path, lost
+    the key/precombine config, or failed to find the name at all
+    cannot produce it. ``reopened_fresh`` pins that the second half
+    really ran on a reopened handle, not the creating one."""
+    from hudi_glue_spark.catalog import catalog_open
+    from hudi_glue_spark.sql_ddl import sql_ddl
+    from hudi_glue_spark.sql_dml import sql_dml
+    from hudi_glue_spark.sql_read import sql_read
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = f"/tmp/hudi_glue_spark_scn_catalog_{sf_tag(sf_dir)}"
+    shutil.rmtree(base, ignore_errors=True)
+    b0, b1, _b2 = _batches(spark, sf_dir)
+    b0.select(_COLS).createOrReplaceTempView("cat_b0")
+    b1.select(_COLS).createOrReplaceTempView("cat_b1")
+    # -- session half 1: create + initial load, names only ----------
+    session1: dict = {}
+    sql_ddl(
+        spark,
+        """CREATE TABLE kt_cat (
+              event_id BIGINT, user_id BIGINT, event_type STRING,
+              value DOUBLE, ts TIMESTAMP)
+            USING keyed
+            PARTITIONED BY (event_type)
+            TBLPROPERTIES ('primaryKey' = 'event_id',
+                           'preCombineField' = 'ts')""",
+        session1,
+        base_dir=base,
+    )
+    sql_dml(spark, "INSERT INTO kt_cat SELECT * FROM cat_b0",
+            tables=session1)
+    # -- session half 2: FRESH handles from the directory alone -----
+    session2 = catalog_open(base)
+    reopened = (
+        set(session2) == {"kt_cat"}
+        and session2["kt_cat"] is not session1["kt_cat"]
+        and session2["kt_cat"].key == session1["kt_cat"].key
+    )
+    sql_dml(spark, "INSERT INTO kt_cat SELECT * FROM cat_b1",
+            tables=session2)
+    return sql_read(
+        spark,
+        "SELECT event_id, user_id, event_type, value, ts FROM kt_cat",
+        tables=session2,
+    ).select("*", F.lit(reopened).alias("reopened_fresh"))
