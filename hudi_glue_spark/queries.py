@@ -38,69 +38,69 @@ NON_SQL_QUERIES: set[str] = set()
 #: Driver-window priority. The external driver verifies queries in the
 #: order ``queries()`` yields them and caps how many it reaches per
 #: round (~50). Every registered query holds a strict driver-green row
-#: (cumulative r2-r13), so the r14 window is built for STALENESS, the
-#: same formula as r7-r13 (memory: round rituals; VERDICT r13 #4
-#: names the cohort): (a) the new r14 rows (SQL time travel, live
-#: registration, CREATE TABLE DDL) first, then (b) the complete
-#: 33-row cohort whose latest driver green dates from r10 — exactly
-#: the list VERDICT r13 #4 names, all 33 judge-re-proven EXACT that
-#: session — then (c) the oldest-r11 cohort alphabetically up to the
-#: ~50 cap (the remaining r11 rows lead the r15 rotation). No row
-#: green in r12 or r13 sits ahead of an r10/r11-stale row.
+#: (cumulative r2-r14), so the r15 window is built for STALENESS, the
+#: same formula as r7-r14 (memory: round rituals; VERDICT r14 #3
+#: names the cohort): (a) the new r15 rows (persistent catalog)
+#: first, then (b) the complete 39-row cohort whose latest driver
+#: green dates from r11 — exactly the list VERDICT r14 #3 names, all
+#: 39 judge-re-proven EXACT that session — then (c) the oldest-r12
+#: cohort alphabetically up to the ~50 cap (the remaining 40 r12 rows
+#: lead the r16 rotation). No row green in r13 or r14 sits ahead of
+#: an r11/r12-stale row.
 DRIVER_WINDOW_PRIORITY: list[str] = [
-    # (a) new in r14
-    "sql_time_travel_read",
-    "live_register_read_after_write",
-    "sql_create_table_ddl",
-    "sql_alter_add_drop_columns",
-    "sql_merge_source_op_flags",
-    "sql_call_rollback_clean",
-    # (b) the complete r10-stale cohort (VERDICT r13 #4)
-    "fact_join_agg",
-    "filter_project_rewrite",
-    "hive_partition_paths",
-    "image_decode_meta",
-    "incremental_read_since_first",
-    "index_lookup_join_distributed",
-    "intersect_customer_supplier_nations",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "lang_id_accuracy",
-    "lineitem_pricing_summary",
-    "media_meta_extract",
-    "rollback_scenario",
-    "segment_dedup_reassembled",
-    "sql_pruned_point_range",
-    "stratified_split_exact",
-    "stream_cdf_agg_maintenance",
-    "stream_cdf_exact_rewrite",
-    "stream_dedup_exact",
-    "stream_dim_join_windowed",
-    "stream_keyed_ingest",
-    "stream_text_pipeline",
-    "table_history_audit",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipment_priority_classes",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    # (c) oldest-r11 fill, alphabetical
-    "benchmark_decontamination",
-    "curation_pipeline_end_to_end",
-    "decontaminated_corpus",
-    "dedup_chain_fixpoint",
-    "diff_commits_changelog",
-    "docs_repetition_signals",
-    "domain_mix_resample",
-    "dual_path_read_agreement",
-    "dv_delete_read",
-    "dv_maintenance_fold",
-    "dv_predicate_dml",
+    # (a) new in r15
+    "catalog_reopen_by_name",
+    # (b) the complete r11-stale cohort (VERDICT r14 #3)
+    "dv_upsert_scenario",
+    "events_moment_stats",
+    "events_value_histogram",
+    "fixed_size_eval_sample",
+    "global_shuffle_order",
+    "incremental_dedup_vs_corpus",
+    "index_lookup_join_pruned",
+    "insert_overwrite_partition",
+    "json_props_extract",
+    "jsonl_ingest_roundtrip",
+    "jsonl_shard_export",
+    "kmeans_embedding_clusters",
+    "knn_ivf_indexed",
+    "knn_lsh_indexed",
+    "manifest_relation_read",
+    "merge_into_disjoint_rebase",
+    "minhash_near_dup",
+    "null_handling_suite",
+    "occ_disjoint_rebase",
+    "orders_date_functions",
+    "rollup_returnflag",
+    "savepoint_pinned_time_travel",
+    "scan_limit_sorted",
+    "semi_join_touched_keys",
+    "simhash_near_dup",
+    "stream_cdf_changelog",
+    "stream_running_totals",
+    "stream_tumbling_counts",
+    "text_stats_per_doc",
+    "tf_idf_top_terms",
+    "time_travel_first_commit",
+    "topk_orders_per_segment",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "union_tagged_batches",
+    "video_frame_sample",
+    "window_functions_suite",
+    "window_latest_event",
+    "word_jaccard_pairs",
+    # (c) oldest-r12 fill, alphabetical
+    "ann_index_maintained_upsert",
+    "ann_recall_audit",
+    "approx_distinct_users",
+    "bucketed_colocated_join",
+    "c4_rule_filters",
+    "cdf_incremental_agg",
+    "change_feed_clicks",
+    "chlog_fold_general_path",
+    "chlog_map_exact_cdc",
+    "chlog_nested_map_cdc",
 ]
 
 
