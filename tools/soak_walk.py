@@ -66,6 +66,12 @@ class Trace:
         with open(path, "w") as f:
             json.dump(self._rows, f, indent=1)
 
+    def occ_retries(self) -> int:
+        """Total lost-OCC-race retries the trace recorded — the direct
+        contention measure SCALING.md reports per tier (r15)."""
+        with self._lock:
+            return sum(r.get("retries", 0) for r in self._rows)
+
 
 def _assert_interleaved(tr: Trace, violations: list[str]) -> None:
     """The walk's value IS interleaving — a trace whose writer ops are
@@ -192,20 +198,32 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                 [(base_id + i, f"g{i % 3}", float(b), _ts(2, b))
                  for i in range(15)]
             )
-            t.upsert_with_retry(batch, retries=60)
-            tr.add(f"w{w}", "upsert", "ok", batch=b)
+            # manual OCC loop (not upsert_with_retry) so the trace
+            # records HOW MANY races this op lost — the r15 tier's
+            # contention evidence (same whole-merge-rerun semantics)
+            for attempt in range(61):
+                try:
+                    t.upsert(batch)
+                    tr.add(f"w{w}", "upsert", "ok", batch=b,
+                           retries=attempt)
+                    break
+                except M.ConcurrentCommitError:
+                    continue
+            else:
+                raise AssertionError(f"w{w} upsert starved")
             # randomized own-range predicate DML between batches —
             # update_where/delete rewrite partitions under OCC and
             # must never disturb other writers' rows
             roll = rng.random()
             if roll < 0.25:
-                for _ in range(30):
+                for attempt in range(30):
                     try:
                         t.update_where(
                             spark, {"v": "v + 0.0"},
                             f"id = {base_id}",  # no-op value, real rewrite
                         )
-                        tr.add(f"w{w}", "update_where", "ok")
+                        tr.add(f"w{w}", "update_where", "ok",
+                               retries=attempt)
                         break
                     except M.ConcurrentCommitError:
                         continue
@@ -226,10 +244,11 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                     )
                     kw = {}
                     op = "delete"
-                for _ in range(30):
+                for attempt in range(30):
                     try:
                         t.delete(frame, **kw)
-                        tr.add(f"w{w}", op, "ok", id=victim)
+                        tr.add(f"w{w}", op, "ok", id=victim,
+                               retries=attempt)
                         break
                     except M.ConcurrentCommitError:
                         continue
@@ -240,10 +259,10 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             [(base_id + i, f"g{i % 3}", float(batches - 1),
               _ts(2, batches - 1)) for i in range(15)]
         )
-        for _ in range(60):
+        for attempt in range(60):
             try:
                 t.merge_into(final)
-                tr.add(f"w{w}", "merge_into", "ok")
+                tr.add(f"w{w}", "merge_into", "ok", retries=attempt)
                 break
             except M.ConcurrentCommitError:
                 continue
@@ -253,10 +272,10 @@ def run_seed(spark, seed: int, writers: int, batches: int,
         t = KeyedTable.load(root)
 
         def with_retry(op, fn):
-            for _ in range(60):
+            for attempt in range(60):
                 try:
                     fn()
-                    tr.add("dv", op, "ok")
+                    tr.add("dv", op, "ok", retries=attempt)
                     return
                 except M.ConcurrentCommitError:
                     continue
@@ -549,7 +568,8 @@ def run_seed(spark, seed: int, writers: int, batches: int,
     tpath = os.path.join(trace_dir, f"soak_seed{seed}.json")
     tr.dump(tpath)
     status = "GREEN" if not violations else "VIOLATIONS"
-    print(f"seed {seed}: {status}  ops={len(tr._rows)}  trace={tpath}")
+    print(f"seed {seed}: {status}  ops={len(tr._rows)}  "
+          f"occ_retries={tr.occ_retries()}  trace={tpath}")
     for v in violations:
         print(f"  !! {v}")
     return violations
@@ -772,7 +792,7 @@ def run_sync_seed(spark, seed: int, batches: int,
     tr.dump(tpath)
     status = "GREEN" if not violations else "VIOLATIONS"
     print(f"sync seed {seed}: {status}  ops={len(tr._rows)}  "
-          f"trace={tpath}")
+          f"occ_retries={tr.occ_retries()}  trace={tpath}")
     for v in violations:
         print(f"  !! {v}")
     return violations
@@ -1060,7 +1080,7 @@ def run_wipe_seed(spark, seed: int, batches: int,
     tr.dump(tpath)
     status = "GREEN" if not violations else "VIOLATIONS"
     print(f"wipe seed {seed}: {status}  ops={len(tr._rows)}  "
-          f"trace={tpath}")
+          f"occ_retries={tr.occ_retries()}  trace={tpath}")
     for v in violations:
         print(f"  !! {v}")
     return violations
