@@ -203,6 +203,14 @@ def sql_ddl(
             if if_exists:
                 return None
             raise SqlDdlError(f"unknown table {name!r}")
+        if base_dir:
+            # retire any warehouse-dir pointer file so a later
+            # catalog_open doesn't resurrect (or trip over) the name
+            from hudi_glue_spark.catalog import _LINK_SUFFIX
+
+            link = os.path.join(base_dir, name + _LINK_SUFFIX)
+            if os.path.isfile(link):
+                os.remove(link)
         if purge:
             shutil.rmtree(tbl.path, ignore_errors=True)
         return None
@@ -359,4 +367,12 @@ def _create(
             raise SqlDdlError(f"unparseable column list: {e}") from e
         tbl.create_empty(schema)
     tables[name] = tbl
+    if location and base_dir:
+        # explicit-LOCATION table in a warehouse session: record the
+        # pointer file so catalog_open() finds the name later (the
+        # metastore-entry stand-in; warehouse-rooted tables need none
+        # — their directory IS the entry)
+        from hudi_glue_spark.catalog import catalog_attach
+
+        catalog_attach(base_dir, name, tbl)
     return tbl

@@ -55,6 +55,11 @@ Scoping/safety rules (ADVICE r14, all three verified by tests):
   name trips it too; qualify the column (``x.t``) or rename it.
 - Literal ``{``/``}`` in a statement that also references a managed
   table is refused (collides with the parameter formatter).
+
+Metadata statements (r15, completing the catalog story): ``SHOW
+TABLES`` lists the managed dict (name, location); ``DESCRIBE
+[TABLE] t`` returns the schema plus the keyed-table properties;
+``DESCRIBE HISTORY t`` returns the commit timeline (Delta parity).
 """
 
 from __future__ import annotations
@@ -191,6 +196,36 @@ def sql_read(
     CALL time from the table's manifest (plain references read HEAD),
     so this is also a live read path needing no prior register()."""
     lowered = {k.lower(): t for k, t in tables.items()}
+    if re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", stmt, re.IGNORECASE):
+        # the catalog listing (Spark's SHOW TABLES over the managed
+        # dict — pairs with catalog_open's warehouse-dir discovery)
+        return spark.createDataFrame(
+            sorted((n, t.path) for n, t in tables.items()),
+            "table_name string, location string",
+        )
+    dt = re.match(
+        rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?({_IDENT})\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if dt:
+        tbl = lowered.get(dt.group(1).lower())
+        if tbl is None:
+            raise SqlReadError(
+                f"DESCRIBE {dt.group(1)!r}: not a managed table "
+                f"(known: {sorted(tables)})"
+            )
+        rows = [
+            (f.name, f.dataType.simpleString())
+            for f in tbl.read(spark).schema.fields
+        ] + [
+            ("# primaryKey", ",".join(tbl.key)),
+            ("# preCombineField", tbl.precombine),
+            ("# partitionBy", ",".join(tbl.partition_by or [])),
+        ]
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string"
+        )
     dh = re.match(
         rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$",
         stmt,

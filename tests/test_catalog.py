@@ -109,6 +109,43 @@ def test_attach_explicit_location(spark, warehouse, tmp_path):
         catalog_open(base)
 
 
+def test_ddl_explicit_location_auto_attached(spark, warehouse, tmp_path):
+    # sql_ddl CREATE with LOCATION + base_dir records the pointer file
+    base, _ = warehouse
+    loc = str(tmp_path / "explicit_loc")
+    tables: dict = {}
+    sql_ddl(
+        spark,
+        f"CREATE TABLE exp_t (pk BIGINT, update_ts TIMESTAMP) "
+        f"USING keyed LOCATION '{loc}' "
+        f"TBLPROPERTIES ('primaryKey'='pk', "
+        f"'preCombineField'='update_ts')",
+        tables,
+        base_dir=base,
+    )
+    assert set(catalog_open(base)) == {"alpha", "exp_t"}
+    # DROP retires the pointer so the catalog forgets the name
+    sql_ddl(spark, "DROP TABLE exp_t PURGE", tables, base_dir=base)
+    assert set(catalog_open(base)) == {"alpha"}
+
+
+def test_show_tables_and_describe(spark, warehouse):
+    base, _ = warehouse
+    fresh = catalog_open(base)
+    shown = sql_read(spark, "SHOW TABLES", tables=fresh).collect()
+    assert [(r["table_name"], r["location"]) for r in shown] == [
+        ("alpha", fresh["alpha"].path)]
+    desc = {r["col_name"]: r["data_type"] for r in sql_read(
+        spark, "DESCRIBE TABLE alpha", tables=fresh).collect()}
+    assert desc["pk"] == "bigint"
+    assert desc["# primaryKey"] == "pk"
+    assert desc["# preCombineField"] == "update_ts"
+    from hudi_glue_spark.sql_read import SqlReadError
+
+    with pytest.raises(SqlReadError, match="not a managed table"):
+        sql_read(spark, "DESCRIBE nope", tables=fresh)
+
+
 def test_missing_warehouse_refused(tmp_path):
     with pytest.raises(CatalogError, match="does not exist"):
         catalog_open(str(tmp_path / "nope"))
