@@ -5356,10 +5356,18 @@ class KeyedTable:
         now = _time.time()
 
         def _grace(p: str) -> bool:
-            return (
-                orphan_grace_s > 0
-                and now - os.path.getmtime(p) < orphan_grace_s
-            )
+            # A file that VANISHES between the directory listing and
+            # this stat is a rival writer's staging file renamed into
+            # place (os.replace removes the .tmp name) or a path
+            # already reclaimed — either way it is not an orphan this
+            # plan may claim. Treating it as in-grace excludes it.
+            # (r15 soak seed 88: run_maintenance crashed mid-walk on a
+            # rival's manifest-shard .tmp exactly in this window.)
+            try:
+                mtime = os.path.getmtime(p)
+            except OSError:
+                return True
+            return orphan_grace_s > 0 and now - mtime < orphan_grace_s
 
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -5484,12 +5492,19 @@ class KeyedTable:
                 )
                 if ref:
                     ch_live.add(ref)
+            def _aged(tk: str) -> bool:
+                # same vanished-between-list-and-stat rule as _grace:
+                # a token a rival just folded/renamed is not an orphan
+                try:
+                    m = os.path.getmtime(os.path.join(chdir, tk))
+                except OSError:
+                    return False
+                return now - m > stage_grace
+
             chlog_orphans = [
                 tk
                 for tk in os.listdir(chdir)
-                if tk not in ch_live
-                and now - os.path.getmtime(os.path.join(chdir, tk))
-                > stage_grace
+                if tk not in ch_live and _aged(tk)
             ]
         if not (
             drop or orphans or shards or dv_orphans or rli_orphans
@@ -5872,8 +5887,14 @@ class KeyedTable:
                 p = os.path.join(chdir, ref)
                 if not os.path.isdir(p):
                     continue
+                def _sz(path: str) -> int:
+                    try:  # rival fold may rmtree mid-walk (r15)
+                        return os.path.getsize(path)
+                    except OSError:
+                        return 0
+
                 size = sum(
-                    os.path.getsize(os.path.join(dp, fn))
+                    _sz(os.path.join(dp, fn))
                     for dp, _dirs, fns in os.walk(p)
                     for fn in fns
                 )

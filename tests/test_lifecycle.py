@@ -310,6 +310,43 @@ def test_clean_plan_blocks_shard_reuse(spark, tmp_path):
         M.clear_clean_plan(root)
 
 
+def test_clean_plan_survives_vanishing_staging_file(
+    spark, tmp_path, monkeypatch
+):
+    """r15 soak seed 88: _plan_clean listed a rival writer's manifest
+    .tmp staging file, then the rival's os.replace removed the name
+    before the planner's getmtime — FileNotFoundError crashed
+    run_maintenance mid-walk. A vanished file is not an orphan the
+    plan may claim: planning must skip it and proceed."""
+    import os as _os
+
+    from hudi_glue_spark.table import KeyedTable
+
+    root = str(tmp_path / "vanish")
+    t = KeyedTable(root, key="id", precombine="ts", partition_by="grp")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 2}", ts=_ts(1)) for i in range(8)]
+        )
+    )
+    t.upsert(spark.createDataFrame([Row(id=0, grp="g0", ts=_ts(2))]))
+    # the deterministic twin of the race: the listing sees a name that
+    # no longer exists by stat time
+    real_listdir = _os.listdir
+
+    def phantom_listdir(path=None):
+        names = real_listdir(path)
+        if str(path).endswith("_manifests"):
+            names = list(names) + ["tmpphantom123.tmp"]
+        return names
+
+    monkeypatch.setattr(_os, "listdir", phantom_listdir)
+    removed = t.clean(retain_commits=1, orphan_grace_s=300.0)
+    monkeypatch.undo()
+    assert not any("tmpphantom" in r for r in removed)
+    assert t.read(spark).count() == 8  # snapshot intact
+
+
 def test_clean_race_writer_reference_unclaimed_at_execute(spark, tmp_path):
     """A writer that selected a reuse shard BEFORE the plan became
     visible and published after it: execution's re-check sees the new
