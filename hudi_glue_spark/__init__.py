@@ -23,10 +23,18 @@ Layout
                     travel routed onto read(at=/as_of=) (r14).
 - ``sql_ddl``     : CREATE TABLE [AS SELECT] / DROP TABLE routed onto
                     the KeyedTable constructor (r14).
+- ``catalog``     : warehouse-directory name→path catalog — a fresh
+                    session resolves tables by NAME (r15).
 """
 
+from hudi_glue_spark.catalog import catalog_attach, catalog_open
 from hudi_glue_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = [
+    "get_spark",
+    "catalog_open",
+    "catalog_attach",
+    "__version__",
+]
