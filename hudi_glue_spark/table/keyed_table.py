@@ -2584,7 +2584,12 @@ class KeyedTable:
         return self.commits()[-1]
 
     def upsert_with_retry(
-        self, batch: DataFrame, retries: int = 5, extra_stats: dict | None = None
+        self,
+        batch: DataFrame,
+        retries: int = 5,
+        extra_stats: dict | None = None,
+        backoff_s: float = 0.05,
+        backoff_cap_s: float = 2.0,
     ) -> str:
         """Optimistic-concurrency upsert: on a commit-id collision
         (another writer published the same id first —
@@ -2601,13 +2606,36 @@ class KeyedTable:
         (the quarantine is an append-only audit log, not transactional
         state — triage on distinct keys). This is the loop a
         multi-writer 100 TB deployment runs; single-writer pipelines
-        can call :meth:`upsert` directly."""
+        can call :meth:`upsert` directly.
+
+        Losing attempts sleep a JITTERED EXPONENTIAL BACKOFF
+        (``random.uniform(0, min(cap, base·2^attempt))``) before
+        re-running. OCC has no fairness guarantee: a merge whose
+        read-merge-write takes longer than the rivals' inter-commit
+        gap loses EVERY race if it retries immediately — the r15
+        long-horizon soak livelocked two writers for 61 straight
+        attempts exactly this way. Jitter decorrelates the retry
+        timing (the classic contention answer); the cap bounds tail
+        latency. ``backoff_s=0`` restores immediate retry."""
         last: Exception | None = None
-        for _ in range(max(1, retries + 1)):
+        for attempt in range(max(1, retries + 1)):
             try:
                 return self.upsert(batch, extra_stats=extra_stats)
             except M.ConcurrentCommitError as e:
                 last = e
+                if backoff_s > 0:
+                    import random as _random
+                    import time as _time
+
+                    _time.sleep(
+                        _random.uniform(
+                            0,
+                            min(
+                                backoff_cap_s,
+                                backoff_s * (2 ** min(attempt, 10)),
+                            ),
+                        )
+                    )
         raise last  # type: ignore[misc]
 
     def delete(self, keys: DataFrame, scoped: bool | None = None) -> str:

@@ -228,6 +228,66 @@ def test_upsert_with_retry_rereads_rival_snapshot(spark, tmp_path, monkeypatch):
     assert {r.pk for r in t.read(spark).collect()} == {1, 2, 3}
 
 
+def test_upsert_with_retry_backs_off_between_attempts(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (long-horizon soak, seed 22): immediate retry after a lost
+    OCC race livelocks a slow merge against fast rivals — the retry
+    loop must sleep a jittered, capped, GROWING backoff between
+    attempts, and backoff_s=0 must restore immediate retry."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.table import KeyedTable
+    from hudi_glue_spark.table import manifest as M
+
+    root = str(tmp_path / "backoff")
+    t = KeyedTable(root, key="pk", precombine="v")
+    t.bulk_insert(spark.createDataFrame([Row(pk=1, v=1.0)]))
+
+    fails = {"n": 0}
+    orig_upsert = KeyedTable.upsert
+
+    def flaky(self, batch, **kw):
+        if fails["n"] < 3:
+            fails["n"] += 1
+            raise M.ConcurrentCommitError("simulated lost race")
+        return orig_upsert(self, batch, **kw)
+
+    # intercept the jitter draw, not time.sleep (Spark's own internals
+    # sleep constantly); returning 0 keeps the test instant
+    import random as _random
+
+    draws: list[tuple[float, float]] = []
+    orig_uniform = _random.uniform
+
+    def spy_uniform(a, b):
+        draws.append((a, b))
+        return 0.0
+
+    monkeypatch.setattr(KeyedTable, "upsert", flaky)
+    monkeypatch.setattr(_random, "uniform", spy_uniform)
+    t.upsert_with_retry(
+        spark.createDataFrame([Row(pk=1, v=2.0)]), retries=5
+    )
+    monkeypatch.setattr(_random, "uniform", orig_uniform)
+    assert len(draws) == 3  # one backoff draw per lost race
+    # jittered exponential bounds: base*2^attempt, capped at 2.0
+    assert [b for _, b in draws] == [0.05, 0.1, 0.2]
+    # backoff_s=0 → immediate retry, zero draws
+    fails["n"] = 0
+    draws.clear()
+    monkeypatch.setattr(_random, "uniform", spy_uniform)
+    t.upsert_with_retry(
+        spark.createDataFrame([Row(pk=1, v=3.0)]),
+        retries=5,
+        backoff_s=0,
+    )
+    assert draws == []
+    assert {r.pk: r.v for r in t.read(spark).collect()} == {1: 3.0}
+
+
 def test_rival_commit_during_merge_window_detected(spark, tmp_path, monkeypatch):
     """The lost-update guard: a rival that publishes BETWEEN the
     writer's snapshot read and its publish must surface as

@@ -97,6 +97,17 @@ def _assert_interleaved(tr: Trace, violations: list[str]) -> None:
         )
 
 
+
+def _occ_backoff(attempt: int) -> None:
+    """Jittered exponential backoff after a lost OCC race — without
+    it the long-horizon tier LIVELOCKS: a writer whose merge takes
+    longer than the rivals' inter-commit gap loses every immediate
+    retry (r15, seed 22 at 16 batches: two writers starved 61
+    straight attempts). Mirrors upsert_with_retry's engine-side
+    backoff; kept short so contention stays real."""
+    time.sleep(random.uniform(0, min(1.0, 0.03 * (2 ** min(attempt, 6)))))
+
+
 def run_seed(spark, seed: int, writers: int, batches: int,
              trace_dir: str) -> list[str]:
     """One soak run; returns a list of violations (empty = green)."""
@@ -208,6 +219,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                            retries=attempt)
                     break
                 except M.ConcurrentCommitError:
+                    _occ_backoff(attempt)
                     continue
             else:
                 raise AssertionError(f"w{w} upsert starved")
@@ -226,6 +238,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                                retries=attempt)
                         break
                     except M.ConcurrentCommitError:
+                        _occ_backoff(attempt)
                         continue
             elif roll < 0.4:
                 victim = base_id + 14  # re-upserted next batch
@@ -251,6 +264,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                                retries=attempt)
                         break
                     except M.ConcurrentCommitError:
+                        _occ_backoff(attempt)
                         continue
             if rng.random() < 0.5:
                 time.sleep(rng.random() * 0.15)
@@ -265,6 +279,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                 tr.add(f"w{w}", "merge_into", "ok", retries=attempt)
                 break
             except M.ConcurrentCommitError:
+                _occ_backoff(attempt)
                 continue
 
     def dv_writer():
@@ -278,6 +293,7 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                     tr.add("dv", op, "ok", retries=attempt)
                     return
                 except M.ConcurrentCommitError:
+                    _occ_backoff(attempt)
                     continue
             raise AssertionError(f"dv {op} starved")
 
@@ -644,6 +660,7 @@ def run_sync_seed(spark, seed: int, batches: int,
                 tr.add(who, op, "ok", retries=attempt)
                 return
             except M.ConcurrentCommitError:
+                _occ_backoff(attempt)
                 continue
         raise AssertionError(f"{who} {op} starved")
 
@@ -890,6 +907,7 @@ def run_wipe_seed(spark, seed: int, batches: int,
                 tr.add(who, op, "ok", retries=attempt)
                 return
             except M.ConcurrentCommitError:
+                _occ_backoff(attempt)
                 continue
         raise AssertionError(f"{who} {op} starved")
 
