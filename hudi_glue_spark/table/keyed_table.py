@@ -2583,6 +2583,81 @@ class KeyedTable:
         )
         return self.commits()[-1]
 
+    def retry_commit(
+        self,
+        fn,
+        retries: int = 5,
+        backoff_s: float = 0.05,
+        backoff_cap_s: float = 2.0,
+        lease_after: int = 8,
+        lease_ttl_s: float = 60.0,
+        on_lost_race=None,
+    ):
+        """General OCC retry loop for ANY commit closure — the engine's
+        multi-writer contract in one place (upsert_with_retry delegates
+        here; predicate DML / merge / delete loops can pass their own
+        ``fn``). Three contention tiers, each proven necessary by the
+        r15 long-horizon soak:
+
+        1. re-run the WHOLE closure on a lost race (the rival may have
+           touched the same keys — correctness);
+        2. jittered exponential backoff between attempts
+           (``uniform(0, min(cap, base·2^attempt))``) — decorrelates
+           retry timing so symmetric writers stop colliding;
+        3. after ``lease_after`` straight losses, claim the ADVISORY
+           COMMIT LEASE (manifest.acquire_lease): rival publishes
+           yield while it is live, so the starving writer's next
+           attempt runs against a quiet head. Pure OCC + backoff still
+           starved a slow merge 61 straight attempts under sustained
+           rival churn (soak seed 22 at 16 batches) — fairness needs
+           the escalation, exactly why Hudi requires a lock provider
+           for multi-writer tables. The lease is advisory: correctness
+           stays with write_manifest's hard-link claim; ``lease_after
+           <= 0`` disables escalation, ``backoff_s=0`` restores
+           immediate retry.
+
+        ``on_lost_race(attempt)`` fires per lost race (harness retry
+        accounting). Returns ``fn()``'s value; re-raises the last
+        ConcurrentCommitError when the budget is exhausted."""
+        import random as _random
+        import time as _time
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex
+        held = False
+        last: Exception | None = None
+        try:
+            for attempt in range(max(1, retries + 1)):
+                if 0 < lease_after <= attempt and not held:
+                    held = M.acquire_lease(
+                        self.path, token, ttl_s=lease_ttl_s
+                    )
+                try:
+                    return fn()
+                except M.ConcurrentCommitError as e:
+                    last = e
+                    if on_lost_race is not None:
+                        on_lost_race(attempt)
+                    if held:
+                        # a loss while holding means the lease expired
+                        # mid-merge (TTL) — re-claim before the re-run
+                        held = M.acquire_lease(
+                            self.path, token, ttl_s=lease_ttl_s
+                        )
+                    if backoff_s > 0:
+                        _time.sleep(
+                            _random.uniform(
+                                0,
+                                min(
+                                    backoff_cap_s,
+                                    backoff_s * (2 ** min(attempt, 10)),
+                                ),
+                            )
+                        )
+            raise last  # type: ignore[misc]
+        finally:
+            M.release_lease(self.path, token)
+
     def upsert_with_retry(
         self,
         batch: DataFrame,
@@ -2590,6 +2665,9 @@ class KeyedTable:
         extra_stats: dict | None = None,
         backoff_s: float = 0.05,
         backoff_cap_s: float = 2.0,
+        lease_after: int = 8,
+        lease_ttl_s: float = 60.0,
+        on_lost_race=None,
     ) -> str:
         """Optimistic-concurrency upsert: on a commit-id collision
         (another writer published the same id first —
@@ -2608,35 +2686,18 @@ class KeyedTable:
         multi-writer 100 TB deployment runs; single-writer pipelines
         can call :meth:`upsert` directly.
 
-        Losing attempts sleep a JITTERED EXPONENTIAL BACKOFF
-        (``random.uniform(0, min(cap, base·2^attempt))``) before
-        re-running. OCC has no fairness guarantee: a merge whose
-        read-merge-write takes longer than the rivals' inter-commit
-        gap loses EVERY race if it retries immediately — the r15
-        long-horizon soak livelocked two writers for 61 straight
-        attempts exactly this way. Jitter decorrelates the retry
-        timing (the classic contention answer); the cap bounds tail
-        latency. ``backoff_s=0`` restores immediate retry."""
-        last: Exception | None = None
-        for attempt in range(max(1, retries + 1)):
-            try:
-                return self.upsert(batch, extra_stats=extra_stats)
-            except M.ConcurrentCommitError as e:
-                last = e
-                if backoff_s > 0:
-                    import random as _random
-                    import time as _time
-
-                    _time.sleep(
-                        _random.uniform(
-                            0,
-                            min(
-                                backoff_cap_s,
-                                backoff_s * (2 ** min(attempt, 10)),
-                            ),
-                        )
-                    )
-        raise last  # type: ignore[misc]
+        Contention handling (backoff + advisory-lease escalation) is
+        :meth:`retry_commit`'s — see its docstring for the three-tier
+        design and the r15 soak findings that forced each tier."""
+        return self.retry_commit(
+            lambda: self.upsert(batch, extra_stats=extra_stats),
+            retries=retries,
+            backoff_s=backoff_s,
+            backoff_cap_s=backoff_cap_s,
+            lease_after=lease_after,
+            lease_ttl_s=lease_ttl_s,
+            on_lost_race=on_lost_race,
+        )
 
     def delete(self, keys: DataFrame, scoped: bool | None = None) -> str:
         """Tombstone-free delete (§2a #9 ↦ EmptyHoodieRecordPayload,

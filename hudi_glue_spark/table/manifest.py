@@ -46,6 +46,7 @@ import json
 import math
 import os
 import tempfile
+import threading
 import time
 
 #: delta shards per commit are grouped by partition dir, but never more
@@ -981,7 +982,18 @@ def write_manifest(
     link fails with EEXIST if a concurrent writer claimed the same
     commit id, so two writers can never both believe they published
     commit N (the loser retries with the next id; its orphan shards
-    are GC'd by clean())."""
+    are GC'd by clean()).
+
+    A LIVE advisory lease held by another writer (see acquire_lease)
+    makes the publish yield with ConcurrentCommitError BEFORE touching
+    the commit dir — the OCC fairness escalation: the starving holder
+    gets a quiet head, everyone else's retry loop treats the yield
+    exactly like a lost race."""
+    if foreign_lease_live(root):
+        raise ConcurrentCommitError(
+            f"yielding to the advisory commit lease at {root} "
+            f"(a starving writer escalated; retry after it lands)"
+        )
     if (
         manifest.shards is None
         and base is not None
@@ -1288,6 +1300,112 @@ def clear_clean_plan(root: str) -> None:
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published the same commit id first."""
+
+
+# -- advisory commit lease (OCC fairness escalation, r15) -----------------
+#
+# Pure OCC has no fairness guarantee: a writer whose read-merge-write
+# takes longer than its rivals' inter-commit gap can lose EVERY race
+# (the r15 long-horizon soak starved writers for 61 straight attempts,
+# jittered backoff included). Hudi's answer is a lock provider for
+# multi-writer tables; this engine's is an ADVISORY LEASE: after
+# repeated lost races a writer claims ``_lease.json`` (O_EXCL create,
+# TTL-stamped), and every rival publish YIELDS (raises
+# ConcurrentCommitError) while a live foreign lease exists — so the
+# holder's next attempt runs against a quiet head and must win.
+#
+# The lease is advisory ONLY: correctness never depends on it. The
+# hard-link child-id claim in write_manifest remains the single
+# serialization point — a lost/ignored/expired lease degrades to plain
+# OCC, never to a lost update. TTL expiry clears a crashed holder;
+# takeover guards on file age so a fresh lease is never unlinked.
+# Holder identity is THREAD-local (threads are the in-process writer
+# unit; separate processes coordinate through the file alone).
+
+LEASE_NAME = "_lease.json"
+
+_HELD = threading.local()
+
+
+def lease_path(root: str) -> str:
+    return os.path.join(root, LEASE_NAME)
+
+
+def _held_tokens() -> dict:
+    d = getattr(_HELD, "tokens", None)
+    if d is None:
+        d = _HELD.tokens = {}
+    return d
+
+
+def read_lease(root: str) -> dict | None:
+    try:
+        with open(lease_path(root)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return None
+
+
+def _lease_live(lease: dict | None) -> bool:
+    return (
+        lease is not None
+        and time.time() < lease.get("acquired_at", 0) + lease.get("ttl_s", 0)
+    )
+
+
+def foreign_lease_live(root: str) -> bool:
+    """True when a LIVE lease exists that THIS THREAD does not hold."""
+    lease = read_lease(root)
+    if not _lease_live(lease):
+        return False
+    return lease.get("token") != _held_tokens().get(root)
+
+
+def acquire_lease(root: str, token: str, ttl_s: float = 60.0) -> bool:
+    """One non-blocking acquisition attempt; True = this thread holds
+    the lease (recorded thread-locally so its own publishes pass)."""
+    path = lease_path(root)
+    lease = read_lease(root)
+    if _lease_live(lease):
+        if lease.get("token") == _held_tokens().get(root) == token:
+            return True  # re-entrant refresh
+        return False
+    # dead or absent: guarded takeover — unlink only a file whose age
+    # exceeds its TTL (a fresh rival lease is never removed)
+    try:
+        st = os.stat(path)
+        ttl = (lease or {}).get("ttl_s", ttl_s)
+        if time.time() - st.st_mtime > ttl:
+            os.unlink(path)
+    except FileNotFoundError:
+        pass
+    except OSError:
+        return False
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {"token": token, "acquired_at": time.time(), "ttl_s": ttl_s},
+            f,
+        )
+    _held_tokens()[root] = token
+    return True
+
+
+def release_lease(root: str, token: str) -> None:
+    """Release if still ours; expired/taken-over leases are left to
+    their new owner. Always clears the thread-local record."""
+    held = _held_tokens()
+    if held.get(root) == token:
+        del held[root]
+    lease = read_lease(root)
+    if lease is not None and lease.get("token") == token:
+        try:
+            os.unlink(lease_path(root))
+        except FileNotFoundError:
+            pass
 
 
 def utc_now_iso() -> str:

@@ -98,14 +98,20 @@ def _assert_interleaved(tr: Trace, violations: list[str]) -> None:
 
 
 
-def _occ_backoff(attempt: int) -> None:
-    """Jittered exponential backoff after a lost OCC race — without
-    it the long-horizon tier LIVELOCKS: a writer whose merge takes
-    longer than the rivals' inter-commit gap loses every immediate
-    retry (r15, seed 22 at 16 batches: two writers starved 61
-    straight attempts). Mirrors upsert_with_retry's engine-side
-    backoff; kept short so contention stays real."""
-    time.sleep(random.uniform(0, min(1.0, 0.03 * (2 ** min(attempt, 6)))))
+def _retry(tr, t, who, op, fn, retries=60, **extra):
+    """Run a commit closure through the ENGINE's retry loop
+    (KeyedTable.retry_commit: jittered backoff + advisory-lease
+    escalation after 8 straight losses — both added r15 after the
+    long-horizon tier starved writers under pure immediate-retry
+    OCC). The walk exercises the real multi-writer contract instead
+    of a private loop; lost-race counts land in the trace."""
+    lost = {"n": 0}
+
+    def note(attempt: int) -> None:
+        lost["n"] = attempt + 1
+
+    t.retry_commit(fn, retries=retries, on_lost_race=note)
+    tr.add(who, op, "ok", retries=lost["n"], **extra)
 
 
 def run_seed(spark, seed: int, writers: int, batches: int,
@@ -209,37 +215,18 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                 [(base_id + i, f"g{i % 3}", float(b), _ts(2, b))
                  for i in range(15)]
             )
-            # manual OCC loop (not upsert_with_retry) so the trace
-            # records HOW MANY races this op lost — the r15 tier's
-            # contention evidence (same whole-merge-rerun semantics)
-            for attempt in range(61):
-                try:
-                    t.upsert(batch)
-                    tr.add(f"w{w}", "upsert", "ok", batch=b,
-                           retries=attempt)
-                    break
-                except M.ConcurrentCommitError:
-                    _occ_backoff(attempt)
-                    continue
-            else:
-                raise AssertionError(f"w{w} upsert starved")
+            _retry(tr, t, f"w{w}", "upsert",
+                   lambda: t.upsert(batch), retries=60, batch=b)
             # randomized own-range predicate DML between batches —
             # update_where/delete rewrite partitions under OCC and
             # must never disturb other writers' rows
             roll = rng.random()
             if roll < 0.25:
-                for attempt in range(30):
-                    try:
-                        t.update_where(
-                            spark, {"v": "v + 0.0"},
-                            f"id = {base_id}",  # no-op value, real rewrite
-                        )
-                        tr.add(f"w{w}", "update_where", "ok",
-                               retries=attempt)
-                        break
-                    except M.ConcurrentCommitError:
-                        _occ_backoff(attempt)
-                        continue
+                _retry(tr, t, f"w{w}", "update_where",
+                       lambda: t.update_where(
+                           spark, {"v": "v + 0.0"},
+                           f"id = {base_id}",  # no-op value, real rewrite
+                       ), retries=30)
             elif roll < 0.4:
                 victim = base_id + 14  # re-upserted next batch
                 if pscope and rng.random() < 0.5:
@@ -257,15 +244,9 @@ def run_seed(spark, seed: int, writers: int, batches: int,
                     )
                     kw = {}
                     op = "delete"
-                for attempt in range(30):
-                    try:
-                        t.delete(frame, **kw)
-                        tr.add(f"w{w}", op, "ok", id=victim,
-                               retries=attempt)
-                        break
-                    except M.ConcurrentCommitError:
-                        _occ_backoff(attempt)
-                        continue
+                _retry(tr, t, f"w{w}", op,
+                       lambda: t.delete(frame, **kw), retries=30,
+                       id=victim)
             if rng.random() < 0.5:
                 time.sleep(rng.random() * 0.15)
         # merge_into converges the final state (update-or-insert)
@@ -273,29 +254,15 @@ def run_seed(spark, seed: int, writers: int, batches: int,
             [(base_id + i, f"g{i % 3}", float(batches - 1),
               _ts(2, batches - 1)) for i in range(15)]
         )
-        for attempt in range(60):
-            try:
-                t.merge_into(final)
-                tr.add(f"w{w}", "merge_into", "ok", retries=attempt)
-                break
-            except M.ConcurrentCommitError:
-                _occ_backoff(attempt)
-                continue
+        _retry(tr, t, f"w{w}", "merge_into",
+               lambda: t.merge_into(final), retries=60)
 
     def dv_writer():
         rng = random.Random(7 * seed)
         t = KeyedTable.load(root)
 
         def with_retry(op, fn):
-            for attempt in range(60):
-                try:
-                    fn()
-                    tr.add("dv", op, "ok", retries=attempt)
-                    return
-                except M.ConcurrentCommitError:
-                    _occ_backoff(attempt)
-                    continue
-            raise AssertionError(f"dv {op} starved")
+            _retry(tr, t, "dv", op, fn, retries=60)
 
         for b in range(batches):
             batch = mk_rows(
@@ -651,18 +618,10 @@ def run_sync_seed(spark, seed: int, batches: int,
         return wrap
 
     def with_retry(t, who, op, fn):
-        for attempt in range(80):
-            try:
-                fn()
-                # retries recorded: each lost OCC race IS interleaving
-                # evidence (_assert_interleaved counts it — a 2-writer
-                # tier can group its SUCCESSES while contending hard)
-                tr.add(who, op, "ok", retries=attempt)
-                return
-            except M.ConcurrentCommitError:
-                _occ_backoff(attempt)
-                continue
-        raise AssertionError(f"{who} {op} starved")
+        # retries recorded: each lost OCC race IS interleaving
+        # evidence (_assert_interleaved counts it — a 2-writer
+        # tier can group its SUCCESSES while contending hard)
+        _retry(tr, t, who, op, fn, retries=80)
 
     def sync_writer():
         rng = random.Random(11 * seed)
@@ -901,15 +860,9 @@ def run_wipe_seed(spark, seed: int, batches: int,
         return wrap
 
     def with_retry(who, op, fn):
-        for attempt in range(80):
-            try:
-                fn()
-                tr.add(who, op, "ok", retries=attempt)
-                return
-            except M.ConcurrentCommitError:
-                _occ_backoff(attempt)
-                continue
-        raise AssertionError(f"{who} {op} starved")
+        # the wipe tier writes through the SQL front-end; the engine
+        # retry loop still keys its lease off the one managed table
+        _retry(tr, tables["wt"], who, op, fn, retries=80)
 
     vlock = threading.Lock()
 
