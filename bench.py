@@ -186,6 +186,20 @@ def main() -> int:
         # registry at rehearsal scale (§9j#1)
         skip = set(PINNED_SUBSET) | set(PINNED_EXT)
         qs_all = {n: f for n, f in qs_all.items() if n not in skip}
+    elif subset_mode == "names":
+        # targeted rehearsal (r15): time ONLY the comma-separated
+        # SPARK_GRAFT_NAMES rows — how a handful of new-in-round
+        # queries get their 10× datapoint without a full-tier rerun
+        keep = {
+            n.strip()
+            for n in os.environ.get("SPARK_GRAFT_NAMES", "").split(",")
+            if n.strip()
+        }
+        unknown = keep - set(qs_all)
+        if unknown:
+            print(f"# names subset: unknown {sorted(unknown)}",
+                  file=sys.stderr)
+        qs_all = {n: f for n, f in qs_all.items() if n in keep}
     warm_fail = 0
     for warm_name in sorted(qs_all):
         try:
