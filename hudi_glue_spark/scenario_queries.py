@@ -3824,3 +3824,47 @@ def q_catalog_reopen_by_name(spark, sf_dir):
         "SELECT event_id, user_id, event_type, value, ts FROM kt_cat",
         tables=session2,
     ).select("*", F.lit(reopened).alias("reopened_fresh"))
+
+
+@query(
+    "call_run_clustering_range_read",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts, TRUE AS clustering_committed
+    FROM events
+    WHERE value >= 50.0 AND value <= 80.0
+    """,
+)
+def q_call_run_clustering_range_read(spark, sf_dir):
+    """Layout-change clustering through SQL (Hudi's CALL
+    run_clustering table service; the reference reaches it through
+    Hudi's inline services, glue/HudiJarGlueJob.py:77). Load the day-0
+    batch as FOUR interleaved commits split on user_id — every data
+    file spans the full ``value`` range, the worst case for min/max
+    skipping — then CALL run_clustering(sort_by => 'value') and
+    read back a value slice via the stats-pruned range read. The
+    rewrite must move every row into range-clustered files without
+    losing, duplicating, or mutating any (the oracle is the plain
+    filter over the source batch); ``clustering_committed`` pins that
+    the procedure returned the new head commit. The file-skipping
+    effect itself is asserted in tests/test_lifecycle.py (scanned
+    files strictly shrink for narrow ranges post-clustering)."""
+    from hudi_glue_spark.sql_dml import sql_call
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_cluster_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    b0 = _batches(spark, sf_dir)[0].select(_COLS)
+    tbl = KeyedTable(root, key="event_id", precombine="ts")
+    for i in range(4):
+        ingest(tbl, b0.filter(F.pmod(F.col("user_id"), F.lit(4)) == i))
+    cid = sql_call(
+        spark,
+        "CALL run_clustering(table => 'kt_clu', sort_by => 'value', "
+        "target_file_mb => 0.2)",
+        {"kt_clu": tbl},
+    )
+    committed = cid is not None and tbl.commits()[-1] == cid
+    return tbl.read_range(spark, "value", 50.0, 80.0).select(
+        *_COLS, F.lit(bool(committed)).alias("clustering_committed")
+    )

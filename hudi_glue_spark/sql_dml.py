@@ -677,6 +677,9 @@ _PROCS: dict[str, tuple[str, dict, bool]] = {
                               "zorder_by": _COMMA_LIST}, True),
     "run_compaction": ("optimize", {"target_file_mb": float,
                                     "small_file_mb": float}, True),
+    "run_clustering": ("run_clustering", {"target_file_mb": float,
+                                          "sort_by": _COMMA_LIST,
+                                          "zorder_by": _COMMA_LIST}, True),
     "rollback": ("rollback", {"commit": str}, False),
     "rollback_to_instant": ("rollback", {"commit": str}, False),
     "savepoint": ("savepoint", {"commit": str}, False),

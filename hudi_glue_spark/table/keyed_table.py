@@ -6004,6 +6004,7 @@ class KeyedTable:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         partitions: list[str | None] | None = None,
+        force: bool = False,
     ) -> str | None:
         """Small-file compaction (↦ ``hoodie.parquet.small.file.limit``,
         which the reference carries but disables —
@@ -6056,8 +6057,12 @@ class KeyedTable:
             # a partition qualifies when its files are small OR any
             # carries a deletion vector: optimize() reads the masked
             # view, so the rewrite FOLDS the masks into real deletes
-            # and the new files start DV-free — the MoR compaction step
-            if (len(fs) > 1 and total / len(fs) < small * 1024 * 1024) or any(
+            # and the new files start DV-free — the MoR compaction step.
+            # ``force`` (the run_clustering path) rewrites regardless:
+            # a layout change is requested, not a size repair.
+            if force or (
+                len(fs) > 1 and total / len(fs) < small * 1024 * 1024
+            ) or any(
                 f in man.dvs for f in fs
             ):
                 todo[part] = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
@@ -6133,6 +6138,58 @@ class KeyedTable:
             cid=cid,
         )
         return self.commits()[-1]
+
+    def run_clustering(
+        self,
+        spark: SparkSession,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        target_file_mb: float = 128,
+        partitions: list[str | None] | None = None,
+    ) -> str | None:
+        """Layout-change clustering (Hudi's ``run_clustering``
+        procedure; the reference reaches it through Hudi's table
+        services). Rewrites every targeted partition — regardless of
+        file sizes, unlike :meth:`optimize`'s small-file gate — into
+        ``target_file_mb`` files RANGE-clustered on ``sort_by``
+        (contiguous 1-D value ranges per file) or ``zorder_by``
+        (Morton-interleaved multi-dimensional locality), so manifest
+        min/max stats turn range predicates on those columns into file
+        skips (:meth:`read_range`). Exactly one of ``sort_by`` /
+        ``zorder_by`` is required: a clustering call with no layout is
+        a refused no-op, not a silent compaction. Rows are unchanged;
+        prior commits stay time-travelable until :meth:`clean`.
+
+        The layout columns are ADDED to ``stats_cols`` (persisted in
+        _meta.json): skipping is the point of clustering, and min/max
+        stats on the clustered columns are what turn the tight
+        per-file ranges into :meth:`read_range` file skips. Files
+        from older commits without stats for a newly-added column are
+        never silently skipped (``prune_range`` keeps them).
+
+        Returns the new commit id (None only on an empty table)."""
+        if bool(sort_by) == bool(zorder_by):
+            raise ValueError(
+                "run_clustering needs exactly one layout: sort_by=[...] "
+                "(1-D range clustering) or zorder_by=[...] (multi-"
+                "dimensional); for size-only compaction use optimize()"
+            )
+        missing = [
+            c
+            for c in (sort_by or zorder_by)
+            if c not in (self.stats_cols or [])
+        ]
+        if missing:
+            self.stats_cols = list(self.stats_cols or []) + missing
+            self.save_meta()
+        return self.optimize(
+            spark,
+            target_file_mb=target_file_mb,
+            sort_by=sort_by,
+            zorder_by=zorder_by,
+            partitions=partitions,
+            force=True,
+        )
 
     # -- table service -------------------------------------------------------
 

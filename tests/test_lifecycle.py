@@ -1478,3 +1478,88 @@ def test_merge_into_with_delete_forces_remerge(spark, tmp_path, monkeypatch):
     assert got == set(range(1, 10)) | {100}
     t.clean(retain_commits=1)
     assert t.validate() == []
+
+
+def test_run_clustering_prunes_range_reads(spark, tmp_path):
+    """run_clustering (Hudi's clustering table service): a forced
+    layout rewrite — no small-file gate — that makes min/max file
+    skipping POSSIBLE. Pre-clustering the CoW write path folds the
+    unsorted rows into value-spanning files a narrow range read
+    cannot skip (scan == every live file); post-clustering each file
+    covers a contiguous value slice and the same read scans a strict
+    subset."""
+    import random
+
+    from hudi_glue_spark.table import manifest as M
+
+    t = KeyedTable(str(tmp_path / "clu"), key="id", precombine="ts")
+    rng = random.Random(7)
+    rows = [
+        Row(id=i, v=float(rng.randrange(0, 1000)), ts=_ts(1))
+        for i in range(2000)
+    ]
+    for part in range(4):  # interleaved on id → no value locality
+        ingest(t, spark.createDataFrame(rows[part::4]))
+    before = t.read_range(spark, "v", 100.0, 150.0)
+    before_rows = {(r["id"], r["v"]) for r in before.collect()}
+    n_before_scan = len(set(before.inputFiles()))
+    n_before_live = len(M.read_manifest(t.path).files)
+    assert n_before_scan == n_before_live  # no skipping available
+
+    cid = t.run_clustering(spark, sort_by=["v"], target_file_mb=0.01)
+    assert cid == t.commits()[-1]
+    assert [r["op"] for r in t.history(spark).collect()][-1] == "optimize"
+
+    after = t.read_range(spark, "v", 100.0, 150.0)
+    assert {(r["id"], r["v"]) for r in after.collect()} == before_rows
+    n_after_scan = len(set(after.inputFiles()))
+    n_after_live = len(M.read_manifest(t.path).files)
+    assert n_after_live > 1, n_after_live  # layout actually re-split
+    assert n_after_scan < n_after_live, (n_after_scan, n_after_live)
+    # the rewrite moved rows between files but changed none
+    assert t.read(spark).count() == 2000
+    assert t.validate() == []
+
+
+def test_run_clustering_refuses_without_exactly_one_layout(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "clu2"), key="id", precombine="ts")
+    ingest(t, spark.createDataFrame([Row(id=1, v=1.0, ts=_ts(1))]))
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one layout"):
+        t.run_clustering(spark)
+    with pytest.raises(ValueError, match="exactly one layout"):
+        t.run_clustering(spark, sort_by=["v"], zorder_by=["v", "id"])
+
+
+def test_sql_call_run_clustering(spark, tmp_path):
+    """CALL run_clustering through the SQL front-end: comma-list
+    layout args coerce, unknown args refuse loudly, and a
+    single-file table still rewrites (force semantics — optimize()
+    alone would be a no-op here)."""
+    import pytest
+
+    from hudi_glue_spark.sql_dml import SqlDmlError, sql_call
+
+    t = KeyedTable(str(tmp_path / "clu3"), key="id", precombine="ts")
+    ingest(
+        t,
+        spark.createDataFrame(
+            [Row(id=i, v=float(i % 50), ts=_ts(1)) for i in range(200)]
+        ),
+    )
+    assert t.optimize(spark) is None  # one healthy file: no-op
+    cid = sql_call(
+        spark,
+        "CALL run_clustering(table => 't', sort_by => 'v', "
+        "target_file_mb => 0.002)",
+        {"t": t},
+    )
+    assert cid == t.commits()[-1]
+    assert t.read(spark).count() == 200
+    with pytest.raises(SqlDmlError, match="no argument"):
+        sql_call(
+            spark,
+            "CALL run_clustering(table => 't', small_file_mb => 1)",
+            {"t": t},
+        )
