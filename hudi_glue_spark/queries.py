@@ -51,6 +51,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # (a) new in r15
     "catalog_reopen_by_name",
     "call_run_clustering_range_read",
+    "sql_show_partitions",
     # (b) the complete r11-stale cohort (VERDICT r14 #3)
     "dv_upsert_scenario",
     "events_moment_stats",

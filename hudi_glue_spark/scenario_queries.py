@@ -3868,3 +3868,30 @@ def q_call_run_clustering_range_read(spark, sf_dir):
     return tbl.read_range(spark, "value", 50.0, 80.0).select(
         *_COLS, F.lit(bool(committed)).alias("clustering_committed")
     )
+
+
+@query(
+    "sql_show_partitions",
+    """
+    SELECT DISTINCT 'event_type=' || event_type AS partition
+    FROM events
+    """,
+)
+def q_sql_show_partitions(spark, sf_dir):
+    """SHOW PARTITIONS through the SQL front-end (Hive/Hudi parity;
+    the reference's partitioned writes are read back per partition
+    dir, glue/HudiJarGlueJob.py:81). The listing comes off the
+    manifest shards alone — zero data-file I/O, so it stays flat at
+    any table size — and must equal the distinct partition values of
+    the loaded batch in Hive dir format."""
+    from hudi_glue_spark.sql_read import sql_read
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = f"/tmp/hudi_glue_spark_scn_showpart_{sf_tag(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    b0 = _batches(spark, sf_dir)[0].select(_COLS)
+    tbl = KeyedTable(
+        root, key="event_id", precombine="ts", partition_by="event_type"
+    )
+    tbl.bulk_insert(b0)
+    return sql_read(spark, "SHOW PARTITIONS kt_sp", tables={"kt_sp": tbl})

@@ -59,7 +59,11 @@ Scoping/safety rules (ADVICE r14, all three verified by tests):
 Metadata statements (r15, completing the catalog story): ``SHOW
 TABLES`` lists the managed dict (name, location); ``DESCRIBE
 [TABLE] t`` returns the schema plus the keyed-table properties;
-``DESCRIBE HISTORY t`` returns the commit timeline (Delta parity).
+``DESCRIBE HISTORY t`` returns the commit timeline (Delta parity);
+``SHOW PARTITIONS t`` lists live partition dirs off the manifest
+(zero data I/O; refused on unpartitioned tables, like Spark);
+``SHOW CREATE TABLE t`` renders round-trippable keyed DDL from
+the current schema and table config.
 """
 
 from __future__ import annotations
@@ -67,6 +71,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hudi_glue_spark.table.keyed_table import KeyedTable
 
@@ -241,6 +246,69 @@ def sql_read(
                 f"table (known: {sorted(tables)})"
             )
         return tbl.history(spark)
+    sp = re.match(
+        rf"^\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if sp:
+        # Hive/Hudi SHOW PARTITIONS: one `partition` dir string per
+        # live partition, straight off the manifest shards
+        # (partitions_df) — zero data-file I/O at any table size.
+        tbl = lowered.get(sp.group(1).lower())
+        if tbl is None:
+            raise SqlReadError(
+                f"SHOW PARTITIONS {sp.group(1)!r}: not a managed "
+                f"table (known: {sorted(tables)})"
+            )
+        if not tbl.partition_by:
+            raise SqlReadError(
+                f"SHOW PARTITIONS {sp.group(1)!r}: table is not "
+                f"partitioned"
+            )
+        return (
+            tbl.partitions_df(spark)
+            .filter(F.col("partition") != F.lit(""))
+            .select("partition")
+            .orderBy("partition")
+        )
+    sc = re.match(
+        rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if sc:
+        # Round-trippable DDL from live metadata: the rendered
+        # statement re-creates the table through sql_ddl (CREATE
+        # TABLE ... USING keyed), column types from the CURRENT
+        # schema (post-evolution), table config from _meta.json.
+        tbl = lowered.get(sc.group(1).lower())
+        if tbl is None:
+            raise SqlReadError(
+                f"SHOW CREATE TABLE {sc.group(1)!r}: not a managed "
+                f"table (known: {sorted(tables)})"
+            )
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in tbl.read(spark).schema.fields
+        )
+        props = [f"'primaryKey' = '{','.join(tbl.key)}'"]
+        if tbl.precombine:
+            props.append(f"'preCombineField' = '{tbl.precombine}'")
+        if tbl.policy:
+            props.append(f"'policy' = '{tbl.policy}'")
+        part = (
+            f"\nPARTITIONED BY ({', '.join(tbl.partition_by)})"
+            if tbl.partition_by
+            else ""
+        )
+        ddl = (
+            f"CREATE TABLE {sc.group(1)} (\n  {cols})\n"
+            f"USING keyed{part}\n"
+            f"LOCATION '{tbl.path}'\n"
+            f"TBLPROPERTIES ({', '.join(props)})"
+        )
+        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
     masked = _mask_strings(stmt)
     shadowed = _cte_names(masked) & set(lowered)

@@ -268,3 +268,45 @@ def test_describe_history(spark, tbl):
     assert rows[-1]["commit_id"] == tbl.commits()[-1]
     with pytest.raises(SqlReadError, match="not a managed"):
         sql_read(spark, "DESCRIBE HISTORY nope", tables={"t": tbl})
+
+
+def test_show_partitions(spark, tbl):
+    # manifest-only partition listing, Hive dir format, sorted
+    out = sql_read(spark, "SHOW PARTITIONS t", tables={"t": tbl})
+    assert out.columns == ["partition"]
+    assert [r["partition"] for r in out.collect()] == [
+        "part=a", "part=b"
+    ]
+    with pytest.raises(SqlReadError, match="not a managed"):
+        sql_read(spark, "SHOW PARTITIONS nope", tables={"t": tbl})
+
+
+def test_show_partitions_unpartitioned_refused(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "u"), key="pk", precombine="update_ts")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=1, val=1.0, update_ts=ts(1))]))
+    with pytest.raises(SqlReadError, match="not partitioned"):
+        sql_read(spark, "SHOW PARTITIONS u", tables={"u": t})
+
+
+def test_show_create_table_round_trips(spark, tbl, tmp_path):
+    """The rendered DDL must RE-CREATE an equivalent table through
+    sql_ddl (swapping name + location), key/precombine/partitioning
+    and current column types intact."""
+    from hudi_glue_spark.sql_ddl import sql_ddl
+
+    out = sql_read(spark, "SHOW CREATE TABLE t", tables={"t": tbl})
+    assert out.columns == ["createtab_stmt"]
+    ddl = out.collect()[0]["createtab_stmt"]
+    assert "USING keyed" in ddl and "PARTITIONED BY (part)" in ddl
+    assert "'primaryKey' = 'pk'" in ddl
+    clone_loc = str(tmp_path / "clone")
+    ddl2 = ddl.replace("CREATE TABLE t", "CREATE TABLE t2").replace(
+        f"LOCATION '{tbl.path}'", f"LOCATION '{clone_loc}'"
+    )
+    session: dict = {}
+    sql_ddl(spark, ddl2, session)
+    t2 = session["t2"]
+    assert t2.key == tbl.key
+    assert t2.precombine == tbl.precombine
+    assert t2.partition_by == tbl.partition_by
