@@ -103,3 +103,62 @@ def test_retry_commit_escalates_to_lease_and_releases(spark, tmp_path):
 
     t.retry_commit(flaky2, retries=10, backoff_s=0.001, lease_after=0)
     assert state["lease_seen_at"] is None
+
+
+def test_publish_unblocks_after_holder_crash(spark, tmp_path):
+    """A crashed holder never releases — the TTL is the ONLY unblock
+    path, and it must work end-to-end through a real publish: after
+    expiry an upsert succeeds with NO release call (the live-lease
+    yield itself is pinned by test_publish_yields_to_foreign_lease).
+    Also: validate()/clean() must tolerate the abandoned lease file
+    (it is engine metadata, not orphan debris)."""
+    root = str(tmp_path / "t")
+    t = KeyedTable(root, key="pk", precombine="v")
+    t.bulk_insert(spark.createDataFrame([Row(pk=1, v=1.0)]))
+    th = threading.Thread(
+        target=lambda: M.acquire_lease(root, "crashed", ttl_s=0.5)
+    )
+    th.start()
+    th.join()
+    assert M.read_lease(root)["token"] == "crashed"
+    time.sleep(0.6)
+    t.upsert(spark.createDataFrame([Row(pk=1, v=3.0)]))  # no release
+    assert {r.v for r in t.read(spark).collect()} == {3.0}
+    assert t.validate() == []
+    t.clean(retain_commits=1, orphan_grace_s=0.0)
+    assert t.validate() == []
+
+
+def test_two_writers_racing_escalation_both_commit(spark, tmp_path):
+    """Two threads both driving retry_commit with immediate
+    escalation (lease_after=1): the lease gates publishes but must
+    never deadlock or drop a commit — both writers land, and the
+    lease is released when the dust settles."""
+    root = str(tmp_path / "t")
+    t = KeyedTable(root, key="pk", precombine="v")
+    t.bulk_insert(spark.createDataFrame([Row(pk=0, v=0.0)]))
+    errs: list = []
+
+    def writer(pk: int):
+        try:
+            t.retry_commit(
+                lambda: t.upsert(
+                    spark.createDataFrame([Row(pk=pk, v=float(pk))])
+                ),
+                retries=30,
+                backoff_s=0.01,
+                lease_after=1,
+                lease_ttl_s=10.0,
+            )
+        except Exception as e:  # noqa: BLE001 — recorded for assert
+            errs.append(e)
+
+    ths = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(timeout=120)
+        assert not th.is_alive(), "writer deadlocked"
+    assert errs == []
+    assert {r.pk for r in t.read(spark).collect()} == {0, 1, 2}
+    assert M.read_lease(root) is None or not M.foreign_lease_live(root)
