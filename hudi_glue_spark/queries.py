@@ -52,6 +52,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "catalog_reopen_by_name",
     "call_run_clustering_range_read",
     "sql_show_partitions",
+    "sql_table_changes_feed",
     # (b) the complete r11-stale cohort (VERDICT r14 #3)
     "dv_upsert_scenario",
     "events_moment_stats",

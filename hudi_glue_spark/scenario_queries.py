@@ -3895,3 +3895,34 @@ def q_sql_show_partitions(spark, sf_dir):
     )
     tbl.bulk_insert(b0)
     return sql_read(spark, "SHOW PARTITIONS kt_sp", tables={"kt_sp": tbl})
+
+
+@query(
+    "sql_table_changes_feed",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts, 'update_preimage' AS _change_type
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type, value + 100.0 AS value,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS ts,
+           'update_postimage' AS _change_type
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_sql_table_changes_feed(spark, sf_dir):
+    """CDF through SQL: Delta's ``table_changes`` TVF bound by
+    sql_read to the commit-range diff with BOTH update images — the
+    shape incremental view maintenance consumes (+post − pre). The
+    two-batch table updates every click, so the feed is exactly one
+    preimage (b0 values) and one postimage (b1 values) per click,
+    which the oracle states directly."""
+    from hudi_glue_spark.sql_read import sql_read
+
+    tbl = _two_batch_table(spark, sf_dir)
+    return sql_read(
+        spark,
+        "SELECT event_id, user_id, event_type, value, ts, _change_type "
+        "FROM table_changes('kt_tt', 0)",
+        tables={"kt_tt": tbl},
+    )

@@ -64,6 +64,12 @@ TABLES`` lists the managed dict (name, location); ``DESCRIBE
 (zero data I/O; refused on unpartitioned tables, like Spark);
 ``SHOW CREATE TABLE t`` renders round-trippable keyed DDL from
 the current schema and table config.
+
+CDF through SQL (r15): ``FROM table_changes('t', start[, end])``
+(Delta's TVF) binds the commit-range change feed —
+``diff_commits(images="both")``, one update_preimage + one
+update_postimage row per update. ``start`` is the BASE commit
+(changes are everything after it), as a commit id or ordinal int.
 """
 
 from __future__ import annotations
@@ -103,6 +109,9 @@ _REF = re.compile(
 #: Spark string literals: single/double quoted, backslash escapes and
 #: doubled-quote escapes both honored (Spark accepts both forms).
 _STR = re.compile(r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"")
+
+#: Delta's CDF table-valued function: FROM table_changes('t', start[, end])
+_TVF = re.compile(r"\b(FROM|JOIN)\s+TABLE_CHANGES\s*\(", re.IGNORECASE)
 
 
 class SqlReadError(ValueError):
@@ -313,6 +322,99 @@ def sql_read(
     masked = _mask_strings(stmt)
     shadowed = _cte_names(masked) & set(lowered)
     params: dict[str, DataFrame] = {}
+    raw_stmt = stmt  # brace checks run against the USER's text only
+
+    # -- table_changes TVF (Delta CDF parity) --------------------------
+    # FROM table_changes('t', <start>[, <end>]) [AS a] → the commit-
+    # range change feed (diff_commits, images="both": one
+    # update_preimage + one update_postimage row per update, exactly
+    # Delta's CDF shape). <start> is the BASE commit — changes are
+    # everything AFTER it up to <end>/HEAD — accepted as a commit id
+    # or an ordinal int (0 = first retained, -1 = head), same
+    # resolution as VERSION AS OF.
+    tvf = list(_TVF.finditer(masked))
+    if tvf:
+        if "{" in stmt or "}" in stmt:
+            raise SqlReadError(
+                "literal '{'/'}' cannot appear in a statement that "
+                "references a managed table (parameter-formatter "
+                "collision)"
+            )
+        s_parts: list[str] = []
+        m_parts: list[str] = []
+        pos = 0
+        for m in tvf:
+            op = m.end() - 1  # the '('
+            depth, j = 0, op
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise SqlReadError("table_changes: unbalanced '('")
+            # arg spans from the MASKED text, values from the original
+            args = []
+            k = op + 1
+            for seg in masked[op + 1: j].split(","):
+                raw = stmt[k: k + len(seg)].strip()
+                args.append(raw[1:-1] if raw[:1] in "'\"" else raw)
+                k += len(seg) + 1
+            if not 2 <= len(args) <= 3:
+                raise SqlReadError(
+                    "table_changes takes ('table', start[, end]) — "
+                    f"got {len(args)} argument(s)"
+                )
+            tbl = lowered.get(args[0].lower())
+            if tbl is None:
+                raise SqlReadError(
+                    f"table_changes on {args[0]!r}: not a managed "
+                    f"table (known: {sorted(tables)})"
+                )
+            cids = tbl.commits()
+
+            def cid(v: str, what: str) -> str:
+                if v in cids:
+                    return v
+                if re.fullmatch(r"-?\d+", v):
+                    i = int(v)
+                    if -len(cids) <= i < len(cids):
+                        return cids[i]
+                    raise SqlReadError(
+                        f"table_changes {what} ordinal {i} out of "
+                        f"range (0..{len(cids) - 1})"
+                    )
+                raise SqlReadError(
+                    f"table_changes {what}: unknown commit {v!r} "
+                    f"(retained: {cids})"
+                )
+
+            start = cid(args[1], "start")
+            end = cid(args[2], "end") if len(args) == 3 else None
+            am = re.match(
+                rf"\s*(?:AS\s+)?(?!(?:{_KW_ALT})\b)({_IDENT})",
+                masked[j + 1:],
+                re.IGNORECASE,
+            )
+            alias = am.group(1) if am else "table_changes"
+            tail = j + 1 + (am.end() if am else 0)
+            p = f"__tc{len(params)}"
+            params[p] = tbl.diff_commits(
+                spark, from_commit=start, to_commit=end, images="both"
+            )
+            rep = f"{m.group(1)} {{{p}}} AS {alias}"
+            s_parts.append(stmt[pos: m.start()])
+            s_parts.append(rep)
+            m_parts.append(masked[pos: m.start()])
+            m_parts.append(rep)
+            pos = tail
+        s_parts.append(stmt[pos:])
+        m_parts.append(masked[pos:])
+        stmt = "".join(s_parts)
+        masked = "".join(m_parts)
 
     # Rewrite over the MASKED text, emitting ORIGINAL slices — string
     # literals can't match, but the output keeps their exact content.
@@ -374,7 +476,7 @@ def sql_read(
 
     if not params:
         return spark.sql(stmt)
-    if "{" in stmt or "}" in stmt:
+    if "{" in raw_stmt or "}" in raw_stmt:
         raise SqlReadError(
             "literal '{'/'}' cannot appear in a statement that "
             "references a managed table (parameter-formatter collision)"

@@ -310,3 +310,48 @@ def test_show_create_table_round_trips(spark, tbl, tmp_path):
     assert t2.key == tbl.key
     assert t2.precombine == tbl.precombine
     assert t2.partition_by == tbl.partition_by
+
+
+def test_table_changes_tvf(spark, tbl):
+    """Delta's CDF TVF through sql_read: commit-id and ordinal starts,
+    both-images update shape, aggregation over the feed, refusals."""
+    c0, _c1 = tbl.commits()
+    out = sql_read(
+        spark,
+        f"SELECT pk, val, _change_type FROM table_changes('t', '{c0}')",
+        tables={"t": tbl})
+    got = {(r["pk"], r["val"], r["_change_type"]) for r in out.collect()}
+    assert got == {
+        (1, 10.0, "update_preimage"),
+        (1, 11.0, "update_postimage"),
+        (3, 30.0, "insert"),
+    }
+    # ordinal start + alias + aggregate over the feed
+    agg = sql_read(
+        spark,
+        "SELECT count(*) AS n FROM table_changes('t', 0) c "
+        "WHERE c._change_type = 'insert'",
+        tables={"t": tbl})
+    assert agg.collect()[0]["n"] == 1
+    # explicit end pins the range
+    pinned = sql_read(
+        spark,
+        "SELECT count(*) AS n FROM table_changes('t', 0, -1)",
+        tables={"t": tbl})
+    assert pinned.collect()[0]["n"] == 3
+    with pytest.raises(SqlReadError, match="not a managed"):
+        sql_read(spark, "SELECT * FROM table_changes('nope', 0)",
+                 tables={"t": tbl})
+    with pytest.raises(SqlReadError, match="out of range"):
+        sql_read(spark, "SELECT * FROM table_changes('t', 99)",
+                 tables={"t": tbl})
+    with pytest.raises(SqlReadError, match="unknown commit"):
+        sql_read(spark, "SELECT * FROM table_changes('t', 'bogus')",
+                 tables={"t": tbl})
+    # a TVF read can JOIN the managed snapshot in the same statement
+    joined = sql_read(
+        spark,
+        "SELECT count(*) AS n FROM table_changes('t', 0) c "
+        "JOIN t ON c.pk = t.pk",
+        tables={"t": tbl})
+    assert joined.collect()[0]["n"] == 3
