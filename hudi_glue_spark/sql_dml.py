@@ -37,6 +37,7 @@ rule as Delta).
     INSERT INTO <t> [(c1, c2, ...)] <SELECT ...| TABLE name | VALUES ...>
     INSERT OVERWRITE [TABLE] <t> <SELECT ...| TABLE name | VALUES ...>
     TRUNCATE [TABLE] <t>
+    RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF <x>  -- rollback
     CALL <proc>(table => 't', name => value, ...)   -- table services
 
 ``INSERT INTO`` on a keyed table is an UPSERT (Hudi's
@@ -639,6 +640,47 @@ def sql_dml(
                 "unparseable TRUNCATE; supported: TRUNCATE [TABLE] t"
             )
         return _resolve(m.group(1), tables).truncate()
+    if head == "RESTORE":
+        # Delta parity: RESTORE TABLE t TO VERSION/TIMESTAMP AS OF x
+        # → rollback (a NEW metadata-only commit referencing the
+        # target's files; rolled-back history stays time-travelable
+        # until clean). VERSION accepts a commit id or an ordinal int
+        # (0 = first retained, -1 = head), same as sql_read.
+        m = re.match(
+            rf"RESTORE (?:TABLE )?({_IDENT})\s+TO\s+"
+            rf"(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            rf"('[^']*'|\"[^\"]*\"|[A-Za-z0-9_.:+-]+)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDmlError(
+                "unparseable RESTORE; supported: RESTORE [TABLE] t "
+                "TO VERSION AS OF <commit|ordinal> | TO TIMESTAMP "
+                "AS OF '<ts>'"
+            )
+        tbl = _resolve(m.group(1), tables)
+        v = m.group(3).strip().strip("'\"")
+        if m.group(2).upper() == "TIMESTAMP":
+            target = tbl.commit_as_of(v)
+            if target is None:
+                raise SqlDmlError(
+                    f"RESTORE: no retained commit at or before {v!r}"
+                )
+        else:
+            cids = tbl.commits()
+            if v in cids:
+                target = v
+            elif re.fullmatch(r"-?\d+", v) and (
+                -len(cids) <= int(v) < len(cids)
+            ):
+                target = cids[int(v)]
+            else:
+                raise SqlDmlError(
+                    f"RESTORE: unknown version {v!r} (retained commit "
+                    f"ids or ordinals 0..{len(cids) - 1})"
+                )
+        return tbl.rollback(to_commit=target)
     if head == "CALL":
         # sql_dml's contract returns a commit id; use sql_call
         # directly for the procedure's own return value
@@ -655,7 +697,7 @@ def sql_dml(
     raise SqlDmlError(
         f"unsupported statement {head!r}: sql_dml handles MERGE INTO "
         f"/ UPDATE / DELETE FROM / INSERT INTO / INSERT OVERWRITE / "
-        f"TRUNCATE only (reads go through register()/"
+        f"TRUNCATE / RESTORE only (reads go through register()/"
         f"register_external() and plain spark.sql)"
     )
 

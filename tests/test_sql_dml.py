@@ -604,3 +604,29 @@ def test_call_procedures(spark, tmp_path):
     ]:
         with pytest.raises(SqlDmlError, match=msg):
             sql_call(spark, stmt, tables={"t": t})
+
+
+def test_restore_table(spark, tmp_path):
+    """RESTORE TABLE (Delta parity) → rollback: a new metadata-only
+    commit re-pointing at the target version; ordinal and timestamp
+    forms resolve like sql_read's VERSION/TIMESTAMP AS OF."""
+    import pytest
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.sql_dml import SqlDmlError, sql_dml
+    from hudi_glue_spark.table import KeyedTable
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="v")
+    t.bulk_insert(spark.createDataFrame([Row(pk=1, v=1.0)]))
+    t.upsert(spark.createDataFrame([Row(pk=1, v=2.0)]))
+    cid = sql_dml(spark, "RESTORE TABLE t TO VERSION AS OF 0",
+                  tables={"t": t})
+    assert cid == t.commits()[-1]
+    assert [r.v for r in t.read(spark).collect()] == [1.0]
+    # the restore is a NEW commit: the v=2.0 state stays travelable
+    assert len(t.commits()) == 3
+    with pytest.raises(SqlDmlError, match="unknown version"):
+        sql_dml(spark, "RESTORE TABLE t TO VERSION AS OF 99",
+                tables={"t": t})
+    with pytest.raises(SqlDmlError, match="unparseable RESTORE"):
+        sql_dml(spark, "RESTORE TABLE t", tables={"t": t})
