@@ -39,6 +39,7 @@ rule as Delta).
     TRUNCATE [TABLE] <t>
     RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF <x>  -- rollback
     CALL <proc>(table => 't', name => value, ...)   -- table services
+                                                    -- + index lifecycle
 
 ``INSERT INTO`` on a keyed table is an UPSERT (Hudi's
 ``hoodie.sql.insert.mode=upsert`` default for pk tables —
@@ -730,6 +731,28 @@ _PROCS: dict[str, tuple[str, dict, bool]] = {
     "delete_savepoint": ("release_savepoint", {"commit": str}, False),
     "fold_change_logs": ("fold_change_logs", {"keep_last": int,
                                               "max_bytes": int}, False),
+    # index lifecycle (Hudi 1.0 record/secondary-index procedures;
+    # missing required args surface as the method's own TypeError)
+    "build_record_index": (
+        "build_record_index", {"max_records_per_file": int}, True),
+    "drop_record_index": ("drop_record_index", {}, False),
+    "compact_record_index": (
+        "compact_record_index", {"max_records_per_file": int}, True),
+    "build_column_index": (
+        "build_column_index",
+        {"col": str, "max_records_per_file": int}, True),
+    "drop_column_index": ("drop_column_index", {"col": str}, False),
+    "compact_column_index": (
+        "compact_column_index",
+        {"col": str, "max_records_per_file": int}, True),
+    "build_ivf_index": (
+        "build_ivf_index",
+        {"vec_col": str, "n_centroids": int, "n_iter": int,
+         "sample_n": int}, True),
+    "build_lsh_index": (
+        "build_lsh_index",
+        {"vec_col": str, "dim": int, "n_planes": int, "n_tables": int,
+         "seed": int}, True),
     "run_maintenance": ("run_maintenance", {
         "retain_commits": int, "target_file_mb": float,
         "small_file_mb": float, "target_rows_per_file": int,

@@ -630,3 +630,35 @@ def test_restore_table(spark, tmp_path):
                 tables={"t": t})
     with pytest.raises(SqlDmlError, match="unparseable RESTORE"):
         sql_dml(spark, "RESTORE TABLE t", tables={"t": t})
+
+
+def test_sql_call_index_lifecycle(spark, tmp_path):
+    """Index procedures through CALL: build/compact/drop for the
+    record index and a secondary column index, point reads pruned by
+    the built index, drop is metadata-only."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.sql_dml import sql_call
+    from hudi_glue_spark.table import KeyedTable
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="v")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=i, cat=f"c{i % 5}", v=float(i)) for i in range(100)]))
+    tables = {"t": t}
+    sql_call(spark, "CALL build_record_index(table => 't')", tables)
+    assert t.record_index_info() is not None
+    got = {r.pk for r in t.read_keys(spark, [3, 7]).collect()}
+    assert got == {3, 7}
+    sql_call(spark,
+             "CALL build_column_index(table => 't', col => 'cat')",
+             tables)
+    assert t.column_index_info("cat") is not None
+    sql_call(spark,
+             "CALL compact_column_index(table => 't', col => 'cat')",
+             tables)
+    sql_call(spark,
+             "CALL drop_column_index(table => 't', col => 'cat')",
+             tables)
+    assert t.column_index_info("cat") is None
+    sql_call(spark, "CALL drop_record_index(table => 't')", tables)
+    assert t.record_index_info() is None
