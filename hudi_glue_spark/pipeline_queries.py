@@ -411,11 +411,14 @@ _KM_COS = (
 )
 
 
-def _kmeans_oracle_sql(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
-    """Replay kmeans_lloyd(assigner='expr') in SQL: every iteration is
+def _kmeans_assign_sql(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    """The WITH-chain replaying kmeans_lloyd(assigner='expr') in SQL up
+    to ``afinal(vec_id, cid)`` (+ ``e(vec_id, v)``): every iteration is
     assignment (ordered-fold cosine, ties to the higher cid) + a
     decimal-cast per-(cluster, dim) mean — both bit-deterministic, so
-    the unrolled CTE chain lands on the identical final clustering."""
+    the unrolled CTE chain lands on the identical final clustering.
+    Callers append their own final SELECT (cluster counts; the
+    semantic-dedup survivor filter)."""
     steps = []
     prev = "c0"
     for i in range(1, n_iter + 1):
@@ -459,11 +462,18 @@ def _kmeans_oracle_sql(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
                                   ORDER BY {_KM_COS} DESC, c.cid DESC) AS rn
         FROM e CROSS JOIN {prev} c
       ) WHERE rn = 1
-    )
+    )"""
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    return (
+        _kmeans_assign_sql(k, n_iter)
+        + """
     SELECT CAST(cid AS INTEGER) AS cluster,
            CAST(count(*) AS BIGINT) AS n_vectors
     FROM afinal GROUP BY cid
     """
+    )
 
 
 @query("kmeans_embedding_clusters", _kmeans_oracle_sql())
@@ -482,6 +492,57 @@ def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+_SEMDEDUP_TH = 0.4
+
+
+@query(
+    "semantic_dedup_survivors",
+    _kmeans_assign_sql()
+    + f""",
+    av AS (
+      SELECT f.vec_id, f.cid, e.v FROM afinal f JOIN e USING (vec_id)
+    ),
+    rem AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {_SEMDEDUP_TH}
+    )
+    SELECT f.vec_id, CAST(f.cid AS INTEGER) AS cluster
+    FROM afinal f
+    WHERE f.vec_id NOT IN (SELECT vec_id FROM rem)
+    """,
+)
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    remove near-duplicates WITHIN each cluster only — the scale path
+    for semantic dedup, replacing the all-pairs cosine join with
+    k-means cells so the pairwise step is bounded by the largest cell,
+    not the corpus. Pure composition of certified pieces: the
+    bit-deterministic expr-assigner k-means (the kmeans row's oracle
+    CTEs replay it exactly) + the within-block cosine pair operator
+    (embedding_near_dup's ordered-fold cosine, bit-identical to
+    DuckDB's list_dot_product). Survivor rule: a vector is removed
+    when a SMALLER-id vector in its cell is >= threshold cosine —
+    deterministic, no transitive chaining."""
+    from hudi_glue_spark.operators import dedup as D
+    from hudi_glue_spark.operators.clustering import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, assigner="expr"
+    )
+    with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    pairs = D.embedding_near_dup_pairs(
+        with_vec, "vec_id", "embedding", "cluster", threshold=_SEMDEDUP_TH
+    )
+    removed = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return assigned.join(removed, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
 
 

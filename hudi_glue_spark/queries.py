@@ -53,6 +53,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "call_run_clustering_range_read",
     "sql_show_partitions",
     "sql_table_changes_feed",
+    "semantic_dedup_survivors",
     # (b) the complete r11-stale cohort (VERDICT r14 #3)
     "dv_upsert_scenario",
     "events_moment_stats",

@@ -425,3 +425,40 @@ def test_time_bucket_and_rollup_one_pass(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_semantic_dedup_survivor_rule(spark):
+    """SemDeDup composition on a planted corpus: near-identical
+    vectors in the SAME k-means cell collapse to the smallest id;
+    near-identical vectors in DIFFERENT cells both survive (the
+    documented cell-bounded trade-off); orthogonal vectors survive."""
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.operators import dedup as D
+    from hudi_glue_spark.operators.clustering import kmeans_lloyd
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),   # dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.998, 0.02]),   # dup of 3
+        Row(vec_id=5, embedding=[0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    assigned, _ = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=3, n_iter=3, assigner="expr"
+    )
+    cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    with_vec = assigned.join(emb, "vec_id")
+    pairs = D.embedding_near_dup_pairs(
+        with_vec, "vec_id", "embedding", "cluster", threshold=0.95
+    )
+    removed = {r["b_id"] for r in pairs.collect()}
+    survivors = set(cl) - removed
+    # same-cell dups collapse to the smaller id
+    if cl[1] == cl[2]:
+        assert 2 in removed and 1 in survivors
+    if cl[3] == cl[4]:
+        assert 4 in removed and 3 in survivors
+    assert 5 in survivors  # orthogonal: never removed
+    assert 1 in survivors and 3 in survivors  # smallest ids always live
