@@ -37,6 +37,7 @@ rule as Delta).
     INSERT INTO <t> [(c1, c2, ...)] <SELECT ...| TABLE name | VALUES ...>
     INSERT OVERWRITE [TABLE] <t> <SELECT ...| TABLE name | VALUES ...>
     TRUNCATE [TABLE] <t>
+    OPTIMIZE <t> [ZORDER BY (c1, ...)]           -- compaction/clustering
     RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF <x>  -- rollback
     CALL <proc>(table => 't', name => value, ...)   -- table services
                                                     -- + index lifecycle
@@ -641,6 +642,30 @@ def sql_dml(
                 "unparseable TRUNCATE; supported: TRUNCATE [TABLE] t"
             )
         return _resolve(m.group(1), tables).truncate()
+    if head == "OPTIMIZE":
+        # Delta's spelling: OPTIMIZE t → small-file compaction;
+        # OPTIMIZE t ZORDER BY (c1, c2) → forced multi-dimensional
+        # clustering (run_clustering). WHERE predicates are refused —
+        # partition-scoped service runs go through CALL
+        # run_compaction/run_clustering with explicit arguments.
+        m = re.match(
+            rf"OPTIMIZE ({_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDmlError(
+                "unparseable OPTIMIZE; supported: OPTIMIZE t "
+                "[ZORDER BY (c1, c2, ...)] — WHERE predicates are not: "
+                "use CALL run_compaction/run_clustering(table => 't', "
+                "...) for partition-scoped runs"
+            )
+        tbl = _resolve(m.group(1), tables)
+        if m.group(2):
+            cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+            return tbl.run_clustering(spark, zorder_by=cols) or ""
+        return tbl.optimize(spark) or ""
     if head == "RESTORE":
         # Delta parity: RESTORE TABLE t TO VERSION/TIMESTAMP AS OF x
         # → rollback (a NEW metadata-only commit referencing the
@@ -698,7 +723,7 @@ def sql_dml(
     raise SqlDmlError(
         f"unsupported statement {head!r}: sql_dml handles MERGE INTO "
         f"/ UPDATE / DELETE FROM / INSERT INTO / INSERT OVERWRITE / "
-        f"TRUNCATE / RESTORE only (reads go through register()/"
+        f"TRUNCATE / OPTIMIZE / RESTORE only (reads go through register()/"
         f"register_external() and plain spark.sql)"
     )
 

@@ -662,3 +662,28 @@ def test_sql_call_index_lifecycle(spark, tmp_path):
     assert t.column_index_info("cat") is None
     sql_call(spark, "CALL drop_record_index(table => 't')", tables)
     assert t.record_index_info() is None
+
+
+def test_optimize_statement(spark, tmp_path):
+    """Delta's OPTIMIZE spelling: bare → small-file compaction (no-op
+    on one healthy file), ZORDER BY → forced clustering; WHERE refuses
+    with CALL guidance."""
+    import pytest
+    from pyspark.sql import Row
+
+    from hudi_glue_spark.sql_dml import SqlDmlError, sql_dml
+    from hudi_glue_spark.table import KeyedTable
+
+    t = KeyedTable(str(tmp_path / "t"), key="pk", precombine="v")
+    t.bulk_insert(spark.createDataFrame(
+        [Row(pk=i, x=float(i % 7), y=float(i % 11), v=float(i))
+         for i in range(100)]))
+    # bare OPTIMIZE = small-file compaction; once the layout is
+    # healthy a second run is a no-op ('' — nothing qualified)
+    sql_dml(spark, "OPTIMIZE t", tables={"t": t})
+    assert sql_dml(spark, "OPTIMIZE t", tables={"t": t}) == ""
+    cid = sql_dml(spark, "OPTIMIZE t ZORDER BY (x, y)", tables={"t": t})
+    assert cid == t.commits()[-1] and cid != ""
+    assert t.read(spark).count() == 100
+    with pytest.raises(SqlDmlError, match="CALL run_"):
+        sql_dml(spark, "OPTIMIZE t WHERE x = 1", tables={"t": t})
