@@ -33,6 +33,28 @@ def stable_surrogate_key(df: DataFrame, order_by: list[str], name: str = "pk_col
     return df.withColumn(name, F.row_number().over(w).cast("long"))
 
 
+def let_(value: Column, body) -> Column:
+    """Bind an array expression ONCE and hand the bound value to
+    ``body`` as a lambda variable — the expression-level ``let``.
+
+    Why it exists (r15 optimization): higher-order-function lambdas run
+    interpreted, with NO common-subexpression elimination, so a lambda
+    that references an outer non-attribute expression re-evaluates that
+    whole expression PER ELEMENT. ``transform(starts(ws), i ->
+    slice(ws, i, n))`` with ``ws = split(text)`` re-splits the document
+    once per gram — O(len²) character work that measured 5-8× the
+    useful cost on the winnowing/shingling rows. Wrapping the value in
+    a one-element array and binding it through ``transform`` makes
+    every reference inside ``body`` a lambda-variable read (O(1)):
+
+        let_(words(text), lambda ws: F.transform(..., slice(ws, i, n)))
+
+    Works for any expression whose type is legal in an array (arrays,
+    structs, scalars). Purely a plan-shape change — same values.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def ts_from_string(value: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     """String → timestamp via unix_timestamp, as the reference does it
     (glue/NYTaxiDataPrep.py:37,42,47; glue/HudiJarGlueJob.py:74)."""

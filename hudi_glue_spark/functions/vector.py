@@ -50,21 +50,32 @@ def quantize_int8(a: Column | str) -> Column:
 
     Bankers'-rounding (``round`` HALF_UP in Spark SQL) on doubles —
     deterministic and DuckDB-reproducible."""
+    from hudi_glue_spark.functions.scalar import let_
+
     a = F.col(a) if isinstance(a, str) else a
-    scale = F.aggregate(
+    scale_expr = F.aggregate(
         F.transform(a, lambda x: F.abs(x.cast("double"))),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     ) / F.lit(127.0)
-    return F.struct(
-        scale.alias("scale"),
-        F.when(
-            scale > 0,
-            F.transform(a, lambda x: F.round(x.cast("double") / scale).cast("int")),
+
+    # let-bind the scale (r15): referencing the max-abs fold inside the
+    # quantization lambda re-runs the whole O(len) fold PER ELEMENT —
+    # O(len²) per vector. Bound, it is one fold + O(1) reads.
+    def over_scale(scale: Column) -> Column:
+        return F.struct(
+            scale.alias("scale"),
+            F.when(
+                scale > 0,
+                F.transform(
+                    a, lambda x: F.round(x.cast("double") / scale).cast("int")
+                ),
+            )
+            .otherwise(F.transform(a, lambda x: F.lit(0)))
+            .alias("q"),
         )
-        .otherwise(F.transform(a, lambda x: F.lit(0)))
-        .alias("q"),
-    )
+
+    return let_(scale_expr, over_scale)
 
 
 def dequantize_int8(qs: Column | str) -> Column:

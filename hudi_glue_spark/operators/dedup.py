@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hudi_glue_spark.functions.scalar import let_
 from hudi_glue_spark.functions.vector import cosine_similarity
 from hudi_glue_spark.operators.text import doc_fingerprint, words
 
@@ -54,13 +55,21 @@ def _gram_starts(count: Column) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side)."""
-    ws = words(text)
-    grams = F.transform(
-        _gram_starts(F.size(ws) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-    )
-    return F.array_distinct(grams)
+    """Distinct word n-gram shingles of a text column (JVM-side).
+
+    The word array is let-bound (:func:`~hudi_glue_spark.functions.
+    scalar.let_`) so the per-gram ``slice`` reads a lambda variable:
+    referencing ``words(text)`` directly inside the lambda re-splits
+    the document once per gram — O(len²), measured 8× this stage's
+    cost at sf0.1 (r15)."""
+
+    def grams_of(ws: Column) -> Column:
+        return F.transform(
+            _gram_starts(F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+
+    return F.array_distinct(let_(words(text), grams_of))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -350,46 +359,40 @@ def winnowing_fingerprints(
     Returns the DISTINCT fingerprint array (sorted) — join/explode it
     for overlap detection. md5-based hash so DuckDB reproduces values.
     """
-    ws = words(text)
-    grams = F.transform(
-        _gram_starts(F.size(ws) - (n - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, n))), 1, 15), 16, 10
-        ).cast("long"),
-    )
-    # One pass over the gram array (it is the aggregate INPUT, so the
-    # md5s evaluate once per row): the accumulator keeps a ring buffer
-    # of the last window-1 hashes and appends each full window's min.
-    # A naive transform(j -> array_min(slice(grams, j, w))) re-evaluates
-    # the grams expression per window — O(len²) md5s (measured 100s+ at
-    # sf0.01 on the oracle side before this shape).
-    empty = F.array().cast("array<long>")
-    picked = F.aggregate(
-        grams,
-        F.struct(empty.alias("buf"), empty.alias("mins")),
-        lambda acc, x: F.struct(
-            F.when(
-                F.size(acc["buf"]) == window - 1,
-                F.slice(F.concat(acc["buf"], F.array(x)), 2, window - 1),
-            )
-            .otherwise(F.concat(acc["buf"], F.array(x)))
-            .alias("buf"),
-            F.when(
-                F.size(acc["buf"]) == window - 1,
-                F.concat(
-                    acc["mins"],
-                    F.array(F.array_min(F.concat(acc["buf"], F.array(x)))),
+    # Both levels are let-bound (r15): the word array and the gram-hash
+    # array are each evaluated ONCE and read as lambda variables. The
+    # naive transform(j -> array_min(slice(grams, j, w))) over an
+    # UNBOUND grams expression re-evaluates every md5 per window —
+    # O(len²) md5s (measured 100s+ at sf0.01 on the oracle side, and a
+    # 150× blowup when prototyped unbound on the Spark side); the
+    # previous ring-buffer aggregate avoided that but paid two array
+    # allocations per element in the interpreted fold (5× this row's
+    # cost at sf0.1). With grams bound, each window min is ``window``
+    # O(1) lambda-variable reads.
+    def over_ws(ws: Column) -> Column:
+        grams = F.transform(
+            _gram_starts(F.size(ws) - (n - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, n))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+        def over_grams(g: Column) -> Column:
+            mins = F.transform(
+                _gram_starts(F.size(g) - (window - 1)),
+                lambda j: F.least(
+                    *[F.element_at(g, j + k) for k in range(window)]
                 ),
             )
-            .otherwise(acc["mins"])
-            .alias("mins"),
-        ),
-        # short docs (fewer grams than one window): keep all gram hashes
-        # (they all sit in the ring buffer)
-        lambda acc: F.when(F.size(acc["mins"]) > 0, acc["mins"]).otherwise(
-            acc["buf"]
-        ),
-    )
+            # short docs (fewer grams than one window): keep all gram
+            # hashes
+            return F.when(F.size(g) >= window, mins).otherwise(g)
+
+        return let_(grams, over_grams)
+
+    picked = let_(words(text), over_ws)
     return F.array_sort(F.array_distinct(picked))
 
 
@@ -572,38 +575,45 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # Initial label: min of self and direct neighbors.
+
+    def label_sum(lbl: DataFrame):
+        # decimal(38,0) so a planet-scale id sum can never wrap: the
+        # convergence test below relies on sum equality being exact
+        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    # Initial label: min of self and direct neighbors. Checkpoints are
+    # LAZY (eager=False): the label-sum job below materializes the
+    # checkpoint AND reads the convergence signal in the same action —
+    # one job per round instead of r14's two (eager checkpoint + a
+    # changed-count join). r15 measurement at sf0.1: 0.36 s/round vs
+    # 0.76 s/round.
     labels = edges.groupBy("s").agg(
         F.least(F.min("d"), F.col("s")).alias("comp")
-    ).select(F.col("s").alias("node"), "comp").localCheckpoint()
+    ).select(F.col("s").alias("node"), "comp").localCheckpoint(eager=False)
+    prev_sum = label_sum(labels)
 
     for _ in range(max_iter):
-        # comp'(v) = min(comp(v), min over neighbors u of comp(u))
-        nbr = (
-            edges.join(labels, edges["d"] == labels["node"])
-            .groupBy("s")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
+        # comp'(v) = min(comp(v), min over neighbors u of comp(u)) —
+        # as ONE union + min-agg (2 exchanges/round) instead of r14's
+        # join + agg + left-join (3 exchanges/round): each edge (s, d)
+        # contributes comp(d) to node s, and the node's own (node,
+        # comp) row keeps unconnected/greater-neighbor nodes stable.
         new_labels = (
-            labels.join(nbr, labels["node"] == nbr["s"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint()
+            edges.join(labels, edges["d"] == labels["node"])
+            .select(F.col("s").alias("node"), "comp")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # Labels only ever DECREASE, so an unchanged (exact, decimal)
+        # sum ⇔ no label changed — the fixpoint test without the
+        # new⋈old diff join.
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -171,13 +171,24 @@ def max_word_freq_ratio(text: Column | str) -> Column:
     (a page of "buy buy buy …" scores near 1.0; clean prose near 1/n).
 
     O(words · distinct words) per document via nested higher-order array
-    functions — still fully JVM-side, no shuffle, no Python."""
-    ws = words(text)
-    n = F.size(ws)
-    top = F.array_max(
-        F.transform(F.array_distinct(ws), lambda d: F.size(F.filter(ws, lambda w: w == d)))
-    )
-    return F.when(n == 0, F.lit(0.0)).otherwise(top.cast("double") / n)
+    functions — still fully JVM-side, no shuffle, no Python. The word
+    array is let-bound (r15): the inner ``F.filter(ws, ...)`` runs once
+    per DISTINCT word, so an unbound ``ws`` would re-split the document
+    that many times — O(len · distinct) splits on top of the inherent
+    comparison work."""
+    from hudi_glue_spark.functions.scalar import let_
+
+    def over_ws(ws: Column) -> Column:
+        n = F.size(ws)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda d: F.size(F.filter(ws, lambda w: w == d)),
+            )
+        )
+        return F.when(n == 0, F.lit(0.0)).otherwise(top.cast("double") / n)
+
+    return let_(words(text), over_ws)
 
 
 def max_word_freq_ratio_sql(col: str = "text") -> str:
