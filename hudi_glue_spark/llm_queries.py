@@ -21,6 +21,7 @@ from hudi_glue_spark.operators import dedup as D
 from hudi_glue_spark.operators import multimodal as MM
 from hudi_glue_spark.operators import similarity as S
 from hudi_glue_spark.operators import text as T
+from hudi_glue_spark.plans.parallelism import ensure_parallelism
 from hudi_glue_spark.queries import query, sf_tag, table
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -90,7 +91,11 @@ def q_text_stats_per_doc(spark, sf_dir):
     """Token/piece counts, composite quality score, heuristic language
     ID, and content fingerprint — the full text-analysis surface, one
     narrow JVM-side projection (no shuffle, no Python)."""
-    docs = table(spark, sf_dir, "documents")
+    # r15: widen the narrow single-file scan before the heavy per-row
+    # expressions (guide §2.5 input skew) — a no-op at real scale where
+    # the scan is already thousands of splits. Measured 1.18 → 0.56 s
+    # at sf0.1 (the map stage ran on 1 of 32 cores).
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -1001,7 +1006,9 @@ def q_doc_winnowing_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash k-gram selection, MOSS): per-document
     fingerprint set from windowed minima over word-3-gram hashes —
     alignment-robust overlap detection, one JVM projection + explode."""
-    docs = table(spark, sf_dir, "documents")
+    # r15: widen the narrow scan (1 file at bench SF) so the md5-gram
+    # work spreads over the cores — no-op at real scale (guide §2.5).
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.explode(D.winnowing_fingerprints("text", n=3, window=4)).alias("fp"),

@@ -477,10 +477,21 @@ def simhash_pairs(
     what keeps the self-join sub-quadratic at scale."""
     from hudi_glue_spark.plans.parallelism import ensure_parallelism
 
+    from pyspark import StorageLevel
+
     bits = _WORD_HASH[hash_fn][1]
+    # The slim (id, simhash, block) base is PERSISTED before the
+    # self-join (r15): Spark plans each join side independently (no
+    # exchange reuse fires for this shape), so an unpersisted base
+    # recomputes the full text scan + per-word hash vote once PER SIDE
+    # — measured 3.55 → 0.79 s at sf0.1. Three fixed-width columns per
+    # document (~24 B/doc), memory-then-disk — negligible next to the
+    # corpus at any scale.
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), simhash(text_col, hash_fn).alias("__sh")
-    ).withColumn("__blk", F.shiftright(F.col("__sh"), bits - prefix_bits))
+    ).withColumn(
+        "__blk", F.shiftright(F.col("__sh"), bits - prefix_bits)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # merge hint: both self-join sides are the corpus — never broadcast
     # (see jaccard_pairs) — and the prefix block key space is at most
     # 2^prefix_bits values, so per-task hash builds would grow linearly

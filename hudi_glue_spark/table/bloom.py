@@ -73,6 +73,48 @@ def key_string(values) -> str:
     return "|".join(_canon_value(v) for v in values)
 
 
+def key_strings_table(kt) -> list[str]:
+    """Canonical key strings for every row of a pyarrow table of key
+    columns — the bulk form of :func:`key_string` for the write-side
+    bloom build (r15 optimization: the per-row ``to_pylist`` +
+    ``_canon_value`` loop was ~60% of the driver-side bloom cost at
+    ~6 µs/key; this path canonicalizes in Arrow C++ at ~0.3 µs/key).
+
+    BYTE-IDENTICAL to ``key_string`` by construction for the types it
+    fast-paths (ints: decimal text; bools: "0"/"1"; strings: identity;
+    nulls: "\\0null"); any other column type falls back to the per-row
+    form, so a float/decimal/timestamp key keeps the exact legacy
+    canonicalization (a mismatch would be a bloom false negative —
+    silently dropped rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _canon_col(col):
+        t = col.type
+        if pa.types.is_boolean(t):
+            return pc.cast(pc.cast(col, pa.int8()), pa.string())
+        if pa.types.is_integer(t):
+            return pc.cast(col, pa.string())
+        if pa.types.is_string(t):
+            return col
+        if pa.types.is_large_string(t):
+            return pc.cast(col, pa.string())
+        return None
+
+    canon = []
+    for name in kt.column_names:
+        c = _canon_col(kt.column(name))
+        if c is None:  # unsupported type → exact legacy per-row path
+            return [
+                key_string(vals)
+                for vals in zip(*[kt.column(n).to_pylist() for n in kt.column_names])
+            ]
+        canon.append(pc.fill_null(c, "\0null"))
+    if len(canon) == 1:
+        return canon[0].to_pylist()
+    return pc.binary_join_element_wise(*canon, "|").to_pylist()
+
+
 def _hash_pair(key: str) -> tuple[int, int]:
     d = hashlib.md5(key.encode("utf-8")).digest()
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
@@ -140,6 +182,29 @@ def from_bytes(raw: bytes) -> dict:
     }
 
 
+def contains_any_hashed(bloom: dict, hashes: np.ndarray) -> bool:
+    """:func:`contains_any` over precomputed ``(n, 2)`` md5 hash pairs
+    (:func:`hash_pairs`) — probing MANY files with the same key set
+    hashes the keys once instead of once per file (r15: the per-file
+    re-hash dominated multi-file probes)."""
+    if hashes.shape[0] == 0:
+        return False
+    arr = _decode(bloom)
+    # probe with the sidecar's OWN k — a filter written under a
+    # different NUM_PROBES must keep its no-false-negative guarantee
+    bits = _probe_bits(hashes, bloom["m"], bloom["k"])
+    hit = (
+        arr[(bits >> np.uint64(3)).astype(np.int64)]
+        >> (bits & np.uint64(7)).astype(np.uint8)
+    ) & 1
+    return bool(hit.all(axis=1).any())
+
+
+def hash_pairs(keys: list[str]) -> np.ndarray:
+    """Public precompute for :func:`contains_any_hashed`."""
+    return _hash_pairs_np(keys)
+
+
 def contains_any(bloom: dict, keys: list[str]) -> bool:
     """True iff the filter may hold ANY of ``keys``. Decodes the bit
     array ONCE and tests all keys vectorized — the per-(key, file) form
@@ -147,15 +212,7 @@ def contains_any(bloom: dict, keys: list[str]) -> bool:
     lookup probes many keys against many sidecars."""
     if not keys:
         return False
-    arr = _decode(bloom)
-    # probe with the sidecar's OWN k — a filter written under a
-    # different NUM_PROBES must keep its no-false-negative guarantee
-    bits = _probe_bits(_hash_pairs_np(keys), bloom["m"], bloom["k"])
-    hit = (
-        arr[(bits >> np.uint64(3)).astype(np.int64)]
-        >> (bits & np.uint64(7)).astype(np.uint8)
-    ) & 1
-    return bool(hit.all(axis=1).any())
+    return contains_any_hashed(bloom, _hash_pairs_np(keys))
 
 
 def maybe_contains(bloom: dict, key: str) -> bool:

@@ -1019,7 +1019,9 @@ class KeyedTable:
             man = M.read_manifest(self.path)
         assert man is not None
         ddir = M.data_dir(self.path)
-        want = [B.key_string((k,)) for k in keys]
+        # hash the probe set ONCE — probing P files with K keys was
+        # P×K md5s before r15, now K
+        want = B.hash_pairs([B.key_string((k,)) for k in keys])
         # fast path: blooms from the manifest shards — ONE columnar
         # metadata load for the whole snapshot, no per-file sidecar
         # opens (at 800k files the sidecar walk is 800k tiny reads)
@@ -1031,7 +1033,7 @@ class KeyedTable:
                 bl = B.read_sidecar(os.path.join(ddir, f))
                 if bl is not None:
                     self._bloom_cache[f] = bl
-            if bl is None or B.contains_any(bl, want):
+            if bl is None or B.contains_any_hashed(bl, want):
                 keep.append(f)
         return keep
 
@@ -6914,6 +6916,51 @@ class KeyedTable:
                 return {self._dirname(r) for r in batch_parts.collect()} | {
                     d for f in hosts if (d := M.partition_of(f))
                 }
+            if self.key_bloom and man is not None:
+                # r15 (Hudi bloom-index tagging, guide §2.4): without a
+                # record index, SMALL batches find their old hosts from
+                # the manifest's per-file KEY BLOOMS instead of a
+                # key-column scan of the whole table — ONE tiny job
+                # over the batch (distinct key+partition rows), then a
+                # driver-side metadata probe: the per-commit probe cost
+                # drops from O(table scan) to O(live files) regardless
+                # of table size. Superset-safe: bloom false positives
+                # and bloom-less files only ADD candidate partitions;
+                # false negatives are impossible by construction.
+                # Guards, each falling back to the exact semi-join:
+                # - probe sets over ~1k keys: at 10 bits/key the
+                #   per-key FPR (~0.8%) SATURATES for multi-key probes
+                #   (P[file false-hits] ≈ 1 − 0.992^k), and a saturated
+                #   probe rewrites unmatched partitions — measured as
+                #   2× the files written on a 2k-key merge before this
+                #   gate;
+                # - a probe that still hits >25% of live files
+                #   (non-selective for the same reason);
+                # - NULL batch keys (blooms don't attest NULL hosts —
+                #   same rule as read_keys).
+                # The gate probe is a bare LIMIT (no dedup/shuffle): it
+                # short-circuits after cap+1 rows, so a bulk batch pays
+                # ~nothing to discover it must fall back, while a small
+                # batch hands over its full (key, partition) row set in
+                # one cheap job; dedup happens driver-side.
+                cap = 1024
+                rows = (
+                    batch.select(
+                        F.col(self.key[0]).alias("__k"), *self.partition_by
+                    )
+                    .limit(cap + 1)
+                    .collect()
+                )
+                if len(rows) <= cap:
+                    kvals = {r["__k"] for r in rows}
+                    if None not in kvals:
+                        hits = self.files_with_keys(
+                            sorted(kvals), man=man
+                        )
+                        if len(hits) * 4 <= max(4, len(man.files)):
+                            return {self._dirname(r) for r in rows} | {
+                                d for f in hits if (d := M.partition_of(f))
+                            }
         # No index: the probe ships only distinct keys (broadcast-sized
         # for incremental batches; AQE picks broadcast for the
         # semi-join). Both partition sets come back in ONE job/collect.
@@ -7016,14 +7063,7 @@ class KeyedTable:
                     import pyarrow.parquet as pq
 
                     kt = pq.read_table(dest, columns=self.key)
-                    bl = B.build(
-                        [
-                            B.key_string(vals)
-                            for vals in zip(
-                                *[kt.column(c).to_pylist() for c in self.key]
-                            )
-                        ]
-                    )
+                    bl = B.build(B.key_strings_table(kt.select(self.key)))
                     with open(B.sidecar_path(dest), "w") as bf:
                         _json.dump(bl, bf)
                     self._pending_blooms[rel] = B.to_bytes(bl)

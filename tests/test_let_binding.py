@@ -224,3 +224,65 @@ def test_connected_components_chain_converges_in_few_rounds(spark):
     df = spark.createDataFrame(pairs, "a_id long, b_id long")
     got = {r.node: r.comp for r in D.connected_components(df).collect()}
     assert got == {i: 1 for i in range(1, 13)}
+
+
+# -- vectorized bloom key canonicalization -------------------------------------
+
+
+def test_key_strings_table_matches_key_string():
+    """The Arrow fast path must be byte-identical to the per-row
+    canonicalization for fast-pathed types, and fall back (still
+    identical) for everything else — a mismatch is a bloom false
+    negative, i.e. silently dropped rows."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+
+    from hudi_glue_spark.table import bloom as B
+
+    # fast-pathed: ints (all widths), bools, strings, with nulls
+    cols = {
+        "i64": pa.array([1, -7, None, 2**62, 0], pa.int64()),
+        "i32": pa.array([5, None, -1, 7, 9], pa.int32()),
+        "b": pa.array([True, False, None, True, False]),
+        "s": pa.array(["a", "", None, "x|y", "\0weird"], pa.string()),
+    }
+    t = pa.table(cols)
+    want = [
+        B.key_string(vals)
+        for vals in zip(*[t.column(n).to_pylist() for n in t.column_names])
+    ]
+    assert B.key_strings_table(t) == want
+
+    # single column
+    t1 = pa.table({"s": cols["s"]})
+    assert B.key_strings_table(t1) == [
+        B.key_string((v,)) for v in cols["s"].to_pylist()
+    ]
+
+    # large_string goes through the cast branch
+    tl = pa.table({"s": pa.array(["p", None, "q"], pa.large_string())})
+    assert B.key_strings_table(tl) == [
+        B.key_string((v,)) for v in ["p", None, "q"]
+    ]
+
+    # non-fast-path types (timestamp, decimal, float) → legacy fallback
+    tf = pa.table(
+        {
+            "ts": pa.array(
+                [datetime.datetime(2021, 1, 1, 12, 30), None],
+                pa.timestamp("us"),
+            ),
+            "d": pa.array(
+                [decimal.Decimal("5.00"), decimal.Decimal("1.25")],
+                pa.decimal128(10, 2),
+            ),
+            "f": pa.array([5.0, 2.5], pa.float64()),
+        }
+    )
+    want = [
+        B.key_string(vals)
+        for vals in zip(*[tf.column(n).to_pylist() for n in tf.column_names])
+    ]
+    assert B.key_strings_table(tf) == want
