@@ -9,12 +9,48 @@ on float32 inputs widened to float64.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: Plain identifiers get backticked in the SQL-text fast path; anything
+#: else (struct paths like ``qs.q``) is passed through verbatim, same
+#: resolution as ``F.col``.
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _ref(name: str) -> str:
+    return f"`{name}`" if _IDENT.match(name) else name
+
+
+def dot_product_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot_product` over column NAMES — one
+    ``F.expr`` parse instead of ~40 py4j round-trips building the
+    nested lambda Columns (r15: constructing the lambda form measured
+    ~150 ms of DRIVER time per call; the knn/ann rows build several
+    per query). Semantically identical expression tree."""
+    return (
+        f"aggregate(zip_with({_ref(a)}, {_ref(b)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL text of :func:`l2_norm` over a column NAME (see
+    :func:`dot_product_sql` for why)."""
+    return (
+        f"sqrt(aggregate(transform({_ref(a)}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
 
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
     """Elementwise product then ordered sum, double precision."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_product_sql(a, b))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -25,7 +61,8 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_norm(a: Column | str) -> Column:
-    a = F.col(a) if isinstance(a, str) else a
+    if isinstance(a, str):
+        return F.expr(l2_norm_sql(a))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -36,7 +73,15 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two ``array<float|double>`` columns."""
+    """Cosine similarity of two ``array<float|double>`` columns.
+
+    String args take the one-parse SQL path (r15 — see
+    :func:`dot_product_sql`); Column args keep the lambda form."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({dot_product_sql(a, b)})"
+            f" / (({l2_norm_sql(a)}) * ({l2_norm_sql(b)}))"
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

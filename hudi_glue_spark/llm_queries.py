@@ -606,7 +606,7 @@ def q_knn_bruteforce(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__nv")).alias("cosine"),
+            cosine_similarity("__qv", "__nv").alias("cosine"),
             "rnk",
         )
     )

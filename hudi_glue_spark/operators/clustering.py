@@ -94,7 +94,7 @@ def kmeans_lloyd(
             df.select(
                 F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
             )
-            .withColumn("__nv", l2_norm(F.col(vec_col)))
+            .withColumn("__nv", l2_norm(vec_col))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 

@@ -126,6 +126,21 @@ def jaccard_pairs(
     # exactly that death at 64x corpus). Sort-merge spills both sides;
     # the sort keys are the slim (block, salt) pair and the wide set
     # arrays are payload.
+    #
+    # Explicit-width repartition on the join keys (r15): the verify
+    # join is CPU-dense but byte-light (compressed shingle arrays), so
+    # AQE's byte-based coalescing (minPartitionSize 1 MB) was merging
+    # its reduce side down to ~7 tasks while 25 cores idled — measured
+    # 2.24 → 1.41 s at sf0.1. A user-specified repartition is exempt
+    # from AQE coalescing; the width rides the configured
+    # spark.sql.shuffle.partitions (scale-parameterised, not a local
+    # constant). Skew inside a block is already handled by the salt —
+    # that, not AQE skew-split, is this operator's skew story.
+    width = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    left = left.repartition(width, "__blk", "__salt")
+    right = right.repartition(width, "__blk", "__salt")
     pairs = left.hint("merge").join(right, ["__blk", "__salt"]).filter(
         F.col("a_id") < F.col("b_id")
     )
@@ -188,8 +203,14 @@ def minhash_band_rows(
     md5 two-base linear family, same band md5), so rows computed today
     collide with rows computed over next month's batch. Map-only: no
     shuffle, no join — the caller decides how to cluster/persist."""
+    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+
     rows_per_band = num_hashes // bands
-    base = df.select(
+    # r15: widen a narrow scan before the shingle+minhash folds — the
+    # index build ran its whole fold on ONE task (4.4 s of the 11 s
+    # mh_index_build fixture at sf0.1); no-op when the scan is already
+    # wide (guide §2.5).
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         shingles(text_col, shingle_n).alias("__sh"),
     ).filter(F.size("__sh") > 0)
@@ -548,7 +569,7 @@ def embedding_near_dup_pairs(
     return (
         left.join(right.hint("merge"), "__blk")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn("cosine", cosine_similarity("__va", "__vb"))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("a_id", "b_id", "cosine")
     )

@@ -53,7 +53,7 @@ def knn_bruteforce(
         F.desc("__cos"), F.asc("neighbor_id")
     )
     return (
-        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        pairs.withColumn("__cos", cosine_similarity("__qv", "__cv"))
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
@@ -230,7 +230,7 @@ def ivf_assign_expr(
         return df.withColumn(
             "__cid", F.array_max(_centroid_structs(vec_col, centroids, norm_col))["i"]
         )
-    staged = df.withColumn("__nv", l2_norm(F.col(vec_col)))
+    staged = df.withColumn("__nv", l2_norm(vec_col))
     return staged.withColumn(
         "__cid", F.array_max(_centroid_structs(vec_col, centroids, "__nv"))["i"]
     ).drop("__nv")
@@ -243,7 +243,7 @@ def ivf_probes_expr(
     nearest centroid ids (cosine desc, cid desc)."""
     from hudi_glue_spark.functions.vector import l2_norm
 
-    staged = df.withColumn("__nv", l2_norm(F.col(vec_col)))
+    staged = df.withColumn("__nv", l2_norm(vec_col))
     ranked = F.reverse(F.array_sort(_centroid_structs(vec_col, centroids, "__nv")))
     return staged.withColumn(
         "__cid",
@@ -382,7 +382,7 @@ def knn_ivf(
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        pairs.withColumn("__cos", cosine_similarity("__qv", "__cv"))
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
@@ -432,7 +432,7 @@ def knn_lsh(
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        pairs.withColumn("__cos", cosine_similarity("__qv", "__cv"))
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
@@ -499,7 +499,7 @@ def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
     ties to the lower neighbor id."""
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("__cos", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        pairs.withColumn("__cos", cosine_similarity("__qv", "__cv"))
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
