@@ -6916,51 +6916,19 @@ class KeyedTable:
                 return {self._dirname(r) for r in batch_parts.collect()} | {
                     d for f in hosts if (d := M.partition_of(f))
                 }
-            if self.key_bloom and man is not None:
-                # r15 (Hudi bloom-index tagging, guide §2.4): without a
-                # record index, SMALL batches find their old hosts from
-                # the manifest's per-file KEY BLOOMS instead of a
-                # key-column scan of the whole table — ONE tiny job
-                # over the batch (distinct key+partition rows), then a
-                # driver-side metadata probe: the per-commit probe cost
-                # drops from O(table scan) to O(live files) regardless
-                # of table size. Superset-safe: bloom false positives
-                # and bloom-less files only ADD candidate partitions;
-                # false negatives are impossible by construction.
-                # Guards, each falling back to the exact semi-join:
-                # - probe sets over ~1k keys: at 10 bits/key the
-                #   per-key FPR (~0.8%) SATURATES for multi-key probes
-                #   (P[file false-hits] ≈ 1 − 0.992^k), and a saturated
-                #   probe rewrites unmatched partitions — measured as
-                #   2× the files written on a 2k-key merge before this
-                #   gate;
-                # - a probe that still hits >25% of live files
-                #   (non-selective for the same reason);
-                # - NULL batch keys (blooms don't attest NULL hosts —
-                #   same rule as read_keys).
-                # The gate probe is a bare LIMIT (no dedup/shuffle): it
-                # short-circuits after cap+1 rows, so a bulk batch pays
-                # ~nothing to discover it must fall back, while a small
-                # batch hands over its full (key, partition) row set in
-                # one cheap job; dedup happens driver-side.
-                cap = 1024
-                rows = (
-                    batch.select(
-                        F.col(self.key[0]).alias("__k"), *self.partition_by
-                    )
-                    .limit(cap + 1)
-                    .collect()
-                )
-                if len(rows) <= cap:
-                    kvals = {r["__k"] for r in rows}
-                    if None not in kvals:
-                        hits = self.files_with_keys(
-                            sorted(kvals), man=man
-                        )
-                        if len(hits) * 4 <= max(4, len(man.files)):
-                            return {self._dirname(r) for r in rows} | {
-                                d for f in hits if (d := M.partition_of(f))
-                            }
+            # NOTE (r15, measured and REJECTED): tagging old hosts from
+            # the per-file key BLOOMS (Hudi bloom-index style) instead
+            # of this semi-join was prototyped and reverted. At this
+            # engine's 10 bits/key (sized for point lookups), multi-key
+            # probes saturate — P[file false-hits] ≈ 1 − 0.992^k — so
+            # batches beyond a few dozen keys pulled extra partitions
+            # into the rewrite (2× files written on a 2k-key merge;
+            # +0.9-2 s on downstream file-diff reads from the amplified
+            # layouts), and the small-batch gate job alone cost every
+            # BULK commit ~0.2-0.3 s for nothing (+0.7-1.4 s on the
+            # multi-commit fixture rows). Tagging needs Hudi-grade
+            # ~1e-9-FPP filters (≈43 bits/key — 4× the metadata) to be
+            # sound; revisit only with re-sized blooms.
         # No index: the probe ships only distinct keys (broadcast-sized
         # for incremental batches; AQE picks broadcast for the
         # semi-join). Both partition sets come back in ONE job/collect.
