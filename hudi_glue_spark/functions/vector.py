@@ -14,14 +14,27 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Plain identifiers get backticked in the SQL-text fast path; anything
-#: else (struct paths like ``qs.q``) is passed through verbatim, same
-#: resolution as ``F.col``.
-_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+#: Names the SQL-text fast path accepts: a plain identifier or a dotted
+#: struct path of identifiers (``qs.q``). Anything else — spaces,
+#: hyphens, backticks — would parse as ARITHMETIC under F.expr (``a-b``
+#: silently becomes a subtraction when columns a and b exist; ADVICE
+#: r15), so those names take the Column/lambda path, which resolves
+#: them exactly like ``F.col``.
+_SAFE_NAME = re.compile(
+    r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$"
+)
+
+
+def _sql_safe(name) -> bool:
+    return isinstance(name, str) and bool(_SAFE_NAME.match(name))
 
 
 def _ref(name: str) -> str:
-    return f"`{name}`" if _IDENT.match(name) else name
+    # quote every dotted segment; double embedded backticks (defense in
+    # depth — _sql_safe gates out names that could carry one)
+    return ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in name.split(".")
+    )
 
 
 def dot_product_sql(a: str, b: str) -> str:
@@ -49,7 +62,7 @@ def l2_norm_sql(a: str) -> str:
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
     """Elementwise product then ordered sum, double precision."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _sql_safe(a) and _sql_safe(b):
         return F.expr(dot_product_sql(a, b))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -61,8 +74,9 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_norm(a: Column | str) -> Column:
-    if isinstance(a, str):
+    if _sql_safe(a):
         return F.expr(l2_norm_sql(a))
+    a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -77,7 +91,7 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
     String args take the one-parse SQL path (r15 — see
     :func:`dot_product_sql`); Column args keep the lambda form."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _sql_safe(a) and _sql_safe(b):
         return F.expr(
             f"({dot_product_sql(a, b)})"
             f" / (({l2_norm_sql(a)}) * ({l2_norm_sql(b)}))"

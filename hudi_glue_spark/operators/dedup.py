@@ -136,9 +136,14 @@ def jaccard_pairs(
     # spark.sql.shuffle.partitions (scale-parameterised, not a local
     # constant). Skew inside a block is already handled by the salt —
     # that, not AQE skew-split, is this operator's skew story.
-    width = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        width = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        # platforms that set a non-integer conf (e.g. "auto"): fall back
+        # to the cluster's default parallelism (ADVICE r15)
+        width = df.sparkSession.sparkContext.defaultParallelism
     left = left.repartition(width, "__blk", "__salt")
     right = right.repartition(width, "__blk", "__salt")
     pairs = left.hint("merge").join(right, ["__blk", "__salt"]).filter(
@@ -258,10 +263,12 @@ def minhash_lsh_pairs(
     # of the verify join) and banded twice (bucket sizing + self-join);
     # persist both so shingling/md5-minhashing runs ONCE per row instead
     # of being recomputed along every lineage branch.
-    base = ensure_parallelism(df).select(
+    from hudi_glue_spark.plans.persist_registry import register
+
+    base = register("minhash_base", ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         shingles(text_col, shingle_n).alias("__sh"),
-    ).filter(F.size("__sh") > 0).persist()
+    ).filter(F.size("__sh") > 0).persist())
     sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
     # banded rows carry ONLY (id, band, band_hash): the bucket self-join
     # shuffles 3 narrow columns, never the shingle arrays
@@ -275,7 +282,8 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("__band", "__bh"),
-    ).persist()
+    )
+    banded = register("minhash_banded", banded.persist())
     # Every join below pairs two CORPUS-SIZED sides (bucket counts grow
     # with rows; the banded table is rows x bands; the shingle re-attach
     # sides are the corpus itself). shuffle_hash hints keep them
@@ -401,11 +409,25 @@ def winnowing_fingerprints(
         )
 
         def over_grams(g: Column) -> Column:
+            # Unrolled least(element_at…) reads are the fast form, but
+            # their plan size grows linearly per window element and the
+            # window-min list is O(window²) expression nodes overall — a
+            # caller-supplied window in the hundreds would inflate the
+            # plan quadratically (ADVICE r15). Past a small bound, use
+            # array_min(slice(...)): O(1) plan size, one bounded slice
+            # allocation per window, identical minima. Declared queries
+            # use the default window=4, so their plans are unchanged.
+            if window <= 16:
+                win_min = lambda j: F.least(  # noqa: E731
+                    *[F.element_at(g, j + k) for k in range(window)]
+                )
+            else:
+                win_min = lambda j: F.array_min(  # noqa: E731
+                    F.slice(g, j, window)
+                )
             mins = F.transform(
                 _gram_starts(F.size(g) - (window - 1)),
-                lambda j: F.least(
-                    *[F.element_at(g, j + k) for k in range(window)]
-                ),
+                win_min,
             )
             # short docs (fewer grams than one window): keep all gram
             # hashes
@@ -500,6 +522,8 @@ def simhash_pairs(
 
     from pyspark import StorageLevel
 
+    from hudi_glue_spark.plans.persist_registry import register
+
     bits = _WORD_HASH[hash_fn][1]
     # The slim (id, simhash, block) base is PERSISTED before the
     # self-join (r15): Spark plans each join side independently (no
@@ -508,11 +532,11 @@ def simhash_pairs(
     # — measured 3.55 → 0.79 s at sf0.1. Three fixed-width columns per
     # document (~24 B/doc), memory-then-disk — negligible next to the
     # corpus at any scale.
-    base = ensure_parallelism(df).select(
+    base = register("simhash_base", ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), simhash(text_col, hash_fn).alias("__sh")
     ).withColumn(
         "__blk", F.shiftright(F.col("__sh"), bits - prefix_bits)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
     # merge hint: both self-join sides are the corpus — never broadcast
     # (see jaccard_pairs) — and the prefix block key space is at most
     # 2^prefix_bits values, so per-task hash builds would grow linearly
@@ -542,34 +566,86 @@ def embedding_near_dup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within a block (the
     block column is the IVF-style coarse bucket — at scale, a cluster
-    assignment; never a global cross join)."""
-    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+    assignment; never a global cross join).
 
-    # Wide probe side — see jaccard_pairs.
-    left = ensure_parallelism(
-        df.select(
-            F.col(block_col).alias("__blk"),
-            F.col(id_col).alias("a_id"),
-            F.col(vec_col).alias("__va"),
+    r16 shape (before/after plans in plans/r16/):
+
+    - The slim (block, id, vec, ‖vec‖) base is computed ONCE and
+      persisted before the self-join — Spark plans each join side
+      independently (no exchange reuse fires for this shape, same
+      finding as simhash_pairs r15), so an unpersisted base re-ran the
+      whole upstream lineage (for semantic_dedup_survivors that lineage
+      is the k-means assignment JOIN the embeddings table) once PER
+      SIDE.
+    - The l2 norm is computed per ROW in the base instead of per PAIR
+      in the quadratic verify: cosine(a,b) = dot(a,b)/(‖a‖·‖b‖) with
+      ‖·‖ the identical sqrt-of-fold expression — the same doubles
+      the fused cosine_similarity computes, so results are
+      bit-identical, but the pair stage runs ONE O(dim) fold instead
+      of three.
+    - The block join is salted like jaccard_pairs: block counts can be
+      small (k-means cells: 8), which caps an unsalted join at
+      n_blocks tasks while the rest of the cluster idles — and the
+      verify is CPU-dense but byte-light, so AQE's byte-based
+      coalescing under-parallelizes it further (r15 §E). Explicit
+      width rides spark.sql.shuffle.partitions (scale-parameterised).
+    """
+    from pyspark import StorageLevel
+
+    from hudi_glue_spark.functions.vector import dot_product, l2_norm
+    from hudi_glue_spark.plans.parallelism import ensure_parallelism
+    from hudi_glue_spark.plans.persist_registry import register
+
+    base = register(
+        "embnd_base",
+        ensure_parallelism(
+            df.select(
+                F.col(block_col).alias("__blk"),
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+            )
         )
+        .withColumn("__n", l2_norm("__v"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
-    right = df.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("__vb"),
+    left = base.select(
+        "__blk",
+        F.col("__id").alias("a_id"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    ).withColumn("__salt", F.pmod(F.hash("a_id"), F.lit(n_salts)))
+    right = base.select(
+        "__blk",
+        F.col("__id").alias("b_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    ).withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+    try:
+        width = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        width = df.sparkSession.sparkContext.defaultParallelism
+    left = left.repartition(width, "__blk", "__salt")
+    right = right.repartition(width, "__blk", "__salt")
     # merge hint: both sides are the corpus — never broadcast (see
     # jaccard_pairs) — and the build payload is the VECTOR column, so a
     # shuffled-hash build would hold a bucket's full vector slice in
     # memory with no spill path; sort-merge spills, sorting only the
     # slim bucket key.
     return (
-        left.join(right.hint("merge"), "__blk")
+        left.hint("merge").join(right, ["__blk", "__salt"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", cosine_similarity("__va", "__vb"))
+        .withColumn(
+            "cosine",
+            dot_product("__va", "__vb") / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("a_id", "b_id", "cosine")
     )

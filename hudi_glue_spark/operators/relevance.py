@@ -46,13 +46,31 @@ def tf_idf_top_terms(
     Output: (doc_id, term, tf, score, rank), rank 1..k per doc, ties
     broken by term so the result is a total order.
     """
-    n_docs = docs.count()
+    # N rides the plan as a broadcast 1-row aggregate instead of a
+    # separate count() action (r16, guide §5 "the driver") — one job,
+    # not two; same double arithmetic. A one-exchange reshape
+    # (repartition tokens by doc so the tf agg and the window both
+    # reuse the partitioning) was prototyped and measured NEUTRAL at
+    # sf0.1 (med 1.24 vs 1.32 s, within noise) because no exchange
+    # reuse fires between the dfreq broadcast branch and the main
+    # stream — the raw-token explode would run twice either way — so
+    # the r15-audited two-exchange shape stays.
     terms = term_doc_counts(docs, id_col, text_col)
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = terms.join(F.broadcast(dfreq), "term").withColumn(
-        "score",
-        F.col("tf")
-        * (F.log((F.lit(1 + n_docs)) / (F.col("df") + F.lit(1))) + F.lit(1.0)),
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        terms.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs), F.lit(True))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("__n") + F.lit(1)) / (F.col("df") + F.lit(1))
+                )
+                + F.lit(1.0)
+            ),
+        )
     )
     w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
     return (
@@ -77,7 +95,6 @@ def bm25_scores(
     term. Per-term contributions are decimal-cast before the per-doc
     sum so the score is independent of partial-aggregation order.
     """
-    n_docs = docs.count()
     terms = term_doc_counts(docs, id_col, text_col)
     qlist = [str(t) for t in query_terms]
     qterms = terms.filter(F.col("term").isin(qlist))
@@ -87,22 +104,33 @@ def bm25_scores(
             F.col(id_col).alias("doc"), F.size(words(text_col)).alias("dl")
         )
     )
-    avgdl = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("a")).first()["a"]
+    # N and avgdl ride the plan as ONE broadcast 1-row aggregate (r16,
+    # guide §5 "the driver"): the previous count()/first() pair cost two
+    # extra full-scan ACTIONS per call just to fetch scalars the plan
+    # can join in — same double arithmetic, one job instead of three.
+    # dl has exactly one row per document, so count(dl) == count(docs).
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("__avgdl"),
+    )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
     )
     tf_part = (
         F.col("tf")
         * F.lit(k1 + 1.0)
         / (
             F.col("tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
         )
     )
     contrib = (
         qterms.join(F.broadcast(dfreq), "term")
         .join(dl, "doc")
+        .join(F.broadcast(stats), F.lit(True))
         .withColumn("s", idf * tf_part)
     )
     return (
