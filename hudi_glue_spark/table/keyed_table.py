@@ -2530,59 +2530,82 @@ class KeyedTable:
                 *[F.lit(None).cast(f.dataType).alias(f.name) for f in new_fields],
             )
 
-        if self.partition_by:
-            touched = self._touched_partitions(existing, batch, man=man)
-            existing_touched = self._rows_in_partitions(existing, touched)
-        else:
-            touched = None
-            existing_touched = existing
+        # Persist the conformed batch for the op's lifetime (r16, guide
+        # §5): the batch lineage (precombine window over the caller's
+        # source expression) is consumed by the touched-partition
+        # probe, the merge write, and — on an OCC conflict — the rebase
+        # key probe; unpersisted, each job re-ran the whole source
+        # subtree (measured: two ~0.5 s 33-task stages per probe on
+        # merge_into_disjoint_rebase at sf0.1). The batch is the
+        # incremental DELTA — bounded by contract — and memory-then-
+        # disk spills rather than OOMs; unpersisted in the finally.
+        from pyspark import StorageLevel
 
-        merged = self._merge(existing_touched, batch)
-        # ANN index maintenance: if the previous commit carries a
-        # vector index, assign the incoming rows with ITS stored
-        # parameters and carry the index forward — an upsert no longer
-        # silently staleness-drops the index (see
-        # _maintain_vector_index for the contract).
-        merged, maintained = self._maintain_vector_index(
-            merged, (man.stats or {}).get("vector_index")
-        )
-        if maintained is not None:
-            extra_stats = {**(extra_stats or {}), "vector_index": maintained}
-        # change_log: persist the merge output so the file write and
-        # the exceptAll delta share ONE evaluation (unpersisted after
-        # publish; measured ~2x op cost without the cache)
-        if self.change_log:
-            merged = merged.persist()
-        cid = M.child_id(man.commit_id)
-        new_files, nrows = self._write_index_aware(merged, cid, maintained)
-        chlog = self._write_change_log(
-            existing_touched, merged, existing.schema,
-            rows_written=nrows,
-        )
-        if chlog is not None:
-            extra_stats = {**(extra_stats or {}), "change_log": chlog}
-        if self.change_log:
-            merged.unpersist()
-        files = (
-            M.with_new_files(M.carried_files_arrow(man, touched), new_files)
-            if touched is not None
-            else new_files
-        )
-        self._commit(
-            "upsert",
-            files,
-            existing.schema,
-            rows=nrows,
-            rewritten=sorted(touched) if touched is not None else ["<all>"],
-            extra_stats=extra_stats,
-            cid=cid,
-            base=man if touched is not None else None,
-            touched=touched,
-            new_files=new_files,
-            # lazy: evaluated only on an OCC conflict whose range
-            # proof fails (global-scope bloom rebase)
-            probe_keys_df=batch.select(*self.key),
-        )
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if self.partition_by:
+                touched = self._touched_partitions(existing, batch, man=man)
+                existing_touched = self._rows_in_partitions(existing, touched)
+            else:
+                touched = None
+                existing_touched = existing
+
+            merged = self._merge(existing_touched, batch)
+            # ANN index maintenance: if the previous commit carries a
+            # vector index, assign the incoming rows with ITS stored
+            # parameters and carry the index forward — an upsert no
+            # longer silently staleness-drops the index (see
+            # _maintain_vector_index for the contract).
+            merged, maintained = self._maintain_vector_index(
+                merged, (man.stats or {}).get("vector_index")
+            )
+            if maintained is not None:
+                extra_stats = {
+                    **(extra_stats or {}), "vector_index": maintained
+                }
+            # change_log: persist the merge output so the file write
+            # and the exceptAll delta share ONE evaluation (unpersisted
+            # after publish; measured ~2x op cost without the cache)
+            if self.change_log:
+                merged = merged.persist()
+            cid = M.child_id(man.commit_id)
+            new_files, nrows = self._write_index_aware(
+                merged, cid, maintained
+            )
+            chlog = self._write_change_log(
+                existing_touched, merged, existing.schema,
+                rows_written=nrows,
+            )
+            if chlog is not None:
+                extra_stats = {**(extra_stats or {}), "change_log": chlog}
+            if self.change_log:
+                merged.unpersist()
+            files = (
+                M.with_new_files(
+                    M.carried_files_arrow(man, touched), new_files
+                )
+                if touched is not None
+                else new_files
+            )
+            self._commit(
+                "upsert",
+                files,
+                existing.schema,
+                rows=nrows,
+                rewritten=sorted(touched)
+                if touched is not None
+                else ["<all>"],
+                extra_stats=extra_stats,
+                cid=cid,
+                base=man if touched is not None else None,
+                touched=touched,
+                new_files=new_files,
+                # lazy: evaluated only on an OCC conflict whose range
+                # proof fails (global-scope bloom rebase)
+                probe_keys_df=batch.select(*self.key),
+            )
+        finally:
+            batch.unpersist()
         return self.commits()[-1]
 
     def retry_commit(
@@ -5134,16 +5157,32 @@ class KeyedTable:
         # shape). They are never written: the output projection below
         # selects target-schema columns only.
         extras = [c for c in source.columns if c not in set(cols)]
-        source = self._precombine(source).select(
-            [
-                (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in src_names
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in existing.schema.fields
-            ]
-            + [F.col(c) for c in extras]
+        # Persist the precombined source for the op's lifetime (r16,
+        # guide §5 — same rationale as upsert's batch persist): the
+        # touched-partition probe, the full-outer merge, and the
+        # conflict-only rebase key probe each re-ran the caller's whole
+        # source expression otherwise. Unpersisted on success below; a
+        # retried/failed attempt's handle is bounded by the persist
+        # registry (its eviction unpersists the oldest).
+        from pyspark import StorageLevel
+
+        from hudi_glue_spark.plans.persist_registry import register
+
+        source = register(
+            "mergeinto_source",
+            self._precombine(source)
+            .select(
+                [
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in src_names
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in existing.schema.fields
+                ]
+                + [F.col(c) for c in extras]
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK),
         )
         by_source = (
             by_source_delete is not None
@@ -5350,6 +5389,7 @@ class KeyedTable:
             ),
             cid=cid,
         )
+        source.unpersist()
         return self.commits()[-1]
 
     # -- savepoints (↦ Hudi savepoint/restore) -----------------------------
@@ -6892,11 +6932,15 @@ class KeyedTable:
         # ``man`` pins the index probe to the caller's snapshot — the
         # probe and the merge scan must see the SAME live-file set
         assert self.partition_by
-        batch_parts = batch.select(self.partition_by).distinct()
         if self.key_scope == "partition":
             # Keys are partition-local: only the batch's own partitions
             # can hold prior versions — no global probe.
-            return {self._dirname(r) for r in batch_parts.collect()}
+            return {
+                self._dirname(r)
+                for r in batch.select(self.partition_by)
+                .distinct()
+                .collect()
+            }
         # Global key scope: an update may move a key across partitions
         # (the reference's day=1 batch rewrites the partition column
         # itself, glue/NYTaxiDataPrep.py:47) — old hosts must be
@@ -6906,14 +6950,36 @@ class KeyedTable:
         # the Hudi record-index tagging win at 100 TB. Superset-safe:
         # extra candidate partitions rewrite unchanged rows; a missed
         # one is impossible (every live row's host is indexed).
-        if len(self.key) == 1:
-            hosts = self.files_hosting_keys(
-                batch.sparkSession,
-                batch.select(self.key[0]).dropDuplicates(),
-                man=man,
-            )
+        # Registration gate is a driver-side stats read (r16): the old
+        # shape always ran the index probe FIRST and fell through on
+        # None, which on unindexed tables paid nothing extra but on
+        # indexed ones serialized two independent jobs.
+        if (
+            len(self.key) == 1
+            and man is not None
+            and (man.stats or {}).get("record_index") is not None
+        ):
+            # The index-hosts join and the batch's own partition set
+            # are INDEPENDENT jobs — overlap them (guide §2.6): the
+            # second job's tasks back-fill the first's tail.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(
+                    self.files_hosting_keys,
+                    batch.sparkSession,
+                    batch.select(self.key[0]).dropDuplicates(),
+                    man,
+                )
+                parts = {
+                    self._dirname(r)
+                    for r in batch.select(self.partition_by)
+                    .distinct()
+                    .collect()
+                }
+                hosts = fut.result()
             if hosts is not None:
-                return {self._dirname(r) for r in batch_parts.collect()} | {
+                return parts | {
                     d for f in hosts if (d := M.partition_of(f))
                 }
             # NOTE (r15, measured and REJECTED): tagging old hosts from
@@ -6929,17 +6995,25 @@ class KeyedTable:
             # multi-commit fixture rows). Tagging needs Hudi-grade
             # ~1e-9-FPP filters (≈43 bits/key — 4× the metadata) to be
             # sound; revisit only with re-sized blooms.
-        # No index: the probe ships only distinct keys (broadcast-sized
-        # for incremental batches; AQE picks broadcast for the
-        # semi-join). Both partition sets come back in ONE job/collect.
-        old_parts = (
-            existing.join(
-                batch.select(self.key).dropDuplicates(), on=self.key, how="left_semi"
-            )
-            .select(self.partition_by)
+        # No index: ONE job, ONE slim exchange (r16, guide §2.4). The
+        # batch's own partition values and the semi-join's matched
+        # partition values union BEFORE a single distinct — the
+        # previous shape deduped three times (batch keys before the
+        # semi-join, old_parts, and the final union), and under AQE
+        # every extra exchange is an extra stage-materialization job
+        # (~0.2-0.3 s of fixed cost per tiny job on local[32];
+        # measured 0.83 s/probe on merge_into_disjoint_rebase, ~7 jobs
+        # of the row's 37). The semi-join key dedup was redundant
+        # work: every caller precombines the batch before probing, and
+        # a semi-join is insensitive to probe-side duplicates anyway.
+        old_parts = existing.join(
+            batch.select(self.key), on=self.key, how="left_semi"
+        ).select(self.partition_by)
+        probe = (
+            batch.select(self.partition_by)
+            .unionByName(old_parts)
             .distinct()
         )
-        probe = batch_parts.unionByName(old_parts).distinct()
         return {self._dirname(r) for r in probe.collect()}
 
     def _rows_in_partitions(self, df: DataFrame, dirnames: set[str]) -> DataFrame:
@@ -7299,6 +7373,9 @@ class KeyedTable:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        # hash the probe key set ONCE — probing P rival files with K
+        # keys was P×K md5s (r16; same fix files_with_keys got in r15)
+        want = B.hash_pairs(keys)
         cur, prv = r.files_arrow(), parent.files_arrow()
         added = pc.filter(cur, pc.invert(pc.is_in(cur, value_set=prv)))
         removed = pc.filter(prv, pc.invert(pc.is_in(prv, value_set=cur)))
@@ -7320,7 +7397,7 @@ class KeyedTable:
             for raw in blooms:
                 if raw is None:
                     return False  # no bloom recorded → unprovable
-                if B.contains_any(B.from_bytes(raw), keys):
+                if B.contains_any_hashed(B.from_bytes(raw), want):
                     return False  # possible key hit → re-merge
         return True
 
