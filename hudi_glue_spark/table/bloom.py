@@ -34,6 +34,18 @@ import numpy as np
 BITS_PER_KEY = 10
 NUM_PROBES = 7
 
+#: Hash family NEW filters are built with. Every filter RECORDS its
+#: family ("h" in the dict; the pad field of the binary shard form), and
+#: every probe hashes with the filter's OWN family — so filters
+#: persisted under the legacy md5 family (pre-r16 sidecars/shards, e.g.
+#: disk-revalidated fixtures) keep their no-false-negative guarantee
+#: forever. "poly1" is a fully vectorized numpy construction (~20× less
+#: per-key Python than the md5 loop, which cProfile put at ~0.3 s per
+#: 40k-key commit on the write side alone); it is self-contained —
+#: byte-for-byte reproducible from this file, no library hash whose
+#: cross-version stability we'd be betting row correctness on.
+BLOOM_HASH = "poly1"
+
 SIDECAR_SUFFIX = ".bloom"
 
 
@@ -115,16 +127,85 @@ def key_strings_table(kt) -> list[str]:
     return pc.binary_join_element_wise(*canon, "|").to_pylist()
 
 
+def key_strings_values(values) -> list[str]:
+    """Canonical key strings for a list of SINGLE-COLUMN key values —
+    the probe-side bulk twin of :func:`key_strings_table` (r16: a 40k-
+    key DV prune spent ~0.1 s in the per-key ``key_string`` loop).
+    Exact by construction: the arrow path fast-paths the same types
+    key_strings_table does and anything else (or a list arrow cannot
+    type uniformly) takes the per-value legacy form."""
+    vals = list(values)
+    if not vals:
+        return []
+    try:
+        import pyarrow as pa
+
+        arr = pa.array(vals)
+    except Exception:  # noqa: BLE001 — mixed types: legacy path
+        return [key_string((v,)) for v in vals]
+    return key_strings_table(pa.table({"k": arr}))
+
+
 def _hash_pair(key: str) -> tuple[int, int]:
     d = hashlib.md5(key.encode("utf-8")).digest()
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
 
 
-def _hash_pairs_np(keys: list[str]) -> np.ndarray:
-    """(n, 2) uint64 array of (h1, h2) for every key — same md5 split as
-    :func:`_hash_pair`, batched."""
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_POLY_P = np.uint64(0x100000001B3)  # FNV-64 prime as polynomial base
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — the standard 64-bit avalanche."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _poly_pairs_np(keys: list[str]) -> np.ndarray:
+    """(n, 2) uint64 (h1, h2) via a vectorized polynomial hash over the
+    utf-8 bytes (base = FNV prime, natural 2^64 wrap) with the true
+    byte length mixed in (zero-padding would otherwise alias keys with
+    trailing NULs — the canonical null marker contains one) and two
+    SplitMix64 finalizers for the double-hash pair. All C-side numpy
+    except the per-key encode/len."""
+    bs = [k.encode("utf-8") for k in keys]
+    lens = np.array([len(b) for b in bs], dtype=np.uint64)
+    width = max(1, int(lens.max()))
+    mat = (
+        np.frombuffer(
+            np.array(bs, dtype=f"S{width}").tobytes(), dtype=np.uint8
+        )
+        .reshape(len(bs), width)
+        .astype(np.uint64)
+    )
+    with np.errstate(over="ignore"):  # 2^64 wrap is the arithmetic
+        # powers indexed by BYTE POSITION (P^0 at position 0): the
+        # padding zeros beyond a key's length contribute nothing, so a
+        # key hashes identically no matter what batch (and batch max
+        # width) it is probed or built in
+        pows = np.empty(width, dtype=np.uint64)
+        acc = np.uint64(1)
+        for i in range(width):
+            pows[i] = acc
+            acc = acc * _POLY_P
+        base = (mat * pows[None, :]).sum(axis=1, dtype=np.uint64)
+        h1 = _splitmix64(base ^ (lens * _GOLD))
+        h2 = _splitmix64(base + _GOLD + lens)
+    return np.stack([h1, h2], axis=1)
+
+
+def _hash_pairs_np(keys: list[str], kind: str = "md5") -> np.ndarray:
+    """(n, 2) uint64 array of (h1, h2) for every key under the given
+    hash family — md5 (legacy; same split as :func:`_hash_pair`) or
+    poly1 (vectorized)."""
     if not keys:
         return np.empty((0, 2), dtype=np.uint64)
+    if kind == "poly1":
+        return _poly_pairs_np(keys)
     digests = b"".join(hashlib.md5(k.encode("utf-8")).digest() for k in keys)
     return np.frombuffer(digests, dtype=">u8").reshape(-1, 2).astype(np.uint64)
 
@@ -140,21 +221,24 @@ def _probe_bits(h: np.ndarray, m: int, k: int = NUM_PROBES) -> np.ndarray:
     return (a[:, None] + i[None, :] * b[:, None]) % um
 
 
-def build(keys: list[str]) -> dict:
+def build(keys: list[str], kind: str = BLOOM_HASH) -> dict:
     """A serializable bloom over ``keys`` (double hashing: probe i uses
-    h1 + i*h2 mod m — the standard Kirsch-Mitzenmacher construction).
-    The md5s are the only per-key Python work; probe positions and bit
-    sets are vectorized (a 100k-key file builds in ~100 ms driver-side;
-    on a real cluster this would run executor-side at write time)."""
+    h1 + i*h2 mod m — the standard Kirsch-Mitzenmacher construction),
+    recording its hash family so probes always match it. Fully
+    vectorized under the default poly1 family; ``kind="md5"`` builds
+    the legacy form (byte-compatible with pre-r16 filters)."""
     m = max(1024, len(keys) * BITS_PER_KEY)
     arr = np.zeros((m + 7) // 8, dtype=np.uint8)
     if keys:
-        bits = _probe_bits(_hash_pairs_np(keys), m).ravel()
+        bits = _probe_bits(_hash_pairs_np(keys, kind), m).ravel()
         np.bitwise_or.at(
             arr, (bits >> np.uint64(3)).astype(np.int64),
             np.left_shift(np.uint8(1), (bits & np.uint64(7)).astype(np.uint8)),
         )
-    return {"m": m, "k": NUM_PROBES, "n": len(keys), "b64": base64.b64encode(arr.tobytes()).decode()}
+    out = {"m": m, "k": NUM_PROBES, "n": len(keys), "b64": base64.b64encode(arr.tobytes()).decode()}
+    if kind != "md5":
+        out["h"] = kind
+    return out
 
 
 def _decode(bloom: dict) -> np.ndarray:
@@ -163,30 +247,67 @@ def _decode(bloom: dict) -> np.ndarray:
     return np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
 
 
+#: binary-header code ↔ hash family (pad field of the pre-r16 header,
+#: which was always written 0 — i.e. md5)
+_KIND_CODE = {"md5": 0, "poly1": 1}
+_CODE_KIND = {v: k for k, v in _KIND_CODE.items()}
+
+
 def to_bytes(bloom: dict) -> bytes:
     """Compact binary form for manifest-shard storage: 8-byte header
-    (m uint32, k uint16, pad) + raw filter bits — no base64 overhead."""
+    (m uint32, k uint16, hash-family code uint16 — 0 is the legacy md5,
+    exactly what pre-r16 shards carry) + raw filter bits."""
     import struct
 
-    return struct.pack("<IHH", bloom["m"], bloom["k"], 0) + _decode(bloom).tobytes()
+    code = _KIND_CODE[bloom.get("h", "md5")]
+    return struct.pack("<IHH", bloom["m"], bloom["k"], code) + _decode(bloom).tobytes()
 
 
 def from_bytes(raw: bytes) -> dict:
     import struct
 
-    m, k, _pad = struct.unpack("<IHH", raw[:8])
-    return {
+    m, k, code = struct.unpack("<IHH", raw[:8])
+    out = {
         "m": m,
         "k": k,
         "arr": np.frombuffer(raw[8:], dtype=np.uint8),
     }
+    kind = _CODE_KIND.get(code, "md5")
+    if kind != "md5":
+        out["h"] = kind
+    return out
 
 
-def contains_any_hashed(bloom: dict, hashes: np.ndarray) -> bool:
-    """:func:`contains_any` over precomputed ``(n, 2)`` md5 hash pairs
-    (:func:`hash_pairs`) — probing MANY files with the same key set
-    hashes the keys once instead of once per file (r15: the per-file
-    re-hash dominated multi-file probes)."""
+class ProbeHashes:
+    """Hash-pair arrays for one probe key set, computed LAZILY per hash
+    family and cached — probing P files hashes the keys once per
+    family PRESENT among the files' filters (normally exactly one),
+    never once per file."""
+
+    def __init__(self, keys: list[str]):
+        self.keys = list(keys)
+        self._by_kind: dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def for_kind(self, kind: str) -> np.ndarray:
+        a = self._by_kind.get(kind)
+        if a is None:
+            a = _hash_pairs_np(self.keys, kind)
+            self._by_kind[kind] = a
+        return a
+
+
+def contains_any_hashed(bloom: dict, hashes) -> bool:
+    """:func:`contains_any` over a precomputed probe set — either a
+    :class:`ProbeHashes` (hashes with the filter's OWN family) or a raw
+    ``(n, 2)`` array the caller already matched to this filter's
+    family."""
+    if isinstance(hashes, ProbeHashes):
+        if not hashes.keys:
+            return False
+        hashes = hashes.for_kind(bloom.get("h", "md5"))
     if hashes.shape[0] == 0:
         return False
     arr = _decode(bloom)
@@ -200,9 +321,9 @@ def contains_any_hashed(bloom: dict, hashes: np.ndarray) -> bool:
     return bool(hit.all(axis=1).any())
 
 
-def hash_pairs(keys: list[str]) -> np.ndarray:
+def hash_pairs(keys: list[str]) -> ProbeHashes:
     """Public precompute for :func:`contains_any_hashed`."""
-    return _hash_pairs_np(keys)
+    return ProbeHashes(keys)
 
 
 def contains_any(bloom: dict, keys: list[str]) -> bool:
@@ -212,7 +333,9 @@ def contains_any(bloom: dict, keys: list[str]) -> bool:
     lookup probes many keys against many sidecars."""
     if not keys:
         return False
-    return contains_any_hashed(bloom, _hash_pairs_np(keys))
+    return contains_any_hashed(
+        bloom, _hash_pairs_np(keys, bloom.get("h", "md5"))
+    )
 
 
 def maybe_contains(bloom: dict, key: str) -> bool:

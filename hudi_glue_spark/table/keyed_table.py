@@ -1020,8 +1020,9 @@ class KeyedTable:
         assert man is not None
         ddir = M.data_dir(self.path)
         # hash the probe set ONCE — probing P files with K keys was
-        # P×K md5s before r15, now K
-        want = B.hash_pairs([B.key_string((k,)) for k in keys])
+        # P×K md5s before r15, now K per hash family present; the
+        # canonicalization is bulk arrow too (r16)
+        want = B.hash_pairs(B.key_strings_values(keys))
         # fast path: blooms from the manifest shards — ONE columnar
         # metadata load for the whole snapshot, no per-file sidecar
         # opens (at 800k files the sidecar walk is 800k tiny reads)
@@ -1255,7 +1256,25 @@ class KeyedTable:
             ent = self._rli_entries_for_files(
                 spark, new_names, int(reg_full["seq"]), reg_full["key"], schema
             )
-            spans = RI.write_entries(ent, self.path, cid, reg_full["key"])
+            # delta-size gate for the one-job single-segment write:
+            # the (key, file, seq) entries of a commit whose new data
+            # files total under the scan-split size trivially fit one
+            # task; bigger deltas keep the parallel global sort
+            ddir = M.data_dir(self.path)
+            small = True
+            total = 0
+            for f in new_names:
+                try:
+                    total += os.path.getsize(os.path.join(ddir, f))
+                except OSError:
+                    small = False
+                    break
+                if total > 128 * 1024 * 1024:
+                    small = False
+                    break
+            spans = RI.write_entries(
+                ent, self.path, cid, reg_full["key"], single_segment=small
+            )
         except Exception:  # noqa: BLE001 — drop honestly, never corrupt
             return None
         deltas = dict(reg_full.get("deltas") or {})

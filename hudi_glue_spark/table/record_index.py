@@ -64,6 +64,7 @@ def write_entries(
     cid: str,
     key_col: str,
     max_records_per_file: int | None = None,
+    single_segment: bool = False,
 ) -> dict[str, list | None]:
     """Stage ``df`` (``key, file, seq``) as sorted parquet segments and
     move them under ``_rli/`` with commit-prefixed, writer-token names
@@ -79,7 +80,19 @@ def write_entries(
     token = uuid.uuid4().hex[:8]
     stage = os.path.join(root, ".tmp", f"rli-{cid}-{token}")
     shutil.rmtree(stage, ignore_errors=True)
-    w = df.sort(key_col).write.mode("overwrite")
+    # ``single_segment``: a SMALL delta (the per-commit advance path
+    # gates on the new files' on-disk bytes) sorts within one task —
+    # one Spark job producing one globally-sorted, exactly-spanned
+    # segment. A global sort() pays a range-partitioner SAMPLING job
+    # before the write: two jobs of fixed cost per commit for a
+    # delta that fits a single task anyway (r16, guide §5). Large
+    # builds/compactions keep the parallel global sort.
+    ordered = (
+        df.coalesce(1).sortWithinPartitions(key_col)
+        if single_segment
+        else df.sort(key_col)
+    )
+    w = ordered.write.mode("overwrite")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(stage)

@@ -1118,13 +1118,75 @@ def test_bloom_vectorized_build_matches_scalar_reference():
         return base64.b64encode(bytes(arr)).decode()
 
     keys = [f"k{i * 7919}" for i in range(5000)] + ["", "a|b", "雪", "0"]
-    assert B.build(keys)["b64"] == build_scalar(keys)
-    assert B.build([])["b64"] == build_scalar([])
+    # the md5 family stays bit-identical to the definitional form —
+    # it's what every pre-r16 persisted filter carries
+    assert B.build(keys, kind="md5")["b64"] == build_scalar(keys)
+    assert B.build([], kind="md5")["b64"] == build_scalar([])
 
-    b = B.build(keys)
-    assert all(B.maybe_contains(b, k) for k in keys)
-    assert B.contains_any(b, ["absent-1", keys[17]])
-    assert not B.contains_any(b, [])
+    for kind in ("md5", B.BLOOM_HASH):
+        b = B.build(keys, kind=kind)
+        assert all(B.maybe_contains(b, k) for k in keys)
+        assert B.contains_any(b, ["absent-1", keys[17]])
+        assert not B.contains_any(b, [])
+
+
+def test_bloom_hash_family_tag_roundtrip():
+    """A filter probes correctly through every (de)serialization form
+    regardless of hash family: the tag rides the JSON dict and the
+    binary shard header, and a kind-less legacy blob reads as md5 —
+    mixed-family probe sets hash once per family (ProbeHashes)."""
+    from hudi_glue_spark.table import bloom as B
+
+    keys = [f"key-{i}" for i in range(500)] + ["", "\0null", "a|b"]
+    new = B.build(keys)  # poly1 default
+    old = B.build(keys, kind="md5")
+    assert new.get("h") == B.BLOOM_HASH and "h" not in old
+    # binary roundtrip preserves the family
+    for b in (new, old):
+        rb = B.from_bytes(B.to_bytes(b))
+        assert rb.get("h", "md5") == b.get("h", "md5")
+        assert all(B.maybe_contains(rb, k) for k in keys)
+    # one probe set against BOTH families — no false negatives either way
+    want = B.hash_pairs(keys)
+    assert B.contains_any_hashed(B.from_bytes(B.to_bytes(new)), want)
+    assert B.contains_any_hashed(B.from_bytes(B.to_bytes(old)), want)
+    # a legacy binary blob (pad=0 header) must read as md5
+    legacy = B.to_bytes(old)
+    assert B.from_bytes(legacy).get("h", "md5") == "md5"
+    # bulk probe-side canonicalization is exact vs the per-value form
+    import datetime
+    import decimal
+
+    for vals in (
+        [1, 2, None, 3],
+        ["a", None, "b|c", ""],
+        [True, False, None],
+        [1.5, 2.0, None],
+        [decimal.Decimal("2.50"), None],
+        [datetime.datetime(2024, 1, 1), None],
+        [1, "mixed", None],
+    ):
+        assert B.key_strings_values(vals) == [
+            B.key_string((v,)) for v in vals
+        ]
+
+
+def test_bloom_poly_no_false_negatives_property():
+    """Same property as the md5 family, for the poly1 family."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hudi_glue_spark.table import bloom as B
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(max_size=40), max_size=120))
+    def prop(keys):
+        b = B.build(keys, kind="poly1")
+        assert all(B.maybe_contains(b, k) for k in keys)
+        if keys:
+            assert B.contains_any(b, keys)
+
+    prop()
 
 
 def test_bloom_no_false_negatives_property():
